@@ -1,0 +1,450 @@
+"""Global configuration for the TPU-native NA-fWebSOD rebuild.
+
+Capability parity with the reference's ``detectron/core/config.py`` (global
+``cfg`` AttrDict, defaults, YAML merge ``merge_cfg_from_file``, CLI override
+``merge_cfg_from_list``, type coercion, immutability, ``assert_and_infer_cfg``,
+``get_output_dir``; reference lines 60-1396).  The key names and defaults below
+mirror the reference so its YAML configs (e.g.
+``configs/flickr_voc/na_wsddn_V-16-C5_1x.yaml``) load unchanged; the
+implementation is new and TPU-oriented (NUM_GPUS is interpreted as the number
+of JAX devices in the mesh).
+"""
+
+import copy
+import os
+from ast import literal_eval
+
+import numpy as np
+import yaml
+
+from nafwebsod_tpu.utils.collections import AttrDict
+
+__C = AttrDict()
+cfg = __C
+
+# ---------------------------------------------------------------------------- #
+# Training options
+# ---------------------------------------------------------------------------- #
+__C.TRAIN = AttrDict()
+__C.TRAIN.WEIGHTS = ''
+__C.TRAIN.DATASETS = ()
+__C.TRAIN.SCALES = (600,)
+__C.TRAIN.MAX_SIZE = 1000
+__C.TRAIN.IMS_PER_BATCH = 2
+__C.TRAIN.BATCH_SIZE_PER_IM = 64
+__C.TRAIN.FG_FRACTION = 0.25
+__C.TRAIN.FG_THRESH = 0.5
+__C.TRAIN.BG_THRESH_HI = 0.5
+__C.TRAIN.BG_THRESH_LO = 0.0
+__C.TRAIN.USE_FLIPPED = True
+__C.TRAIN.BBOX_THRESH = 0.5
+__C.TRAIN.SNAPSHOT_ITERS = 80000
+__C.TRAIN.PROPOSAL_FILES = ()
+__C.TRAIN.ASPECT_GROUPING = True
+__C.TRAIN.CROWD_FILTER_THRESH = 0.7
+__C.TRAIN.GT_MIN_AREA = -1
+__C.TRAIN.FREEZE_CONV_BODY = False
+__C.TRAIN.AUTO_RESUME = True
+__C.TRAIN.COPY_WEIGHTS = False
+__C.TRAIN.FREEZE_AT = 2
+
+# ---------------------------------------------------------------------------- #
+# Data loader options
+# ---------------------------------------------------------------------------- #
+__C.DATA_LOADER = AttrDict()
+__C.DATA_LOADER.NUM_THREADS = 4
+__C.DATA_LOADER.MINIBATCH_QUEUE_SIZE = 64
+__C.DATA_LOADER.BLOBS_QUEUE_CAPACITY = 8
+
+# ---------------------------------------------------------------------------- #
+# Inference options
+# ---------------------------------------------------------------------------- #
+__C.TEST = AttrDict()
+__C.TEST.WEIGHTS = ''
+__C.TEST.DATASETS = ()
+__C.TEST.SCALE = 600
+__C.TEST.MAX_SIZE = 1000
+__C.TEST.NMS = 0.3
+__C.TEST.BBOX_REG = True
+__C.TEST.PROPOSAL_FILES = ()
+__C.TEST.PROPOSAL_LIMIT = 2000
+__C.TEST.DETECTIONS_PER_IM = 100
+__C.TEST.SCORE_THRESH = 0.05
+__C.TEST.COMPETITION_MODE = True
+__C.TEST.FORCE_JSON_DATASET_EVAL = False
+__C.TEST.PRECOMPUTED_PROPOSALS = True
+
+# Test-time augmentation for bounding boxes
+__C.TEST.BBOX_AUG = AttrDict()
+__C.TEST.BBOX_AUG.ENABLED = False
+__C.TEST.BBOX_AUG.SCORE_HEUR = 'UNION'   # 'ID' | 'AVG' | 'UNION'
+__C.TEST.BBOX_AUG.COORD_HEUR = 'UNION'   # 'ID' | 'AVG' | 'UNION'
+__C.TEST.BBOX_AUG.H_FLIP = False
+__C.TEST.BBOX_AUG.SCALES = ()
+__C.TEST.BBOX_AUG.MAX_SIZE = 4000
+__C.TEST.BBOX_AUG.SCALE_H_FLIP = False
+__C.TEST.BBOX_AUG.SCALE_SIZE_DEP = False
+__C.TEST.BBOX_AUG.AREA_TH_LO = 50 ** 2
+__C.TEST.BBOX_AUG.AREA_TH_HI = 180 ** 2
+__C.TEST.BBOX_AUG.ASPECT_RATIOS = ()
+__C.TEST.BBOX_AUG.ASPECT_RATIO_H_FLIP = False
+
+# Soft NMS
+__C.TEST.SOFT_NMS = AttrDict()
+__C.TEST.SOFT_NMS.ENABLED = False
+__C.TEST.SOFT_NMS.METHOD = 'linear'      # 'linear' | 'gaussian'
+__C.TEST.SOFT_NMS.SIGMA = 0.5
+
+# Box voting
+__C.TEST.BBOX_VOTE = AttrDict()
+__C.TEST.BBOX_VOTE.ENABLED = False
+__C.TEST.BBOX_VOTE.VOTE_TH = 0.8
+__C.TEST.BBOX_VOTE.SCORING_METHOD = 'ID'
+__C.TEST.BBOX_VOTE.SCORING_METHOD_BETA = 1.0
+
+# ---------------------------------------------------------------------------- #
+# Model options
+# ---------------------------------------------------------------------------- #
+__C.MODEL = AttrDict()
+__C.MODEL.TYPE = ''
+__C.MODEL.CONV_BODY = ''
+__C.MODEL.NUM_CLASSES = -1
+__C.MODEL.CLS_AGNOSTIC_BBOX_REG = False
+__C.MODEL.BBOX_REG_WEIGHTS = (10., 10., 5., 5.)
+__C.MODEL.FASTER_RCNN = False
+__C.MODEL.MASK_ON = False
+__C.MODEL.KEYPOINTS_ON = False
+__C.MODEL.RPN_ONLY = False
+__C.MODEL.EXECUTION_TYPE = 'dag'
+
+# ---------------------------------------------------------------------------- #
+# Solver options
+# ---------------------------------------------------------------------------- #
+__C.SOLVER = AttrDict()
+__C.SOLVER.BASE_LR = 0.001
+__C.SOLVER.LR_POLICY = 'step'
+__C.SOLVER.GAMMA = 0.1
+__C.SOLVER.STEP_SIZE = 30000
+__C.SOLVER.STEPS = []
+__C.SOLVER.LRS = []
+__C.SOLVER.MAX_ITER = 40000
+__C.SOLVER.MOMENTUM = 0.9
+__C.SOLVER.WEIGHT_DECAY = 0.0005
+__C.SOLVER.WEIGHT_DECAY_GN = 0.0
+__C.SOLVER.WARM_UP_ITERS = 500
+__C.SOLVER.WARM_UP_FACTOR = 1.0 / 3.0
+__C.SOLVER.WARM_UP_METHOD = 'linear'
+__C.SOLVER.SCALE_MOMENTUM = True
+__C.SOLVER.SCALE_MOMENTUM_THRESHOLD = 1.1
+__C.SOLVER.LOG_LR_CHANGE_THRESHOLD = 1.1
+
+# ---------------------------------------------------------------------------- #
+# Fast R-CNN / RoI box head options
+# ---------------------------------------------------------------------------- #
+__C.FAST_RCNN = AttrDict()
+__C.FAST_RCNN.ROI_BOX_HEAD = ''
+__C.FAST_RCNN.MLP_HEAD_DIM = 1024
+__C.FAST_RCNN.CONV_HEAD_DIM = 256
+__C.FAST_RCNN.NUM_STACKED_CONVS = 4
+__C.FAST_RCNN.ROI_XFORM_METHOD = 'RoIPoolF'
+__C.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO = 0
+__C.FAST_RCNN.ROI_XFORM_RESOLUTION = 14
+
+# ---------------------------------------------------------------------------- #
+# WSL (weakly-supervised learning) options — the capability switchboard
+# (reference config.py:910-987)
+# ---------------------------------------------------------------------------- #
+__C.WSL = AttrDict()
+__C.WSL.WSL_ON = False
+__C.WSL.ITER_SIZE = 1
+__C.WSL.DEBUG = False
+__C.WSL.SAMPLE = False
+__C.WSL.SAMPLE_ITER = 1280
+__C.WSL.CPG = False
+__C.WSL.CPG_PRE_BLOB = 'cls_prob'
+__C.WSL.CPG_DATA_BLOB = 'data'
+__C.WSL.CPG_TAU = 0.7
+__C.WSL.CPG_MAX_ITER = 0
+__C.WSL.CSC_MAX_ITER = 35000
+__C.WSL.CSC = False
+__C.WSL.CSC_FG_THRESHOLD = 0.1
+__C.WSL.CSC_MASS_THRESHOLD = 0.2
+__C.WSL.CSC_DENSITY_THRESHOLD = 0.0
+__C.WSL.CENTER_LOSS = False
+__C.WSL.CENTER_LOSS_NUMBER = 5
+__C.WSL.CENTER_LOSS_TOP_K = 10
+__C.WSL.CONTEXT = False
+__C.WSL.CONTEXT_RATIO = 1.8
+__C.WSL.OICR = False
+__C.WSL.PCL = False
+__C.WSL.CMIL = False
+__C.WSL.SIZE_EPOCH = 5000
+__C.WSL.MLP_HEAD_DIM = []
+__C.WSL.DEEP_MEM = False
+__C.WSL.MEAN_LOSS = False
+__C.WSL.USE_DISTORTION = True
+__C.WSL.SATURATION = 1.5
+__C.WSL.EXPOSURE = 1.5
+__C.WSL.USE_CROP = True
+__C.WSL.CROP = 0.9
+__C.WSL.DILATION = 1
+__C.WSL.MASK_SOFTMAX = False
+__C.WSL.MIN_ENTROPY_LOSS = False
+__C.WSL.PTH_IMG = False
+
+# Pseudo ground-truth self-training
+__C.USE_PSEUDO = False
+__C.PSEUDO_PATH = ()
+
+# ---------------------------------------------------------------------------- #
+# WEBLY (noise-aware web supervision) options (reference config.py:990-1001)
+# ---------------------------------------------------------------------------- #
+__C.WEBLY = AttrDict()
+__C.WEBLY.WEBLY_ON = False
+__C.WEBLY.ENTROPY = False
+__C.WEBLY.MINING = False
+__C.WEBLY.BAGGING_MIXUP = False
+__C.WEBLY.BAGGING_MIXUP_ALPHA = 1.5
+
+# ---------------------------------------------------------------------------- #
+# GroupNorm options
+# ---------------------------------------------------------------------------- #
+__C.GROUP_NORM = AttrDict()
+__C.GROUP_NORM.DIM_PER_GP = -1
+__C.GROUP_NORM.NUM_GROUPS = 32
+__C.GROUP_NORM.EPSILON = 1e-5
+
+# ---------------------------------------------------------------------------- #
+# Misc options
+# ---------------------------------------------------------------------------- #
+# Number of devices in the data-parallel mesh (the reference's NUM_GPUS;
+# here: number of TPU chips used by pjit/shard_map)
+__C.NUM_GPUS = 1
+__C.USE_NCCL = False  # kept for YAML compat; collectives are XLA-native here
+__C.DEDUP_BOXES = 1. / 16.
+__C.BBOX_XFORM_CLIP = float(np.log(1000. / 16.))
+__C.PIXEL_MEANS = np.array([[[102.9801, 115.9465, 122.7717]]])
+__C.PIXEL_STDS = np.array([[[1.0, 1.0, 1.0]]])
+__C.RNG_SEED = 3
+__C.EPS = 1e-14
+__C.ROOT_DIR = os.getcwd()
+__C.OUTPUT_DIR = '/tmp'
+__C.MATLAB = 'matlab'
+__C.MEMONGER = False
+__C.MEMONGER_SHARE_ACTIVATIONS = False
+__C.VIS = False
+__C.VIS_TH = 0.9
+__C.EXPECTED_RESULTS = []
+__C.EXPECTED_RESULTS_RTOL = 0.1
+__C.EXPECTED_RESULTS_ATOL = 0.005
+__C.EXPECTED_RESULTS_SIGMA_TOL = 4
+__C.EXPECTED_RESULTS_EMAIL = ''
+__C.DOWNLOAD_CACHE = '/tmp/detectron-download-cache'
+
+# TPU-specific knobs (new; no reference equivalent)
+__C.TPU = AttrDict()
+# Compute dtype for conv body / FC matmuls ('bfloat16' or 'float32').
+__C.TPU.COMPUTE_DTYPE = 'float32'
+# Pad RoI count to this multiple for static XLA shapes.
+__C.TPU.ROI_PAD_MULTIPLE = 256
+# Bucketed image sizes are rounded up to this multiple to bound recompiles.
+__C.TPU.SIZE_BUCKET_MULTIPLE = 64
+# Use the Pallas fused RoI pooling kernel when on TPU.
+__C.TPU.USE_PALLAS = True
+
+# Deprecated/renamed keys from the reference's registry that we silently accept
+# in YAML files (reference config.py:1109-1175).
+_DEPRECATED_KEYS = {
+    'FINAL_MSG', 'MODEL.DILATION', 'ROOT_GPU_ID', 'RPN.ON', 'TRAIN.BBOX_NORMALIZE_TARGETS',
+    'TRAIN.BBOX_NORMALIZE_TARGETS_PRECOMPUTED', 'TRAIN.BBOX_NORMALIZE_MEANS',
+    'TRAIN.BBOX_NORMALIZE_STDS', 'TRAIN.DROPOUT', 'USE_GPU_NMS', 'TEST.NUM_TEST_IMAGES',
+}
+
+_RENAMED_KEYS = {
+    'EXAMPLE.RENAMED.KEY': 'EXAMPLE.KEY',
+    'PIXEL_MEAN': 'PIXEL_MEANS',
+}
+
+# Keys the TPU rebuild accepts but ignores (Caffe2-runtime specific). Recorded
+# so reference YAMLs merge cleanly.
+_IGNORED_SUBTREES = ('RPN', 'FPN', 'RETINANET', 'KRCNN', 'MRCNN', 'RESNETS', 'RFCN')
+
+
+def merge_cfg_from_file(cfg_filename):
+    """Load a YAML config file and merge it into the global config."""
+    with open(cfg_filename, 'r') as f:
+        yaml_cfg = AttrDict(_to_attr_dict(yaml.safe_load(f)))
+    _merge_a_into_b(yaml_cfg, __C)
+
+
+def merge_cfg_from_cfg(cfg_other):
+    """Merge another config (AttrDict or plain dict) into the global config."""
+    _merge_a_into_b(AttrDict(_to_attr_dict(cfg_other)), __C)
+
+
+def merge_cfg_from_list(cfg_list):
+    """Merge config keys/values in a list (e.g. from CLI) into the config.
+
+    The list must have even length: [key1, value1, key2, value2, ...].
+    """
+    assert len(cfg_list) % 2 == 0, 'Specify values or keys for args'
+    for full_key, v in zip(cfg_list[0::2], cfg_list[1::2]):
+        if _key_is_deprecated(full_key):
+            continue
+        if _key_is_renamed(full_key):
+            _raise_key_rename_error(full_key)
+        key_list = full_key.split('.')
+        d = __C
+        for subkey in key_list[:-1]:
+            assert subkey in d, 'Non-existent key: {}'.format(full_key)
+            d = d[subkey]
+        subkey = key_list[-1]
+        assert subkey in d, 'Non-existent key: {}'.format(full_key)
+        value = _decode_cfg_value(v)
+        value = _check_and_coerce_cfg_value_type(value, d[subkey], subkey, full_key)
+        d[subkey] = value
+
+
+def assert_and_infer_cfg(make_immutable=True):
+    """Validate config invariants and freeze the config."""
+    if __C.MODEL.RPN_ONLY or __C.MODEL.FASTER_RCNN:
+        __C.TEST.PRECOMPUTED_PROPOSALS = False
+    if make_immutable:
+        __C.immutable(True)
+
+
+def get_output_dir(datasets, training=True):
+    """<OUTPUT_DIR>/<train|test>/<dataset>/<MODEL.TYPE> (reference config.py:1210)."""
+    dataset_name = ':'.join(datasets) if isinstance(datasets, (tuple, list)) else datasets
+    tag = 'train' if training else 'test'
+    outdir = os.path.join(__C.OUTPUT_DIR, tag, dataset_name, __C.MODEL.TYPE)
+    if not os.path.exists(outdir):
+        os.makedirs(outdir, exist_ok=True)
+    return outdir
+
+
+def reset_cfg():
+    """Restore the global config to its default state (test helper)."""
+    global _DEFAULT_CFG
+    __C.immutable(False)
+    for k in list(__C.keys()):
+        del __C[k]
+    for k, v in copy.deepcopy(_DEFAULT_CFG).items():
+        __C[k] = v
+    __C.immutable(False)
+
+
+def load_cfg(cfg_to_load):
+    """Parse a serialized (YAML string or file object) config."""
+    if hasattr(cfg_to_load, 'read'):
+        cfg_to_load = cfg_to_load.read()
+    return AttrDict(_to_attr_dict(yaml.safe_load(cfg_to_load)))
+
+
+def dump_cfg():
+    """Serialize the current config to a YAML string (for checkpoints)."""
+    return yaml.dump(_to_plain_dict(__C))
+
+
+# ---------------------------------------------------------------------------- #
+# Internals
+# ---------------------------------------------------------------------------- #
+
+def _to_attr_dict(d):
+    if isinstance(d, dict):
+        return AttrDict({k: _to_attr_dict(v) for k, v in d.items()})
+    return d
+
+
+def _to_plain_dict(d):
+    if isinstance(d, dict):
+        return {k: _to_plain_dict(v) for k, v in d.items()}
+    if isinstance(d, (list, tuple)):
+        return [_to_plain_dict(x) for x in d]
+    if isinstance(d, np.ndarray):
+        return d.tolist()
+    if isinstance(d, (np.floating, np.integer)):
+        return d.item()
+    return d
+
+
+def _merge_a_into_b(a, b, stack=None):
+    assert isinstance(a, AttrDict), 'Argument `a` must be an AttrDict'
+    assert isinstance(b, AttrDict), 'Argument `b` must be an AttrDict'
+    for k, v_ in a.items():
+        full_key = '.'.join(stack) + '.' + k if stack is not None else k
+        if k not in b:
+            if _key_is_deprecated(full_key):
+                continue
+            if _key_is_renamed(full_key):
+                _raise_key_rename_error(full_key)
+            if stack is None and k in _IGNORED_SUBTREES:
+                continue
+            raise KeyError('Non-existent config key: {}'.format(full_key))
+        v = copy.deepcopy(v_)
+        v = _decode_cfg_value(v)
+        v = _check_and_coerce_cfg_value_type(v, b[k], k, full_key)
+        if isinstance(v, AttrDict):
+            stack_push = [k] if stack is None else stack + [k]
+            _merge_a_into_b(v, b[k], stack=stack_push)
+        else:
+            b[k] = v
+
+
+def _key_is_deprecated(full_key):
+    return full_key in _DEPRECATED_KEYS
+
+
+def _key_is_renamed(full_key):
+    return full_key in _RENAMED_KEYS
+
+
+def _raise_key_rename_error(full_key):
+    new_key = _RENAMED_KEYS[full_key]
+    raise KeyError(
+        'Key {} was renamed to {}; please update your config'.format(full_key, new_key)
+    )
+
+
+def _decode_cfg_value(v):
+    """Decode a raw config value (e.g. from YAML or a string) into a Python object."""
+    if isinstance(v, dict) and not isinstance(v, AttrDict):
+        return AttrDict(_to_attr_dict(v))
+    if isinstance(v, AttrDict):
+        return v
+    if not isinstance(v, str):
+        return v
+    try:
+        return literal_eval(v)
+    except (ValueError, SyntaxError):
+        return v
+
+
+def _check_and_coerce_cfg_value_type(value_a, value_b, key, full_key):
+    """Coerce value_a to the type of value_b when sensible; raise otherwise."""
+    type_a, type_b = type(value_a), type(value_b)
+    if type_a is type_b:
+        return value_a
+    # numpy arrays accept lists
+    if isinstance(value_b, np.ndarray):
+        return np.array(value_a, dtype=value_b.dtype)
+    # exact yaml-ambiguity coercions
+    if isinstance(value_b, str):
+        return str(value_a)
+    if isinstance(value_a, tuple) and isinstance(value_b, list):
+        return list(value_a)
+    if isinstance(value_a, list) and isinstance(value_b, tuple):
+        return tuple(value_a)
+    if isinstance(value_b, float) and isinstance(value_a, int):
+        return float(value_a)
+    if isinstance(value_a, AttrDict) and isinstance(value_b, AttrDict):
+        return value_a
+    raise ValueError(
+        'Type mismatch ({} vs. {}) with values ({} vs. {}) for config key: {}'.format(
+            type_b, type_a, value_b, value_a, full_key
+        )
+    )
+
+
+# Snapshot defaults for reset_cfg(); keep at module end.
+_DEFAULT_CFG = copy.deepcopy({k: v for k, v in __C.items()})
