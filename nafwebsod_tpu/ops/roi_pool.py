@@ -1,0 +1,159 @@
+"""RoI feature extraction ops (pure JAX, statically shaped, jittable).
+
+TPU-native equivalents of the reference's RoI transform ops:
+
+  * ``roi_pool`` — Caffe2 ``RoIPoolF`` max pooling semantics (the flagship
+    config's ROI_XFORM_METHOD): roi coords scaled by ``spatial_scale`` and
+    rounded half-away-from-zero to ints; roi width/height floored at 1;
+    bin boundaries ``floor(p*bin)``/``ceil((p+1)*bin)`` clipped to the map;
+    empty bins output 0. Used by ``wsl_heads.add_VGG16_roi_2fc_head``
+    (reference wsl_heads.py:659-666).
+  * ``roi_align`` — Detectron RoIAlign with a static sampling grid
+    (ROI_XFORM_SAMPLING_RATIO must be > 0 for static shapes on TPU).
+  * ``roi_feature_boost`` — ``detectron/ops/roi_feature_boost_op.cc``:
+    multiply each RoI's pooled features by its scalar objectness score; the
+    score input receives no gradient (fwd :25-31, grad :54-61).
+
+Feature layout is NHWC with a leading batch of 1 dropped: ``feat`` is
+(H, W, C); ``rois`` are (R, 5) rows of (batch_idx, x1, y1, x2, y2) in image
+coordinates. Padded rois (e.g. all-zero rows) are handled by the caller via
+masks; they simply pool a valid region and are ignored downstream.
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _round_half_away(x):
+    """C-style round(): half away from zero (numpy rounds half to even)."""
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+
+
+@partial(jax.jit, static_argnames=('pooled_h', 'pooled_w', 'spatial_scale', 'chunk'))
+def roi_pool(feat, rois, pooled_h=7, pooled_w=7, spatial_scale=0.125, chunk=16):
+    """Exact RoIPoolF max pooling. Returns (R, pooled_h, pooled_w, C)."""
+    H, W, C = feat.shape
+    # Static cap on cells per bin. Rois are clipped to the image by the data
+    # pipeline, so roi_h <= H+1 cells and a bin spans at most
+    # ceil((H+1)/pooled)+1 <= ceil(H/pooled)+2 rows (likewise for W).
+    mbh = int(math.ceil(H / pooled_h)) + 2
+    mbw = int(math.ceil(W / pooled_w)) + 2
+
+    def one_roi(roi):
+        x1 = _round_half_away(roi[1] * spatial_scale).astype(jnp.int32)
+        y1 = _round_half_away(roi[2] * spatial_scale).astype(jnp.int32)
+        x2 = _round_half_away(roi[3] * spatial_scale).astype(jnp.int32)
+        y2 = _round_half_away(roi[4] * spatial_scale).astype(jnp.int32)
+        roi_h = jnp.maximum(y2 - y1 + 1, 1)
+        roi_w = jnp.maximum(x2 - x1 + 1, 1)
+
+        # Bin boundaries in exact integer arithmetic:
+        #   floor(p * roi/pool) == (p * roi) // pool
+        #   ceil((p+1) * roi/pool) == ((p+1) * roi + pool - 1) // pool
+        # The CUDA op computes these through a float32 division, which can
+        # misround by one cell when p*roi is an exact multiple of pool; the
+        # integer form is the mathematical definition and is deterministic
+        # across platforms (CPU XLA, TPU, and the numpy golds all agree).
+        ph = jnp.arange(pooled_h, dtype=jnp.int32)
+        pw = jnp.arange(pooled_w, dtype=jnp.int32)
+        hstart = jnp.clip((ph * roi_h) // pooled_h + y1, 0, H)
+        hend = jnp.clip(((ph + 1) * roi_h + pooled_h - 1) // pooled_h + y1, 0, H)
+        wstart = jnp.clip((pw * roi_w) // pooled_w + x1, 0, W)
+        wend = jnp.clip(((pw + 1) * roi_w + pooled_w - 1) // pooled_w + x1, 0, W)
+
+        # pass 1: per h-bin row max -> (pooled_h, W, C)
+        dy = jnp.arange(mbh)
+        ys = hstart[:, None] + dy[None, :]                      # (PH, MBH)
+        ymask = ys < hend[:, None]
+        rows = feat[jnp.clip(ys, 0, H - 1)]                     # (PH, MBH, W, C)
+        rows = jnp.where(ymask[:, :, None, None], rows, -jnp.inf)
+        rowmax = jnp.max(rows, axis=1)                          # (PH, W, C)
+
+        # pass 2: per w-bin col max -> (PH, PW, C)
+        dx = jnp.arange(mbw)
+        xs = wstart[:, None] + dx[None, :]                      # (PW, MBW)
+        xmask = xs < wend[:, None]
+        cols = rowmax[:, jnp.clip(xs, 0, W - 1)]                # (PH, PW, MBW, C)
+        cols = jnp.where(xmask[None, :, :, None], cols, -jnp.inf)
+        out = jnp.max(cols, axis=2)                             # (PH, PW, C)
+        return jnp.where(jnp.isfinite(out), out, 0.0)           # empty bins -> 0
+
+    r = rois.shape[0]
+    if chunk <= 1:
+        return jax.lax.map(one_roi, rois)
+    pad = (-r) % chunk
+    rois_p = jnp.pad(rois, ((0, pad), (0, 0)))
+    batched = rois_p.reshape(-1, chunk, 5)
+    out = jax.lax.map(jax.vmap(one_roi), batched)
+    return out.reshape(-1, pooled_h, pooled_w, C)[:r]
+
+
+@partial(jax.jit, static_argnames=('pooled_h', 'pooled_w', 'spatial_scale',
+                                   'sampling_ratio'))
+def roi_align(feat, rois, pooled_h=7, pooled_w=7, spatial_scale=0.125,
+              sampling_ratio=2):
+    """Detectron RoIAlign (legacy, non-aligned offsets) with a static
+    sampling grid. Returns (R, pooled_h, pooled_w, C)."""
+    assert sampling_ratio > 0, 'static TPU path requires a fixed sampling grid'
+    H, W, C = feat.shape
+    sr = sampling_ratio
+
+    def one_roi(roi):
+        start_w = roi[1] * spatial_scale
+        start_h = roi[2] * spatial_scale
+        end_w = roi[3] * spatial_scale
+        end_h = roi[4] * spatial_scale
+        roi_w = jnp.maximum(end_w - start_w, 1.0)
+        roi_h = jnp.maximum(end_h - start_h, 1.0)
+        bin_w = roi_w / pooled_w
+        bin_h = roi_h / pooled_h
+
+        ph = jnp.arange(pooled_h, dtype=jnp.float32)
+        pw = jnp.arange(pooled_w, dtype=jnp.float32)
+        iy = jnp.arange(sr, dtype=jnp.float32)
+        ix = jnp.arange(sr, dtype=jnp.float32)
+        # sample coordinates (PH, SR) / (PW, SR)
+        y = start_h + ph[:, None] * bin_h + (iy[None, :] + 0.5) * bin_h / sr
+        x = start_w + pw[:, None] * bin_w + (ix[None, :] + 0.5) * bin_w / sr
+        y = y.reshape(-1)  # (PH*SR,)
+        x = x.reshape(-1)  # (PW*SR,)
+
+        # bilinear interpolation with border zeroing (y < -1 or y > H -> 0)
+        valid_y = (y >= -1.0) & (y <= H * 1.0)
+        valid_x = (x >= -1.0) & (x <= W * 1.0)
+        yc = jnp.clip(y, 0.0, H - 1.0)
+        xc = jnp.clip(x, 0.0, W - 1.0)
+        y0 = jnp.floor(yc).astype(jnp.int32)
+        x0 = jnp.floor(xc).astype(jnp.int32)
+        y1 = jnp.minimum(y0 + 1, H - 1)
+        x1 = jnp.minimum(x0 + 1, W - 1)
+        ly = yc - y0.astype(jnp.float32)
+        lx = xc - x0.astype(jnp.float32)
+
+        # gather 4 corners: (PH*SR, PW*SR, C)
+        f00 = feat[y0[:, None], x0[None, :]]
+        f01 = feat[y0[:, None], x1[None, :]]
+        f10 = feat[y1[:, None], x0[None, :]]
+        f11 = feat[y1[:, None], x1[None, :]]
+        wy = ly[:, None, None]
+        wx = lx[None, :, None]
+        val = (f00 * (1 - wy) * (1 - wx) + f01 * (1 - wy) * wx +
+               f10 * wy * (1 - wx) + f11 * wy * wx)
+        val = val * (valid_y[:, None, None] & valid_x[None, :, None])
+        val = val.reshape(pooled_h, sr, pooled_w, sr, C)
+        return jnp.mean(val, axis=(1, 3))
+
+    return jax.vmap(one_roi)(rois)
+
+
+def roi_feature_boost(roi_feat, obn_scores):
+    """Scale each RoI's features by its objectness score (no grad to scores).
+
+    roi_feat: (R, ...) pooled features; obn_scores: (R,) or (R, 1).
+    """
+    s = jax.lax.stop_gradient(obn_scores.reshape(obn_scores.shape[0], -1)[:, 0])
+    shape = (roi_feat.shape[0],) + (1,) * (roi_feat.ndim - 1)
+    return roi_feat * s.reshape(shape)
