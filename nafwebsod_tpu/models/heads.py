@@ -1,0 +1,194 @@
+"""WSDDN / webly (noise-aware) heads — functional JAX.
+
+Capability parity with ``detectron/modeling/wsl_heads.py`` and
+``webly_heads.py``:
+
+  * ``vgg16_roi_2fc_head``      — wsl_heads.py:654-681 (RoIPool -> boost ->
+                                  stop-grad if frozen -> fc6/fc7 + dropout)
+  * ``vgg16_roi_2fc_noise_head``— webly_heads.py:463-502 (clean tower + a
+                                  noisy fc6/fc7 tower shared-initialized from
+                                  the clean weights via '_[noisy]_' aliases)
+  * ``wsl_outputs``             — wsl_heads.py:23-67 (two-stream: per-class
+                                  softmax x per-RoI softmax -> rois_pred;
+                                  test-time background column)
+  * ``webly_outputs``           — webly_heads.py:32-74 (noisy residual logits
+                                  added to clean logits -> second stream)
+  * ``cls_pred``                — wsl_heads.py:213-227 (image score = sum of
+                                  rois_pred over RoIs)
+
+All RoI-dimension ops are padding-aware: ``valid_mask`` marks real rois; the
+RoI softmax masks padded rows before normalizing, and padded rows of
+``rois_pred`` are zeroed so image-level sums match the dynamic-shape reference.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nafwebsod_tpu.ops.roi_pool import roi_pool, roi_align, roi_feature_boost
+
+
+# --------------------------------------------------------------------------- #
+# Parameter construction
+# --------------------------------------------------------------------------- #
+
+def _xavier(rng, shape, dtype=jnp.float32):
+    """Caffe2 XavierFill: uniform(-a, a) with a = sqrt(3 / fan_in)."""
+    fan_in = shape[0]
+    a = np.sqrt(3.0 / fan_in)
+    return jax.random.uniform(rng, shape, dtype, minval=-a, maxval=a)
+
+
+def head_param_shapes(num_classes, roi_feat_dim=512 * 7 * 7, hidden=4096,
+                      webly=True):
+    """Flat name -> shape map for the box head + output layers.
+
+    FC weights are stored (in, out) — the transpose of Caffe2's (out, in);
+    ``utils/checkpoint.py`` converts at the pkl boundary.
+    """
+    c = num_classes - 1
+    shapes = {
+        'fc6_w': (roi_feat_dim, hidden), 'fc6_b': (hidden,),
+        'fc7_w': (hidden, hidden), 'fc7_b': (hidden,),
+        'fc8c_w': (hidden, c), 'fc8c_b': (c,),
+        'fc8d_w': (hidden, c), 'fc8d_b': (c,),
+    }
+    if webly:
+        shapes.update({
+            '_[noisy]_fc6_w': (roi_feat_dim, hidden), '_[noisy]_fc6_b': (hidden,),
+            '_[noisy]_fc7_w': (hidden, hidden), '_[noisy]_fc7_b': (hidden,),
+            'noisy_fc8c_w': (hidden, c), 'noisy_fc8c_b': (c,),
+            'noisy_fc8d_w': (hidden, c), 'noisy_fc8d_b': (c,),
+        })
+    return shapes
+
+
+def init_head_params(rng, num_classes, roi_feat_dim=512 * 7 * 7, hidden=4096,
+                     webly=True, dtype=jnp.float32):
+    shapes = head_param_shapes(num_classes, roi_feat_dim, hidden, webly)
+    params = {}
+    keys = jax.random.split(rng, len(shapes))
+    for i, (name, shape) in enumerate(sorted(shapes.items())):
+        if name.endswith('_b'):
+            params[name] = jnp.zeros(shape, dtype)
+        else:
+            params[name] = _xavier(keys[i], shape, dtype)
+    return params
+
+
+# --------------------------------------------------------------------------- #
+# Building blocks
+# --------------------------------------------------------------------------- #
+
+def _fc(x, params, name):
+    return x @ params[name + '_w'] + params[name + '_b']
+
+
+def _dropout(x, rate, rng, train):
+    if not train or rate <= 0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def _fc_tower(feat_flat, params, prefix, rng, train):
+    """fc6 -> relu -> drop -> fc7 -> relu -> drop."""
+    r1 = r2 = None
+    if rng is not None:
+        r1, r2 = jax.random.split(rng)
+    x = jax.nn.relu(_fc(feat_flat, params, prefix + 'fc6'))
+    x = _dropout(x, 0.5, r1, train)
+    x = jax.nn.relu(_fc(x, params, prefix + 'fc7'))
+    x = _dropout(x, 0.5, r2, train)
+    return x
+
+
+def roi_transform(feat, rois, obn_scores, spatial_scale, method='RoIPoolF',
+                  resolution=7, sampling_ratio=2, freeze_body=True):
+    """RoIPool/RoIAlign + RoIFeatureBoost + optional stop-gradient, flattened
+    to (R, resolution*resolution*C)."""
+    if method == 'RoIAlign':
+        pooled = roi_align(feat, rois, resolution, resolution, spatial_scale,
+                           sampling_ratio)
+    else:
+        pooled = roi_pool(feat, rois, resolution, resolution, spatial_scale)
+    pooled = roi_feature_boost(pooled, obn_scores)
+    if freeze_body:
+        pooled = jax.lax.stop_gradient(pooled)
+    r = pooled.shape[0]
+    # Caffe2 flattens NCHW (C, H, W); we pool NHWC, so transpose to match the
+    # fc6 weight ordering of the reference checkpoints: (C*H*W).
+    pooled = jnp.transpose(pooled, (0, 3, 1, 2)).reshape(r, -1)
+    return pooled
+
+
+# --------------------------------------------------------------------------- #
+# Heads
+# --------------------------------------------------------------------------- #
+
+def vgg16_roi_2fc_head(params, feat, rois, obn_scores, spatial_scale, *,
+                       method='RoIPoolF', resolution=7, sampling_ratio=2,
+                       freeze_body=True, train=False, rng=None):
+    roi_feat = roi_transform(feat[0], rois, obn_scores, spatial_scale,
+                             method, resolution, sampling_ratio, freeze_body)
+    return _fc_tower(roi_feat, params, '', rng, train), roi_feat
+
+
+def vgg16_roi_2fc_noise_head(params, feat, rois, obn_scores, spatial_scale, *,
+                             method='RoIPoolF', resolution=7, sampling_ratio=2,
+                             freeze_body=True, train=False, rng=None):
+    """Clean tower + noisy tower on the same boosted RoI features
+    (webly_heads.py:463-502)."""
+    r1 = r2 = None
+    if rng is not None:
+        r1, r2 = jax.random.split(rng)
+    roi_feat = roi_transform(feat[0], rois, obn_scores, spatial_scale,
+                             method, resolution, sampling_ratio, freeze_body)
+    clean = _fc_tower(roi_feat, params, '', r1, train)
+    noisy = _fc_tower(roi_feat, params, '_[noisy]_', r2, train)
+    return (clean, noisy), roi_feat
+
+
+def _two_stream(fc8c, fc8d, valid_mask):
+    """Softmax over classes (alpha_cls) x masked softmax over RoIs (alpha_det)
+    -> rois_pred (wsl_heads.py:51-56). Padded rows are excluded from the
+    RoI-dimension softmax and zeroed in the product."""
+    alpha_cls = jax.nn.softmax(fc8c, axis=1)
+    if valid_mask is not None:
+        neg_inf = jnp.finfo(fc8d.dtype).min
+        fc8d = jnp.where(valid_mask[:, None], fc8d, neg_inf)
+    alpha_det = jax.nn.softmax(fc8d, axis=0)
+    rois_pred = alpha_cls * alpha_det
+    if valid_mask is not None:
+        rois_pred = rois_pred * valid_mask[:, None]
+    return rois_pred
+
+
+def wsl_outputs(params, fc7, valid_mask=None, prefix=''):
+    fc8c = _fc(fc7, params, prefix + 'fc8c')
+    fc8d = _fc(fc7, params, prefix + 'fc8d')
+    rois_pred = _two_stream(fc8c, fc8d, valid_mask)
+    return {'fc8c': fc8c, 'fc8d': fc8d, 'rois_pred': rois_pred}
+
+
+def webly_outputs(params, fc7_clean, fc7_noisy, valid_mask=None, prefix=''):
+    out = wsl_outputs(params, fc7_clean, valid_mask, prefix)
+    noisy_fc8c = _fc(fc7_noisy, params, prefix + 'noisy_fc8c')
+    noisy_fc8d = _fc(fc7_noisy, params, prefix + 'noisy_fc8d')
+    fc8c_noise = out['fc8c'] + noisy_fc8c
+    fc8d_noise = out['fc8d'] + noisy_fc8d
+    out['rois_pred_noise'] = _two_stream(fc8c_noise, fc8d_noise, valid_mask)
+    return out
+
+
+def cls_pred(rois_pred):
+    """Image-level class score: sum over RoIs (wsl_heads.py:227), (1, C)."""
+    return jnp.sum(rois_pred, axis=0, keepdims=True)
+
+
+def add_background_column(rois_pred):
+    """Test-time: prepend a dummy background column so downstream NMS sees
+    num_classes columns (wsl_heads.py:58-67 Split/Concat trick — the first
+    foreground class's scores are duplicated as 'background')."""
+    return jnp.concatenate([rois_pred[:, :1], rois_pred], axis=1)

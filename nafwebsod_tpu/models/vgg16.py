@@ -1,0 +1,115 @@
+"""VGG-16 conv body (functional JAX, NHWC).
+
+Capability parity with ``detectron/modeling/VGG16.py:9-58``
+(``add_VGG16_conv5_body_origin``): 13 3x3 convs in 5 stages; with
+``WSL.DILATION == 2`` the last pool is stride 1 and conv5_* use dilation 2,
+giving spatial_scale 1/8 — the flagship NA-fWebSOD configuration. The body is
+usually frozen (``TRAIN.FREEZE_CONV_BODY``) and initialized from the Caffe
+``VGG_ILSVRC_16_layers_v1.pkl`` checkpoint via ``utils/checkpoint.py``.
+
+Params are a flat dict of Caffe2-style blob names -> arrays in TPU layouts
+(conv weights HWIO, biases (C,)). Inputs are NHWC float32/bfloat16 images that
+have already been BGR pixel-mean subtracted by the data layer.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# (name, in_ch, out_ch) per stage; pools after each stage
+VGG16_STAGES = [
+    [('conv1_1', 3, 64), ('conv1_2', 64, 64)],
+    [('conv2_1', 64, 128), ('conv2_2', 128, 128)],
+    [('conv3_1', 128, 256), ('conv3_2', 256, 256), ('conv3_3', 256, 256)],
+    [('conv4_1', 256, 512), ('conv4_2', 512, 512), ('conv4_3', 512, 512)],
+    [('conv5_1', 512, 512), ('conv5_2', 512, 512), ('conv5_3', 512, 512)],
+]
+
+
+def param_shapes(dilation=2):
+    """Shapes of all conv body params (HWIO weights, (C,) biases)."""
+    shapes = {}
+    for stage in VGG16_STAGES:
+        for name, cin, cout in stage:
+            shapes[name + '_w'] = (3, 3, cin, cout)
+            shapes[name + '_b'] = (cout,)
+    return shapes
+
+
+def init_params(rng, dilation=2, dtype=jnp.float32):
+    """MSRA-style init (only used when no pretrained pkl is given)."""
+    params = {}
+    keys = jax.random.split(rng, 32)
+    i = 0
+    for stage in VGG16_STAGES:
+        for name, cin, cout in stage:
+            fan_in = 3 * 3 * cin
+            std = np.sqrt(2.0 / fan_in)
+            params[name + '_w'] = (
+                jax.random.normal(keys[i], (3, 3, cin, cout), dtype) * std
+            )
+            params[name + '_b'] = jnp.zeros((cout,), dtype)
+            i += 1
+    return params
+
+
+def _conv(x, w, b, dilation=1):
+    pad = dilation  # 3x3 'same' conv: pad == dilation
+    y = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(1, 1),
+        padding=((pad, pad), (pad, pad)),
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=x.dtype,
+    )
+    return y + b.astype(y.dtype)
+
+
+def _maxpool(x, stride):
+    # Caffe2 MaxPool kernel=2, pad=0 (floor semantics == VALID window)
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, stride, stride, 1),
+        padding='VALID',
+    )
+
+
+def forward(params, x, dilation=2, freeze_at=2):
+    """Run the conv5 body. x: (N, H, W, 3). Returns (features, spatial_scale).
+
+    With dilation=2: pool4 is stride 1 and conv5 is dilated -> scale 1/8
+    (VGG16.py:39-48); otherwise standard stride-16 VGG (VGG16.py:49-58).
+    """
+    dtype = x.dtype
+    for si, stage in enumerate(VGG16_STAGES):
+        is_conv5 = (si == 4)
+        for name, _, _ in stage:
+            d = dilation if (is_conv5 and dilation == 2) else 1
+            x = _conv(x, params[name + '_w'].astype(dtype),
+                      params[name + '_b'], dilation=d)
+            x = jax.nn.relu(x)
+        if si < 4:  # pools after stages 1-4 only (conv5 has no pool)
+            if si == 3 and dilation == 2:
+                x = _maxpool(x, stride=1)
+            else:
+                x = _maxpool(x, stride=2)
+        if si + 1 == freeze_at:
+            # TRAIN.FREEZE_AT == 2 stops gradients at pool2 (VGG16.py:22-23);
+            # with FREEZE_CONV_BODY the head applies stop_gradient anyway.
+            x = jax.lax.stop_gradient(x)
+    spatial_scale = 1.0 / 8.0 if dilation == 2 else 1.0 / 16.0
+    return x, spatial_scale
+
+
+def feature_shape(im_h, im_w, dilation=2):
+    """Static output spatial dims for an (im_h, im_w) input."""
+    h, w = im_h, im_w
+    for _ in range(3):  # pool1-3 stride 2
+        h, w = h // 2, w // 2
+    if dilation == 2:
+        h, w = h - 1, w - 1  # pool4 kernel 2 stride 1
+    else:
+        h, w = h // 2, w // 2
+    return h, w

@@ -16,6 +16,8 @@ TPU-native re-implementations of the reference's native loss operators:
     C-MIL refinement ladders).
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -27,7 +29,7 @@ KDIFF_THRESHOLD = 1e4
 # (Weighted)CrossEntropyWithLogits
 # --------------------------------------------------------------------------- #
 
-@jax.custom_vjp
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
 def cross_entropy_with_logits(probs, labels, is_mean=False):
     return _ce_fwd_value(probs, labels, None, is_mean)
 
@@ -44,24 +46,24 @@ def _ce_fwd_value(probs, labels, weights, is_mean):
 
 
 def _ce_fwd(probs, labels, is_mean):
-    return _ce_fwd_value(probs, labels, None, is_mean), (probs, labels, is_mean)
+    return _ce_fwd_value(probs, labels, None, is_mean), (probs, labels)
 
 
-def _ce_bwd(res, g):
-    probs, labels, is_mean = res
+def _ce_bwd(is_mean, res, g):
+    probs, labels = res
     n, c = probs.shape
     norm = float(c) if is_mean else 1.0
     p = jnp.maximum(probs, KLOG_THRESHOLD)
     one_p = jnp.maximum(1.0 - probs, KLOG_THRESHOLD)
     grad = g * (-labels / p + (1.0 - labels) / one_p) / norm
     grad = jnp.minimum(grad, KDIFF_THRESHOLD) / n
-    return grad, None, None
+    return grad, None
 
 
 cross_entropy_with_logits.defvjp(_ce_fwd, _ce_bwd)
 
 
-@jax.custom_vjp
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
 def weighted_cross_entropy_with_logits(probs, labels, weights, is_mean=False):
     return _ce_fwd_value(probs, labels, weights, is_mean)
 
@@ -69,12 +71,12 @@ def weighted_cross_entropy_with_logits(probs, labels, weights, is_mean=False):
 def _wce_fwd(probs, labels, weights, is_mean):
     return (
         _ce_fwd_value(probs, labels, weights, is_mean),
-        (probs, labels, weights, is_mean),
+        (probs, labels, weights),
     )
 
 
-def _wce_bwd(res, g):
-    probs, labels, weights, is_mean = res
+def _wce_bwd(is_mean, res, g):
+    probs, labels, weights = res
     n, c = probs.shape
     norm = float(c) if is_mean else 1.0
     p = jnp.maximum(probs, KLOG_THRESHOLD)
@@ -82,7 +84,7 @@ def _wce_bwd(res, g):
     grad = g * (-labels / p + (1.0 - labels) / one_p) / norm
     # clamp BEFORE the weight and the 1/N scale (cross_entropy_wsl_op.cc:166-177)
     grad = jnp.minimum(grad, KDIFF_THRESHOLD) * weights / n
-    return grad, None, None, None
+    return grad, None, None
 
 
 weighted_cross_entropy_with_logits.defvjp(_wce_fwd, _wce_bwd)
