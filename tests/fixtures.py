@@ -1,0 +1,102 @@
+"""Synthetic dataset fixtures for data-layer tests (the reference tests use
+fake roidbs similarly — detectron/tests/test_loader.py:38-41)."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:
+    cv2 = None
+
+CLASSES = ['aeroplane', 'bicycle', 'bird']
+
+
+def make_coco_dataset(root, n_images=4, width=120, height=90, seed=0,
+                      n_props=32):
+    """Write images + COCO json + proposal pkl; returns (name, paths dict)."""
+    rng = np.random.RandomState(seed)
+    img_dir = os.path.join(root, 'images')
+    os.makedirs(img_dir, exist_ok=True)
+
+    images, annotations = [], []
+    prop_boxes, prop_scores, prop_ids = [], [], []
+    ann_id = 1
+    for i in range(n_images):
+        w = width + 8 * (i % 2)
+        h = height + 8 * (i % 3)
+        fname = 'im_{:04d}.png'.format(i)
+        im = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(img_dir, fname), im)
+        images.append({'id': i + 1, 'file_name': fname,
+                       'width': w, 'height': h})
+        # one gt box per image, class cycles
+        cls = (i % len(CLASSES)) + 1
+        bw, bh = w // 3, h // 3
+        x, y = w // 4, h // 4
+        annotations.append({
+            'id': ann_id, 'image_id': i + 1, 'category_id': cls,
+            'bbox': [x, y, bw, bh], 'area': bw * bh, 'iscrowd': 0,
+            'segmentation': [],
+        })
+        ann_id += 1
+        # proposals: gt-ish box + randoms (coords must stay inside the image)
+        boxes = np.zeros((n_props, 4), np.float32)
+        boxes[0] = [x, y, x + bw - 1, y + bh - 1]
+        x1 = rng.uniform(0, w - 22, n_props - 1)
+        y1 = rng.uniform(0, h - 22, n_props - 1)
+        x2 = np.minimum(x1 + rng.uniform(21, 60, n_props - 1), w - 1)
+        y2 = np.minimum(y1 + rng.uniform(21, 60, n_props - 1), h - 1)
+        boxes[1:] = np.stack([x1, y1, x2, y2], 1)
+        scores = rng.uniform(0, 1, (n_props, 1)).astype(np.float32)
+        scores[0] = 0.9
+        prop_boxes.append(boxes)
+        prop_scores.append(scores)
+        prop_ids.append(i + 1)
+
+    ann_file = os.path.join(root, 'annotations.json')
+    with open(ann_file, 'w') as f:
+        json.dump({
+            'images': images,
+            'annotations': annotations,
+            'categories': [{'id': i + 1, 'name': n}
+                           for i, n in enumerate(CLASSES)],
+        }, f)
+
+    prop_file = os.path.join(root, 'proposals.pkl')
+    with open(prop_file, 'wb') as f:
+        pickle.dump({'boxes': prop_boxes, 'scores': prop_scores,
+                     'ids': prop_ids}, f, 2)
+    return {'image_dir': img_dir, 'ann_file': ann_file,
+            'prop_file': prop_file, 'n_images': n_images}
+
+
+def make_voc_annotations(root, image_specs):
+    """Write VOC xml annotations + an imageset file.
+
+    image_specs: list of (image_id, [(classname, x1, y1, x2, y2, difficult)]).
+    Returns (annopath_template, imagesetfile).
+    """
+    ann_dir = os.path.join(root, 'Annotations')
+    os.makedirs(ann_dir, exist_ok=True)
+    names = []
+    for image_id, objs in image_specs:
+        names.append(image_id)
+        parts = ['<annotation>']
+        for (cls, x1, y1, x2, y2, diff) in objs:
+            parts.append(
+                '<object><name>{}</name><pose>Left</pose>'
+                '<truncated>0</truncated><difficult>{}</difficult>'
+                '<bndbox><xmin>{}</xmin><ymin>{}</ymin>'
+                '<xmax>{}</xmax><ymax>{}</ymax></bndbox></object>'.format(
+                    cls, diff, x1, y1, x2, y2))
+        parts.append('</annotation>')
+        with open(os.path.join(ann_dir, image_id + '.xml'), 'w') as f:
+            f.write(''.join(parts))
+    setfile = os.path.join(root, 'test.txt')
+    with open(setfile, 'w') as f:
+        f.write('\n'.join(names) + '\n')
+    return os.path.join(ann_dir, '{}.xml'), setfile
