@@ -1,0 +1,68 @@
+"""Evaluation dispatch + EXPECTED_RESULTS regression gate.
+
+Capability parity with ``detectron/datasets/task_evaluation.py``: route box
+results to the VOC evaluator (AP + CorLoc, for datasets with a devkit) or the
+COCO-protocol evaluator; check results against ``cfg.EXPECTED_RESULTS`` with
+atol/rtol tolerances (ref :54-121 and config.py:1077-1088)."""
+
+import logging
+
+from nafwebsod_tpu.core.config import cfg
+from nafwebsod_tpu.data import catalog, coco_evaluator, voc_dataset_evaluator
+
+logger = logging.getLogger(__name__)
+
+
+def _use_voc_evaluator(dataset_name):
+    if cfg.TEST.FORCE_JSON_DATASET_EVAL:
+        return False
+    try:
+        devkit = catalog.get_devkit_dir(dataset_name)
+    except KeyError:
+        return False
+    import os
+    return bool(devkit) and os.path.exists(devkit)
+
+
+def evaluate_boxes(json_dataset, all_boxes, output_dir, use_matlab=False):
+    logger.info('Evaluating detections')
+    if _use_voc_evaluator(json_dataset.name):
+        return voc_dataset_evaluator.evaluate_boxes(
+            json_dataset, all_boxes, output_dir)
+    return coco_evaluator.evaluate_boxes(json_dataset, all_boxes, output_dir)
+
+
+def evaluate_all(dataset, all_boxes, all_segms, all_keyps, output_dir):
+    results = {dataset.name: evaluate_boxes(dataset, all_boxes, output_dir)}
+    return results
+
+
+def check_expected_results(results, atol=0.005, rtol=0.1):
+    """Compare against cfg.EXPECTED_RESULTS [(dataset, task, metric, value)]."""
+    expected = cfg.EXPECTED_RESULTS
+    if not expected:
+        return True
+    ok = True
+    for dataset, task, metric, expected_val in expected:
+        if dataset not in results:
+            logger.warning('EXPECTED_RESULTS: dataset %s not evaluated',
+                           dataset)
+            ok = False
+            continue
+        actual = results[dataset].get(metric)
+        if actual is None:
+            logger.warning('EXPECTED_RESULTS: metric %s missing', metric)
+            ok = False
+            continue
+        err = abs(actual - expected_val)
+        tol = atol + rtol * abs(expected_val)
+        if err > tol:
+            logger.error(
+                'FAIL: %s/%s/%s actual %.4f != expected %.4f (tol %.4f)',
+                dataset, task, metric, actual, expected_val, tol)
+            ok = False
+        else:
+            logger.info(
+                'PASS: %s/%s/%s actual %.4f ~= expected %.4f',
+                dataset, task, metric, actual, expected_val)
+    return ok

@@ -1,0 +1,255 @@
+"""Per-image inference: detection forward, test-time augmentation, NMS+limit.
+
+Capability parity with ``detectron/core/test_wsl.py``:
+  * ``im_detect_bbox``   — ref :102-178: image blob at TEST.SCALE/MAX_SIZE,
+    rois scaled, obn_scores + 1.0, DEDUP_BOXES hashing on the scaled rois
+    (quantized at 0.125), unique-subset forward, scores mapped back through
+    inv_index, boxes tiled per class (no bbox regression in WSL).
+  * ``im_detect_bbox_aug`` (+ hflip / scale / aspect-ratio transforms) —
+    ref :181-345 with ID/AVG/UNION score and coord heuristics.
+  * ``box_results_with_nms_and_limit`` — ref :803-870: per-class score
+    threshold -> (soft-)NMS -> optional box voting -> DETECTIONS_PER_IM cap
+    over all classes.
+
+The device forward runs with rois padded to a multiple of
+cfg.TPU.ROI_PAD_MULTIPLE and images optionally padded to a size bucket so XLA
+compiles a bounded set of programs (zero padding equals mean-pixels, the same
+padding im_list_to_blob applies when batching).
+"""
+
+import logging
+from collections import defaultdict
+
+import numpy as np
+import jax.numpy as jnp
+
+from nafwebsod_tpu.core.config import cfg
+from nafwebsod_tpu.data.minibatch import prep_im_for_blob, pad_image_to_bucket
+from nafwebsod_tpu.models import detector
+from nafwebsod_tpu.ops import boxes as box_utils
+from nafwebsod_tpu.utils.timer import Timer
+
+logger = logging.getLogger(__name__)
+
+
+def _pad_rois(rois, obn, multiple):
+    n = rois.shape[0]
+    cap = max(multiple, int(np.ceil(n / multiple) * multiple)) if multiple > 1 else n
+    valid = np.zeros((cap,), dtype=bool)
+    valid[:n] = True
+    out_r = np.zeros((cap, 5), np.float32)
+    out_r[:n] = rois
+    out_o = np.zeros((cap, 1), np.float32)
+    out_o[:n] = obn.reshape(n, 1)
+    return out_r, out_o, valid
+
+
+def im_detect_bbox(spec, params, im, target_scale, target_max_size,
+                   boxes=None, obn_scores=None):
+    """Detect on one image with given proposals. Returns (scores, pred_boxes,
+    im_scale): scores (R, num_classes) incl. bg column; pred_boxes
+    (R, 4*num_classes) tiled proposals."""
+    assert boxes is not None and obn_scores is not None
+    boxes_o = boxes
+    im_blob, im_scale = prep_im_for_blob(
+        im, cfg.PIXEL_MEANS, target_scale, target_max_size, cfg.PIXEL_STDS)
+
+    rois = boxes * im_scale
+    rois5 = np.hstack([np.zeros((rois.shape[0], 1), np.float32),
+                       rois.astype(np.float32)])
+    obn = np.add(obn_scores, 1.0).astype(np.float32).reshape(-1, 1)
+
+    # dedup aliased feature rois (ref :125-133)
+    inv_index = None
+    if cfg.DEDUP_BOXES > 0:
+        v = np.array([1, 1e3, 1e6, 1e9, 1e12])
+        hashes = np.round(rois5 * cfg.DEDUP_BOXES).dot(v)
+        _, index, inv_index = np.unique(hashes, return_index=True,
+                                        return_inverse=True)
+        rois5 = rois5[index, :]
+        obn = obn[index, :]
+
+    pad_mult = cfg.TPU.ROI_PAD_MULTIPLE
+    rois_p, obn_p, valid = _pad_rois(rois5, obn, pad_mult)
+    im_in = pad_image_to_bucket(im_blob, cfg.TPU.SIZE_BUCKET_MULTIPLE)
+
+    out = detector.forward_test(
+        spec, params, jnp.asarray(im_in[None]), jnp.asarray(rois_p),
+        jnp.asarray(obn_p), jnp.asarray(valid))
+    scores = np.asarray(out['scores'])[:rois5.shape[0]]
+    scores = scores.reshape(-1, scores.shape[-1])
+
+    if inv_index is not None:
+        scores = scores[inv_index, :]
+
+    # WSL: no bbox regression — tile original boxes per class (ref :171)
+    pred_boxes = np.tile(boxes_o, (1, scores.shape[1]))
+    return scores, pred_boxes, im_scale
+
+
+def im_detect_bbox_hflip(spec, params, im, target_scale, target_max_size,
+                         box_proposals=None, obn_scores=None):
+    im_hf = im[:, ::-1, :]
+    im_width = im.shape[1]
+    box_proposals_hf = box_utils.flip_boxes(box_proposals, im_width)
+    scores_hf, boxes_hf, im_scale = im_detect_bbox(
+        spec, params, im_hf, target_scale, target_max_size,
+        boxes=box_proposals_hf, obn_scores=obn_scores)
+    boxes_inv = box_utils.flip_boxes(boxes_hf, im_width)
+    return scores_hf, boxes_inv, im_scale
+
+
+def im_detect_bbox_scale(spec, params, im, target_scale, target_max_size,
+                         box_proposals=None, obn_scores=None, hflip=False):
+    if hflip:
+        scores, boxes, _ = im_detect_bbox_hflip(
+            spec, params, im, target_scale, target_max_size,
+            box_proposals=box_proposals, obn_scores=obn_scores)
+    else:
+        scores, boxes, _ = im_detect_bbox(
+            spec, params, im, target_scale, target_max_size,
+            boxes=box_proposals, obn_scores=obn_scores)
+    return scores, boxes
+
+
+def im_detect_bbox_aspect_ratio(spec, params, im, aspect_ratio,
+                                box_proposals=None, obn_scores=None,
+                                hflip=False):
+    import cv2
+    im_ar = cv2.resize(im, None, fx=aspect_ratio, fy=1.0)
+    box_proposals_ar = box_utils.aspect_ratio(box_proposals, aspect_ratio)
+    if hflip:
+        scores_ar, boxes_ar, _ = im_detect_bbox_hflip(
+            spec, params, im_ar, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE,
+            box_proposals=box_proposals_ar, obn_scores=obn_scores)
+    else:
+        scores_ar, boxes_ar, _ = im_detect_bbox(
+            spec, params, im_ar, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE,
+            boxes=box_proposals_ar, obn_scores=obn_scores)
+    boxes_inv = box_utils.aspect_ratio(boxes_ar, 1.0 / aspect_ratio)
+    return scores_ar, boxes_inv
+
+
+def im_detect_bbox_aug(spec, params, im, box_proposals=None, obn_scores=None):
+    """Test-time augmentation sweep (ref :181-283)."""
+    assert not cfg.TEST.BBOX_AUG.SCALE_SIZE_DEP
+    score_heur = cfg.TEST.BBOX_AUG.SCORE_HEUR
+    coord_heur = cfg.TEST.BBOX_AUG.COORD_HEUR
+    assert not (score_heur == 'UNION') ^ (coord_heur == 'UNION'), \
+        'UNION must be used for both score and coord heuristics'
+
+    scores_ts, boxes_ts = [], []
+
+    def add_preds_t(scores_t, boxes_t):
+        scores_ts.append(scores_t)
+        boxes_ts.append(boxes_t)
+
+    if cfg.TEST.BBOX_AUG.H_FLIP:
+        add_preds_t(*im_detect_bbox_hflip(
+            spec, params, im, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE,
+            box_proposals=box_proposals, obn_scores=obn_scores)[:2])
+
+    for scale in cfg.TEST.BBOX_AUG.SCALES:
+        max_size = cfg.TEST.BBOX_AUG.MAX_SIZE
+        add_preds_t(*im_detect_bbox_scale(
+            spec, params, im, scale, max_size, box_proposals, obn_scores))
+        if cfg.TEST.BBOX_AUG.SCALE_H_FLIP:
+            add_preds_t(*im_detect_bbox_scale(
+                spec, params, im, scale, max_size, box_proposals, obn_scores,
+                hflip=True))
+
+    for aspect_ratio in cfg.TEST.BBOX_AUG.ASPECT_RATIOS:
+        add_preds_t(*im_detect_bbox_aspect_ratio(
+            spec, params, im, aspect_ratio, box_proposals, obn_scores))
+        if cfg.TEST.BBOX_AUG.ASPECT_RATIO_H_FLIP:
+            add_preds_t(*im_detect_bbox_aspect_ratio(
+                spec, params, im, aspect_ratio, box_proposals, obn_scores,
+                hflip=True))
+
+    scores_i, boxes_i, im_scale_i = im_detect_bbox(
+        spec, params, im, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE,
+        boxes=box_proposals, obn_scores=obn_scores)
+    add_preds_t(scores_i, boxes_i)
+
+    if score_heur == 'ID':
+        scores_c = scores_i
+    elif score_heur == 'AVG':
+        scores_c = np.mean(scores_ts, axis=0)
+    elif score_heur == 'UNION':
+        scores_c = np.vstack(scores_ts)
+    else:
+        raise NotImplementedError(score_heur)
+
+    if coord_heur == 'ID':
+        boxes_c = boxes_i
+    elif coord_heur == 'AVG':
+        boxes_c = np.mean(boxes_ts, axis=0)
+    elif coord_heur == 'UNION':
+        boxes_c = np.vstack(boxes_ts)
+    else:
+        raise NotImplementedError(coord_heur)
+
+    return scores_c, boxes_c, im_scale_i
+
+
+def box_results_with_nms_and_limit(scores, boxes):
+    """Per-class threshold -> NMS/soft-NMS -> voting -> per-image top-K
+    (ref :803-870). Returns (scores_flat, boxes_flat, cls_boxes)."""
+    num_classes = cfg.MODEL.NUM_CLASSES
+    cls_boxes = [[] for _ in range(num_classes)]
+    for j in range(1, num_classes):
+        inds = np.where(scores[:, j] > cfg.TEST.SCORE_THRESH)[0]
+        scores_j = scores[inds, j]
+        boxes_j = boxes[inds, j * 4:(j + 1) * 4]
+        dets_j = np.hstack((boxes_j, scores_j[:, np.newaxis])).astype(
+            np.float32, copy=False)
+        if cfg.TEST.SOFT_NMS.ENABLED:
+            nms_dets, _ = box_utils.soft_nms(
+                dets_j,
+                sigma=cfg.TEST.SOFT_NMS.SIGMA,
+                overlap_thresh=cfg.TEST.NMS,
+                score_thresh=0.0001,
+                method=cfg.TEST.SOFT_NMS.METHOD)
+        else:
+            keep = box_utils.nms(dets_j, cfg.TEST.NMS)
+            nms_dets = dets_j[keep, :]
+        if cfg.TEST.BBOX_VOTE.ENABLED:
+            nms_dets = box_utils.box_voting(
+                nms_dets, dets_j, cfg.TEST.BBOX_VOTE.VOTE_TH,
+                scoring_method=cfg.TEST.BBOX_VOTE.SCORING_METHOD,
+                beta=cfg.TEST.BBOX_VOTE.SCORING_METHOD_BETA)
+        cls_boxes[j] = nms_dets
+
+    if cfg.TEST.DETECTIONS_PER_IM > 0:
+        image_scores = np.hstack(
+            [cls_boxes[j][:, -1] for j in range(1, num_classes)])
+        if len(image_scores) > cfg.TEST.DETECTIONS_PER_IM:
+            image_thresh = np.sort(image_scores)[-cfg.TEST.DETECTIONS_PER_IM]
+            for j in range(1, num_classes):
+                keep = np.where(cls_boxes[j][:, -1] >= image_thresh)[0]
+                cls_boxes[j] = cls_boxes[j][keep, :]
+
+    im_results = np.vstack([cls_boxes[j] for j in range(1, num_classes)])
+    boxes_out = im_results[:, :-1]
+    scores_out = im_results[:, -1]
+    return scores_out, boxes_out, cls_boxes
+
+
+def im_detect_all(spec, params, im, box_proposals, obn_scores, timers=None):
+    """Full per-image detection pipeline (ref :29-89)."""
+    if timers is None:
+        timers = defaultdict(Timer)
+    timers['im_detect_bbox'].tic()
+    if cfg.TEST.BBOX_AUG.ENABLED:
+        scores, boxes, im_scale = im_detect_bbox_aug(
+            spec, params, im, box_proposals, obn_scores)
+    else:
+        scores, boxes, im_scale = im_detect_bbox(
+            spec, params, im, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE,
+            boxes=box_proposals, obn_scores=obn_scores)
+    timers['im_detect_bbox'].toc()
+
+    timers['misc_bbox'].tic()
+    scores, boxes, cls_boxes = box_results_with_nms_and_limit(scores, boxes)
+    timers['misc_bbox'].toc()
+    return cls_boxes, None, None

@@ -1,0 +1,188 @@
+"""Inference orchestration (ref ``detectron/core/test_engine_wsl.py``):
+roidb + proposal loading, per-image detection loop with gt-roi skipping,
+detections.pkl output, range sharding for parallel workers, result merging,
+and evaluation dispatch."""
+
+import logging
+import os
+from collections import defaultdict
+
+import cv2
+import numpy as np
+
+from nafwebsod_tpu.core.config import cfg, get_output_dir
+from nafwebsod_tpu.data import task_evaluation
+from nafwebsod_tpu.data.json_dataset import JsonDataset
+from nafwebsod_tpu.engine.test import im_detect_all
+from nafwebsod_tpu.models import detector
+from nafwebsod_tpu.utils import checkpoint as ckpt
+from nafwebsod_tpu.utils.io import load_object, save_object
+from nafwebsod_tpu.utils.timer import Timer
+
+logger = logging.getLogger(__name__)
+
+
+def get_roidb_and_dataset(dataset_name, proposal_file, ind_range=None):
+    """Test roidb with proposals (ref test_engine_wsl.py:349-383)."""
+    dataset = JsonDataset(dataset_name)
+    if cfg.TEST.PRECOMPUTED_PROPOSALS:
+        assert proposal_file, 'No proposals exist for "{}"'.format(dataset_name)
+        roidb = dataset.get_roidb(
+            gt=True,
+            proposal_file=proposal_file,
+            proposal_limit=cfg.TEST.PROPOSAL_LIMIT)
+    else:
+        roidb = dataset.get_roidb(gt=True)
+    if ind_range is not None:
+        total_num_images = len(roidb)
+        start, end = ind_range
+        roidb = roidb[start:end]
+    else:
+        start = 0
+        end = len(roidb)
+        total_num_images = end
+    return roidb, dataset, start, end, total_num_images
+
+
+def empty_results(num_classes, num_images):
+    all_boxes = [[[] for _ in range(num_images)] for _ in range(num_classes)]
+    return all_boxes, None, None
+
+
+def extend_results(index, all_res, im_res):
+    for cls_idx in range(1, len(im_res)):
+        all_res[cls_idx][index] = im_res[cls_idx]
+
+
+def initialize_model_from_cfg(weights_file):
+    """Create the model spec + load pkl weights (ref :322-346)."""
+    spec = detector.spec_from_cfg(cfg)
+    import jax
+    params = detector.init_params(spec, jax.random.PRNGKey(cfg.RNG_SEED))
+    if weights_file:
+        params, _, _ = ckpt.initialize_params_from_weights_file(
+            params, weights_file, strict_shapes=False)
+    return spec, params
+
+
+def test_net(weights_file, dataset_name, proposal_file, output_dir,
+             ind_range=None, gpu_id=0):
+    """Per-image detection loop over (a range of) the dataset
+    (ref test_engine_wsl.py:203-319)."""
+    roidb, dataset, start_ind, end_ind, total_num_images = \
+        get_roidb_and_dataset(dataset_name, proposal_file, ind_range)
+    spec, params = initialize_model_from_cfg(weights_file)
+    num_images = len(roidb)
+    num_classes = cfg.MODEL.NUM_CLASSES
+    all_boxes, all_segms, all_keyps = empty_results(num_classes, num_images)
+    timers = defaultdict(Timer)
+    for i, entry in enumerate(roidb):
+        if cfg.TEST.PRECOMPUTED_PROPOSALS:
+            # skip gt rois: use only proposal boxes (ref :226-234)
+            box_proposals = entry['boxes'][entry['gt_classes'] == 0]
+            obn_scores = entry['obn_scores'][entry['gt_classes'] == 0]
+            if len(box_proposals) == 0:
+                continue
+        else:
+            box_proposals, obn_scores = None, None
+
+        im = cv2.imread(entry['image'])
+        cls_boxes_i, _, _ = im_detect_all(
+            spec, params, im, box_proposals, obn_scores, timers)
+        extend_results(i, all_boxes, cls_boxes_i)
+        if i % 10 == 0:
+            ave_total_time = np.sum(
+                [t.average_time for t in timers.values()])
+            eta_seconds = ave_total_time * (num_images - i - 1)
+            logger.info(
+                'im_detect: range [%d, %d] of %d: %d/%d (det %.3fs + misc %.3fs | eta %ds)',
+                start_ind + 1, end_ind, total_num_images,
+                start_ind + i + 1, start_ind + num_images,
+                timers['im_detect_bbox'].average_time,
+                timers['misc_bbox'].average_time, int(eta_seconds))
+
+    cfg_yaml = _dump_cfg_str()
+    if ind_range is not None:
+        det_name = 'detection_range_{}_{}.pkl'.format(*ind_range)
+    else:
+        det_name = 'detections.pkl'
+    det_file = os.path.join(output_dir, det_name)
+    save_object(
+        dict(all_boxes=all_boxes, all_segms=all_segms, all_keyps=all_keyps,
+             cfg=cfg_yaml),
+        det_file)
+    logger.info('Wrote detections to: %s', os.path.abspath(det_file))
+    return all_boxes, all_segms, all_keyps
+
+
+def _dump_cfg_str():
+    from nafwebsod_tpu.core import config as config_mod
+    return config_mod.dump_cfg()
+
+
+def merge_detection_ranges(output_dir, num_classes, total_num_images, ranges):
+    """Merge detection_range_*.pkl files from sharded workers
+    (ref :154-200)."""
+    all_boxes = [[] for _ in range(num_classes)]
+    for (start, end) in ranges:
+        det_file = os.path.join(
+            output_dir, 'detection_range_{}_{}.pkl'.format(start, end))
+        data = load_object(det_file)
+        for cls_idx in range(num_classes):
+            all_boxes[cls_idx] += list(data['all_boxes'][cls_idx])
+    for cls_idx in range(num_classes):
+        assert len(all_boxes[cls_idx]) == total_num_images
+    det_file = os.path.join(output_dir, 'detections.pkl')
+    save_object(dict(all_boxes=all_boxes, all_segms=None, all_keyps=None,
+                     cfg=_dump_cfg_str()), det_file)
+    return all_boxes
+
+
+def test_net_on_dataset(weights_file, dataset_name, proposal_file,
+                        output_dir, multi_gpu=False):
+    dataset = JsonDataset(dataset_name)
+    test_timer = Timer()
+    test_timer.tic()
+    all_boxes, all_segms, all_keyps = test_net(
+        weights_file, dataset_name, proposal_file, output_dir)
+    test_timer.toc()
+    logger.info('Total inference time: %.3fs', test_timer.average_time)
+    results = task_evaluation.evaluate_all(
+        dataset, all_boxes, all_segms, all_keyps, output_dir)
+    return results
+
+
+def run_inference(weights_file, ind_range=None, multi_gpu_testing=False,
+                  check_expected_results=False):
+    """Top-level entry (ref :70-122)."""
+    is_parent = ind_range is None
+
+    def result_getter():
+        if is_parent:
+            results = {}
+            for i in range(len(cfg.TEST.DATASETS)):
+                dataset_name = cfg.TEST.DATASETS[i]
+                proposal_file = (cfg.TEST.PROPOSAL_FILES[i]
+                                 if cfg.TEST.PROPOSAL_FILES else None)
+                output_dir = get_output_dir((dataset_name,), training=False)
+                r = test_net_on_dataset(
+                    weights_file, dataset_name, proposal_file, output_dir,
+                    multi_gpu=multi_gpu_testing)
+                results.update(r)
+            return results
+        else:
+            dataset_name = cfg.TEST.DATASETS[0]
+            proposal_file = (cfg.TEST.PROPOSAL_FILES[0]
+                             if cfg.TEST.PROPOSAL_FILES else None)
+            output_dir = get_output_dir((dataset_name,), training=False)
+            return test_net(weights_file, dataset_name, proposal_file,
+                            output_dir, ind_range=ind_range)
+
+    results = result_getter()
+    if check_expected_results and is_parent:
+        flat = {ds: {**r.get('ap', {}), 'mAP': r.get('mAP')}
+                if isinstance(r, dict) else r for ds, r in results.items()}
+        task_evaluation.check_expected_results(
+            flat, atol=cfg.EXPECTED_RESULTS_ATOL,
+            rtol=cfg.EXPECTED_RESULTS_RTOL)
+    return results

@@ -1,0 +1,117 @@
+"""End-to-end inference engine test on a synthetic dataset: detection loop,
+detections.pkl format, VOC + CorLoc evaluation, NMS-and-limit behavior."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nafwebsod_tpu.core.config import cfg, reset_cfg
+from nafwebsod_tpu.data import catalog
+from nafwebsod_tpu.engine.test import box_results_with_nms_and_limit
+
+import fixtures
+
+
+@pytest.fixture(autouse=True)
+def fresh_cfg():
+    reset_cfg()
+    yield
+    reset_cfg()
+
+
+class TestNmsAndLimit:
+    def _setup_cfg(self):
+        cfg.MODEL.NUM_CLASSES = 4
+        cfg.TEST.SCORE_THRESH = 0.01
+        cfg.TEST.NMS = 0.5
+        cfg.TEST.DETECTIONS_PER_IM = 3
+
+    def test_threshold_nms_and_cap(self):
+        self._setup_cfg()
+        R = 6
+        rng = np.random.RandomState(0)
+        boxes1 = np.array([
+            [0, 0, 10, 10],
+            [1, 1, 11, 11],       # suppressed by nms vs box 0
+            [50, 50, 60, 60],
+            [100, 100, 110, 110],
+            [200, 200, 210, 210],
+            [300, 300, 310, 310],
+        ], dtype=np.float32)
+        boxes = np.tile(boxes1, (1, 4))
+        scores = np.zeros((R, 4), np.float32)
+        scores[:, 1] = [0.9, 0.85, 0.6, 0.5, 0.4, 0.005]
+        scores[:, 2] = 0.001  # below threshold
+        scores[:, 3] = 0.001
+        _, _, cls_boxes = box_results_with_nms_and_limit(scores, boxes)
+        assert len(cls_boxes[2]) == 0 and len(cls_boxes[3]) == 0
+        # class 1: 6 dets -> thresh drops 1 -> nms drops 1 -> cap 3
+        assert cls_boxes[1].shape[0] == 3
+        assert cls_boxes[1][0, 4] == pytest.approx(0.9)
+
+
+@pytest.mark.slow
+class TestEndToEndInference:
+    def test_full_loop(self, tmp_path):
+        info = fixtures.make_coco_dataset(str(tmp_path), n_images=2,
+                                          width=96, height=64, n_props=12)
+        # build a matching VOC devkit for evaluation
+        devkit = tmp_path / 'devkit'
+        voc_dir = devkit / 'VOC2007'
+        os.makedirs(voc_dir / 'ImageSets' / 'Main', exist_ok=True)
+        os.makedirs(voc_dir / 'Annotations', exist_ok=True)
+        import json
+        with open(info['ann_file']) as f:
+            coco = json.load(f)
+        names = []
+        for img in coco['images']:
+            stem = os.path.splitext(img['file_name'])[0]
+            names.append(stem)
+            objs = [a for a in coco['annotations']
+                    if a['image_id'] == img['id']]
+            specs = []
+            for a in objs:
+                x, y, w, h = a['bbox']
+                cls = fixtures.CLASSES[a['category_id'] - 1]
+                specs.append((cls, x + 1, y + 1, x + w, y + h, 0))
+            fixtures.make_voc_annotations(
+                str(voc_dir), [(stem, specs)])
+        with open(voc_dir / 'ImageSets' / 'Main' / 'test.txt', 'w') as f:
+            f.write('\n'.join(names) + '\n')
+
+        catalog.register_dataset('synth_test', info['image_dir'],
+                                 info['ann_file'], str(devkit))
+
+        cfg.MODEL.NUM_CLASSES = len(fixtures.CLASSES) + 1
+        cfg.MODEL.CONV_BODY = 'VGG16.add_VGG16_conv5_body_origin'
+        cfg.MODEL.TYPE = 'generalized_wsl'
+        cfg.FAST_RCNN.ROI_BOX_HEAD = 'webly_heads.add_VGG16_roi_2fc_noise_head'
+        cfg.FAST_RCNN.ROI_XFORM_RESOLUTION = 7
+        cfg.WSL.DILATION = 2
+        cfg.WEBLY.WEBLY_ON = True
+        cfg.TEST.DATASETS = ('synth_test',)
+        cfg.TEST.PROPOSAL_FILES = (info['prop_file'],)
+        cfg.TEST.SCALE = 64
+        cfg.TEST.MAX_SIZE = 120
+        cfg.TEST.SCORE_THRESH = 1e-9
+        cfg.TEST.NMS = 0.5
+        cfg.TEST.DETECTIONS_PER_IM = 10
+        cfg.TEST.PROPOSAL_LIMIT = 100
+        cfg.TPU.ROI_PAD_MULTIPLE = 16
+        cfg.TPU.SIZE_BUCKET_MULTIPLE = 32
+        cfg.OUTPUT_DIR = str(tmp_path / 'out')
+
+        from nafwebsod_tpu.engine import test_engine
+        results = test_engine.run_inference(None)
+        assert 'synth_test' in results
+        r = results['synth_test']
+        assert 'mAP' in r and 'mean_corloc' in r
+        # detections.pkl written with the reference schema
+        det_file = os.path.join(cfg.OUTPUT_DIR, 'test', 'synth_test',
+                                'generalized_wsl', 'detections.pkl')
+        assert os.path.exists(det_file)
+        from nafwebsod_tpu.utils.io import load_object
+        dets = load_object(det_file)
+        assert 'all_boxes' in dets and 'cfg' in dets
+        assert len(dets['all_boxes']) == cfg.MODEL.NUM_CLASSES
