@@ -1,0 +1,90 @@
+"""Benchmark: flagship NA-fWebSOD training-step throughput (images/sec).
+
+Measures the full jitted data-parallel training step — VGG16-C5 (dilated,
+bfloat16 conv path) + RoIPool/boost + dual 4096-d fc towers + noise-aware
+webly losses + spatial-entropy weights + Caffe-momentum SGD — at the
+reference's flagship operating point: ~688-short-side image, 2048 RoIs/image,
+1 image per device (configs/flickr_voc/na_wsddn_V-16-C5_1x.yaml:27-33).
+
+Baseline context (BASELINE.md): the reference publishes no throughput. The
+`vs_baseline` field is computed against an estimated 10 images/sec for the
+4xP100 Detectron/Caffe2 setup (0.4 s/iter x 4 im/iter, typical of the
+VGG16-era MODEL_ZOO tables scaled to 4 GPUs); the driver's north star is
+>=5x that on a v5e-8.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, '/root/repo')
+
+from __graft_entry__ import _example_inputs  # noqa: E402
+from nafwebsod_tpu.models import detector  # noqa: E402
+from nafwebsod_tpu.parallel import mesh as mesh_lib  # noqa: E402
+from nafwebsod_tpu.parallel import train_step as ts  # noqa: E402
+from nafwebsod_tpu.solver import sgd  # noqa: E402
+
+BASELINE_IMS_PER_SEC = 10.0  # estimated 4xP100 Detectron (see docstring)
+
+
+def main():
+    on_tpu = any(d.platform == 'tpu' for d in jax.devices())
+    if on_tpu:
+        H, W, R, hidden, iters, warmup = 704, 704, 2048, 4096, 20, 3
+    else:  # CPU smoke mode so the bench stays runnable anywhere
+        H, W, R, hidden, iters, warmup = 128, 128, 64, 64, 3, 1
+
+    spec = detector.ModelSpec(num_classes=21, compute_dtype='bfloat16',
+                              hidden_dim=hidden)
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005, iter_size=1)
+    trainable = detector.trainable_param_names(spec, params)
+    mults = sgd.freeze_mults(sgd.param_multipliers(params, trainable))
+    opt_state = sgd.init_state(params, hp)
+
+    n_dev = len(jax.devices())
+    mesh = mesh_lib.make_mesh(n_dev)
+    step = ts.make_train_step(spec, hp, mults, mesh, donate=False)
+
+    blobs = []
+    for i in range(n_dev):
+        image, rois, obn, valid, labels = _example_inputs(
+            H=H, W=W, R=R, seed=i)
+        blobs.append({'data': image, 'rois': rois, 'obn_scores': obn,
+                      'valid_mask': valid, 'labels_oh': labels})
+    batch = ts.stack_minibatches(blobs, size_bucket=64)
+    rngs = ts.device_rngs(jax.random.PRNGKey(1), n_dev)
+    lr = np.float32(1e-4)
+
+    # Chain params/opt_state through the loop: each step depends on the
+    # previous one's outputs, so async dispatch cannot elide or overlap the
+    # real executions; a single hard sync at the end then bounds all of them.
+    for _ in range(warmup):
+        params, opt_state, loss, _ = step(params, opt_state, batch, lr, rngs)
+    float(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, loss, _ = step(params, opt_state, batch, lr, rngs)
+    float(loss)
+    dt = time.perf_counter() - t0
+
+    ims_per_sec = n_dev * iters / dt
+    print(json.dumps({
+        'metric': 'train_images_per_sec',
+        'value': round(ims_per_sec, 3),
+        'unit': 'images/sec',
+        'vs_baseline': round(ims_per_sec / BASELINE_IMS_PER_SEC, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -251,6 +251,8 @@ __C.TPU.ROI_PAD_MULTIPLE = 256
 __C.TPU.SIZE_BUCKET_MULTIPLE = 64
 # Use the Pallas fused RoI pooling kernel when on TPU.
 __C.TPU.USE_PALLAS = True
+# fc6/fc7 width (4096 in the reference; narrow for CPU tests only).
+__C.TPU.HEAD_HIDDEN_DIM = 4096
 
 # Deprecated/renamed keys from the reference's registry that we silently accept
 # in YAML files (reference config.py:1109-1175).

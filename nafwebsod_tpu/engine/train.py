@@ -1,0 +1,170 @@
+"""Training driver.
+
+Capability parity with ``detectron/utils/train_wsl.py`` (+ the per-iteration
+machinery of ``tools/train_net_wsl.py``): model build, AUTO_RESUME, pretrained
+pkl weight loading with shared-init aliasing, the threaded RoI data loader,
+LR schedule + momentum correction, gradient accumulation, NaN-loss abort,
+median-smoothed JSON stats, and periodic pkl snapshots. The hot loop is one
+jitted data-parallel step per iteration (``parallel/train_step.py``) instead
+of ``workspace.RunNet``; one image per mesh device per micro-iteration
+mirrors the reference's 1 im/GPU.
+"""
+
+import os
+
+import jax
+import numpy as np
+
+from nafwebsod_tpu.core.config import cfg, dump_cfg, get_output_dir
+from nafwebsod_tpu.data.loader import RoIDataLoader
+from nafwebsod_tpu.data.roidb import combined_roidb_for_training
+from nafwebsod_tpu.models import detector
+from nafwebsod_tpu.parallel import mesh as mesh_lib
+from nafwebsod_tpu.parallel import train_step as ts
+from nafwebsod_tpu.solver import sgd
+from nafwebsod_tpu.utils import checkpoint as ckpt
+from nafwebsod_tpu.utils import lr_policy
+from nafwebsod_tpu.utils.logging_utils import setup_logging
+from nafwebsod_tpu.utils.training_stats import TrainingStats
+
+logger = setup_logging(__name__)
+
+
+def _round_up(n, multiple):
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+def train_model(roidb=None, max_iters=None):
+    """Train the flagship model; returns (checkpoints dict, losses list).
+
+    ``roidb``: optional pre-built roidb (tests inject fixtures); by default
+    built from ``cfg.TRAIN.DATASETS`` + ``PROPOSAL_FILES``
+    (train_wsl.py:33-102).
+    """
+    spec = detector.spec_from_cfg(cfg)
+    output_dir = get_output_dir(cfg.TRAIN.DATASETS, training=True)
+    max_iters = max_iters or cfg.SOLVER.MAX_ITER
+    checkpoints = {}
+
+    # ----- AUTO_RESUME scan (train_wsl.py:121-160) -----
+    start_iter = 0
+    resume_weights = None
+    if cfg.TRAIN.AUTO_RESUME:
+        path, it = ckpt.find_checkpoint_for_resume(output_dir)
+        if path is not None and it is None:
+            logger.info('model_final.pkl exists; skipping training')
+            checkpoints['final'] = path
+            return checkpoints, []
+        if path is not None:
+            logger.info('Resuming from %s (iter %d)', path, it)
+            resume_weights, start_iter = path, it
+
+    # ----- params + solver state -----
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    rng, init_rng = jax.random.split(rng)
+    params = detector.init_params(spec, init_rng)
+    momentum = None
+    weights_file = resume_weights or cfg.TRAIN.WEIGHTS
+    if weights_file:
+        params, momentum, unmatched = ckpt.initialize_params_from_weights_file(
+            params, weights_file)
+        if unmatched:
+            logger.info('Randomly initialized: %s', sorted(unmatched))
+
+    hp = sgd.SGDHyperParams(
+        momentum=cfg.SOLVER.MOMENTUM,
+        weight_decay=cfg.SOLVER.WEIGHT_DECAY,
+        weight_decay_gn=cfg.SOLVER.WEIGHT_DECAY_GN,
+        iter_size=cfg.WSL.ITER_SIZE,
+    )
+    trainable = detector.trainable_param_names(spec, params)
+    mults = sgd.freeze_mults(sgd.param_multipliers(params, trainable))
+    opt_state = sgd.init_state(params, hp)
+    if momentum:
+        opt_state['momentum'].update(
+            {k: np.asarray(v) for k, v in momentum.items()})
+
+    # ----- mesh + jitted step -----
+    num_devices = min(cfg.NUM_GPUS, len(jax.devices())) or 1
+    m = mesh_lib.make_mesh(num_devices)
+    step_fn = ts.make_train_step(spec, hp, mults, m)
+
+    # ----- data -----
+    if roidb is None:
+        roidb = combined_roidb_for_training(
+            cfg.TRAIN.DATASETS, cfg.TRAIN.PROPOSAL_FILES)
+    pad_rois_to = _round_up(cfg.TRAIN.BATCH_SIZE_PER_IM,
+                            cfg.TPU.ROI_PAD_MULTIPLE)
+    loader = RoIDataLoader(
+        roidb,
+        num_loaders=cfg.DATA_LOADER.NUM_THREADS,
+        minibatch_queue_size=cfg.DATA_LOADER.MINIBATCH_QUEUE_SIZE,
+        pad_rois_to=pad_rois_to,
+        size_bucket=cfg.TPU.SIZE_BUCKET_MULTIPLE,
+    )
+    loader.register_sigint_handler()
+    loader.start(prefill=True)
+
+    stats = TrainingStats(num_devices=num_devices)
+    # snapshot period divided by device count, as the reference divides by
+    # NUM_GPUS (train_wsl.py:45)
+    snapshot_iters = max(cfg.TRAIN.SNAPSHOT_ITERS // num_devices, 1)
+    losses = []
+    lr_prev = lr_policy.get_lr_at_iter(start_iter)
+
+    try:
+        for cur_iter in range(start_iter, max_iters):
+            stats.IterTic()
+            lr = lr_policy.get_lr_at_iter(cur_iter)
+            factor = sgd.momentum_correction_factor(cfg, lr, lr_prev)
+            if factor is not None:
+                logger.info('LR change %g -> %g: scaling momentum by %g',
+                            lr_prev, lr, factor)
+                opt_state = sgd.scale_momentum(opt_state, np.float32(factor))
+            lr_prev = lr
+
+            blobs = [loader.get() for _ in range(num_devices)]
+            batch = ts.stack_minibatches(
+                blobs, size_bucket=cfg.TPU.SIZE_BUCKET_MULTIPLE)
+            rng, sub = jax.random.split(rng)
+            rngs = ts.device_rngs(sub, num_devices)
+            params, opt_state, loss, aux = step_fn(
+                params, opt_state, batch, np.float32(lr), rngs)
+
+            loss = float(loss)
+            losses.append(loss)
+            stats.IterToc()
+            stats.UpdateIterStats(loss, {k: float(v) for k, v in aux.items()})
+            stats.LogIterStats(cur_iter, lr, queue_size=loader.queue_size())
+
+            if np.isnan(loss):  # NaN guard (train_wsl.py:77-83)
+                _save(os.path.join(output_dir, 'model_nan.pkl'),
+                      params, opt_state)
+                raise FloatingPointError(
+                    'Loss is NaN at iter {}'.format(cur_iter))
+
+            if ((cur_iter + 1) % snapshot_iters == 0 and
+                    cur_iter + 1 < max_iters):
+                path = os.path.join(
+                    output_dir, 'model_iter{}.pkl'.format(cur_iter))
+                _save(path, params, opt_state)
+                checkpoints[cur_iter] = path
+
+            if loader.coordinator.should_stop():
+                raise RuntimeError('roi_data_loader failed')
+    finally:
+        loader.shutdown()
+
+    final_path = os.path.join(output_dir, 'model_final.pkl')
+    _save(final_path, params, opt_state)
+    checkpoints['final'] = final_path
+    return checkpoints, losses
+
+
+def _save(path, params, opt_state):
+    logger.info('Saving checkpoint to %s', path)
+    host_params = {k: np.asarray(v) for k, v in params.items()}
+    host_mom = {k: np.asarray(v) for k, v in opt_state['momentum'].items()}
+    ckpt.save_params_to_weights_file(
+        path, host_params, momentum=host_mom, cfg_yaml=dump_cfg())
+    return path

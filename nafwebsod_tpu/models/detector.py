@@ -49,6 +49,9 @@ class ModelSpec:
     mean_loss: bool = True
     min_entropy_loss: bool = False
     compute_dtype: str = 'float32'
+    # fc6/fc7 width; 4096 in the reference (wsl_heads.py:674-679). Tests use a
+    # narrow tower to keep single-core CPU runtimes sane.
+    hidden_dim: int = 4096
 
     @property
     def is_webly(self):
@@ -77,6 +80,7 @@ def spec_from_cfg(cfg):
         mean_loss=cfg.WSL.MEAN_LOSS,
         min_entropy_loss=cfg.WSL.MIN_ENTROPY_LOSS,
         compute_dtype=cfg.TPU.COMPUTE_DTYPE,
+        hidden_dim=cfg.TPU.HEAD_HIDDEN_DIM,
     )
 
 
@@ -86,8 +90,27 @@ def init_params(spec: ModelSpec, rng):
     roi_feat_dim = 512 * spec.roi_resolution * spec.roi_resolution
     params.update(heads.init_head_params(
         r2, spec.num_classes, roi_feat_dim=roi_feat_dim,
+        hidden=spec.hidden_dim,
         webly=spec.box_head == 'vgg16_2fc_noise'))
     return params
+
+
+def trainable_param_names(spec: ModelSpec, params):
+    """Names of params the solver may update, mirroring the reference's
+    TrainableParams bookkeeping (detector.py:68-79): with FREEZE_CONV_BODY the
+    whole conv body is excluded; otherwise stages up to FREEZE_AT are."""
+    out = set()
+    for name in params:
+        stage_idx = next(
+            (si for si, stage in enumerate(vgg16.VGG16_STAGES)
+             if any(name.startswith(n) for n, _, _ in stage)), None)
+        if stage_idx is None:
+            out.add(name)  # head param
+        elif spec.freeze_conv_body or stage_idx < spec.freeze_at:
+            continue
+        else:
+            out.add(name)
+    return out
 
 
 def _run_body_and_head(spec, params, image, rois, obn_scores, train, rng):

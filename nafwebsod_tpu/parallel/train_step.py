@@ -1,0 +1,106 @@
+"""Data-parallel training step (pjit over the 1-D mesh).
+
+Replaces the reference's per-GPU graph replication + AddGradientOperators +
+NCCLAllreduce + per-GPU ACM SGD ops (``optimizer_wsl.py:18-137``) with one
+jitted function: ``vmap`` the per-image forward/loss over the leading device
+axis, mean the loss (== the reference's sum-allreduce followed by the op's
+1/gpu_num normalization), ``jax.grad``, then the Caffe-style SGD update from
+``nafwebsod_tpu/solver/sgd.py``. XLA lowers the gradient reduction to a
+``psum`` over ICI because the batch is sharded and the params are replicated.
+
+Gradient accumulation (``WSL.ITER_SIZE``) stays at the call level: each call
+is one micro-iteration and the solver state decides when the parameter update
+fires, exactly like the in-op counter of the reference's ACM op.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from nafwebsod_tpu.models import detector
+from nafwebsod_tpu.solver import sgd
+
+# Keys consumed by the jitted step, stacked over the device axis.
+BATCH_KEYS = ('image', 'rois', 'obn_scores', 'labels_oh', 'valid_mask')
+
+
+def stack_minibatches(blob_list, size_bucket=None):
+    """Host-side: list of per-image loader blob dicts -> one batch dict with a
+    leading device axis. Images are zero-padded to the per-iteration max H/W
+    (rounded up to ``size_bucket`` to bound XLA recompiles). Zero padding is
+    numerically transparent: convs zero-pad at image borders anyway and RoIs
+    never reach the padded canvas."""
+    ims = [b['data'][0] for b in blob_list]
+    h = max(im.shape[0] for im in ims)
+    w = max(im.shape[1] for im in ims)
+    if size_bucket:
+        h = ((h + size_bucket - 1) // size_bucket) * size_bucket
+        w = ((w + size_bucket - 1) // size_bucket) * size_bucket
+    canvas = np.zeros((len(ims), h, w, 3), dtype=np.float32)
+    for i, im in enumerate(ims):
+        canvas[i, :im.shape[0], :im.shape[1]] = im
+    batch = {
+        'image': canvas,
+        'rois': np.stack([b['rois'] for b in blob_list]).astype(np.float32),
+        'obn_scores': np.stack(
+            [b['obn_scores'] for b in blob_list]).astype(np.float32),
+        'labels_oh': np.stack(
+            [b['labels_oh'] for b in blob_list]).astype(np.float32),
+        'valid_mask': np.stack([b['valid_mask'] for b in blob_list]),
+    }
+    # the per-image forward expects image rank 4: (1, H, W, 3)
+    batch['image'] = batch['image'][:, None]
+    return batch
+
+
+def round_up(n, multiple):
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+def make_train_step(spec, hp, mults, mesh, donate=True):
+    """Build the jitted data-parallel train step.
+
+    Returns ``step(params, opt_state, batch, lr, rngs) ->
+    (params, opt_state, loss, aux)`` with params/opt_state replicated over
+    ``mesh`` and ``batch``/``rngs`` sharded on the leading axis.
+    """
+    mults = sgd.freeze_mults(mults) if isinstance(mults, dict) else mults
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P('data'))
+
+    def step(params, opt_state, batch, lr, rngs):
+        def loss_fn(p):
+            totals, auxs = jax.vmap(
+                lambda b, r: detector.forward_train(spec, p, b, r)
+            )(batch, rngs)
+            return jnp.mean(totals), jax.tree.map(jnp.mean, auxs)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        new_params, new_state = sgd.update(
+            params, grads, opt_state, lr, hp, mults)
+        return new_params, new_state, loss, aux
+
+    batch_shardings = {k: shard for k in BATCH_KEYS}
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, batch_shardings, repl, shard),
+        out_shardings=(repl, repl, repl, repl),
+        donate_argnums=(0, 1) if donate else (),
+    )
+
+
+def device_rngs(key, num_devices):
+    """Split a host PRNG key into per-device keys (leading device axis)."""
+    return jax.random.split(key, num_devices)
+
+
+@partial(jax.jit, static_argnames=('spec',))
+def eval_step(spec, params, batch, rngs):
+    """Loss-only forward over a stacked batch (used by tests/benchmarks)."""
+    totals, auxs = jax.vmap(
+        lambda b, r: detector.forward_train(spec, params, b, r)
+    )(batch, rngs)
+    return jnp.mean(totals), jax.tree.map(jnp.mean, auxs)

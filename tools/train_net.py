@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Train a model with the TPU-native NA-fWebSOD framework.
+
+Capability parity with ``tools/train_net_wsl.py`` (reference lines 87-159):
+merge YAML cfg + CLI overrides, seed, train, then test the final weights and
+every snapshot; when the training dataset is a VOC split, re-test on the
+training set for CorLoc.
+
+Usage:
+    python tools/train_net.py --cfg configs/.../na_wsddn.yaml \
+        [--skip-test] [--multi-gpu-testing] [OPT VAL ...]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nafwebsod_tpu.core.config import (assert_and_infer_cfg, cfg,
+                                       merge_cfg_from_file,
+                                       merge_cfg_from_list)
+from nafwebsod_tpu.utils.logging_utils import setup_logging
+
+logger = setup_logging(__name__)
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description='Train a network')
+    parser.add_argument('--cfg', dest='cfg_file', default=None,
+                        help='Config file for training (and optionally testing)')
+    parser.add_argument('--multi-gpu-testing', dest='multi_gpu_testing',
+                        action='store_true',
+                        help='Use cfg.NUM_GPUS devices for inference')
+    parser.add_argument('--skip-test', dest='skip_test', action='store_true',
+                        help='Do not test the final model')
+    parser.add_argument('opts', default=None, nargs=argparse.REMAINDER,
+                        help='See nafwebsod_tpu/core/config.py for all options')
+    if len(sys.argv) == 1:
+        parser.print_help()
+        sys.exit(1)
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.cfg_file is not None:
+        merge_cfg_from_file(args.cfg_file)
+    if args.opts is not None:
+        merge_cfg_from_list(args.opts)
+    assert_and_infer_cfg()
+    np.random.seed(cfg.RNG_SEED)
+
+    from nafwebsod_tpu.engine import train as train_engine
+    checkpoints, _ = train_engine.train_model()
+
+    if not args.skip_test:
+        test_model(checkpoints['final'], args.multi_gpu_testing)
+        for snapshot_iter in sorted(k for k in checkpoints if k != 'final'):
+            test_model(checkpoints[snapshot_iter], args.multi_gpu_testing)
+
+
+def test_model(model_file, multi_gpu_testing):
+    """Test a model and, for VOC-style training sets, re-test on the training
+    split to compute CorLoc (tools/train_net_wsl.py:121-144)."""
+    from nafwebsod_tpu.engine import test_engine
+    cfg.immutable(False)
+    cfg.TEST.WEIGHTS = model_file
+    cfg.immutable(True)
+    test_engine.run_inference(
+        model_file, multi_gpu_testing=multi_gpu_testing,
+        check_expected_results=True)
+
+
+if __name__ == '__main__':
+    main()
