@@ -86,8 +86,14 @@ def train_model(roidb=None, max_iters=None):
 
     # ----- mesh + jitted step -----
     num_devices = min(cfg.NUM_GPUS, len(jax.devices())) or 1
+    if spec.center_loss:
+        cf = np.asarray(params['center_feature'])
+        opt_state['center_dcf'] = np.zeros_like(cf)
+        opt_state['center_ndcf'] = np.zeros(cf.shape[:2], cf.dtype)
     m = mesh_lib.make_mesh(num_devices)
-    step_fn = ts.make_train_step(spec, hp, mults, m)
+    step_fn = ts.make_train_step(
+        spec, hp, mults, m,
+        center_update_period=max(128 // num_devices, 1))
 
     # ----- data -----
     if roidb is None:
@@ -126,6 +132,9 @@ def train_model(roidb=None, max_iters=None):
             blobs = [loader.get() for _ in range(num_devices)]
             batch = ts.stack_minibatches(
                 blobs, size_bucket=cfg.TPU.SIZE_BUCKET_MULTIPLE)
+            if cfg.WSL.CMIL:
+                batch['cur_iter'] = np.full((num_devices,), cur_iter,
+                                            np.float32)
             rng, sub = jax.random.split(rng)
             rngs = ts.device_rngs(sub, num_devices)
             params, opt_state, loss, aux = step_fn(

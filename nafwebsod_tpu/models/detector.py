@@ -18,9 +18,12 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nafwebsod_tpu.models import heads, vgg16
+from nafwebsod_tpu.ops import center as center_ops
 from nafwebsod_tpu.ops import losses as loss_ops
+from nafwebsod_tpu.ops import refine as refine_ops
 from nafwebsod_tpu.ops.entropy import spatial_entropy_weights
 
 _SUPPORTED_BODIES = {
@@ -48,6 +51,18 @@ class ModelSpec:
     webly_entropy: bool = True
     mean_loss: bool = True
     min_entropy_loss: bool = False
+    # refinement ladders (mutually exclusive, wsl_heads.py:443-452)
+    oicr: bool = False
+    pcl: bool = False
+    cmil: bool = False
+    # C-MIL continuation schedule (wsl_heads.py:96-101)
+    size_epoch: int = 5000
+    max_iter: int = 40000
+    # center loss (wsl_heads.py:230-276)
+    center_loss: bool = False
+    center_loss_number: int = 5
+    center_loss_top_k: int = 10
+    csc_max_iter: int = 35000
     compute_dtype: str = 'float32'
     # fc6/fc7 width; 4096 in the reference (wsl_heads.py:674-679). Tests use a
     # narrow tower to keep single-core CPU runtimes sane.
@@ -56,6 +71,16 @@ class ModelSpec:
     @property
     def is_webly(self):
         return self.box_head.endswith('noise') or self.webly_on
+
+    @property
+    def refine_k(self):
+        """Number of refinement classifiers: OICR/PCL use 3, C-MIL 2
+        (wsl_heads.py:110-180)."""
+        if self.cmil:
+            return 2
+        if self.oicr or self.pcl:
+            return 3
+        return 0
 
 
 def spec_from_cfg(cfg):
@@ -81,6 +106,15 @@ def spec_from_cfg(cfg):
         min_entropy_loss=cfg.WSL.MIN_ENTROPY_LOSS,
         compute_dtype=cfg.TPU.COMPUTE_DTYPE,
         hidden_dim=cfg.TPU.HEAD_HIDDEN_DIM,
+        oicr=cfg.WSL.OICR,
+        pcl=cfg.WSL.PCL,
+        cmil=cfg.WSL.CMIL,
+        size_epoch=cfg.WSL.SIZE_EPOCH,
+        max_iter=cfg.SOLVER.MAX_ITER,
+        center_loss=cfg.WSL.CENTER_LOSS,
+        center_loss_number=cfg.WSL.CENTER_LOSS_NUMBER,
+        center_loss_top_k=cfg.WSL.CENTER_LOSS_TOP_K,
+        csc_max_iter=cfg.WSL.CSC_MAX_ITER,
     )
 
 
@@ -92,6 +126,16 @@ def init_params(spec: ModelSpec, rng):
         r2, spec.num_classes, roi_feat_dim=roi_feat_dim,
         hidden=spec.hidden_dim,
         webly=spec.box_head == 'vgg16_2fc_noise'))
+    if spec.refine_k:
+        r3 = jax.random.fold_in(r2, 7)
+        params.update(heads.init_refine_params(
+            r3, spec.num_classes, hidden=spec.hidden_dim,
+            k_refine=spec.refine_k))
+    if spec.center_loss:
+        cf, _ = center_ops.init_center_state(
+            spec.num_classes, spec.center_loss_number, spec.hidden_dim,
+            jax.random.fold_in(r2, 11))
+        params['center_feature'] = cf
     return params
 
 
@@ -110,6 +154,8 @@ def trainable_param_names(spec: ModelSpec, params):
             continue
         else:
             out.add(name)
+    # center features are COMPUTED params: updated by the center rule, not SGD
+    out.discard('center_feature')
     return out
 
 
@@ -120,7 +166,9 @@ def _run_body_and_head(spec, params, image, rois, obn_scores, train, rng):
         freeze_at=spec.freeze_at)
     if spec.freeze_conv_body:
         feat = jax.lax.stop_gradient(feat)
-    feat = feat.astype(jnp.float32)  # heads run in fp32 (softmax numerics)
+    # fc towers run in the compute dtype (bf16 on TPU) with fp32 MXU
+    # accumulation; heads.py casts the fc8 logits to fp32 before the softmax
+    # pair, so the RoI-dim softmax numerics stay fp32 (SURVEY.md §7).
     kwargs = dict(method=spec.roi_xform_method, resolution=spec.roi_resolution,
                   sampling_ratio=spec.roi_sampling_ratio,
                   freeze_body=spec.freeze_conv_body, train=train, rng=rng)
@@ -136,17 +184,105 @@ def _run_body_and_head(spec, params, image, rois, obn_scores, train, rng):
 @partial(jax.jit, static_argnames=('spec',))
 def forward_test(spec: ModelSpec, params, image, rois, obn_scores,
                  valid_mask=None):
-    """Per-image inference. Returns per-RoI class scores (R, num_classes)
-    including the dummy background column (wsl_heads.py:58-67), plus raw
-    outputs for diagnostics."""
+    """Per-image inference. Returns per-RoI class scores (R, num_classes).
+
+    Without a refinement ladder the scores are the WSDDN rois_pred with a
+    dummy background column prepended (wsl_heads.py:58-67); with OICR / PCL /
+    C-MIL they are the mean of the refinement softmaxes
+    (wsl_heads.py:125-180, test branches)."""
     fc7_clean, fc7_noisy = _run_body_and_head(
         spec, params, image, rois, obn_scores, train=False, rng=None)
     if fc7_noisy is not None:
         out = heads.webly_outputs(params, fc7_clean, fc7_noisy, valid_mask)
     else:
         out = heads.wsl_outputs(params, fc7_clean, valid_mask)
-    scores = heads.add_background_column(out['rois_pred'])
+    if spec.refine_k:
+        probs = [jax.nn.softmax(heads.refine_score(params, fc7_clean, k),
+                                axis=1)
+                 for k in range(1, spec.refine_k + 1)]
+        scores = sum(probs) / float(spec.refine_k)
+        if valid_mask is not None:
+            scores = scores * valid_mask[:, None]
+    else:
+        scores = heads.add_background_column(out['rois_pred'])
     return {'scores': scores, 'rois_pred': out['rois_pred']}
+
+
+def _refinement_losses(spec, params, fc7, rois, out, cls_prob, labels_oh,
+                       valid):
+    """OICR / C-MIL / PCL refinement ladders (wsl_heads.py:456-607).
+
+    Stage k's pseudo-labels come from stage k-1's softmax (stage 1 from the
+    WSDDN rois_pred — for C-MIL the pre-merge 'cmil_rois_pred'); each stage
+    is a SoftmaxWithLossN (or PCLLoss) over its own cls_score classifier.
+    """
+    from nafwebsod_tpu.ops.jbox import roi_iou
+
+    losses = {}
+    c = spec.num_classes
+    sg = jax.lax.stop_gradient
+
+    if spec.pcl:
+        max_pc = refine_ops.PCL_MAX_PC_NUM * (c - 1)
+        r = rois.shape[0]
+        prev = sg(out['rois_pred'])
+        for k in range(1, spec.refine_k + 1):
+            logits = heads.refine_score(params, fc7, k)
+            probs = jax.nn.softmax(logits, axis=1)
+
+            def host_targets(boxes, prev_, loh, probs_, vmask,
+                             _max_pc=max_pc):
+                v = vmask.astype(bool)
+                res = refine_ops.pcl_targets_padded(
+                    boxes[v], prev_[v], loh, probs_[v], _max_pc)
+                full = []
+                for arr, fill in zip(res[:3], (0.0, 0.0, -1.0)):
+                    y = np.full((len(v),), fill, np.float32)
+                    y[v] = arr
+                    full.append(y)
+                return tuple(full) + res[3:]
+
+            shapes = (
+                jax.ShapeDtypeStruct((r,), jnp.float32),       # labels
+                jax.ShapeDtypeStruct((r,), jnp.float32),       # cls_loss_w
+                jax.ShapeDtypeStruct((r,), jnp.float32),       # gt_assignment
+                jax.ShapeDtypeStruct((max_pc,), jnp.float32),  # pc_labels
+                jax.ShapeDtypeStruct((max_pc,), jnp.float32),  # pc_probs
+                jax.ShapeDtypeStruct((max_pc,), jnp.float32),  # pc_count
+                jax.ShapeDtypeStruct((max_pc,), jnp.float32),  # img_cls_w
+                jax.ShapeDtypeStruct((c,), jnp.float32),       # im_labels_real
+            )
+            targets = jax.pure_callback(
+                host_targets, shapes, sg(rois[:, 1:5]), prev, labels_oh,
+                sg(probs), valid if valid is not None else jnp.ones((r,)),
+                vmap_method='sequential')
+            (lbl, clw, ga, pcl_l, pcl_p, pcl_c, img_w, im_real) = targets
+            losses['loss_cls{}'.format(k)] = refine_ops.pcl_loss_full(
+                probs, lbl, clw, ga, pcl_l, pcl_p, pcl_c, img_w, im_real)
+            prev = sg(probs)
+        return losses
+
+    # OICR / C-MIL: RoILabel + SoftmaxWithLossN
+    iou = roi_iou(rois)
+    if spec.cmil:
+        label_kwargs = dict(fg_thresh=0.6, bg_thresh_hi=0.4, bg_thresh_lo=0.1,
+                            num_pos=32, num_neg=96)
+        prev = sg(out['cmil_rois_pred'])
+    else:
+        label_kwargs = {}
+        prev = sg(out['rois_pred'])
+    for k in range(1, spec.refine_k + 1):
+        lbl, w = refine_ops.roi_label(prev, iou, labels_oh,
+                                      valid_mask=valid, **label_kwargs)
+        logits = heads.refine_score(params, fc7, k)
+        loss_k = loss_ops.softmax_with_loss_n(logits, lbl, w)
+        if not spec.mean_loss:
+            # get_loss_gradients_weighted scales the grad by (C-1)
+            # (wsl_heads.py:500-505,615-621)
+            loss_k = loss_k * float(c - 1)
+        losses['loss_cls{}'.format(k)] = loss_k
+        prev = sg(jax.nn.softmax(logits, axis=1))
+    return losses
 
 
 @partial(jax.jit, static_argnames=('spec',))
@@ -170,7 +306,12 @@ def forward_train(spec: ModelSpec, params, batch, rng):
 
     fc7_clean, fc7_noisy = _run_body_and_head(
         spec, params, image, rois, obn, train=True, rng=rng)
-    if fc7_noisy is not None:
+    if spec.cmil:
+        lam = refine_ops.cmil_lambda(
+            batch.get('cur_iter', jnp.zeros(())), spec.size_epoch,
+            max(spec.max_iter // spec.size_epoch, 1))
+        out = heads.cmil_outputs(params, fc7_clean, rois, valid, lam)
+    elif fc7_noisy is not None:
         out = heads.webly_outputs(params, fc7_clean, fc7_noisy, valid)
     else:
         out = heads.wsl_outputs(params, fc7_clean, valid)
@@ -178,6 +319,10 @@ def forward_train(spec: ModelSpec, params, batch, rng):
     cls_prob = heads.cls_pred(out['rois_pred'])
     aux = {}
     losses = {}
+
+    if spec.refine_k:
+        losses.update(_refinement_losses(
+            spec, params, fc7_clean, rois, out, cls_prob, labels_oh, valid))
 
     if spec.is_webly and 'rois_pred_noise' in out:
         cls_prob_noise = heads.cls_pred(out['rois_pred_noise'])
@@ -202,8 +347,23 @@ def forward_train(spec: ModelSpec, params, batch, rng):
         aux['accuracy_cls'] = loss_ops.multilabel_accuracy(cls_prob, labels_oh)
 
     if spec.min_entropy_loss:
+        # weight 0.1 (wsl_heads.py:279-290 get_loss_gradients_weighted)
         losses['loss_entropy'] = 0.1 * loss_ops.min_entropy_loss(
             out['rois_pred'], labels_oh, valid)
+
+    if spec.center_loss:
+        cf = params['center_feature']
+        loss_center, deltas = center_ops.center_loss(
+            labels_oh, out['rois_pred'], fc7_clean.astype(jnp.float32), cf,
+            spec.center_loss_top_k, valid)
+        # active only below CSC_MAX_ITER (center_loss_op.cu:77-79);
+        # grad weight 0.4096 (wsl_heads.py:274)
+        active = batch.get('cur_iter', jnp.zeros(())) < spec.csc_max_iter
+        loss_center = jnp.where(active, loss_center, 0.0)
+        losses['loss_center'] = 0.4096 * loss_center
+        aux['__center_dcf'] = jnp.where(active, 1.0, 0.0) * deltas['center_dcf']
+        aux['__center_ndcf'] = (jnp.where(active, 1.0, 0.0) *
+                                deltas['center_ndcf'])
 
     total = sum(losses.values())
     aux.update(losses)

@@ -80,8 +80,15 @@ def init_head_params(rng, num_classes, roi_feat_dim=512 * 7 * 7, hidden=4096,
 # Building blocks
 # --------------------------------------------------------------------------- #
 
-def _fc(x, params, name):
-    return x @ params[name + '_w'] + params[name + '_b']
+def _fc(x, params, name, out_dtype=None):
+    """FC layer in the input dtype with fp32 MXU accumulation. Params are
+    stored fp32; casting weights to the bf16 activation dtype keeps the
+    matmul on the MXU fast path while ``preferred_element_type`` preserves
+    fp32 partial sums."""
+    w = params[name + '_w'].astype(x.dtype)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    y = y + params[name + '_b']
+    return y.astype(out_dtype or x.dtype)
 
 
 def _dropout(x, rate, rng, train):
@@ -166,20 +173,65 @@ def _two_stream(fc8c, fc8d, valid_mask):
 
 
 def wsl_outputs(params, fc7, valid_mask=None, prefix=''):
-    fc8c = _fc(fc7, params, prefix + 'fc8c')
-    fc8d = _fc(fc7, params, prefix + 'fc8d')
+    # logits emerge in fp32 regardless of tower dtype: the RoI-dimension
+    # softmax over thousands of rows needs fp32 (SURVEY.md §7 numerics)
+    fc8c = _fc(fc7, params, prefix + 'fc8c', out_dtype=jnp.float32)
+    fc8d = _fc(fc7, params, prefix + 'fc8d', out_dtype=jnp.float32)
     rois_pred = _two_stream(fc8c, fc8d, valid_mask)
     return {'fc8c': fc8c, 'fc8d': fc8d, 'rois_pred': rois_pred}
 
 
 def webly_outputs(params, fc7_clean, fc7_noisy, valid_mask=None, prefix=''):
     out = wsl_outputs(params, fc7_clean, valid_mask, prefix)
-    noisy_fc8c = _fc(fc7_noisy, params, prefix + 'noisy_fc8c')
-    noisy_fc8d = _fc(fc7_noisy, params, prefix + 'noisy_fc8d')
+    noisy_fc8c = _fc(fc7_noisy, params, prefix + 'noisy_fc8c',
+                     out_dtype=jnp.float32)
+    noisy_fc8d = _fc(fc7_noisy, params, prefix + 'noisy_fc8d',
+                     out_dtype=jnp.float32)
     fc8c_noise = out['fc8c'] + noisy_fc8c
     fc8d_noise = out['fc8d'] + noisy_fc8d
     out['rois_pred_noise'] = _two_stream(fc8c_noise, fc8d_noise, valid_mask)
     return out
+
+
+def init_refine_params(rng, num_classes, hidden=4096, k_refine=3,
+                       dtype=jnp.float32):
+    """Refinement classifier FCs cls_score1..K (wsl_heads.py:110-180:
+    gauss(0.01) weights, zero bias, ``num_classes`` outputs incl background).
+    """
+    params = {}
+    keys = jax.random.split(rng, k_refine)
+    for k in range(1, k_refine + 1):
+        params['cls_score{}_w'.format(k)] = (
+            0.01 * jax.random.normal(keys[k - 1], (hidden, num_classes),
+                                     dtype))
+        params['cls_score{}_b'.format(k)] = jnp.zeros((num_classes,), dtype)
+    return params
+
+
+def refine_score(params, fc7, k):
+    """Logits of the k-th refinement classifier, fp32."""
+    return _fc(fc7, params, 'cls_score{}'.format(k), out_dtype=jnp.float32)
+
+
+def cmil_outputs(params, fc7, rois, valid_mask, lam, prefix=''):
+    """C-MIL continuation path (wsl_heads.py:81-110 add_wsl_cmil): raw
+    fc8c/fc8d -> pre-merge two-stream 'cmil_rois_pred' -> per-RoI max score
+    -> RoIMerge with IoU >= lambda -> merged logits feed the main WSDDN
+    two-stream. Returns the wsl_outputs dict plus cmil_rois_pred and the
+    merged-row validity mask."""
+    from nafwebsod_tpu.ops.jbox import roi_iou
+    from nafwebsod_tpu.ops.refine import roi_merge
+
+    fc8c = _fc(fc7, params, prefix + 'fc8c', out_dtype=jnp.float32)
+    fc8d = _fc(fc7, params, prefix + 'fc8d', out_dtype=jnp.float32)
+    cmil_rois_pred = _two_stream(fc8c, fc8d, valid_mask)
+    obn = jnp.max(cmil_rois_pred, axis=1, keepdims=True)  # ReduceMax axes=[1]
+    iou = roi_iou(rois)
+    mc, md, clique, counts, merged_valid = roi_merge(
+        obn, iou, fc8c, fc8d, lam, valid_mask)
+    rois_pred = _two_stream(mc, md, merged_valid)
+    return {'fc8c': mc, 'fc8d': md, 'rois_pred': rois_pred,
+            'cmil_rois_pred': cmil_rois_pred, 'merged_valid': merged_valid}
 
 
 def cls_pred(rois_pred):

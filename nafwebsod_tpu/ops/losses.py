@@ -119,22 +119,46 @@ def min_entropy_loss(rois_pred, labels_oh, valid_mask=None):
 # SoftmaxWithLossN: per-RoI-weighted softmax cross entropy
 # --------------------------------------------------------------------------- #
 
-def softmax_with_loss_n(logits, labels, roi_weights, valid_mask=None):
-    """Softmax CE over classes with a per-row weight (softmax_with_loss_n_op).
+@jax.custom_vjp
+def softmax_with_loss_n(logits, labels, roi_weights):
+    """Softmax CE over classes with a per-row weight
+    (softmax_with_loss_n_op.cc). logits: (R, C); labels: (R,) int32 class
+    ids; roi_weights: (R,) float — padded rows must carry weight 0.
 
-    logits: (R, C); labels: (R,) int32 class ids; roi_weights: (R,) float.
-    Loss = sum_r w_r * -log softmax(logits)_r[label_r] / sum_r w_r-normalizer
-    (Caffe2 SoftmaxWithLoss uses mean over rows; the N variant weights rows).
-    Padded rows must have weight 0.
+    Forward: sum_r w_r * -log softmax(logits)_r[label_r] / sum_r w_r
+    (``:209-261``). The hand-written backward normalizes by the COUNT of
+    nonzero-weight rows instead of the weight sum (``:304-360``) — an
+    intentional asymmetry reproduced via this custom VJP.
     """
+    return _swln_value(logits, labels, roi_weights)
+
+
+def _swln_value(logits, labels, roi_weights):
     logp = jax.nn.log_softmax(logits, axis=1)
     r = logits.shape[0]
     picked = logp[jnp.arange(r), labels]
-    w = roi_weights
-    if valid_mask is not None:
-        w = w * valid_mask
-    total_w = jnp.maximum(jnp.sum(w), 1e-12)
-    return -jnp.sum(w * picked) / total_w
+    total_w = jnp.sum(roi_weights)
+    loss = -jnp.sum(roi_weights * picked)
+    return jnp.where(total_w != 0, loss / total_w, 0.0)
+
+
+def _swln_fwd(logits, labels, roi_weights):
+    return (_swln_value(logits, labels, roi_weights),
+            (logits, labels, roi_weights))
+
+
+def _swln_bwd(res, g):
+    logits, labels, roi_weights = res
+    r, c = logits.shape
+    p = jax.nn.softmax(logits, axis=1)
+    onehot = jax.nn.one_hot(labels, c, dtype=p.dtype)
+    count = jnp.sum(roi_weights != 0)
+    scale = jnp.where(count > 0, g / count, 0.0)
+    grad = roi_weights[:, None] * (p - onehot) * scale
+    return grad, None, None
+
+
+softmax_with_loss_n.defvjp(_swln_fwd, _swln_bwd)
 
 
 def averaged_loss(x):

@@ -1,0 +1,434 @@
+"""Refinement-ladder ops: OICR pseudo-labeling, C-MIL continuation merging,
+and PCL proposal-cluster learning.
+
+TPU-native re-implementations of:
+
+  * ``roi_label`` — ``detectron/ops/roi_label_op.cc:50-126`` (RoILabel): for
+    each ground-truth class pick the ``top_k`` highest-scoring RoIs as seeds;
+    every RoI is assigned the class/weight of its max-IoU seed — foreground
+    when IoU >= fg_thresh, background (label 0) inside [bg_lo, bg_hi), else
+    weight 0. The reference caps fg/bg counts after a host-side random
+    shuffle; the caps default to 9999 (uncapped) for OICR and are applied in
+    score order here (deterministic, XLA-friendly) for the C-MIL settings.
+  * ``roi_merge`` — ``detectron/ops/roi_merge_op.cc:30-195`` (RoIMerge):
+    greedy clique partition of the top-200 RoIs by score, cliques grown over
+    a 40-wide score window with pairwise IoU >= lambda(t) (log schedule
+    ``:9-15``); per-clique averaged cls/det logits; gradient scatters back
+    divided by clique size (``:200-235``) — expressed here as a gather, so
+    ``jax.grad`` reproduces the hand-written gradient exactly.
+  * ``pcl_targets`` — ``detectron/ops/pcl.py`` (host numpy, like the
+    reference's ``net.Python`` op): KMeans top-ranking selection, IoU-graph
+    centers, proposal clusters.
+  * ``pcl_loss`` — ``detectron/ops/pcl_loss_op.cc:9-90`` with the exact
+    gradient of ``:93-160`` via custom VJP (the analytic grad uses eps 1e-5
+    while the forward uses 1e-6 — reproduced faithfully).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nafwebsod_tpu.ops import boxes as box_ops
+
+# --------------------------------------------------------------------------- #
+# RoILabel
+# --------------------------------------------------------------------------- #
+
+
+def roi_label(scores, iou, labels_oh, fg_thresh=0.5, bg_thresh_hi=0.5,
+              bg_thresh_lo=-1.0, num_pos=9999, num_neg=9999, top_k=1,
+              class_weights=None, valid_mask=None):
+    """OICR-style pseudo labels. scores: (R, C) or (R, C+1) RoI scores;
+    iou: (R, R); labels_oh: (1, C). Returns (labels int32 (R,), weights (R,)).
+
+    Padded RoIs (valid_mask False) get weight 0 and label 0.
+    """
+    r, num_class_s = scores.shape
+    num_class = labels_oh.shape[1]
+    offset = num_class_s - num_class
+    fg_scores = scores[:, offset:]  # (R, C)
+    gt = labels_oh[0]               # (C,)
+
+    if valid_mask is None:
+        valid = jnp.ones((r,), bool)
+    else:
+        valid = valid_mask.astype(bool)
+
+    # seeds: top_k scoring valid RoIs per gt class -> flat (C*top_k,) index
+    # and per-seed score; invalid classes masked out
+    masked = jnp.where(valid[:, None], fg_scores, -jnp.inf)
+    seed_scores, seed_idx = jax.lax.top_k(masked.T, top_k)  # (C, K)
+    seed_valid = (gt[:, None] > 0) & jnp.isfinite(seed_scores)  # (C, K)
+
+    seed_idx_f = seed_idx.reshape(-1)          # (C*K,)
+    seed_cls_f = jnp.repeat(jnp.arange(num_class), top_k)
+    seed_score_f = seed_scores.reshape(-1)
+    seed_valid_f = seed_valid.reshape(-1)
+
+    # per-RoI max-IoU seed
+    iou_to_seeds = iou[:, seed_idx_f]                       # (R, C*K)
+    iou_to_seeds = jnp.where(seed_valid_f[None, :], iou_to_seeds, -jnp.inf)
+    best = jnp.argmax(iou_to_seeds, axis=1)                 # (R,)
+    max_iou = jnp.max(iou_to_seeds, axis=1)
+    assign_c = seed_cls_f[best]
+    if class_weights is not None:
+        assign_w = class_weights[assign_c]
+    else:
+        assign_w = seed_score_f[best]
+
+    is_fg = max_iou >= fg_thresh
+    is_bg = (max_iou >= bg_thresh_lo) & (max_iou < bg_thresh_hi)
+
+    # fg/bg caps: the reference visits RoIs in random order and stops
+    # labeling past the cap; here the cap keeps the highest-IoU ones.
+    def cap(mask, limit):
+        if limit >= r:
+            return mask
+        order_key = jnp.where(mask, max_iou, -jnp.inf)
+        kth = jax.lax.top_k(order_key, limit)[0][-1]
+        return mask & (order_key >= kth)
+
+    is_fg = cap(is_fg, num_pos)
+    is_bg = cap(is_bg & ~is_fg, num_neg)
+
+    labels = jnp.where(is_fg, assign_c + 1,
+                       jnp.where(is_bg, 0, assign_c + 1)).astype(jnp.int32)
+    weights = jnp.where(is_fg | is_bg, assign_w, 0.0)
+    labels = jnp.where(valid, labels, 0)
+    weights = jnp.where(valid, weights, 0.0)
+    no_seeds = jnp.sum(seed_valid_f) == 0
+    weights = jnp.where(no_seeds, 0.0, weights)
+    return labels, weights
+
+
+# --------------------------------------------------------------------------- #
+# RoIMerge (C-MIL)
+# --------------------------------------------------------------------------- #
+
+
+def cmil_lambda(cur_iter, size_epoch, max_epoch):
+    """Continuation schedule lambda(t) (roi_merge_op.cc:9-15)."""
+    low = 0.01
+    it = cur_iter / size_epoch
+    return (jnp.log(it + low) - jnp.log(low)) / (np.log(max_epoch + low) -
+                                                 np.log(low))
+
+
+def _merge_assign(obn, iou, lam, valid, top_k=200, window=40):
+    """Greedy clique ids (roi_merge_op.cc:67-135). Returns (clique_id (R,),
+    counts (R,)) with counts indexed by clique id."""
+    r = obn.shape[0]
+    top_k = min(top_k, r)
+    order = jnp.argsort(jnp.where(valid, -obn, jnp.inf), stable=True)
+
+    clique = jnp.full((r,), -1, jnp.int32)
+
+    def outer(t, carry):
+        clique, cur_id = carry
+        n = order[t]
+
+        def start_clique(carry):
+            clique, cur_id = carry
+            clique = clique.at[n].set(cur_id)
+            end = jnp.minimum(t + window, top_k)
+
+            def inner(tt, clique):
+                i = order[tt]
+                in_window = (tt > t) & (tt < end)
+                free = clique[i] == -1
+                # all current members j (within the window) must have
+                # IoU(i, j) >= lambda
+                member_idx = order  # member check restricted by position
+                pos = jnp.arange(r)
+                is_member = (clique[member_idx] == cur_id) & (pos >= t) & (pos < end)
+                ok = jnp.all(jnp.where(is_member, iou[i, member_idx] >= lam,
+                                       True))
+                take = in_window & free & ok
+                return clique.at[i].set(jnp.where(take, cur_id, clique[i]))
+
+            clique = jax.lax.fori_loop(t, jnp.minimum(t + window, top_k),
+                                       inner, clique)
+            return clique, cur_id + 1
+
+        started = clique[n] == -1
+        clique, cur_id = jax.lax.cond(
+            started, start_clique, lambda c: c, (clique, cur_id))
+        return clique, cur_id
+
+    clique, cur_id = jax.lax.fori_loop(0, top_k, outer,
+                                       (clique, jnp.int32(0)))
+    # remaining rois become singleton cliques in index order
+    rest = clique == -1
+    rest_ids = cur_id + jnp.cumsum(rest) - 1
+    clique = jnp.where(rest, rest_ids.astype(jnp.int32), clique)
+    counts = jnp.zeros((r,), jnp.int32).at[clique].add(1)
+    return clique, counts
+
+
+def roi_merge(obn_score, iou, fc8c, fc8d, lam, valid_mask=None,
+              top_k=200, window=40):
+    """C-MIL RoIMerge: returns (mc, md, clique_id, clique_counts) with mc/md
+    shaped (R, C) — clique rows 0..num_cliques-1 hold the averaged logits,
+    remaining rows are zero. Because the average is expressed with gather /
+    segment-sum, autodiff yields the reference's scatter-divide gradient
+    (roi_merge_op.cc:200-235)."""
+    r = obn_score.shape[0]
+    obn = obn_score.reshape(-1)
+    if valid_mask is None:
+        valid = jnp.ones((r,), bool)
+    else:
+        valid = valid_mask.astype(bool)
+    clique, counts = _merge_assign(
+        jax.lax.stop_gradient(obn), jax.lax.stop_gradient(iou), lam, valid,
+        top_k, window)
+    denom = jnp.maximum(counts[clique], 1).astype(fc8c.dtype)[:, None]
+    mc = jnp.zeros_like(fc8c).at[clique].add(fc8c / denom)
+    md = jnp.zeros_like(fc8d).at[clique].add(fc8d / denom)
+    # a merged row is real iff at least one VALID roi maps to it (padded rois
+    # end up in their own singleton cliques, masked out here)
+    merged_valid = jnp.zeros((r,), bool).at[clique].max(valid)
+    return mc, md, clique, counts, merged_valid
+
+
+# --------------------------------------------------------------------------- #
+# PCL (host-side targets + device loss)
+# --------------------------------------------------------------------------- #
+
+PCL_NUM_KMEANS_CLUSTER = 3
+PCL_RNG_SEED = 3
+PCL_GRAPH_IOU_THRESHOLD = 0.4
+PCL_MAX_PC_NUM = 5
+PCL_FG_THRESH = 0.5
+PCL_BG_THRESH = 0.1
+
+
+def _top_ranking_proposals(probs):
+    """KMeans(3) over scores; keep members of the highest-center cluster
+    (pcl.py:_get_top_ranking_propoals). Tiny fixed-iteration numpy KMeans —
+    no sklearn dependency."""
+    x = probs.reshape(-1)
+    rng = np.random.RandomState(PCL_RNG_SEED)
+    k = min(PCL_NUM_KMEANS_CLUSTER, len(x))
+    centers = x[rng.choice(len(x), k, replace=False)].astype(np.float64)
+    for _ in range(25):
+        d = np.abs(x[:, None] - centers[None, :])
+        assign = d.argmin(1)
+        for j in range(k):
+            if (assign == j).any():
+                centers[j] = x[assign == j].mean()
+    high = centers.argmax()
+    index = np.where(assign == high)[0]
+    if len(index) == 0:
+        index = np.array([np.argmax(x)])
+    return index
+
+
+def pcl_targets(boxes, cls_prob, im_labels, cls_prob_new):
+    """Host numpy port of pcl.py:PCL. boxes: (R, 4); cls_prob: (R, C) or
+    (R, C+1); im_labels: (1, C); cls_prob_new: (R, C+1) current refinement
+    softmax. Returns dict of fixed-semantics arrays (dynamic R_gt)."""
+    if cls_prob.shape[1] != im_labels.shape[1]:
+        cls_prob = cls_prob[:, 1:]
+    eps = 1e-9
+    cls_prob = np.clip(cls_prob.copy(), eps, 1 - eps)
+    cls_prob_new = np.clip(cls_prob_new.copy(), eps, 1 - eps)
+
+    gt_boxes, gt_classes, gt_scores = _pcl_graph_centers(
+        boxes.copy(), cls_prob.copy(), im_labels.copy())
+
+    return _pcl_proposal_clusters(
+        boxes.copy(), gt_boxes, gt_classes, gt_scores, im_labels.copy(),
+        cls_prob_new.copy())
+
+
+def _pcl_graph_centers(boxes, cls_prob, im_labels):
+    num_classes = im_labels.shape[1]
+    gt_boxes = np.zeros((0, 4), np.float32)
+    gt_classes = np.zeros((0, 1), np.int32)
+    gt_scores = np.zeros((0, 1), np.float32)
+    for i in range(num_classes):
+        if im_labels[0, i] != 1:
+            continue
+        cls_prob_tmp = cls_prob[:, i].copy()
+        idxs = np.arange(len(cls_prob_tmp))
+        idxs_tmp = _top_ranking_proposals(cls_prob_tmp[idxs].reshape(-1, 1))
+        idxs = idxs[idxs_tmp]
+        boxes_tmp = boxes[idxs, :].copy()
+        cls_boxes = boxes_tmp
+        scores_tmp = cls_prob_tmp[idxs]
+
+        overlaps = box_ops.bbox_overlaps(cls_boxes, cls_boxes)
+        graph = (overlaps > PCL_GRAPH_IOU_THRESHOLD).astype(np.float32)
+
+        keep_idxs = []
+        gt_scores_tmp = []
+        count = scores_tmp.size
+        while True:
+            order = np.sum(graph, axis=1).argsort()[::-1]
+            tmp = order[0]
+            keep_idxs.append(tmp)
+            inds = np.where(graph[tmp, :] > 0)[0]
+            gt_scores_tmp.append(np.max(scores_tmp[inds]))
+            graph[:, inds] = 0
+            graph[inds, :] = 0
+            count = count - len(inds)
+            if count <= 5:
+                break
+
+        keep_new = np.argsort(np.array(gt_scores_tmp))[
+            -1:(-1 - min(len(gt_scores_tmp), PCL_MAX_PC_NUM)):-1]
+        gt_boxes = np.vstack((gt_boxes, boxes_tmp[keep_idxs][keep_new]))
+        gt_scores = np.vstack(
+            (gt_scores, np.array(gt_scores_tmp)[keep_new].reshape(-1, 1)))
+        gt_classes = np.vstack(
+            (gt_classes, (i + 1) * np.ones((len(keep_new), 1), np.int32)))
+        # remove chosen centers from the pool (pcl.py comment)
+        drop = idxs[np.array(keep_idxs)][keep_new]
+        cls_prob = np.delete(cls_prob, drop, axis=0)
+        boxes = np.delete(boxes, drop, axis=0)
+    return gt_boxes, gt_classes, gt_scores
+
+
+def _pcl_proposal_clusters(all_rois, gt_boxes, gt_labels, gt_scores,
+                           im_labels, cls_prob):
+    overlaps = box_ops.bbox_overlaps(
+        all_rois.astype(np.float32), gt_boxes.astype(np.float32))
+    gt_assignment = overlaps.argmax(axis=1)
+    max_overlaps = overlaps.max(axis=1)
+    labels = gt_labels[gt_assignment, 0].astype(np.float32)
+    cls_loss_weights = gt_scores[gt_assignment, 0].astype(np.float32)
+
+    bg_inds = np.where(max_overlaps < PCL_FG_THRESH)[0]
+    ig_inds = np.where(max_overlaps < PCL_BG_THRESH)[0]
+    cls_loss_weights[ig_inds] = 0.0
+    labels[bg_inds] = 0
+    gt_assignment = gt_assignment.astype(np.float32)
+    gt_assignment[bg_inds] = -1
+
+    n_gt = gt_boxes.shape[0]
+    img_cls_loss_weights = np.zeros(n_gt, np.float32)
+    pc_probs = np.zeros(n_gt, np.float32)
+    pc_labels = np.zeros(n_gt, np.int32)
+    pc_count = np.zeros(n_gt, np.int32)
+    for i in range(n_gt):
+        po_index = np.where(gt_assignment == i)[0]
+        img_cls_loss_weights[i] = np.sum(cls_loss_weights[po_index])
+        pc_labels[i] = gt_labels[i, 0]
+        pc_count[i] = len(po_index)
+        pc_probs[i] = (np.average(cls_prob[po_index, pc_labels[i]])
+                       if len(po_index) else 0.0)
+    return {
+        'labels': labels,
+        'cls_loss_weights': cls_loss_weights,
+        'gt_assignment': gt_assignment,
+        'pc_labels': pc_labels.astype(np.float32),
+        'pc_probs': pc_probs,
+        'pc_count': pc_count.astype(np.float32),
+        'img_cls_loss_weights': img_cls_loss_weights,
+        'im_labels_real': np.hstack(
+            (np.array([[1]], np.float32), im_labels)).astype(np.float32),
+    }
+
+
+def pcl_targets_padded(boxes, cls_prob, im_labels, cls_prob_new, max_pc):
+    """Fixed-shape wrapper for use under jax.pure_callback: pc_* arrays are
+    padded/truncated to ``max_pc`` rows (= PCL_MAX_PC_NUM * num gt classes
+    upper bound chosen by the caller)."""
+    boxes = np.asarray(boxes)
+    r = boxes.shape[0]
+    if not np.any(np.asarray(im_labels) == 1) or r == 0:
+        # no gt classes (can happen with all-padded mixup edge cases):
+        # everything ignored
+        zr = np.zeros((r,), np.float32)
+        zp = np.zeros((max_pc,), np.float32)
+        im_real = np.hstack((np.array([[1]], np.float32),
+                             np.asarray(im_labels, np.float32)))[0]
+        return (zr, zr, np.full((r,), -1.0, np.float32), zp, zp, zp, zp,
+                im_real)
+    out = pcl_targets(boxes, np.asarray(cls_prob),
+                      np.asarray(im_labels), np.asarray(cls_prob_new))
+    n = out['pc_labels'].shape[0]
+    m = min(n, max_pc)
+
+    def pad1(x):
+        y = np.zeros((max_pc,), np.float32)
+        y[:m] = x[:m]
+        return y
+
+    # clip assignments beyond the padded set to ignore (-1, weight 0)
+    gt_assignment = out['gt_assignment'].copy()
+    drop = gt_assignment >= max_pc
+    gt_assignment[drop] = -1
+    clw = out['cls_loss_weights'].copy()
+    clw[drop] = 0.0
+    return (out['labels'].astype(np.float32), clw.astype(np.float32),
+            gt_assignment.astype(np.float32), pad1(out['pc_labels']),
+            pad1(out['pc_probs']), pad1(out['pc_count']),
+            pad1(out['img_cls_loss_weights']),
+            out['im_labels_real'][0].astype(np.float32))
+
+
+# full-input variant carrying gt_assignment for the exact backward
+@partial(jax.custom_vjp, nondiff_argnums=())
+def pcl_loss_full(pcl_probs, labels, cls_loss_weights, gt_assignment,
+                  pc_labels, pc_probs, pc_count, img_cls_loss_weights,
+                  im_labels_real):
+    r = pcl_probs.shape[0]
+    eps = 1e-6
+    bg_mask = (labels == 0) & (im_labels_real[0] != 0)
+    bg = -jnp.sum(jnp.where(bg_mask, cls_loss_weights *
+                            jnp.log(jnp.maximum(pcl_probs[:, 0], eps)), 0.0))
+    pc_valid = (pc_labels > 0)
+    pc_gt = jnp.where(
+        pc_valid,
+        im_labels_real[jnp.clip(pc_labels.astype(jnp.int32), 0, None)] != 0,
+        False)
+    fg = -jnp.sum(jnp.where(pc_valid & pc_gt, img_cls_loss_weights *
+                            jnp.log(jnp.maximum(pc_probs, eps)), 0.0))
+    return (bg + fg) / r
+
+
+def _pclf_fwd(pcl_probs, labels, cls_loss_weights, gt_assignment, pc_labels,
+              pc_probs, pc_count, img_cls_loss_weights, im_labels_real):
+    val = pcl_loss_full(pcl_probs, labels, cls_loss_weights, gt_assignment,
+                        pc_labels, pc_probs, pc_count, img_cls_loss_weights,
+                        im_labels_real)
+    return val, (pcl_probs, labels, cls_loss_weights, gt_assignment,
+                 pc_labels, pc_probs, pc_count, img_cls_loss_weights,
+                 im_labels_real)
+
+
+def _pclf_bwd(res, g):
+    """Exact analytic gradient (pcl_loss_op.cc:93-160): for bg rois
+    d/dp_i0 = -w_i / max(p_i0, eps); for fg rois assigned to cluster t with
+    label c: d/dp_ic = -img_w_t / (count_t * max(pc_prob_t, eps)); /batch."""
+    (pcl_probs, labels, cls_loss_weights, gt_assignment, pc_labels, pc_probs,
+     pc_count, img_cls_loss_weights, im_labels_real) = res
+    r, c = pcl_probs.shape
+    eps = 1e-5
+    grad = jnp.zeros_like(pcl_probs)
+
+    gt_ok = im_labels_real[0] != 0
+    bg_mask = (labels == 0) & gt_ok
+    grad = grad.at[:, 0].set(jnp.where(
+        bg_mask, -cls_loss_weights / jnp.maximum(pcl_probs[:, 0], eps), 0.0))
+
+    a = gt_assignment.astype(jnp.int32)
+    assigned = a >= 0
+    a_safe = jnp.clip(a, 0, pc_labels.shape[0] - 1)
+    cls = jnp.clip(pc_labels[a_safe].astype(jnp.int32), 0, c - 1)
+    cls_gt = jnp.where(
+        assigned, im_labels_real[cls] != 0, False)
+    per_roi = -img_cls_loss_weights[a_safe] / (
+        jnp.maximum(pc_count[a_safe], 1.0) *
+        jnp.maximum(pc_probs[a_safe], eps))
+    fg_mask = assigned & (labels > 0) & cls_gt
+    grad = grad.at[jnp.arange(r), cls].add(
+        jnp.where(fg_mask, per_roi, 0.0))
+    grad = grad * (g / r)
+    return (grad, None, None, None, None, None, None, None, None)
+
+
+pcl_loss_full.defvjp(_pclf_fwd, _pclf_bwd)

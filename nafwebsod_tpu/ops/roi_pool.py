@@ -155,5 +155,6 @@ def roi_feature_boost(roi_feat, obn_scores):
     roi_feat: (R, ...) pooled features; obn_scores: (R,) or (R, 1).
     """
     s = jax.lax.stop_gradient(obn_scores.reshape(obn_scores.shape[0], -1)[:, 0])
+    s = s.astype(roi_feat.dtype)  # keep bf16 activations bf16
     shape = (roi_feat.shape[0],) + (1,) * (roi_feat.ndim - 1)
     return roi_feat * s.reshape(shape)

@@ -21,6 +21,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from nafwebsod_tpu.models import detector
+from nafwebsod_tpu.ops import center as center_ops
 from nafwebsod_tpu.solver import sgd
 
 # Keys consumed by the jitted step, stacked over the device axis.
@@ -60,7 +61,8 @@ def round_up(n, multiple):
     return ((n + multiple - 1) // multiple) * multiple
 
 
-def make_train_step(spec, hp, mults, mesh, donate=True):
+def make_train_step(spec, hp, mults, mesh, donate=True,
+                    center_update_period=128):
     """Build the jitted data-parallel train step.
 
     Returns ``step(params, opt_state, batch, lr, rngs) ->
@@ -76,17 +78,39 @@ def make_train_step(spec, hp, mults, mesh, donate=True):
             totals, auxs = jax.vmap(
                 lambda b, r: detector.forward_train(spec, p, b, r)
             )(batch, rngs)
-            return jnp.mean(totals), jax.tree.map(jnp.mean, auxs)
+            # '__'-prefixed aux entries are cross-device SUM deltas (e.g. the
+            # center-loss accumulators, reference allreduce in
+            # cpg_utils.Center_loss_surgery); plain metrics are averaged.
+            deltas = {k: jnp.sum(v, axis=0)
+                      for k, v in auxs.items() if k.startswith('__')}
+            metrics = {k: jnp.mean(v)
+                       for k, v in auxs.items() if not k.startswith('__')}
+            return jnp.mean(totals), (metrics, deltas)
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        ((loss, (aux, deltas)), grads) = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
         new_params, new_state = sgd.update(
             params, grads, opt_state, lr, hp, mults)
+        if spec.center_loss:
+            accum = {'center_dcf': opt_state['center_dcf'],
+                     'center_ndcf': opt_state['center_ndcf']}
+            cf, accum = center_ops.center_update(
+                new_params['center_feature'],
+                accum,
+                {'center_dcf': deltas['__center_dcf'],
+                 'center_ndcf': deltas['__center_ndcf']},
+                new_state['it'], spec.center_loss_top_k,
+                update=center_update_period)
+            new_params['center_feature'] = cf
+            new_state['center_dcf'] = accum['center_dcf']
+            new_state['center_ndcf'] = accum['center_ndcf']
         return new_params, new_state, loss, aux
 
-    batch_shardings = {k: shard for k in BATCH_KEYS}
+    # a single sharding for the batch arg applies to every leaf (including
+    # optional extras like 'cur_iter' for the C-MIL schedule)
     return jax.jit(
         step,
-        in_shardings=(repl, repl, batch_shardings, repl, shard),
+        in_shardings=(repl, repl, shard, repl, shard),
         out_shardings=(repl, repl, repl, repl),
         donate_argnums=(0, 1) if donate else (),
     )

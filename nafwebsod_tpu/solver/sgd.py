@@ -100,10 +100,12 @@ def update(params, grads, state, lr, hp: SGDHyperParams, mults):
     ``iter_size``-th call (acm_weightdecay_momentum_sgd_op.h:79-112)."""
     mults = dict(mults)
     it = state['it'] + 1
+    extra = {k: v for k, v in state.items()
+             if k not in ('momentum', 'grad_acc', 'it')}
     if hp.iter_size == 1:
         new_params, new_mom = _apply(
             params, grads, state['momentum'], lr, hp, mults)
-        return new_params, {'momentum': new_mom, 'it': it}
+        return new_params, {'momentum': new_mom, 'it': it, **extra}
 
     acc = {k: state['grad_acc'][k] + grads[k] for k in grads}
     do_update = (it % hp.iter_size) == 0
@@ -121,7 +123,8 @@ def update(params, grads, state, lr, hp: SGDHyperParams, mults):
 
     new_params, new_acc, new_mom = jax.lax.cond(
         do_update, fire, hold, (params, acc, state['momentum']))
-    return new_params, {'momentum': new_mom, 'grad_acc': new_acc, 'it': it}
+    return new_params, {'momentum': new_mom, 'grad_acc': new_acc, 'it': it,
+                        **extra}
 
 
 @jax.jit
