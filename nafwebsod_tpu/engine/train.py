@@ -152,6 +152,9 @@ def train_model(roidb=None, max_iters=None):
                 raise FloatingPointError(
                     'Loss is NaN at iter {}'.format(cur_iter))
 
+            if cfg.WSL.SAMPLE and cur_iter % cfg.WSL.SAMPLE_ITER == 0:
+                _vis_sample(spec, params, blobs[0], output_dir, cur_iter)
+
             if ((cur_iter + 1) % snapshot_iters == 0 and
                     cur_iter + 1 < max_iters):
                 path = os.path.join(
@@ -168,6 +171,28 @@ def train_model(roidb=None, max_iters=None):
     _save(final_path, params, opt_state)
     checkpoints['final'] = final_path
     return checkpoints, losses
+
+
+def _vis_sample(spec, params, blobs, output_dir, cur_iter):
+    """Periodic training visualization (webly_vis.vis_training via
+    train_wsl.py:92-95): dump the input image + per-gt-class RoI heatmaps."""
+    try:
+        from nafwebsod_tpu.utils import vis
+        out = detector.forward_test(
+            spec, params, jnp_asarray(blobs['data']),
+            jnp_asarray(blobs['rois']), jnp_asarray(blobs['obn_scores']),
+            jnp_asarray(blobs['valid_mask']))
+        vis.vis_training(
+            os.path.join(output_dir, 'vis'), cur_iter, blobs['data'],
+            blobs['rois'], np.asarray(out['rois_pred']), blobs['labels_oh'],
+            pixel_means=cfg.PIXEL_MEANS)
+    except Exception:
+        logger.exception('vis_training failed (non-fatal)')
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x)
 
 
 def _save(path, params, opt_state):

@@ -32,6 +32,7 @@ _SUPPORTED_BODIES = {
 _SUPPORTED_HEADS = {
     'wsl_heads.add_VGG16_roi_2fc_head': 'vgg16_2fc',
     'webly_heads.add_VGG16_roi_2fc_noise_head': 'vgg16_2fc_noise',
+    'wsl_heads.add_VGG16_roi_context_2fc_head': 'vgg16_context_2fc',
 }
 
 
@@ -58,6 +59,15 @@ class ModelSpec:
     # C-MIL continuation schedule (wsl_heads.py:96-101)
     size_epoch: int = 5000
     max_iter: int = 40000
+    # context streams (wsl_heads.py:684-766; WSL.CONTEXT_RATIO)
+    context_ratio: float = 1.8
+    # CPG/CSC saliency weighting (wsl_heads.py:305-407)
+    cpg: bool = False
+    csc: bool = False
+    cpg_tau: float = 0.7
+    csc_fg_threshold: float = 0.1
+    # bounded per-image gt-class capacity for CPG backward passes
+    max_gt_cpg: int = 4
     # center loss (wsl_heads.py:230-276)
     center_loss: bool = False
     center_loss_number: int = 5
@@ -71,6 +81,10 @@ class ModelSpec:
     @property
     def is_webly(self):
         return self.box_head.endswith('noise') or self.webly_on
+
+    @property
+    def is_context(self):
+        return self.box_head == 'vgg16_context_2fc'
 
     @property
     def refine_k(self):
@@ -111,6 +125,11 @@ def spec_from_cfg(cfg):
         cmil=cfg.WSL.CMIL,
         size_epoch=cfg.WSL.SIZE_EPOCH,
         max_iter=cfg.SOLVER.MAX_ITER,
+        context_ratio=cfg.WSL.CONTEXT_RATIO,
+        cpg=cfg.WSL.CPG,
+        csc=cfg.WSL.CSC,
+        cpg_tau=cfg.WSL.CPG_TAU,
+        csc_fg_threshold=cfg.WSL.CSC_FG_THRESHOLD,
         center_loss=cfg.WSL.CENTER_LOSS,
         center_loss_number=cfg.WSL.CENTER_LOSS_NUMBER,
         center_loss_top_k=cfg.WSL.CENTER_LOSS_TOP_K,
@@ -125,7 +144,8 @@ def init_params(spec: ModelSpec, rng):
     params.update(heads.init_head_params(
         r2, spec.num_classes, roi_feat_dim=roi_feat_dim,
         hidden=spec.hidden_dim,
-        webly=spec.box_head == 'vgg16_2fc_noise'))
+        webly=spec.box_head == 'vgg16_2fc_noise',
+        context=spec.is_context))
     if spec.refine_k:
         r3 = jax.random.fold_in(r2, 7)
         params.update(heads.init_refine_params(
@@ -172,6 +192,14 @@ def _run_body_and_head(spec, params, image, rois, obn_scores, train, rng):
     kwargs = dict(method=spec.roi_xform_method, resolution=spec.roi_resolution,
                   sampling_ratio=spec.roi_sampling_ratio,
                   freeze_body=spec.freeze_conv_body, train=train, rng=rng)
+    if spec.is_context:
+        fc7s = heads.vgg16_roi_context_2fc_head(
+            params, feat, rois, obn_scores, spatial_scale,
+            image.shape[1], image.shape[2],
+            context_ratio=spec.context_ratio,
+            resolution=spec.roi_resolution,
+            freeze_body=spec.freeze_conv_body, train=train, rng=rng)
+        return fc7s, None
     if spec.box_head == 'vgg16_2fc_noise':
         (fc7_clean, fc7_noisy), _ = heads.vgg16_roi_2fc_noise_head(
             params, feat, rois, obn_scores, spatial_scale, **kwargs)
@@ -192,12 +220,17 @@ def forward_test(spec: ModelSpec, params, image, rois, obn_scores,
     (wsl_heads.py:125-180, test branches)."""
     fc7_clean, fc7_noisy = _run_body_and_head(
         spec, params, image, rois, obn_scores, train=False, rng=None)
-    if fc7_noisy is not None:
+    if spec.is_context:
+        out = heads.wsl_context_outputs(params, fc7_clean, valid_mask)
+        fc7_main = fc7_clean[0]
+    elif fc7_noisy is not None:
         out = heads.webly_outputs(params, fc7_clean, fc7_noisy, valid_mask)
+        fc7_main = fc7_clean
     else:
         out = heads.wsl_outputs(params, fc7_clean, valid_mask)
+        fc7_main = fc7_clean
     if spec.refine_k:
-        probs = [jax.nn.softmax(heads.refine_score(params, fc7_clean, k),
+        probs = [jax.nn.softmax(heads.refine_score(params, fc7_main, k),
                                 axis=1)
                  for k in range(1, spec.refine_k + 1)]
         scores = sum(probs) / float(spec.refine_k)
@@ -306,11 +339,14 @@ def forward_train(spec: ModelSpec, params, batch, rng):
 
     fc7_clean, fc7_noisy = _run_body_and_head(
         spec, params, image, rois, obn, train=True, rng=rng)
+    fc7_main = fc7_clean[0] if spec.is_context else fc7_clean
     if spec.cmil:
         lam = refine_ops.cmil_lambda(
             batch.get('cur_iter', jnp.zeros(())), spec.size_epoch,
             max(spec.max_iter // spec.size_epoch, 1))
-        out = heads.cmil_outputs(params, fc7_clean, rois, valid, lam)
+        out = heads.cmil_outputs(params, fc7_main, rois, valid, lam)
+    elif spec.is_context:
+        out = heads.wsl_context_outputs(params, fc7_clean, valid)
     elif fc7_noisy is not None:
         out = heads.webly_outputs(params, fc7_clean, fc7_noisy, valid)
     else:
@@ -322,7 +358,7 @@ def forward_train(spec: ModelSpec, params, batch, rng):
 
     if spec.refine_k:
         losses.update(_refinement_losses(
-            spec, params, fc7_clean, rois, out, cls_prob, labels_oh, valid))
+            spec, params, fc7_main, rois, out, cls_prob, labels_oh, valid))
 
     if spec.is_webly and 'rois_pred_noise' in out:
         cls_prob_noise = heads.cls_pred(out['rois_pred_noise'])
@@ -341,6 +377,49 @@ def forward_train(spec: ModelSpec, params, batch, rng):
             cls_prob_noise, labels_oh)
         aux['class_weight_mean'] = jnp.mean(cw)
         aux['class_weight_noise_mean'] = jnp.mean(cwn)
+    elif spec.csc:
+        # CSC replaces the plain CE with pos/neg constrained losses
+        # (wsl_heads.py:375-407): CPG saliency -> per-RoI contrastive
+        # weights -> polar-split rois_pred -> CE vs labels / zeros.
+        from dataclasses import replace as dc_replace
+        from nafwebsod_tpu.ops import cpg as cpg_ops
+
+        unfrozen = dc_replace(spec, freeze_conv_body=False, freeze_at=0,
+                              csc=False, cpg=False)
+
+        def cls_prob_fn(im):
+            f7, _ = _run_body_and_head(unfrozen, params, im, rois, obn,
+                                       train=False, rng=None)
+            o = (heads.wsl_context_outputs(params, f7, valid)
+                 if spec.is_context else heads.wsl_outputs(params, f7, valid))
+            return heads.cls_pred(o['rois_pred'])
+
+        active = batch.get('cur_iter', jnp.zeros(())) < spec.csc_max_iter
+
+        def compute_w(_):
+            maps, idx, keep = cpg_ops.cpg_maps(
+                cls_prob_fn, image, labels_oh,
+                jax.lax.stop_gradient(cls_prob), tau=spec.cpg_tau,
+                max_gt=spec.max_gt_cpg)
+            w, _, _ = cpg_ops.csc_weights(
+                maps, idx, keep, rois, labels_oh,
+                jax.lax.stop_gradient(cls_prob),
+                fg_threshold=spec.csc_fg_threshold,
+                context_scale=1.8, valid_mask=valid)
+            return w
+
+        w = jax.lax.cond(
+            active, compute_w,
+            lambda _: jnp.ones((rois.shape[0], spec.num_classes - 1),
+                               jnp.float32), None)
+        from nafwebsod_tpu.ops.cpg import csc_constraint
+        pos = heads.cls_pred(csc_constraint(out['rois_pred'], w, True))
+        neg = heads.cls_pred(csc_constraint(out['rois_pred'], w, False))
+        losses['loss_cls_pos'] = loss_ops.cross_entropy_with_logits(
+            pos, labels_oh, spec.mean_loss)
+        losses['loss_cls_neg'] = loss_ops.cross_entropy_with_logits(
+            neg, jnp.zeros_like(labels_oh), spec.mean_loss)
+        aux['accuracy_cls'] = loss_ops.multilabel_accuracy(pos, labels_oh)
     else:
         losses['loss_cls'] = loss_ops.cross_entropy_with_logits(
             cls_prob, labels_oh, spec.mean_loss)
@@ -354,7 +433,7 @@ def forward_train(spec: ModelSpec, params, batch, rng):
     if spec.center_loss:
         cf = params['center_feature']
         loss_center, deltas = center_ops.center_loss(
-            labels_oh, out['rois_pred'], fc7_clean.astype(jnp.float32), cf,
+            labels_oh, out['rois_pred'], fc7_main.astype(jnp.float32), cf,
             spec.center_loss_top_k, valid)
         # active only below CSC_MAX_ITER (center_loss_op.cu:77-79);
         # grad weight 0.4096 (wsl_heads.py:274)

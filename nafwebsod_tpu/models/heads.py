@@ -40,19 +40,24 @@ def _xavier(rng, shape, dtype=jnp.float32):
 
 
 def head_param_shapes(num_classes, roi_feat_dim=512 * 7 * 7, hidden=4096,
-                      webly=True):
+                      webly=True, context=False):
     """Flat name -> shape map for the box head + output layers.
 
     FC weights are stored (in, out) — the transpose of Caffe2's (out, in);
-    ``utils/checkpoint.py`` converts at the pkl boundary.
+    ``utils/checkpoint.py`` converts at the pkl boundary. With ``context``
+    the det stream uses the shared 'fc8d_frame' layer instead of 'fc8d'
+    (wsl_heads.py:185-212).
     """
     c = num_classes - 1
     shapes = {
         'fc6_w': (roi_feat_dim, hidden), 'fc6_b': (hidden,),
         'fc7_w': (hidden, hidden), 'fc7_b': (hidden,),
         'fc8c_w': (hidden, c), 'fc8c_b': (c,),
-        'fc8d_w': (hidden, c), 'fc8d_b': (c,),
     }
+    if context:
+        shapes.update({'fc8d_frame_w': (hidden, c), 'fc8d_frame_b': (c,)})
+    else:
+        shapes.update({'fc8d_w': (hidden, c), 'fc8d_b': (c,)})
     if webly:
         shapes.update({
             '_[noisy]_fc6_w': (roi_feat_dim, hidden), '_[noisy]_fc6_b': (hidden,),
@@ -64,8 +69,9 @@ def head_param_shapes(num_classes, roi_feat_dim=512 * 7 * 7, hidden=4096,
 
 
 def init_head_params(rng, num_classes, roi_feat_dim=512 * 7 * 7, hidden=4096,
-                     webly=True, dtype=jnp.float32):
-    shapes = head_param_shapes(num_classes, roi_feat_dim, hidden, webly)
+                     webly=True, context=False, dtype=jnp.float32):
+    shapes = head_param_shapes(num_classes, roi_feat_dim, hidden, webly,
+                               context)
     params = {}
     keys = jax.random.split(rng, len(shapes))
     for i, (name, shape) in enumerate(sorted(shapes.items())):
@@ -155,6 +161,51 @@ def vgg16_roi_2fc_noise_head(params, feat, rois, obn_scores, spatial_scale, *,
     clean = _fc_tower(roi_feat, params, '', r1, train)
     noisy = _fc_tower(roi_feat, params, '_[noisy]_', r2, train)
     return (clean, noisy), roi_feat
+
+
+def vgg16_roi_context_2fc_head(params, feat, rois, obn_scores, spatial_scale,
+                               im_h, im_w, *, context_ratio=1.8,
+                               resolution=7, freeze_body=True, train=False,
+                               rng=None):
+    """Three-stream context head (wsl_heads.py:684-766
+    add_VGG16_roi_context_2fc_head): the original roi through RoIPool plus
+    frame/context ring rois through RoILoopPool; all three share the fc6/fc7
+    WEIGHTS but have independent dropout."""
+    from nafwebsod_tpu.ops.context import roi_context, roi_loop_pool
+
+    f = feat[0]
+    frame, context = roi_context(rois, im_h, im_w, context_ratio)
+    pooled = roi_pool(f, rois, resolution, resolution, spatial_scale)
+    pooled_f = roi_loop_pool(f, frame, resolution, resolution, spatial_scale)
+    pooled_c = roi_loop_pool(f, context, resolution, resolution,
+                             spatial_scale)
+
+    rngs = [None] * 3
+    if rng is not None:
+        rngs = list(jax.random.split(rng, 3))
+    outs = []
+    for p, r in zip((pooled, pooled_f, pooled_c), rngs):
+        x = roi_feature_boost(p, obn_scores)
+        if freeze_body:
+            x = jax.lax.stop_gradient(x)
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
+        outs.append(_fc_tower(x, params, '', r, train))
+    return tuple(outs)  # (fc7, fc7_frame, fc7_context)
+
+
+def wsl_context_outputs(params, fc7s, valid_mask=None, prefix=''):
+    """Context two-stream (wsl_heads.py:185-212 add_wsl_context_outputs):
+    fc8c from the plain stream; fc8d = FC(frame) - FC(context) with SHARED
+    'fc8d_frame' weights."""
+    fc7, fc7_frame, fc7_context = fc7s
+    fc8c = _fc(fc7, params, prefix + 'fc8c', out_dtype=jnp.float32)
+    fc8d_f = _fc(fc7_frame, params, prefix + 'fc8d_frame',
+                 out_dtype=jnp.float32)
+    fc8d_c = _fc(fc7_context, params, prefix + 'fc8d_frame',
+                 out_dtype=jnp.float32)
+    fc8d = fc8d_f - fc8d_c
+    rois_pred = _two_stream(fc8c, fc8d, valid_mask)
+    return {'fc8c': fc8c, 'fc8d': fc8d, 'rois_pred': rois_pred}
 
 
 def _two_stream(fc8c, fc8d, valid_mask):

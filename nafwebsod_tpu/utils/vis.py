@@ -1,0 +1,97 @@
+"""Visualization: detection rendering + periodic training dumps.
+
+Capability parity with ``detectron/utils/vis.py`` (``vis_one_image``: draw
+class boxes above a score threshold) and ``detectron/utils/webly_vis.py``
+(``vis_training``: periodic dumps of the input image, per-RoI score heatmaps
+and entropy/class-weight summaries every ``WSL.SAMPLE_ITER`` iterations).
+Uses cv2 only — no display required.
+"""
+
+import os
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+_GOLDEN_RATIO = 0.618033988749895
+
+
+def distinct_color(idx):
+    """Deterministic distinct BGR color per class id (colormap.py analogue)."""
+    h = (idx * _GOLDEN_RATIO) % 1.0
+    hsv = np.uint8([[[int(h * 179), 200, 255]]])
+    return tuple(int(v) for v in cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)[0, 0])
+
+
+def vis_one_image(im, cls_boxes, thresh=0.5, class_names=None,
+                  output_name=None):
+    """Render per-class detections (vis.py:vis_one_image). cls_boxes is the
+    per-class list of (N, 5) [x1 y1 x2 y2 score] arrays. Returns the drawn
+    image; writes ``output_name`` when given."""
+    out = im.copy()
+    for c, dets in enumerate(cls_boxes):
+        if c == 0 or dets is None or len(dets) == 0:
+            continue
+        for det in dets:
+            score = float(det[4])
+            if score < thresh:
+                continue
+            x1, y1, x2, y2 = [int(v) for v in det[:4]]
+            color = distinct_color(c)
+            cv2.rectangle(out, (x1, y1), (x2, y2), color, 2)
+            name = class_names[c] if class_names else str(c)
+            label = '{} {:.2f}'.format(name, score)
+            cv2.putText(out, label, (x1, max(y1 - 4, 10)),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.45, color, 1)
+    if output_name:
+        os.makedirs(os.path.dirname(output_name) or '.', exist_ok=True)
+        cv2.imwrite(output_name, out)
+    return out
+
+
+def roi_score_heatmap(im_shape, rois, roi_scores):
+    """Accumulate per-RoI scores into an image-space heatmap
+    (webly_vis.py:get_heatmap analogue)."""
+    h, w = im_shape[:2]
+    heat = np.zeros((h, w), np.float32)
+    for roi, s in zip(rois, roi_scores):
+        x1, y1, x2, y2 = [int(v) for v in roi[-4:]]
+        x1, y1 = max(x1, 0), max(y1, 0)
+        x2, y2 = min(x2, w - 1), min(y2, h - 1)
+        if x2 > x1 and y2 > y1:
+            heat[y1:y2 + 1, x1:x2 + 1] += float(s)
+    if heat.max() > 0:
+        heat /= heat.max()
+    return heat
+
+
+def vis_training(output_dir, cur_iter, image, rois, rois_pred, labels_oh,
+                 class_weights=None, pixel_means=None):
+    """Periodic training dump (webly_vis.py:vis_training:18-66): the
+    de-meaned input image plus a per-gt-class RoI score heatmap."""
+    os.makedirs(output_dir, exist_ok=True)
+    im = np.asarray(image)
+    if im.ndim == 4:
+        im = im[0]
+    if pixel_means is not None:
+        im = im + pixel_means
+    im = np.clip(im, 0, 255).astype(np.uint8)
+    cv2.imwrite(os.path.join(output_dir,
+                             'iter{}_image.png'.format(cur_iter)), im)
+
+    rois_pred = np.asarray(rois_pred)
+    gt_classes = np.where(np.asarray(labels_oh)[0] > 0)[0]
+    for c in gt_classes:
+        heat = roi_score_heatmap(im.shape, np.asarray(rois), rois_pred[:, c])
+        hm = cv2.applyColorMap((heat * 255).astype(np.uint8),
+                               cv2.COLORMAP_JET)
+        blend = cv2.addWeighted(im, 0.5, hm, 0.5, 0)
+        cv2.imwrite(os.path.join(
+            output_dir, 'iter{}_class{}_heat.png'.format(cur_iter, c)), blend)
+    if class_weights is not None:
+        np.savetxt(os.path.join(
+            output_dir, 'iter{}_class_weights.txt'.format(cur_iter)),
+            np.asarray(class_weights))
