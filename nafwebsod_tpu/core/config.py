@@ -207,6 +207,24 @@ __C.WEBLY.BAGGING_MIXUP = False
 __C.WEBLY.BAGGING_MIXUP_ALPHA = 1.5
 
 # ---------------------------------------------------------------------------- #
+# Mask head options (weakly-supervised seg branch; reference config.py:747-792)
+# ---------------------------------------------------------------------------- #
+__C.MRCNN = AttrDict()
+__C.MRCNN.ROI_MASK_HEAD = 'wsl_seg_heads.mask_rcnn_fcn_head'
+__C.MRCNN.RESOLUTION = 14
+__C.MRCNN.ROI_XFORM_METHOD = 'RoIAlign'
+__C.MRCNN.ROI_XFORM_RESOLUTION = 7
+__C.MRCNN.ROI_XFORM_SAMPLING_RATIO = 0
+__C.MRCNN.DIM_REDUCED = 256
+__C.MRCNN.DILATION = 2
+__C.MRCNN.UPSAMPLE_RATIO = 1
+__C.MRCNN.USE_FC_OUTPUT = False
+__C.MRCNN.CONV_INIT = 'GaussianFill'
+__C.MRCNN.CLS_SPECIFIC_MASK = True
+__C.MRCNN.WEIGHT_LOSS_MASK = 1.0
+__C.MRCNN.THRESH_BINARIZE = 0.5
+
+# ---------------------------------------------------------------------------- #
 # GroupNorm options
 # ---------------------------------------------------------------------------- #
 __C.GROUP_NORM = AttrDict()
@@ -269,7 +287,7 @@ _RENAMED_KEYS = {
 
 # Keys the TPU rebuild accepts but ignores (Caffe2-runtime specific). Recorded
 # so reference YAMLs merge cleanly.
-_IGNORED_SUBTREES = ('RPN', 'FPN', 'RETINANET', 'KRCNN', 'MRCNN', 'RESNETS', 'RFCN')
+_IGNORED_SUBTREES = ('RPN', 'FPN', 'RETINANET', 'KRCNN', 'RESNETS', 'RFCN')
 
 
 def merge_cfg_from_file(cfg_filename):

@@ -68,6 +68,12 @@ class ModelSpec:
     csc_fg_threshold: float = 0.1
     # bounded per-image gt-class capacity for CPG backward passes
     max_gt_cpg: int = 4
+    # weakly-supervised mask branch (MODEL.MASK_ON, wsl_seg_heads.py)
+    mask_on: bool = False
+    mask_resolution: int = 14
+    mask_dim_reduced: int = 256
+    mask_dilation: int = 2
+    mask_loss_weight: float = 1.0
     # center loss (wsl_heads.py:230-276)
     center_loss: bool = False
     center_loss_number: int = 5
@@ -104,6 +110,14 @@ def spec_from_cfg(cfg):
         raise NotImplementedError('CONV_BODY {} not implemented'.format(body))
     if head not in _SUPPORTED_HEADS:
         raise NotImplementedError('ROI_BOX_HEAD {} not implemented'.format(head))
+    if cfg.WEBLY.MINING:
+        # the reference's WEBLY.MINING switch calls webly_heads.
+        # add_webly_mining which does not exist anywhere in the reference
+        # codebase (model_builder_wsl.py:444) — the path is dead code there
+        # and raises here for the same reason.
+        raise NotImplementedError(
+            'WEBLY.MINING is a broken code path in the reference '
+            '(add_webly_mining is undefined); not supported')
     return ModelSpec(
         num_classes=cfg.MODEL.NUM_CLASSES,
         conv_body=_SUPPORTED_BODIES[body],
@@ -126,6 +140,11 @@ def spec_from_cfg(cfg):
         size_epoch=cfg.WSL.SIZE_EPOCH,
         max_iter=cfg.SOLVER.MAX_ITER,
         context_ratio=cfg.WSL.CONTEXT_RATIO,
+        mask_on=cfg.MODEL.MASK_ON,
+        mask_resolution=cfg.MRCNN.ROI_XFORM_RESOLUTION,
+        mask_dim_reduced=cfg.MRCNN.DIM_REDUCED,
+        mask_dilation=cfg.MRCNN.DILATION,
+        mask_loss_weight=cfg.MRCNN.WEIGHT_LOSS_MASK,
         cpg=cfg.WSL.CPG,
         csc=cfg.WSL.CSC,
         cpg_tau=cfg.WSL.CPG_TAU,
@@ -156,6 +175,11 @@ def init_params(spec: ModelSpec, rng):
             spec.num_classes, spec.center_loss_number, spec.hidden_dim,
             jax.random.fold_in(r2, 11))
         params['center_feature'] = cf
+    if spec.mask_on:
+        from nafwebsod_tpu.models import seg_head
+        params.update(seg_head.init_mask_head_params(
+            jax.random.fold_in(r2, 13), spec.num_classes,
+            dim_in=512, dim_inner=spec.mask_dim_reduced))
     return params
 
 
@@ -199,14 +223,14 @@ def _run_body_and_head(spec, params, image, rois, obn_scores, train, rng):
             context_ratio=spec.context_ratio,
             resolution=spec.roi_resolution,
             freeze_body=spec.freeze_conv_body, train=train, rng=rng)
-        return fc7s, None
+        return fc7s, None, feat
     if spec.box_head == 'vgg16_2fc_noise':
         (fc7_clean, fc7_noisy), _ = heads.vgg16_roi_2fc_noise_head(
             params, feat, rois, obn_scores, spatial_scale, **kwargs)
-        return fc7_clean, fc7_noisy
+        return fc7_clean, fc7_noisy, feat
     fc7, _ = heads.vgg16_roi_2fc_head(
         params, feat, rois, obn_scores, spatial_scale, **kwargs)
-    return fc7, None
+    return fc7, None, feat
 
 
 @partial(jax.jit, static_argnames=('spec',))
@@ -218,7 +242,7 @@ def forward_test(spec: ModelSpec, params, image, rois, obn_scores,
     dummy background column prepended (wsl_heads.py:58-67); with OICR / PCL /
     C-MIL they are the mean of the refinement softmaxes
     (wsl_heads.py:125-180, test branches)."""
-    fc7_clean, fc7_noisy = _run_body_and_head(
+    fc7_clean, fc7_noisy, feat = _run_body_and_head(
         spec, params, image, rois, obn_scores, train=False, rng=None)
     if spec.is_context:
         out = heads.wsl_context_outputs(params, fc7_clean, valid_mask)
@@ -337,7 +361,7 @@ def forward_train(spec: ModelSpec, params, batch, rng):
     labels_oh = batch['labels_oh']
     valid = batch.get('valid_mask')
 
-    fc7_clean, fc7_noisy = _run_body_and_head(
+    fc7_clean, fc7_noisy, feat = _run_body_and_head(
         spec, params, image, rois, obn, train=True, rng=rng)
     fc7_main = fc7_clean[0] if spec.is_context else fc7_clean
     if spec.cmil:
@@ -388,8 +412,8 @@ def forward_train(spec: ModelSpec, params, batch, rng):
                               csc=False, cpg=False)
 
         def cls_prob_fn(im):
-            f7, _ = _run_body_and_head(unfrozen, params, im, rois, obn,
-                                       train=False, rng=None)
+            f7, _, _ = _run_body_and_head(unfrozen, params, im, rois, obn,
+                                          train=False, rng=None)
             o = (heads.wsl_context_outputs(params, f7, valid)
                  if spec.is_context else heads.wsl_outputs(params, f7, valid))
             return heads.cls_pred(o['rois_pred'])
@@ -424,6 +448,16 @@ def forward_train(spec: ModelSpec, params, batch, rng):
         losses['loss_cls'] = loss_ops.cross_entropy_with_logits(
             cls_prob, labels_oh, spec.mean_loss)
         aux['accuracy_cls'] = loss_ops.multilabel_accuracy(cls_prob, labels_oh)
+
+    if spec.mask_on:
+        from nafwebsod_tpu.models import seg_head
+        spatial_scale = 1.0 / 8.0 if spec.dilation == 2 else 1.0 / 16.0
+        mask_logits = seg_head.mask_head_forward(
+            params, feat[0].astype(jnp.float32), rois, spatial_scale,
+            resolution=spec.mask_resolution, dilation=spec.mask_dilation)
+        losses['mask_loss_cls'] = spec.mask_loss_weight * seg_head.mask_losses(
+            mask_logits, jax.lax.stop_gradient(out['rois_pred']), rois,
+            labels_oh, valid)
 
     if spec.min_entropy_loss:
         # weight 0.1 (wsl_heads.py:279-290 get_loss_gradients_weighted)

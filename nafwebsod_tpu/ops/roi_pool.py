@@ -32,9 +32,52 @@ def _round_half_away(x):
     return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
 
 
+def roi_pool(feat, rois, pooled_h=7, pooled_w=7, spatial_scale=0.125,
+             chunk=16):
+    """Exact RoIPoolF max pooling. Returns (R, pooled_h, pooled_w, C).
+
+    On TPU this dispatches to the Pallas kernel
+    (``ops/pallas/roi_pool_pallas.py``, ~11x faster at the flagship shapes:
+    152ms -> 14ms on v5e); gradients fall back to autodiff of the XLA
+    implementation (only needed when the conv body is not frozen)."""
+    if _on_tpu():
+        return _roi_pool_tpu(feat, rois, pooled_h, pooled_w, spatial_scale)
+    return roi_pool_xla(feat, rois, pooled_h, pooled_w, spatial_scale, chunk)
+
+
+def _on_tpu():
+    try:
+        return jax.default_backend() == 'tpu'
+    except Exception:
+        return False
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _roi_pool_tpu(feat, rois, pooled_h, pooled_w, spatial_scale):
+    from nafwebsod_tpu.ops.pallas.roi_pool_pallas import roi_pool_pallas
+    return roi_pool_pallas(feat, rois, pooled_h, pooled_w,
+                           spatial_scale).astype(feat.dtype)
+
+
+def _roi_pool_tpu_fwd(feat, rois, pooled_h, pooled_w, spatial_scale):
+    return (_roi_pool_tpu(feat, rois, pooled_h, pooled_w, spatial_scale),
+            (feat, rois))
+
+
+def _roi_pool_tpu_bwd(pooled_h, pooled_w, spatial_scale, res, g):
+    feat, rois = res
+    _, vjp = jax.vjp(
+        lambda f: roi_pool_xla(f, rois, pooled_h, pooled_w, spatial_scale),
+        feat)
+    return vjp(g)[0], None
+
+
+_roi_pool_tpu.defvjp(_roi_pool_tpu_fwd, _roi_pool_tpu_bwd)
+
+
 @partial(jax.jit, static_argnames=('pooled_h', 'pooled_w', 'spatial_scale', 'chunk'))
-def roi_pool(feat, rois, pooled_h=7, pooled_w=7, spatial_scale=0.125, chunk=16):
-    """Exact RoIPoolF max pooling. Returns (R, pooled_h, pooled_w, C)."""
+def roi_pool_xla(feat, rois, pooled_h=7, pooled_w=7, spatial_scale=0.125, chunk=16):
+    """Exact RoIPoolF max pooling (pure XLA). Returns (R, PH, PW, C)."""
     H, W, C = feat.shape
     # Static cap on cells per bin. Rois are clipped to the image by the data
     # pipeline, so roi_h <= H+1 cells and a bin spans at most

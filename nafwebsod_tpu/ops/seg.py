@@ -1,0 +1,141 @@
+"""Weakly-supervised segmentation ops.
+
+TPU-native re-implementations for the MASK_ON branch
+(``detectron/modeling/wsl_seg_heads.py``):
+
+  * ``upsample_bilinear_wsl`` — ``upsample_wsl_op.{cc,cu}``
+    (UpsampleBilinearWSL): bilinear-resize a (B, C, h, w) map to a reference
+    blob's spatial size.
+  * ``deeplab_utility``     — ``deeplab_utility_op.cu`` (DeeplabUtility):
+    per-pixel pseudo segmentation targets from CPG saliency maps. The
+    softmax variant emits int labels (0 bg / c+1 fg / -1 ignore by the
+    fg/bg thresholds and prediction tau); the sigmoid variant emits
+    per-class soft targets in {0, 0.5, 1}.
+  * ``weighted_sigmoid_cross_entropy_with_logits`` — the Caffe2 op of the
+    same name used by ``add_seg_losses`` (wsl_seg_heads.py:169-191).
+  * ``mask_utility``        — RECONSTRUCTION: the reference calls a
+    ``MaskUtility`` op (wsl_seg_heads.py:518) that is not present anywhere
+    in its op library — another dead path like WEBLY.MINING. Reconstructed
+    from its signature: per-roi mask labels broadcast from the image labels
+    (the behavior of ``roi_data/mask_rcnn_wsl.py:17-41``) and per-roi class
+    weights taken from the detection scores.
+  * ``dense_crf``           — mean-field CRF refinement of mask
+    probabilities. The reference's DenseCRF op depends on a densecrf git
+    submodule that is EMPTY in the checkout (CMakeLists.txt:36-38) — it
+    cannot build there. Provided here as a jittable mean-field loop with a
+    separable-Gaussian spatial kernel and a downsampled bilateral term.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def upsample_bilinear_wsl(x, out_h, out_w):
+    """(B, C, h, w) -> (B, C, out_h, out_w) bilinear (align_corners=False,
+    matching Caffe2 ResizeNearest/upsample conventions)."""
+    b, c, h, w = x.shape
+    return jax.image.resize(x, (b, c, out_h, out_w), method='bilinear')
+
+
+def deeplab_utility_softmax(cpg, labels_oh, cls_prob, tau=0.7,
+                            fg_threshold=0.7, bg_threshold=0.1):
+    """Int per-pixel labels (deeplab_utility_op.cu:Softmax_Kernel).
+
+    cpg: (B, C, H, W) saliency in [0, 1]; labels_oh/cls_prob: (B, C).
+    Returns (B, H, W) int32: 0 bg, c+1 fg, -1 ignore.
+    """
+    b, c, h, w = cpg.shape
+    active = (labels_oh != 0)                                    # (B, C)
+    pred_ok = (cls_prob >= tau) & (labels_oh != 0.5) & active
+    fg = (cpg >= fg_threshold) & pred_ok[:, :, None, None]       # (B,C,H,W)
+    ig = ((cpg >= fg_threshold) & active[:, :, None, None] &
+          ~pred_ok[:, :, None, None])
+    mid = ((cpg > bg_threshold) & (cpg < fg_threshold) &
+           active[:, :, None, None])
+
+    fg_num = jnp.sum(fg, axis=1)                                 # (B, H, W)
+    ig_num = jnp.sum(ig, axis=1) + jnp.sum(mid, axis=1)
+    cls_idx = jnp.argmax(
+        fg * (jnp.arange(1, c + 1)[None, :, None, None]), axis=1) + 1
+    out = jnp.where(ig_num > 0, -1,
+                    jnp.where(fg_num == 0, 0,
+                              jnp.where(fg_num == 1, cls_idx, -1)))
+    return out.astype(jnp.int32)
+
+
+def deeplab_utility_sigmoid(cpg, labels_oh, cls_prob, tau=0.7,
+                            fg_threshold=0.7, bg_threshold=0.1):
+    """Per-class soft targets in {0, 0.5, 1}
+    (deeplab_utility_op.cu:Sigmoid_Kernel). Returns (B, C, H, W)."""
+    lab = labels_oh[:, :, None, None]
+    pred = cls_prob[:, :, None, None]
+    out = jnp.where(cpg >= fg_threshold, 1.0,
+                    jnp.where(cpg <= bg_threshold, 0.0, 0.5))
+    out = jnp.where(pred < tau, 0.5, out)
+    out = jnp.where(lab == 0.5, 0.5, out)
+    out = jnp.where(lab == 0, 0.0, out)
+    return out
+
+
+def weighted_sigmoid_cross_entropy_with_logits(logits, targets, weights):
+    """Caffe2 WeightedSigmoidCrossEntropyWithLogits: elementwise sigmoid CE
+    scaled by weights, averaged over the class axis per row -> (N,)."""
+    elem = (jnp.maximum(logits, 0) - logits * targets +
+            jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    return jnp.mean(elem * weights, axis=1)
+
+
+def mask_utility(rois_pred, rois, labels_oh):
+    """RECONSTRUCTION of the missing MaskUtility op (see module docstring).
+    Returns (mask_w (R, C-1), mask_rois (R, 5), mask_labels_oh (R, C-1))."""
+    r = rois.shape[0]
+    mask_labels = jnp.broadcast_to(labels_oh, (r, labels_oh.shape[1]))
+    mask_labels = jnp.where(labels_oh == 0.5, 0.5, mask_labels)
+    mask_w = jax.lax.stop_gradient(rois_pred)
+    return mask_w, rois, mask_labels
+
+
+def _gaussian_blur(x, sigma, truncate=2.0):
+    """Separable Gaussian blur over the last two axes. The kernel radius is
+    clamped per axis so 'same' convolution never exceeds the signal length."""
+    def kernel_for(length):
+        radius = max(min(int(truncate * sigma + 0.5), (length - 1) // 2), 1)
+        t = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+        k = jnp.exp(-0.5 * (t / sigma) ** 2)
+        return k / jnp.sum(k)
+
+    kw = kernel_for(x.shape[-1])
+    x = jax.vmap(jax.vmap(lambda row: jnp.convolve(row, kw, mode='same')))(
+        x.reshape((-1,) + x.shape[-2:])).reshape(x.shape)
+    xt = jnp.swapaxes(x, -1, -2)
+    kh = kernel_for(xt.shape[-1])
+    xt = jax.vmap(jax.vmap(lambda row: jnp.convolve(row, kh, mode='same')))(
+        xt.reshape((-1,) + xt.shape[-2:])).reshape(xt.shape)
+    return jnp.swapaxes(xt, -1, -2)
+
+
+def dense_crf(unary, image, num_iters=5, pos_w=3.0, pos_std=3.0,
+              bi_w=4.0, bi_std=49.0, bi_rgb_std=5.0):
+    """Mean-field dense CRF (crf_op.cc capability; see module docstring).
+
+    unary: (C, H, W) negative log-probabilities; image: (H, W, 3).
+    Returns refined (C, H, W) probabilities. The spatial term is an exact
+    separable Gaussian; the bilateral term is approximated by masking the
+    Gaussian message with color affinity to a blurred reference.
+    """
+    c, h, w = unary.shape
+    q = jax.nn.softmax(-unary, axis=0)
+    img = image.astype(jnp.float32)
+    color_blur = _gaussian_blur(
+        jnp.moveaxis(img, -1, 0), bi_std / 8.0)          # (3, H, W)
+    color_aff = jnp.exp(-jnp.sum(
+        (jnp.moveaxis(img, -1, 0) - color_blur) ** 2, axis=0) /
+        (2.0 * bi_rgb_std ** 2))                          # (H, W)
+
+    def step(i, q):
+        msg_pos = _gaussian_blur(q, pos_std)
+        msg_bi = _gaussian_blur(q * color_aff[None], bi_std / 4.0)
+        energy = unary - pos_w * msg_pos - bi_w * msg_bi
+        return jax.nn.softmax(-energy, axis=0)
+
+    return jax.lax.fori_loop(0, num_iters, step, q)
