@@ -191,7 +191,17 @@ def bbox_overlaps(boxes, query_boxes):
 
 def nms(dets, thresh):
     """Greedy NMS matching ``cython_nms.nms``: score-descending order,
-    +1 areas, suppression at IoU >= thresh. Returns kept indices."""
+    +1 areas, suppression at IoU >= thresh. Returns kept indices.
+
+    Dispatches to the native C++ kernel (native/box_ops.cpp, the rebuild's
+    equivalent of the compiled Cython module) when available."""
+    from nafwebsod_tpu import native
+    if dets.shape[0] > 0 and native.available():
+        return native.nms(dets, thresh)
+    return _nms_numpy(dets, thresh)
+
+
+def _nms_numpy(dets, thresh):
     if dets.shape[0] == 0:
         return []
     x1 = dets[:, 0]
@@ -226,13 +236,19 @@ def soft_nms(dets, sigma=0.5, overlap_thresh=0.3, score_thresh=0.001,
     ``cython_nms.soft_nms``: iterative max-selection with linear/gaussian/hard
     score decay and pruning below `score_thresh`.
 
-    Returns (rescored_dets, kept_original_indices).
+    Returns (rescored_dets, kept_original_indices). Dispatches to the native
+    C++ kernel when available.
     """
     if dets.shape[0] == 0:
         return dets, []
 
     methods = {'hard': 0, 'linear': 1, 'gaussian': 2}
     assert method in methods, 'Unknown soft_nms method: {}'.format(method)
+
+    from nafwebsod_tpu import native
+    if native.available():
+        return native.soft_nms(dets, sigma, overlap_thresh, score_thresh,
+                               method)
     m = methods[method]
 
     boxes = dets.copy().astype(np.float32)
