@@ -143,13 +143,46 @@ def test_net_on_dataset(weights_file, dataset_name, proposal_file,
     dataset = JsonDataset(dataset_name)
     test_timer = Timer()
     test_timer.tic()
-    all_boxes, all_segms, all_keyps = test_net(
-        weights_file, dataset_name, proposal_file, output_dir)
+    if multi_gpu:
+        all_boxes = multi_process_test_net_on_dataset(
+            weights_file, dataset_name, proposal_file, output_dir)
+        all_segms = all_keyps = None
+    else:
+        all_boxes, all_segms, all_keyps = test_net(
+            weights_file, dataset_name, proposal_file, output_dir)
     test_timer.toc()
     logger.info('Total inference time: %.3fs', test_timer.average_time)
     results = task_evaluation.evaluate_all(
         dataset, all_boxes, all_segms, all_keyps, output_dir)
     return results
+
+
+def multi_process_test_net_on_dataset(weights_file, dataset_name,
+                                      proposal_file, output_dir):
+    """Sharded inference across subprocesses
+    (test_engine_wsl.py:154-200 + subprocess.py). Each worker runs
+    ``tools/test_net.py --range start end`` against a dumped copy of the
+    current cfg; detection_range pkls are merged afterwards."""
+    import sys
+
+    from nafwebsod_tpu.utils import subprocess_utils
+
+    roidb, dataset, _, _, total = get_roidb_and_dataset(
+        dataset_name, proposal_file)
+    num_workers = max(cfg.NUM_GPUS, 1)
+
+    cfg_path = os.path.join(output_dir, 'multi_proc_test_cfg.yaml')
+    with open(cfg_path, 'w') as f:
+        f.write(_dump_cfg_str())
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    tool = os.path.join(repo_root, 'tools', 'test_net.py')
+    binary = [sys.executable, tool, '--cfg', cfg_path]
+    ranges = subprocess_utils.process_in_parallel(
+        'detection', total, binary, output_dir, num_workers,
+        extra_opts=['TEST.WEIGHTS', weights_file])
+    return merge_detection_ranges(
+        output_dir, cfg.MODEL.NUM_CLASSES, total, ranges)
 
 
 def run_inference(weights_file, ind_range=None, multi_gpu_testing=False,
