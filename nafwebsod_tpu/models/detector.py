@@ -28,11 +28,27 @@ from nafwebsod_tpu.ops.entropy import spatial_entropy_weights
 
 _SUPPORTED_BODIES = {
     'VGG16.add_VGG16_conv5_body_origin': 'vgg16_c5',
+    'ResNet.add_ResNet50_conv4_body': 'resnet50_c4',
+    'ResNet.add_ResNet50_conv5_body': 'resnet50_c5',
+    'ResNet.add_ResNet101_conv4_body': 'resnet101_c4',
+    'ResNet.add_ResNet101_conv5_body': 'resnet101_c5',
+    'VGG_CNN_M_1024.add_VGG_CNN_M_1024_conv5_body': 'vgg_cnn_m_c5',
+}
+# internal body name -> feature channel count
+_BODY_OUT_DIM = {
+    'vgg16_c5': 512,
+    'resnet50_c4': 1024, 'resnet101_c4': 1024,
+    'resnet50_c5': 2048, 'resnet101_c5': 2048,
+    'vgg_cnn_m_c5': 512,
 }
 _SUPPORTED_HEADS = {
     'wsl_heads.add_VGG16_roi_2fc_head': 'vgg16_2fc',
     'webly_heads.add_VGG16_roi_2fc_noise_head': 'vgg16_2fc_noise',
     'wsl_heads.add_VGG16_roi_context_2fc_head': 'vgg16_context_2fc',
+    # ResNet/generic 2fc WSL head — identical fc6/fc7 tower over the pooled
+    # body features (wsl_heads.py:860-905); hidden width from
+    # FAST_RCNN.MLP_HEAD_DIM via TPU.HEAD_HIDDEN_DIM
+    'wsl_heads.add_ResNet_roi_2fc_head': 'vgg16_2fc',
 }
 
 
@@ -85,6 +101,10 @@ class ModelSpec:
     hidden_dim: int = 4096
 
     @property
+    def body_out_dim(self):
+        return _BODY_OUT_DIM[self.conv_body]
+
+    @property
     def is_webly(self):
         return self.box_head.endswith('noise') or self.webly_on
 
@@ -133,7 +153,10 @@ def spec_from_cfg(cfg):
         mean_loss=cfg.WSL.MEAN_LOSS,
         min_entropy_loss=cfg.WSL.MIN_ENTROPY_LOSS,
         compute_dtype=cfg.TPU.COMPUTE_DTYPE,
-        hidden_dim=cfg.TPU.HEAD_HIDDEN_DIM,
+        # ResNet heads size their MLP from FAST_RCNN.MLP_HEAD_DIM
+        # (wsl_heads.py:867-872); VGG towers are 4096 (TPU.HEAD_HIDDEN_DIM)
+        hidden_dim=(cfg.FAST_RCNN.MLP_HEAD_DIM if 'ResNet' in head
+                    else cfg.TPU.HEAD_HIDDEN_DIM),
         oicr=cfg.WSL.OICR,
         pcl=cfg.WSL.PCL,
         cmil=cfg.WSL.CMIL,
@@ -158,8 +181,18 @@ def spec_from_cfg(cfg):
 
 def init_params(spec: ModelSpec, rng):
     r1, r2 = jax.random.split(rng)
-    params = vgg16.init_params(r1, dilation=spec.dilation)
-    roi_feat_dim = 512 * spec.roi_resolution * spec.roi_resolution
+    if spec.conv_body.startswith('resnet'):
+        from nafwebsod_tpu.models import resnet
+        depth = 'resnet101' if '101' in spec.conv_body else 'resnet50'
+        params = resnet.init_params(r1, depth,
+                                    include_res5=spec.conv_body.endswith('c5'))
+    elif spec.conv_body == 'vgg_cnn_m_c5':
+        from nafwebsod_tpu.models import vgg_cnn_m
+        params = vgg_cnn_m.init_params(r1)
+    else:
+        params = vgg16.init_params(r1, dilation=spec.dilation)
+    roi_feat_dim = (spec.body_out_dim * spec.roi_resolution *
+                    spec.roi_resolution)
     params.update(heads.init_head_params(
         r2, spec.num_classes, roi_feat_dim=roi_feat_dim,
         hidden=spec.hidden_dim,
@@ -183,15 +216,36 @@ def init_params(spec: ModelSpec, rng):
     return params
 
 
+def _body_param_names(spec):
+    """All param names belonging to the configured conv body, grouped by
+    stage index (for FREEZE_AT)."""
+    if spec.conv_body.startswith('resnet'):
+        from nafwebsod_tpu.models import resnet
+        depth = 'resnet101' if '101' in spec.conv_body else 'resnet50'
+        names = resnet.param_shapes(
+            depth, include_res5=spec.conv_body.endswith('c5'))
+
+        def stage_of(name):
+            if name.startswith('conv1') or name.startswith('res_conv1'):
+                return 0
+            return int(name[3]) - 1  # res2_* -> stage 1, etc.
+        return {n: stage_of(n) for n in names}
+    if spec.conv_body == 'vgg_cnn_m_c5':
+        from nafwebsod_tpu.models import vgg_cnn_m
+        return {n: 0 for n in vgg_cnn_m.param_shapes()}
+    return {name + suffix: si
+            for si, stage in enumerate(vgg16.VGG16_STAGES)
+            for name, _, _ in stage for suffix in ('_w', '_b')}
+
+
 def trainable_param_names(spec: ModelSpec, params):
     """Names of params the solver may update, mirroring the reference's
     TrainableParams bookkeeping (detector.py:68-79): with FREEZE_CONV_BODY the
     whole conv body is excluded; otherwise stages up to FREEZE_AT are."""
+    body_stage = _body_param_names(spec)
     out = set()
     for name in params:
-        stage_idx = next(
-            (si for si, stage in enumerate(vgg16.VGG16_STAGES)
-             if any(name.startswith(n) for n, _, _ in stage)), None)
+        stage_idx = body_stage.get(name)
         if stage_idx is None:
             out.add(name)  # head param
         elif spec.freeze_conv_body or stage_idx < spec.freeze_at:
@@ -203,11 +257,37 @@ def trainable_param_names(spec: ModelSpec, params):
     return out
 
 
-def _run_body_and_head(spec, params, image, rois, obn_scores, train, rng):
+def body_forward(spec, params, image):
+    """Dispatch to the configured conv body. Returns (feat NHWC, scale)."""
     dtype = jnp.bfloat16 if spec.compute_dtype == 'bfloat16' else jnp.float32
-    feat, spatial_scale = vgg16.forward(
-        params, image.astype(dtype), dilation=spec.dilation,
-        freeze_at=spec.freeze_at)
+    x = image.astype(dtype)
+    if spec.conv_body.startswith('resnet'):
+        from nafwebsod_tpu.models import resnet
+        depth = 'resnet101' if '101' in spec.conv_body else 'resnet50'
+        feat, _, scale = resnet.forward(
+            params, x, depth, include_res5=spec.conv_body.endswith('c5'),
+            res5_dilation=spec.dilation if spec.dilation > 1 else 1,
+            freeze_at=spec.freeze_at)
+        return feat, scale
+    if spec.conv_body == 'vgg_cnn_m_c5':
+        from nafwebsod_tpu.models import vgg_cnn_m
+        feat, _, scale = vgg_cnn_m.forward(params, x)
+        return feat, scale
+    return vgg16.forward(params, x, dilation=spec.dilation,
+                         freeze_at=spec.freeze_at)
+
+
+def body_spatial_scale(spec):
+    """Static feature stride of the configured body."""
+    if spec.conv_body in ('resnet50_c5', 'resnet101_c5'):
+        return 1.0 / 32.0 * (spec.dilation if spec.dilation > 1 else 1)
+    if spec.conv_body in ('resnet50_c4', 'resnet101_c4', 'vgg_cnn_m_c5'):
+        return 1.0 / 16.0
+    return 1.0 / 8.0 if spec.dilation == 2 else 1.0 / 16.0
+
+
+def _run_body_and_head(spec, params, image, rois, obn_scores, train, rng):
+    feat, spatial_scale = body_forward(spec, params, image)
     if spec.freeze_conv_body:
         feat = jax.lax.stop_gradient(feat)
     # fc towers run in the compute dtype (bf16 on TPU) with fp32 MXU
@@ -451,7 +531,7 @@ def forward_train(spec: ModelSpec, params, batch, rng):
 
     if spec.mask_on:
         from nafwebsod_tpu.models import seg_head
-        spatial_scale = 1.0 / 8.0 if spec.dilation == 2 else 1.0 / 16.0
+        spatial_scale = body_spatial_scale(spec)
         mask_logits = seg_head.mask_head_forward(
             params, feat[0].astype(jnp.float32), rois, spatial_scale,
             resolution=spec.mask_resolution, dilation=spec.mask_dilation)

@@ -1,0 +1,142 @@
+"""ResNet conv bodies (functional JAX, NHWC).
+
+Capability parity with ``detectron/modeling/ResNet.py``: bottleneck residual
+stages with AffineChannel (frozen-BN scale/bias) exactly as Detectron
+fine-tunes pretrained BN networks (ResNet.py:204-334), the basic BN stem
+(``:245-255``), STRIDE_1X1 placement, RES5_DILATION, and the conv4/conv5
+body variants (``:35-127``). Param names follow the Detectron pkl blob
+names (``res2_0_branch2a_w`` / ``..._bn_s`` / ``..._bn_b``) so pretrained
+checkpoints load through ``utils/checkpoint.py`` unchanged.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BLOCK_COUNTS = {
+    'resnet50': (3, 4, 6, 3),
+    'resnet101': (3, 4, 23, 3),
+    'resnet152': (3, 8, 36, 3),
+}
+STAGE_DIMS = (256, 512, 1024, 2048)
+
+
+def _conv(x, w, stride=1, dilation=1, pad=None):
+    kh = w.shape[0]
+    if pad is None:
+        pad = (kh - 1) // 2 * dilation
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)), rhs_dilation=(dilation, dilation),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=x.dtype)
+
+
+def _affine(x, params, name):
+    """AffineChannel: y = x * s + b (frozen BN)."""
+    return x * params[name + '_s'].astype(x.dtype) + params[
+        name + '_b'].astype(x.dtype)
+
+
+def _conv_affine(x, params, prefix, stride=1, dilation=1):
+    x = _conv(x, params[prefix + '_w'], stride, dilation)
+    return _affine(x, params, prefix + '_bn')
+
+
+def _bottleneck(x, params, prefix, stride, dilation, stride_1x1=True,
+                has_shortcut=False):
+    s1, s3 = (stride, 1) if stride_1x1 else (1, stride)
+    cur = jax.nn.relu(_conv_affine(x, params, prefix + '_branch2a', s1))
+    cur = jax.nn.relu(_conv_affine(cur, params, prefix + '_branch2b', s3,
+                                   dilation))
+    cur = _conv_affine(cur, params, prefix + '_branch2c', 1)
+    if has_shortcut:
+        sc = _conv_affine(x, params, prefix + '_branch1', stride)
+    else:
+        sc = x
+    return jax.nn.relu(cur + sc)
+
+
+def _stage(x, params, stage_prefix, n, stride_init, dilation, stride_1x1):
+    for i in range(n):
+        prefix = '{}_{}'.format(stage_prefix, i)
+        stride = stride_init if i == 0 else 1
+        x = _bottleneck(x, params, prefix, stride, dilation, stride_1x1,
+                        has_shortcut=(i == 0))
+    return x
+
+
+def forward(params, x, depth='resnet50', include_res5=False,
+            res5_dilation=1, stride_1x1=True, freeze_at=2):
+    """Run the ResNet body. x: (N, H, W, 3). Returns (features, out_dim,
+    spatial_scale) following add_ResNet_convX_body (ResNet.py:91-127)."""
+    dtype = x.dtype
+    counts = BLOCK_COUNTS[depth]
+    # stem: 7x7/2 conv + affine + relu + 3x3/2 maxpool (basic_bn_stem)
+    x = _conv(x, params['conv1_w'], stride=2, pad=3)
+    x = jax.nn.relu(_affine(x, params, 'res_conv1_bn'))
+    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                constant_values=-jnp.inf)
+    x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                              (1, 3, 3, 1), (1, 2, 2, 1), 'VALID')
+
+    n_stages = 4 if include_res5 else 3
+    for si in range(n_stages):
+        stride_init = 1 if si == 0 else 2
+        dilation = res5_dilation if si == 3 else 1
+        if si == 3 and res5_dilation == 2:
+            stride_init = 1
+        x = _stage(x, params, 'res{}'.format(si + 2), counts[si],
+                   stride_init, dilation, stride_1x1)
+        if si + 2 == freeze_at:
+            x = jax.lax.stop_gradient(x)
+    if include_res5:
+        return x, 2048, 1.0 / 32.0 * res5_dilation
+    return x, 1024, 1.0 / 16.0
+
+
+def param_shapes(depth='resnet50', include_res5=False):
+    shapes = {'conv1_w': (7, 7, 3, 64), 'res_conv1_bn_s': (64,),
+              'res_conv1_bn_b': (64,)}
+    counts = BLOCK_COUNTS[depth]
+    dim_in = 64
+    n_stages = 4 if include_res5 else 3
+    for si in range(n_stages):
+        dim_out = STAGE_DIMS[si]
+        dim_inner = dim_out // 4
+        for i in range(counts[si]):
+            p = 'res{}_{}'.format(si + 2, i)
+            shapes.update({
+                p + '_branch2a_w': (1, 1, dim_in, dim_inner),
+                p + '_branch2a_bn_s': (dim_inner,),
+                p + '_branch2a_bn_b': (dim_inner,),
+                p + '_branch2b_w': (3, 3, dim_inner, dim_inner),
+                p + '_branch2b_bn_s': (dim_inner,),
+                p + '_branch2b_bn_b': (dim_inner,),
+                p + '_branch2c_w': (1, 1, dim_inner, dim_out),
+                p + '_branch2c_bn_s': (dim_out,),
+                p + '_branch2c_bn_b': (dim_out,),
+            })
+            if i == 0:
+                shapes[p + '_branch1_w'] = (1, 1, dim_in, dim_out)
+                shapes[p + '_branch1_bn_s'] = (dim_out,)
+                shapes[p + '_branch1_bn_b'] = (dim_out,)
+            dim_in = dim_out
+    return shapes
+
+
+def init_params(rng, depth='resnet50', include_res5=False,
+                dtype=jnp.float32):
+    shapes = param_shapes(depth, include_res5)
+    params = {}
+    keys = jax.random.split(rng, len(shapes))
+    for i, (name, shape) in enumerate(sorted(shapes.items())):
+        if name.endswith('_bn_s'):
+            params[name] = jnp.ones(shape, dtype)
+        elif name.endswith('_bn_b'):
+            params[name] = jnp.zeros(shape, dtype)
+        else:
+            fan_in = int(np.prod(shape[:-1]))
+            std = np.sqrt(2.0 / fan_in)
+            params[name] = std * jax.random.normal(keys[i], shape, dtype)
+    return params

@@ -1,0 +1,100 @@
+"""ResNet / VGG_CNN_M backbone tests: shapes, strides, frozen-BN semantics,
+and end-to-end WSL model integration."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nafwebsod_tpu.models import detector, resnet, vgg_cnn_m
+
+
+class TestResNetBody:
+    def test_conv4_shapes_and_stride(self):
+        params = resnet.init_params(jax.random.PRNGKey(0), 'resnet50',
+                                    include_res5=False)
+        x = jnp.zeros((1, 64, 96, 3))
+        feat, dim, scale = resnet.forward(params, x, 'resnet50')
+        assert dim == 1024 and scale == 1.0 / 16.0
+        assert feat.shape == (1, 4, 6, 1024)
+
+    def test_conv5_dilation(self):
+        params = resnet.init_params(jax.random.PRNGKey(0), 'resnet50',
+                                    include_res5=True)
+        x = jnp.zeros((1, 64, 64, 3))
+        feat, dim, scale = resnet.forward(params, x, 'resnet50',
+                                          include_res5=True, res5_dilation=2)
+        assert dim == 2048 and scale == pytest.approx(1.0 / 16.0)
+        assert feat.shape == (1, 4, 4, 2048)
+
+    def test_affine_channel_semantics(self):
+        """AffineChannel is a pure scale/shift (frozen BN): doubling bn_s
+        must double the stem activations pre-relu."""
+        params = resnet.init_params(jax.random.PRNGKey(1), 'resnet50')
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 3)
+                        .astype(np.float32))
+        f1, _, _ = resnet.forward(params, x, 'resnet50')
+        params2 = dict(params)
+        params2['res2_0_branch2c_bn_b'] = (
+            params['res2_0_branch2c_bn_b'] + 100.0)
+        f2, _, _ = resnet.forward(params2, x, 'resnet50')
+        assert not np.allclose(np.asarray(f1), np.asarray(f2))
+
+    def test_param_names_match_detectron_convention(self):
+        shapes = resnet.param_shapes('resnet50', include_res5=True)
+        assert 'res2_0_branch1_w' in shapes
+        assert 'res5_2_branch2c_bn_s' in shapes
+        assert shapes['res3_0_branch2b_w'] == (3, 3, 128, 128)
+
+
+class TestVGGCNNM:
+    def test_shapes(self):
+        params = vgg_cnn_m.init_params(jax.random.PRNGKey(0))
+        x = jnp.zeros((1, 224, 224, 3))
+        feat, dim, scale = vgg_cnn_m.forward(params, x)
+        assert dim == 512 and scale == 1.0 / 16.0
+        assert feat.shape[3] == 512
+
+    def test_lrn_reduces_magnitude(self):
+        x = jnp.ones((1, 4, 4, 8)) * 2.0
+        y = vgg_cnn_m._lrn(x)
+        assert float(jnp.max(y)) < 2.0
+
+
+class TestResNetWSLModel:
+    def test_forward_train_resnet50_c4(self):
+        spec = detector.ModelSpec(
+            num_classes=5, conv_body='resnet50_c4', box_head='vgg16_2fc',
+            webly_on=False, webly_entropy=False, hidden_dim=16,
+            roi_resolution=7)
+        params = detector.init_params(spec, jax.random.PRNGKey(0))
+        # fc6 sized by the 1024-d body
+        assert params['fc6_w'].shape == (1024 * 49, 16)
+
+        rng = np.random.RandomState(0)
+        R = 6
+        x1 = rng.uniform(0, 20, R)
+        y1 = rng.uniform(0, 20, R)
+        labels = np.zeros((1, 4), np.float32)
+        labels[0, 2] = 1
+        batch = {
+            'image': jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32)),
+            'rois': jnp.asarray(np.stack(
+                [np.zeros(R), x1, y1, x1 + 20, y1 + 20], 1).astype(
+                    np.float32)),
+            'obn_scores': jnp.asarray(rng.rand(R, 1).astype(np.float32)),
+            'labels_oh': jnp.asarray(labels),
+            'valid_mask': jnp.ones((R,), bool),
+        }
+        total, aux = detector.forward_train(spec, params, batch,
+                                            jax.random.PRNGKey(1))
+        assert np.isfinite(float(total))
+
+        # frozen body: no res-block grads; head learns
+        trainable = detector.trainable_param_names(spec, params)
+        assert 'res4_0_branch2a_w' not in trainable
+        assert 'fc8c_w' in trainable
+        grads = jax.grad(lambda p: detector.forward_train(
+            spec, p, batch, jax.random.PRNGKey(1))[0])(params)
+        assert float(jnp.abs(grads['fc8c_w']).max()) > 0
