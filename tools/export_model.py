@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Export the inference model as a serialized StableHLO artifact.
+
+The TPU-native equivalent of ``tools/convert_pkl_to_pb.py`` (which exported
+a deploy Caffe2 protobuf): the jitted ``forward_test`` is lowered with
+``jax.export`` into a portable StableHLO module that any XLA runtime (TPU
+serving, CPU, IREE-style compilers) can load without Python.
+
+Usage:
+    python tools/export_model.py --cfg cfg.yaml --wts model_final.pkl \
+        --out model.stablehlo [--height 704 --width 704 --rois 2048]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nafwebsod_tpu.core.config import (assert_and_infer_cfg, cfg,
+                                       merge_cfg_from_file,
+                                       merge_cfg_from_list)
+from nafwebsod_tpu.utils.logging_utils import setup_logging
+
+logger = setup_logging(__name__)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--cfg', dest='cfg_file', default=None)
+    parser.add_argument('--wts', dest='weights', required=True)
+    parser.add_argument('--out', required=True)
+    parser.add_argument('--height', type=int, default=704)
+    parser.add_argument('--width', type=int, default=704)
+    parser.add_argument('--rois', type=int, default=2048)
+    parser.add_argument('opts', default=None, nargs=argparse.REMAINDER)
+    args = parser.parse_args()
+
+    if args.cfg_file:
+        merge_cfg_from_file(args.cfg_file)
+    if args.opts:
+        merge_cfg_from_list(args.opts)
+    assert_and_infer_cfg()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    from nafwebsod_tpu.engine.test_engine import initialize_model_from_cfg
+    from nafwebsod_tpu.models import detector
+
+    spec, params = initialize_model_from_cfg(args.weights)
+
+    def fn(params, image, rois, obn_scores, valid_mask):
+        return detector.forward_test(spec, params, image, rois, obn_scores,
+                                     valid_mask)['scores']
+
+    shapes = (
+        jax.tree.map(lambda p: jax.ShapeDtypeStruct(np.shape(p),
+                                                    np.asarray(p).dtype),
+                     params),
+        jax.ShapeDtypeStruct((1, args.height, args.width, 3), jnp.float32),
+        jax.ShapeDtypeStruct((args.rois, 5), jnp.float32),
+        jax.ShapeDtypeStruct((args.rois, 1), jnp.float32),
+        jax.ShapeDtypeStruct((args.rois,), jnp.bool_),
+    )
+    exported = jax_export.export(jax.jit(fn))(*shapes)
+    blob = exported.serialize()
+    with open(args.out, 'wb') as f:
+        f.write(blob)
+    logger.info('Wrote %d bytes of serialized StableHLO to %s '
+                '(in: image %dx%d, %d rois; out: %s)',
+                len(blob), args.out, args.height, args.width, args.rois,
+                exported.out_avals)
+
+
+if __name__ == '__main__':
+    main()
