@@ -43,6 +43,15 @@ def _catalog():
             _ANN_FN: os.path.join(d, img_dir, 'annotations.json'),
             _DEVKIT_DIR: os.path.join(d, img_dir, 'devkit'),
         }
+    # cityscapes (COCO-converted jsons, ref dataset_catalog.py cityscapes
+    # entries; produced by tools/convert_cityscapes_to_coco.py upstream)
+    for split in ('train', 'val', 'test'):
+        cat['cityscapes_fine_instanceonly_seg_' + split] = {
+            _IM_DIR: os.path.join(d, 'cityscapes', 'images'),
+            _ANN_FN: os.path.join(
+                d, 'cityscapes', 'annotations',
+                'instancesonly_filtered_gtFine_{}.json'.format(split)),
+        }
     for split in ('train2014', 'val2014', 'minival2014', 'valminusminival2014'):
         cat['coco_2014_' + split.replace('2014', '')] = {
             _IM_DIR: os.path.join(d, 'coco', split.replace('minival', 'val')

@@ -65,4 +65,8 @@ def check_expected_results(results, atol=0.005, rtol=0.1):
             logger.info(
                 'PASS: %s/%s/%s actual %.4f ~= expected %.4f',
                 dataset, task, metric, actual, expected_val)
+    if not ok and cfg.EXPECTED_RESULTS_EMAIL:
+        from nafwebsod_tpu.utils.logging_utils import send_email
+        send_email('EXPECTED_RESULTS check failed', str(results),
+                   cfg.EXPECTED_RESULTS_EMAIL)
     return ok

@@ -33,12 +33,15 @@ _SUPPORTED_BODIES = {
     'ResNet.add_ResNet101_conv4_body': 'resnet101_c4',
     'ResNet.add_ResNet101_conv5_body': 'resnet101_c5',
     'VGG_CNN_M_1024.add_VGG_CNN_M_1024_conv5_body': 'vgg_cnn_m_c5',
+    'ResNet18.add_ResNet18_conv4_body': 'resnet18_c4',
+    'ResNet18.add_ResNet18_conv5_body': 'resnet18_c5',
 }
 # internal body name -> feature channel count
 _BODY_OUT_DIM = {
     'vgg16_c5': 512,
     'resnet50_c4': 1024, 'resnet101_c4': 1024,
     'resnet50_c5': 2048, 'resnet101_c5': 2048,
+    'resnet18_c4': 256, 'resnet18_c5': 512,
     'vgg_cnn_m_c5': 512,
 }
 _SUPPORTED_HEADS = {
@@ -183,7 +186,8 @@ def init_params(spec: ModelSpec, rng):
     r1, r2 = jax.random.split(rng)
     if spec.conv_body.startswith('resnet'):
         from nafwebsod_tpu.models import resnet
-        depth = 'resnet101' if '101' in spec.conv_body else 'resnet50'
+        depth = ('resnet18' if '18' in spec.conv_body else
+                 'resnet101' if '101' in spec.conv_body else 'resnet50')
         params = resnet.init_params(r1, depth,
                                     include_res5=spec.conv_body.endswith('c5'))
     elif spec.conv_body == 'vgg_cnn_m_c5':
@@ -221,7 +225,8 @@ def _body_param_names(spec):
     stage index (for FREEZE_AT)."""
     if spec.conv_body.startswith('resnet'):
         from nafwebsod_tpu.models import resnet
-        depth = 'resnet101' if '101' in spec.conv_body else 'resnet50'
+        depth = ('resnet18' if '18' in spec.conv_body else
+                 'resnet101' if '101' in spec.conv_body else 'resnet50')
         names = resnet.param_shapes(
             depth, include_res5=spec.conv_body.endswith('c5'))
 
@@ -263,7 +268,8 @@ def body_forward(spec, params, image):
     x = image.astype(dtype)
     if spec.conv_body.startswith('resnet'):
         from nafwebsod_tpu.models import resnet
-        depth = 'resnet101' if '101' in spec.conv_body else 'resnet50'
+        depth = ('resnet18' if '18' in spec.conv_body else
+                 'resnet101' if '101' in spec.conv_body else 'resnet50')
         feat, _, scale = resnet.forward(
             params, x, depth, include_res5=spec.conv_body.endswith('c5'),
             res5_dilation=spec.dilation if spec.dilation > 1 else 1,
@@ -279,9 +285,10 @@ def body_forward(spec, params, image):
 
 def body_spatial_scale(spec):
     """Static feature stride of the configured body."""
-    if spec.conv_body in ('resnet50_c5', 'resnet101_c5'):
+    if spec.conv_body in ('resnet50_c5', 'resnet101_c5', 'resnet18_c5'):
         return 1.0 / 32.0 * (spec.dilation if spec.dilation > 1 else 1)
-    if spec.conv_body in ('resnet50_c4', 'resnet101_c4', 'vgg_cnn_m_c5'):
+    if spec.conv_body in ('resnet50_c4', 'resnet101_c4', 'resnet18_c4',
+                          'vgg_cnn_m_c5'):
         return 1.0 / 16.0
     return 1.0 / 8.0 if spec.dilation == 2 else 1.0 / 16.0
 

@@ -14,11 +14,15 @@ import jax.numpy as jnp
 import numpy as np
 
 BLOCK_COUNTS = {
+    'resnet18': (2, 2, 2, 2),
     'resnet50': (3, 4, 6, 3),
     'resnet101': (3, 4, 23, 3),
     'resnet152': (3, 8, 36, 3),
 }
 STAGE_DIMS = (256, 512, 1024, 2048)
+# ResNet-18 uses shallow basic blocks (ResNet18.py:124-230): 2x 3x3 convs,
+# stage dims 64/128/256/512
+SHALLOW_STAGE_DIMS = (64, 128, 256, 512)
 
 
 def _conv(x, w, stride=1, dilation=1, pad=None):
@@ -57,12 +61,29 @@ def _bottleneck(x, params, prefix, stride, dilation, stride_1x1=True,
     return jax.nn.relu(cur + sc)
 
 
-def _stage(x, params, stage_prefix, n, stride_init, dilation, stride_1x1):
+def _basic_block(x, params, prefix, stride, dilation, has_shortcut=False):
+    """Shallow residual block (ResNet18.py:184-230): 3x3 conv x2."""
+    cur = jax.nn.relu(_conv_affine(x, params, prefix + '_branch2a', stride,
+                                   dilation))
+    cur = _conv_affine(cur, params, prefix + '_branch2b', 1, dilation)
+    if has_shortcut:
+        sc = _conv_affine(x, params, prefix + '_branch1', stride)
+    else:
+        sc = x
+    return jax.nn.relu(cur + sc)
+
+
+def _stage(x, params, stage_prefix, n, stride_init, dilation, stride_1x1,
+           shallow=False):
     for i in range(n):
         prefix = '{}_{}'.format(stage_prefix, i)
         stride = stride_init if i == 0 else 1
-        x = _bottleneck(x, params, prefix, stride, dilation, stride_1x1,
-                        has_shortcut=(i == 0))
+        if shallow:
+            x = _basic_block(x, params, prefix, stride, dilation,
+                             has_shortcut=(i == 0 and stride_init != 1))
+        else:
+            x = _bottleneck(x, params, prefix, stride, dilation, stride_1x1,
+                            has_shortcut=(i == 0))
     return x
 
 
@@ -80,6 +101,8 @@ def forward(params, x, depth='resnet50', include_res5=False,
     x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
                               (1, 3, 3, 1), (1, 2, 2, 1), 'VALID')
 
+    shallow = depth == 'resnet18'
+    dims = SHALLOW_STAGE_DIMS if shallow else STAGE_DIMS
     n_stages = 4 if include_res5 else 3
     for si in range(n_stages):
         stride_init = 1 if si == 0 else 2
@@ -87,25 +110,42 @@ def forward(params, x, depth='resnet50', include_res5=False,
         if si == 3 and res5_dilation == 2:
             stride_init = 1
         x = _stage(x, params, 'res{}'.format(si + 2), counts[si],
-                   stride_init, dilation, stride_1x1)
+                   stride_init, dilation, stride_1x1, shallow=shallow)
         if si + 2 == freeze_at:
             x = jax.lax.stop_gradient(x)
     if include_res5:
-        return x, 2048, 1.0 / 32.0 * res5_dilation
-    return x, 1024, 1.0 / 16.0
+        return x, dims[3], 1.0 / 32.0 * res5_dilation
+    return x, dims[2], 1.0 / 16.0
 
 
 def param_shapes(depth='resnet50', include_res5=False):
     shapes = {'conv1_w': (7, 7, 3, 64), 'res_conv1_bn_s': (64,),
               'res_conv1_bn_b': (64,)}
     counts = BLOCK_COUNTS[depth]
+    shallow = depth == 'resnet18'
+    dims = SHALLOW_STAGE_DIMS if shallow else STAGE_DIMS
     dim_in = 64
     n_stages = 4 if include_res5 else 3
     for si in range(n_stages):
-        dim_out = STAGE_DIMS[si]
+        dim_out = dims[si]
         dim_inner = dim_out // 4
         for i in range(counts[si]):
             p = 'res{}_{}'.format(si + 2, i)
+            if shallow:
+                shapes.update({
+                    p + '_branch2a_w': (3, 3, dim_in, dim_out),
+                    p + '_branch2a_bn_s': (dim_out,),
+                    p + '_branch2a_bn_b': (dim_out,),
+                    p + '_branch2b_w': (3, 3, dim_out, dim_out),
+                    p + '_branch2b_bn_s': (dim_out,),
+                    p + '_branch2b_bn_b': (dim_out,),
+                })
+                if i == 0 and si > 0:
+                    shapes[p + '_branch1_w'] = (1, 1, dim_in, dim_out)
+                    shapes[p + '_branch1_bn_s'] = (dim_out,)
+                    shapes[p + '_branch1_bn_b'] = (dim_out,)
+                dim_in = dim_out
+                continue
             shapes.update({
                 p + '_branch2a_w': (1, 1, dim_in, dim_inner),
                 p + '_branch2a_bn_s': (dim_inner,),

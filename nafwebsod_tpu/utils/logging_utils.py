@@ -55,6 +55,25 @@ class SmoothedValue(object):
         return self.total / max(self.count, 1)
 
 
+def send_email(subject, body, to):
+    """Best-effort notification email (logging.py:68-83; used by
+    check_expected_results and the train wrapper scripts)."""
+    import smtplib
+    from email.mime.text import MIMEText
+    try:
+        msg = MIMEText(body)
+        msg['Subject'] = subject
+        msg['To'] = ', '.join(to) if isinstance(to, (list, tuple)) else to
+        s = smtplib.SMTP('localhost')
+        s.sendmail('detectron-tpu', msg['To'].split(', '), msg.as_string())
+        s.quit()
+        return True
+    except Exception:
+        logging.getLogger(__name__).info(
+            'send_email failed (no local MTA?); subject was: %s', subject)
+        return False
+
+
 def setup_logging(name):
     FORMAT = '%(levelname)s %(filename)s:%(lineno)4d: %(message)s'
     # Set up the root logger only if not already configured (logging.py:70-83)
