@@ -1,0 +1,96 @@
+"""Feature Pyramid Network over a ResNet body (functional JAX, NHWC).
+
+Capability parity with ``detectron/modeling/FPN.py`` (add_fpn_onto_conv_body:
+lateral 1x1 convs + nearest-neighbor top-down pathway + 3x3 post-hoc convs;
+RetinaNet's extra coarse levels P6/P7 from stride-2 convs on the previous
+level, with P7 preceded by ReLU — FPN.py LOWEST_BACKBONE_LVL..retinanet
+variant). Param names are simplified but documented: fpn_inner{k}_w/b
+(lateral at backbone level k), fpn_post{k}_w/b, fpn_extra{k}_w/b for P6/P7.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _conv(x, params, name, stride=1, pad=None):
+    w = params[name + '_w'].astype(x.dtype)
+    k = w.shape[0]
+    if pad is None:
+        pad = (k - 1) // 2
+    y = jax.lax.conv_general_dilated(
+        x, w, (stride, stride), ((pad, pad), (pad, pad)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=x.dtype)
+    return y + params[name + '_b'].astype(x.dtype)
+
+
+def _upsample2(x):
+    """Nearest-neighbor 2x (FPN.py UpsampleNearest)."""
+    n, h, w, c = x.shape
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+def param_shapes(stage_dims, fpn_dim=256, min_level=3, max_level=7,
+                 lowest_backbone=2, highest_backbone=5):
+    """stage_dims: channel counts of res2..res5 (index 0 = res2)."""
+    shapes = {}
+    for k in range(max(min_level, lowest_backbone), highest_backbone + 1):
+        d = stage_dims[k - 2]
+        shapes['fpn_inner{}_w'.format(k)] = (1, 1, d, fpn_dim)
+        shapes['fpn_inner{}_b'.format(k)] = (fpn_dim,)
+        shapes['fpn_post{}_w'.format(k)] = (3, 3, fpn_dim, fpn_dim)
+        shapes['fpn_post{}_b'.format(k)] = (fpn_dim,)
+    for k in range(highest_backbone + 1, max_level + 1):
+        d_in = stage_dims[-1] if k == highest_backbone + 1 else fpn_dim
+        shapes['fpn_extra{}_w'.format(k)] = (3, 3, d_in, fpn_dim)
+        shapes['fpn_extra{}_b'.format(k)] = (fpn_dim,)
+    return shapes
+
+
+def init_params(rng, stage_dims, fpn_dim=256, min_level=3, max_level=7,
+                dtype=jnp.float32):
+    shapes = param_shapes(stage_dims, fpn_dim, min_level, max_level,
+                          highest_backbone=len(stage_dims) + 1)
+    params = {}
+    keys = jax.random.split(rng, len(shapes))
+    for i, (name, shape) in enumerate(sorted(shapes.items())):
+        if name.endswith('_b'):
+            params[name] = jnp.zeros(shape, dtype)
+        else:
+            std = 0.01
+            params[name] = std * jax.random.normal(keys[i], shape, dtype)
+    return params
+
+
+def forward(params, stages, fpn_dim=256, min_level=3, max_level=7):
+    """stages: [res2, ..., res5] NHWC feature maps. Returns dict
+    {level: feature} for levels min_level..max_level and the per-level
+    spatial scales."""
+    highest_backbone = len(stages) + 1  # res5 -> 5
+    # top-down pathway over backbone levels
+    inners = {}
+    top = _conv(stages[-1], params, 'fpn_inner{}'.format(highest_backbone))
+    inners[highest_backbone] = top
+    for k in range(highest_backbone - 1, max(min_level, 2) - 1, -1):
+        lateral = _conv(stages[k - 2], params, 'fpn_inner{}'.format(k))
+        td = _upsample2(inners[k + 1])
+        td = td[:, :lateral.shape[1], :lateral.shape[2]]  # odd-size crop
+        inners[k] = lateral + td
+
+    levels = {}
+    scales = {}
+    for k in range(max(min_level, 2), highest_backbone + 1):
+        if k < min_level:
+            continue
+        levels[k] = _conv(inners[k], params, 'fpn_post{}'.format(k))
+        scales[k] = 1.0 / (2 ** k)
+    # extra coarse levels (retinanet): P6 from res5 conv/2; P7 from relu(P6)
+    prev = stages[-1]
+    for k in range(highest_backbone + 1, max_level + 1):
+        if k > highest_backbone + 1:
+            prev = jax.nn.relu(prev)
+        prev = _conv(prev, params, 'fpn_extra{}'.format(k), stride=2)
+        levels[k] = prev
+        scales[k] = 1.0 / (2 ** k)
+    return levels, scales

@@ -88,7 +88,8 @@ def _stage(x, params, stage_prefix, n, stride_init, dilation, stride_1x1,
 
 
 def forward(params, x, depth='resnet50', include_res5=False,
-            res5_dilation=1, stride_1x1=True, freeze_at=2):
+            res5_dilation=1, stride_1x1=True, freeze_at=2,
+            return_stages=False):
     """Run the ResNet body. x: (N, H, W, 3). Returns (features, out_dim,
     spatial_scale) following add_ResNet_convX_body (ResNet.py:91-127)."""
     dtype = x.dtype
@@ -104,6 +105,7 @@ def forward(params, x, depth='resnet50', include_res5=False,
     shallow = depth == 'resnet18'
     dims = SHALLOW_STAGE_DIMS if shallow else STAGE_DIMS
     n_stages = 4 if include_res5 else 3
+    stages = []
     for si in range(n_stages):
         stride_init = 1 if si == 0 else 2
         dilation = res5_dilation if si == 3 else 1
@@ -113,6 +115,9 @@ def forward(params, x, depth='resnet50', include_res5=False,
                    stride_init, dilation, stride_1x1, shallow=shallow)
         if si + 2 == freeze_at:
             x = jax.lax.stop_gradient(x)
+        stages.append(x)
+    if return_stages:
+        return stages, dims[:n_stages]
     if include_res5:
         return x, dims[3], 1.0 / 32.0 * res5_dilation
     return x, dims[2], 1.0 / 16.0
