@@ -82,8 +82,19 @@ def im_detect_bbox(spec, params, im, target_scale, target_max_size,
     if inv_index is not None:
         scores = scores[inv_index, :]
 
-    # WSL: no bbox regression — tile original boxes per class (ref :171)
-    pred_boxes = np.tile(boxes_o, (1, scores.shape[1]))
+    if cfg.TEST.BBOX_REG and 'bbox_pred' in out:
+        # supervised path: decode class-wise box deltas (test.py upstream)
+        deltas = np.asarray(out['bbox_pred'])[:rois5.shape[0]]
+        if inv_index is not None:
+            deltas = deltas[inv_index, :]
+        pred_boxes = box_utils.bbox_transform(
+            boxes_o, deltas, cfg.MODEL.BBOX_REG_WEIGHTS)
+        pred_boxes = box_utils.clip_tiled_boxes(pred_boxes, im.shape)
+        if pred_boxes.shape[1] == 8:  # class-agnostic: tile to num_classes
+            pred_boxes = np.tile(pred_boxes[:, 4:], (1, scores.shape[1]))
+    else:
+        # WSL: no bbox regression — tile original boxes per class (ref :171)
+        pred_boxes = np.tile(boxes_o, (1, scores.shape[1]))
     return scores, pred_boxes, im_scale
 
 

@@ -52,6 +52,9 @@ _SUPPORTED_HEADS = {
     # body features (wsl_heads.py:860-905); hidden width from
     # FAST_RCNN.MLP_HEAD_DIM via TPU.HEAD_HIDDEN_DIM
     'wsl_heads.add_ResNet_roi_2fc_head': 'vgg16_2fc',
+    # supervised Fast R-CNN 2-MLP head (fast_rcnn_heads.py:100-126) — same
+    # tower; outputs switch to cls_score/bbox_pred when spec.supervised
+    'fast_rcnn_heads.add_roi_2mlp_head': 'vgg16_2fc',
 }
 
 
@@ -99,6 +102,11 @@ class ModelSpec:
     center_loss_top_k: int = 10
     csc_max_iter: int = 35000
     compute_dtype: str = 'float32'
+    # supervised Fast R-CNN path (MODEL.TYPE generalized_rcnn):
+    # cls_score/bbox_pred outputs + SoftmaxWithLoss/SmoothL1 losses
+    supervised: bool = False
+    cls_agnostic_bbox_reg: bool = False
+    bbox_reg_weights: tuple = (10.0, 10.0, 5.0, 5.0)
     # fc6/fc7 width; 4096 in the reference (wsl_heads.py:674-679). Tests use a
     # narrow tower to keep single-core CPU runtimes sane.
     hidden_dim: int = 4096
@@ -179,6 +187,9 @@ def spec_from_cfg(cfg):
         center_loss_number=cfg.WSL.CENTER_LOSS_NUMBER,
         center_loss_top_k=cfg.WSL.CENTER_LOSS_TOP_K,
         csc_max_iter=cfg.WSL.CSC_MAX_ITER,
+        supervised=cfg.MODEL.TYPE == 'generalized_rcnn',
+        cls_agnostic_bbox_reg=cfg.MODEL.CLS_AGNOSTIC_BBOX_REG,
+        bbox_reg_weights=tuple(cfg.MODEL.BBOX_REG_WEIGHTS),
     )
 
 
@@ -212,6 +223,18 @@ def init_params(spec: ModelSpec, rng):
             spec.num_classes, spec.center_loss_number, spec.hidden_dim,
             jax.random.fold_in(r2, 11))
         params['center_feature'] = cf
+    if spec.supervised:
+        k1, k2 = jax.random.split(jax.random.fold_in(r2, 17))
+        num_reg = 2 if spec.cls_agnostic_bbox_reg else spec.num_classes
+        params['cls_score_w'] = 0.01 * jax.random.normal(
+            k1, (spec.hidden_dim, spec.num_classes))
+        params['cls_score_b'] = jnp.zeros((spec.num_classes,))
+        params['bbox_pred_w'] = 0.001 * jax.random.normal(
+            k2, (spec.hidden_dim, 4 * num_reg))
+        params['bbox_pred_b'] = jnp.zeros((4 * num_reg,))
+        # the WSDDN output layers are not part of the supervised graph
+        for k in ('fc8c_w', 'fc8c_b', 'fc8d_w', 'fc8d_b'):
+            params.pop(k, None)
     if spec.mask_on:
         from nafwebsod_tpu.models import seg_head
         params.update(seg_head.init_mask_head_params(
@@ -331,6 +354,16 @@ def forward_test(spec: ModelSpec, params, image, rois, obn_scores,
     (wsl_heads.py:125-180, test branches)."""
     fc7_clean, fc7_noisy, feat = _run_body_and_head(
         spec, params, image, rois, obn_scores, train=False, rng=None)
+    if spec.supervised:
+        logits = heads._fc(fc7_clean, params, 'cls_score',
+                           out_dtype=jnp.float32)
+        probs = jax.nn.softmax(logits, axis=1)
+        bbox_pred = heads._fc(fc7_clean, params, 'bbox_pred',
+                              out_dtype=jnp.float32)
+        if valid_mask is not None:
+            probs = probs * valid_mask[:, None]
+        return {'scores': probs, 'bbox_pred': bbox_pred,
+                'rois_pred': probs[:, 1:]}
     if spec.is_context:
         out = heads.wsl_context_outputs(params, fc7_clean, valid_mask)
         fc7_main = fc7_clean[0]
@@ -450,6 +483,23 @@ def forward_train(spec: ModelSpec, params, batch, rng):
 
     fc7_clean, fc7_noisy, feat = _run_body_and_head(
         spec, params, image, rois, obn, train=True, rng=rng)
+    if spec.supervised:
+        # Fast R-CNN supervised losses (fast_rcnn_heads.py:75-93)
+        logits = heads._fc(fc7_clean, params, 'cls_score',
+                           out_dtype=jnp.float32)
+        bbox_pred = heads._fc(fc7_clean, params, 'bbox_pred',
+                              out_dtype=jnp.float32)
+        labels = batch['labels_int32']
+        loss_cls = loss_ops.softmax_with_loss(logits, labels, valid)
+        loss_bbox = loss_ops.smooth_l1_loss(
+            bbox_pred, batch['bbox_targets'], batch['bbox_inside_weights'],
+            batch['bbox_outside_weights'], valid_mask=valid)
+        acc = jnp.sum((jnp.argmax(logits, 1) == labels) *
+                      (valid if valid is not None else 1.0))
+        n = (jnp.sum(valid) if valid is not None else labels.shape[0])
+        aux = {'loss_cls': loss_cls, 'loss_bbox': loss_bbox,
+               'accuracy_cls': acc / jnp.maximum(n, 1)}
+        return loss_cls + loss_bbox, aux
     fc7_main = fc7_clean[0] if spec.is_context else fc7_clean
     if spec.cmil:
         lam = refine_ops.cmil_lambda(

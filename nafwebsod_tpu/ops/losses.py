@@ -161,6 +161,35 @@ def _swln_bwd(res, g):
 softmax_with_loss_n.defvjp(_swln_fwd, _swln_bwd)
 
 
+def smooth_l1_loss(pred, targets, inside_weights, outside_weights, beta=1.0,
+                   valid_mask=None):
+    """Caffe2 SmoothL1Loss (detectron op): elementwise smooth-L1 of
+    inside_weights * (pred - targets), scaled by outside_weights, summed and
+    divided by the number of rows (the batch dim)."""
+    d = inside_weights * (pred - targets)
+    ad = jnp.abs(d)
+    elem = jnp.where(ad < beta, 0.5 * d * d / beta, ad - 0.5 * beta)
+    elem = elem * outside_weights
+    if valid_mask is not None:
+        elem = elem * valid_mask[:, None]
+        n = jnp.maximum(jnp.sum(valid_mask), 1.0)
+    else:
+        n = pred.shape[0]
+    return jnp.sum(elem) / n
+
+
+def softmax_with_loss(logits, labels, valid_mask=None):
+    """Caffe2 SoftmaxWithLoss: mean softmax CE over rows."""
+    logp = jax.nn.log_softmax(logits, axis=1)
+    picked = logp[jnp.arange(logits.shape[0]), labels]
+    if valid_mask is not None:
+        picked = picked * valid_mask
+        n = jnp.maximum(jnp.sum(valid_mask), 1.0)
+    else:
+        n = logits.shape[0]
+    return -jnp.sum(picked) / n
+
+
 def averaged_loss(x):
     """Caffe2 AveragedLoss: mean of the (already reduced) loss tensor."""
     return jnp.mean(x)

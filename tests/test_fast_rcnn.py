@@ -1,0 +1,137 @@
+"""Supervised Fast R-CNN path tests: bbox target computation, fg/bg
+sampling, smooth-L1 semantics, and the supervised forward/losses."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nafwebsod_tpu.core.config import cfg, reset_cfg
+from nafwebsod_tpu.data import fast_rcnn
+from nafwebsod_tpu.models import detector
+from nafwebsod_tpu.ops import boxes as box_ops
+from nafwebsod_tpu.ops import losses as loss_ops
+
+
+@pytest.fixture(autouse=True)
+def fresh_cfg():
+    reset_cfg()
+    cfg.MODEL.NUM_CLASSES = 4
+    cfg.TRAIN.BATCH_SIZE_PER_IM = 16
+    cfg.TRAIN.FG_FRACTION = 0.25
+    yield
+    reset_cfg()
+
+
+def _entry():
+    boxes = np.array([
+        [10, 10, 50, 50],    # gt class 1
+        [60, 60, 90, 90],    # gt class 2
+        [12, 12, 52, 52],    # high overlap with gt0
+        [0, 0, 20, 20],      # low overlap
+        [61, 59, 91, 92],    # high overlap with gt1
+    ], np.float32)
+    gt_classes = np.array([1, 2, 0, 0, 0], np.int32)
+    overlaps = box_ops.bbox_overlaps(boxes, boxes[:2])
+    return {
+        'boxes': boxes,
+        'gt_classes': gt_classes,
+        'is_crowd': np.zeros(5, bool),
+        'max_overlaps': overlaps.max(1),
+        'max_classes': np.where(overlaps.max(1) > 0.1,
+                                overlaps.argmax(1) + 1, 0).astype(np.int32),
+    }
+
+
+class TestBBoxTargets:
+    def test_compact_targets(self):
+        entry = _entry()
+        t = fast_rcnn.compute_bbox_regression_targets(entry)
+        assert t.shape == (5, 5)
+        # the aligned box has a target toward its gt with its class
+        assert t[2, 0] == 1
+        assert np.abs(t[2, 1:]).sum() > 0
+        # gt boxes regress to themselves: zero deltas
+        np.testing.assert_allclose(t[0, 1:], 0, atol=1e-6)
+
+    def test_sampling_and_padding(self):
+        entry = _entry()
+        blobs = fast_rcnn.sample_rois(entry, im_scale=2.0,
+                                      rng=np.random.RandomState(0),
+                                      pad_to=16)
+        assert blobs['rois'].shape == (16, 5)
+        assert blobs['labels_int32'].shape == (16,)
+        assert blobs['bbox_targets'].shape == (16, 16)  # 4 * num_classes
+        # rois scaled by im_scale
+        v = blobs['valid_mask']
+        assert (blobs['rois'][v][:, 1:] % 1 == 0).any()
+        # fg rows carry nonzero inside weights at their class slot
+        fg = blobs['labels_int32'] > 0
+        assert blobs['bbox_inside_weights'][fg].sum() > 0
+        assert blobs['bbox_inside_weights'][~fg].sum() == 0
+
+
+class TestSmoothL1:
+    def test_matches_manual(self):
+        rng = np.random.RandomState(0)
+        pred = rng.randn(4, 8).astype(np.float32)
+        tgt = rng.randn(4, 8).astype(np.float32)
+        inw = (rng.rand(4, 8) > 0.5).astype(np.float32)
+        outw = inw.copy()
+        got = float(loss_ops.smooth_l1_loss(
+            jnp.asarray(pred), jnp.asarray(tgt), jnp.asarray(inw),
+            jnp.asarray(outw)))
+        d = inw * (pred - tgt)
+        ad = np.abs(d)
+        elem = np.where(ad < 1, 0.5 * d * d, ad - 0.5) * outw
+        assert got == pytest.approx(elem.sum() / 4, rel=1e-5)
+
+
+class TestSupervisedModel:
+    def test_forward_train_and_test(self):
+        spec = detector.ModelSpec(
+            num_classes=4, box_head='vgg16_2fc', webly_on=False,
+            webly_entropy=False, hidden_dim=16, supervised=True,
+            freeze_conv_body=True)
+        params = detector.init_params(spec, jax.random.PRNGKey(0))
+        assert 'cls_score_w' in params and 'bbox_pred_w' in params
+        assert 'fc8c_w' not in params
+
+        rng = np.random.RandomState(0)
+        R = 8
+        x1 = rng.uniform(0, 20, R)
+        y1 = rng.uniform(0, 20, R)
+        batch = {
+            'image': jnp.asarray(rng.randn(1, 48, 48, 3).astype(np.float32)),
+            'rois': jnp.asarray(np.stack(
+                [np.zeros(R), x1, y1, x1 + 16, y1 + 16], 1).astype(
+                    np.float32)),
+            'obn_scores': jnp.asarray(np.ones((R, 1), np.float32)),
+            'labels_int32': jnp.asarray(
+                rng.randint(0, 4, R).astype(np.int32)),
+            'labels_oh': jnp.asarray(np.zeros((1, 3), np.float32)),
+            'bbox_targets': jnp.asarray(rng.randn(R, 16).astype(np.float32)),
+            'bbox_inside_weights': jnp.asarray(
+                (rng.rand(R, 16) > 0.8).astype(np.float32)),
+            'bbox_outside_weights': jnp.asarray(
+                np.ones((R, 16), np.float32)),
+            'valid_mask': jnp.ones((R,), bool),
+        }
+        total, aux = detector.forward_train(spec, params, batch,
+                                            jax.random.PRNGKey(1))
+        assert np.isfinite(float(total))
+        assert 'loss_cls' in aux and 'loss_bbox' in aux
+
+        grads = jax.grad(lambda p: detector.forward_train(
+            spec, p, batch, jax.random.PRNGKey(1))[0])(params)
+        assert float(jnp.abs(grads['cls_score_w']).max()) > 0
+        assert float(jnp.abs(grads['bbox_pred_w']).max()) > 0
+
+        out = detector.forward_test(spec, params, batch['image'],
+                                    batch['rois'], batch['obn_scores'],
+                                    batch['valid_mask'])
+        probs = np.asarray(out['scores'])
+        assert probs.shape == (R, 4)
+        np.testing.assert_allclose(probs.sum(1), np.ones(R), rtol=1e-4)
+        assert np.asarray(out['bbox_pred']).shape == (R, 16)
