@@ -71,6 +71,8 @@ def train_model(roidb=None, max_iters=None):
         if unmatched:
             logger.info('Randomly initialized: %s', sorted(unmatched))
 
+    ckpt.print_net(params)  # param table at startup (net_wsl.print_net)
+
     hp = sgd.SGDHyperParams(
         momentum=cfg.SOLVER.MOMENTUM,
         weight_decay=cfg.SOLVER.WEIGHT_DECAY,

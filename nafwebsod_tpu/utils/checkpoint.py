@@ -116,6 +116,21 @@ def save_params_to_weights_file(path, params, momentum=None, cfg_yaml=None,
     io_utils.save_object(out, path)
 
 
+def print_net(params, logger_fn=None):
+    """Dump the param table with shapes/stats — the functional analogue of
+    ``net_wsl.print_net:223-270`` (the reference prints the op list with live
+    blob shapes at iter 0)."""
+    out = logger_fn or logger.info
+    total = 0
+    for name in sorted(params):
+        arr = np.asarray(params[name])
+        total += arr.size
+        out('%-40s %-18s mean %+.4e std %.4e', name, str(arr.shape),
+            float(arr.mean()) if arr.size else 0.0,
+            float(arr.std()) if arr.size else 0.0)
+    out('total parameters: %.2fM', total / 1e6)
+
+
 def find_checkpoint_for_resume(output_dir):
     """AUTO_RESUME scan (train_wsl.py:121-160): returns (path, start_iter) for
     the newest model_iter<N>.pkl, or (model_final, None) if training finished,

@@ -185,3 +185,17 @@ class TestMaskBranch:
         grads = jax.grad(lambda p: detector.forward_train(
             spec, p, batch, jax.random.PRNGKey(1))[0])(params)
         assert float(jnp.abs(grads['mask_fcn_logits_w']).max()) > 0
+
+
+class TestGroupNorm:
+    def test_normalizes_groups(self):
+        from nafwebsod_tpu.ops.norm import group_norm, get_group_gn
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 4, 4, 8).astype(np.float32) * 5 + 3)
+        y = np.asarray(group_norm(x, jnp.ones(8), jnp.zeros(8), num_groups=2))
+        # per (sample, group) mean ~ 0, var ~ 1
+        yg = y.reshape(2, 4, 4, 2, 4)
+        np.testing.assert_allclose(yg.mean(axis=(1, 2, 4)), 0, atol=1e-5)
+        np.testing.assert_allclose(yg.var(axis=(1, 2, 4)), 1, atol=1e-3)
+        assert get_group_gn(64) == 32
+        assert get_group_gn(64, dim_per_gp=16, num_groups=-1) == 4
