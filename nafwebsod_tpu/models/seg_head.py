@@ -83,6 +83,120 @@ def mask_losses(mask_logits, rois_pred, rois, labels_oh, valid_mask=None):
     return jnp.mean(xent)
 
 
+ASPP_HOLES = (6, 12, 18, 24)
+
+
+def init_deeplab_head_params(rng, num_classes, dim_in=512, hidden=1024,
+                             mask_softmax=False, dtype=jnp.float32):
+    """Deeplab ASPP head (wsl_seg_heads.py:deeplab_vgg16_head:428-501):
+    four branches with holes 6/12/18/24, each fc6 (3x3 dilated) -> fc7 (1x1)
+    -> mask_fc8_k (1x1 to C or C-1); outputs are SUMMED
+    (add_deeplab_outputs)."""
+    c = num_classes if mask_softmax else num_classes - 1
+    params = {}
+    keys = jax.random.split(rng, 3 * len(ASPP_HOLES))
+    ki = 0
+    for k in range(1, len(ASPP_HOLES) + 1):
+        params['fc6_{}_w'.format(k)] = 0.01 * jax.random.normal(
+            keys[ki], (3, 3, dim_in, hidden), dtype); ki += 1
+        params['fc6_{}_b'.format(k)] = jnp.zeros((hidden,), dtype)
+        params['fc7_{}_w'.format(k)] = 0.01 * jax.random.normal(
+            keys[ki], (1, 1, hidden, hidden), dtype); ki += 1
+        params['fc7_{}_b'.format(k)] = jnp.zeros((hidden,), dtype)
+        params['mask_fc8_{}_w'.format(k)] = 0.01 * jax.random.normal(
+            keys[ki], (1, 1, hidden, c), dtype); ki += 1
+        params['mask_fc8_{}_b'.format(k)] = jnp.zeros((c,), dtype)
+    return params
+
+
+def _conv_nhwc(x, w, b, dilation=1):
+    pad = (w.shape[0] - 1) // 2 * dilation
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((pad, pad), (pad, pad)),
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    return y + b
+
+
+def _dropout(x, rate, rng):
+    if rng is None:
+        return x
+    keep = 1.0 - rate
+    return jnp.where(jax.random.bernoulli(rng, keep, x.shape), x / keep, 0.0)
+
+
+def deeplab_head_forward(params, feat, *, freeze_body=True, train=False,
+                         rng=None):
+    """feat: (1, H, W, 512) conv5 features. Returns summed mask logits
+    (1, H, W, C[-1])."""
+    # _[mask]_pool5: 3x3 stride-1 maxpool pad 1 (wsl_seg_heads.py:469-471)
+    x = jnp.pad(feat, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                constant_values=-jnp.inf)
+    x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
+                              (1, 1, 1, 1), 'VALID')
+    if freeze_body:
+        x = jax.lax.stop_gradient(x)
+    rngs = [None] * (2 * len(ASPP_HOLES))
+    if train and rng is not None:
+        rngs = list(jax.random.split(rng, 2 * len(ASPP_HOLES)))
+    out = None
+    for i, hole in enumerate(ASPP_HOLES):
+        k = i + 1
+        h = jax.nn.relu(_conv_nhwc(x, params['fc6_{}_w'.format(k)],
+                                   params['fc6_{}_b'.format(k)], hole))
+        h = _dropout(h, 0.5, rngs[2 * i]) if train else h
+        h = jax.nn.relu(_conv_nhwc(h, params['fc7_{}_w'.format(k)],
+                                   params['fc7_{}_b'.format(k)]))
+        h = _dropout(h, 0.5, rngs[2 * i + 1]) if train else h
+        logit = _conv_nhwc(h, params['mask_fc8_{}_w'.format(k)],
+                           params['mask_fc8_{}_b'.format(k)])
+        out = logit if out is None else out + logit
+    return out
+
+
+def deeplab_outputs(mask_fc8):
+    """add_deeplab_outputs sigmoid path (wsl_seg_heads.py:92-130): per-class
+    sigmoid; bg = 1 - max; bg/fg concat softmax'd over channels ->
+    (1, H, W, C) probs; unary = -log(probs)."""
+    sig = jax.nn.sigmoid(mask_fc8)
+    fg = jnp.max(sig, axis=-1, keepdims=True)
+    bg = 1.0 - fg
+    bgfg = jnp.concatenate([bg, sig], axis=-1)
+    probs = jax.nn.softmax(bgfg, axis=-1)
+    unary = -jnp.log(jnp.maximum(probs, 1e-20))
+    return sig, probs, unary
+
+
+def deeplab_losses(mask_fc8, cpg, labels_oh, cls_prob, image, tau=0.7,
+                   run_crf=True):
+    """add_deeplab_losses (wsl_seg_heads.py:288-370), sigmoid variant: seed
+    loss = SigmoidCrossEntropyWithLogitsWSL vs DeeplabUtility targets at
+    image resolution; CRF-consistency loss = KL(sigmoid probs, CRF-refined
+    fg probs). cpg: (1, C-1, H_im, W_im) saliency maps."""
+    from nafwebsod_tpu.ops.misc import kl_loss
+    from nafwebsod_tpu.ops.misc import sigmoid_cross_entropy_with_logits_wsl
+    from nafwebsod_tpu.ops.seg import (dense_crf, deeplab_utility_sigmoid,
+                                       upsample_bilinear_wsl)
+
+    h_im, w_im = cpg.shape[2], cpg.shape[3]
+    targets = deeplab_utility_sigmoid(cpg, labels_oh, cls_prob, tau=tau)
+    logits_up = upsample_bilinear_wsl(
+        jnp.moveaxis(mask_fc8, -1, 1), h_im, w_im)       # (1, C-1, H, W)
+    xent, _ = sigmoid_cross_entropy_with_logits_wsl(logits_up, targets)
+    seed_loss = jnp.mean(jnp.sum(xent, axis=1))
+
+    losses = {'mask_seed_loss': seed_loss}
+    if run_crf:
+        sig, probs, unary = deeplab_outputs(mask_fc8)
+        q = dense_crf(jnp.moveaxis(unary[0], -1, 0),
+                      image[0, :mask_fc8.shape[1], :mask_fc8.shape[2]])
+        crf_fg = jnp.moveaxis(q[1:], 0, -1)[None]        # (1, h, w, C-1)
+        losses['mask_constraint_loss'] = kl_loss(
+            jax.lax.stop_gradient(crf_fg).reshape(-1, crf_fg.shape[-1]),
+            sig.reshape(-1, sig.shape[-1]))
+    return losses
+
+
 def mask_probs_test(mask_logits):
     """Test-time: prepend the duplicated background channel then sigmoid
     (wsl_seg_heads.py:77-89)."""

@@ -199,3 +199,32 @@ class TestGroupNorm:
         np.testing.assert_allclose(yg.var(axis=(1, 2, 4)), 1, atol=1e-3)
         assert get_group_gn(64) == 32
         assert get_group_gn(64, dim_per_gp=16, num_groups=-1) == 4
+
+
+class TestDeeplabHead:
+    def test_aspp_forward_outputs_losses(self):
+        from nafwebsod_tpu.models import seg_head
+        rng = np.random.RandomState(0)
+        params = seg_head.init_deeplab_head_params(
+            jax.random.PRNGKey(0), num_classes=4, dim_in=8, hidden=8)
+        feat = jnp.asarray(rng.randn(1, 10, 12, 8).astype(np.float32))
+        logits = seg_head.deeplab_head_forward(params, feat)
+        assert logits.shape == (1, 10, 12, 3)
+
+        sig, probs, unary = seg_head.deeplab_outputs(logits)
+        assert probs.shape == (1, 10, 12, 4)
+        np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-4)
+
+        cpg = jnp.asarray(rng.rand(1, 3, 40, 48).astype(np.float32))
+        labels = jnp.asarray(np.array([[1, 0, 1]], np.float32))
+        cls_prob = jnp.asarray(np.array([[0.9, 0.1, 0.8]], np.float32))
+        image = jnp.asarray(rng.rand(1, 40, 48, 3).astype(np.float32) * 255)
+        losses = seg_head.deeplab_losses(logits, cpg, labels, cls_prob, image)
+        assert np.isfinite(float(losses['mask_seed_loss']))
+        assert np.isfinite(float(losses['mask_constraint_loss']))
+
+        # gradients flow into the ASPP branches through the seed loss
+        g = jax.grad(lambda p: seg_head.deeplab_losses(
+            seg_head.deeplab_head_forward(p, feat), cpg, labels, cls_prob,
+            image, run_crf=False)['mask_seed_loss'])(params)
+        assert float(jnp.abs(g['fc6_1_w']).max()) > 0
