@@ -1,0 +1,123 @@
+"""RPN proposal machinery: anchor generation + GenerateProposals.
+
+Capability parity with ``detectron/modeling/generate_anchors.py`` (the
+classic Faster R-CNN anchor enumeration, matlab-matched) and
+``detectron/ops/generate_proposals.py`` (GenerateProposalsOp: shift anchors
+over the feature grid, decode deltas, clip, min-size filter, top-K, loose
+NMS). Host-side numpy like the reference's ``net.Python`` op — this runs in
+the input/inference pipeline, not inside the jitted step.
+"""
+
+import numpy as np
+
+from nafwebsod_tpu.ops import boxes as box_utils
+
+
+# --------------------------------------------------------------------------- #
+# generate_anchors (generate_anchors.py:59-119)
+# --------------------------------------------------------------------------- #
+
+def generate_anchors(stride=16, sizes=(32, 64, 128, 256, 512),
+                     aspect_ratios=(0.5, 1, 2)):
+    return _generate_anchors(
+        stride,
+        np.array(sizes, dtype=np.float64) / stride,
+        np.array(aspect_ratios, dtype=np.float64))
+
+
+def _whctrs(anchor):
+    w = anchor[2] - anchor[0] + 1
+    h = anchor[3] - anchor[1] + 1
+    return w, h, anchor[0] + 0.5 * (w - 1), anchor[1] + 0.5 * (h - 1)
+
+
+def _mkanchors(ws, hs, x_ctr, y_ctr):
+    ws = ws[:, None]
+    hs = hs[:, None]
+    return np.hstack((x_ctr - 0.5 * (ws - 1), y_ctr - 0.5 * (hs - 1),
+                      x_ctr + 0.5 * (ws - 1), y_ctr + 0.5 * (hs - 1)))
+
+
+def _generate_anchors(base_size, scales, aspect_ratios):
+    anchor = np.array([1, 1, base_size, base_size], dtype=np.float64) - 1
+    w, h, x_ctr, y_ctr = _whctrs(anchor)
+    size_ratios = w * h / aspect_ratios
+    ws = np.round(np.sqrt(size_ratios))
+    hs = np.round(ws * aspect_ratios)
+    anchors = _mkanchors(ws, hs, x_ctr, y_ctr)
+    out = []
+    for i in range(anchors.shape[0]):
+        w, h, x_ctr, y_ctr = _whctrs(anchors[i])
+        out.append(_mkanchors(w * scales, h * scales, x_ctr, y_ctr))
+    return np.vstack(out).astype(np.float32)
+
+
+# --------------------------------------------------------------------------- #
+# GenerateProposals (generate_proposals.py:30-197)
+# --------------------------------------------------------------------------- #
+
+def shifted_anchors(height, width, feat_stride, anchors):
+    """All anchors at all (H, W) grid positions -> (H*W*A, 4), rows ordered
+    (H, W, A) slowest-to-fastest."""
+    shift_x = np.arange(0, width) * feat_stride
+    shift_y = np.arange(0, height) * feat_stride
+    shift_x, shift_y = np.meshgrid(shift_x, shift_y, copy=False)
+    shifts = np.vstack((shift_x.ravel(), shift_y.ravel(),
+                        shift_x.ravel(), shift_y.ravel())).transpose()
+    all_anchors = anchors[None, :, :] + shifts[:, None, :]
+    return all_anchors.reshape((-1, 4)).astype(np.float32)
+
+
+def _filter_boxes(boxes, min_size, im_info):
+    im_scale = im_info[2]
+    ws_orig = (boxes[:, 2] - boxes[:, 0]) / im_scale + 1
+    hs_orig = (boxes[:, 3] - boxes[:, 1]) / im_scale + 1
+    min_size = max(min_size, 1)
+    ws = boxes[:, 2] - boxes[:, 0] + 1
+    hs = boxes[:, 3] - boxes[:, 1] + 1
+    x_ctr = boxes[:, 0] + ws / 2.0
+    y_ctr = boxes[:, 1] + hs / 2.0
+    return np.where((ws_orig >= min_size) & (hs_orig >= min_size) &
+                    (x_ctr < im_info[1]) & (y_ctr < im_info[0]))[0]
+
+
+def generate_proposals(scores, bbox_deltas, im_info, anchors, spatial_scale,
+                       pre_nms_top_n=6000, post_nms_top_n=300,
+                       nms_thresh=0.7, min_size=0,
+                       reg_weights=(1.0, 1.0, 1.0, 1.0)):
+    """One image. scores: (A, H, W); bbox_deltas: (4A, H, W); im_info:
+    (height, width, scale). Returns (proposals (N, 4), scores (N, 1))."""
+    feat_stride = 1.0 / spatial_scale
+    a = scores.shape[0]
+    height, width = scores.shape[-2:]
+    all_anchors = shifted_anchors(height, width, feat_stride, anchors)
+
+    bbox_deltas = bbox_deltas.transpose((1, 2, 0)).reshape((-1, 4))
+    scores = scores.transpose((1, 2, 0)).reshape((-1, 1))
+
+    if pre_nms_top_n <= 0 or pre_nms_top_n >= len(scores):
+        order = np.argsort(-scores.squeeze(-1))
+    else:
+        inds = np.argpartition(-scores.squeeze(-1),
+                               pre_nms_top_n)[:pre_nms_top_n]
+        order = inds[np.argsort(-scores[inds].squeeze(-1))]
+    bbox_deltas = bbox_deltas[order]
+    all_anchors = all_anchors[order]
+    scores = scores[order]
+
+    proposals = box_utils.bbox_transform(all_anchors, bbox_deltas,
+                                         reg_weights)
+    proposals = box_utils.clip_tiled_boxes(proposals, im_info[:2])
+    keep = _filter_boxes(proposals, min_size, im_info)
+    proposals = proposals[keep]
+    scores = scores[keep]
+
+    if nms_thresh > 0:
+        keep = box_utils.nms(
+            np.hstack((proposals, scores)).astype(np.float32), nms_thresh)
+        if post_nms_top_n > 0:
+            keep = keep[:post_nms_top_n]
+        keep = np.asarray(keep, dtype=np.int64)
+        proposals = proposals[keep]
+        scores = scores[keep]
+    return proposals.astype(np.float32), scores.astype(np.float32)

@@ -135,3 +135,61 @@ class TestSupervisedModel:
         assert probs.shape == (R, 4)
         np.testing.assert_allclose(probs.sum(1), np.ones(R), rtol=1e-4)
         assert np.asarray(out['bbox_pred']).shape == (R, 16)
+
+
+class TestRPN:
+    def test_generate_anchors_matches_reference_port(self):
+        from nafwebsod_tpu.ops.rpn import generate_anchors
+
+        # direct numpy port of generate_anchors.py:68-119 as the golden
+        # (the matlab table in the reference header is 1-indexed)
+        def ref(base, scales, ratios):
+            def whctrs(a):
+                w = a[2] - a[0] + 1
+                h = a[3] - a[1] + 1
+                return w, h, a[0] + 0.5 * (w - 1), a[1] + 0.5 * (h - 1)
+
+            def mk(ws, hs, xc, yc):
+                ws, hs = ws[:, None], hs[:, None]
+                return np.hstack((xc - 0.5 * (ws - 1), yc - 0.5 * (hs - 1),
+                                  xc + 0.5 * (ws - 1), yc + 0.5 * (hs - 1)))
+
+            anchor = np.array([1, 1, base, base], np.float64) - 1
+            w, h, xc, yc = whctrs(anchor)
+            ws = np.round(np.sqrt(w * h / ratios))
+            ratio_anchors = mk(ws, np.round(ws * ratios), xc, yc)
+            out = []
+            for i in range(ratio_anchors.shape[0]):
+                w, h, xc, yc = whctrs(ratio_anchors[i])
+                out.append(mk(w * scales, h * scales, xc, yc))
+            return np.vstack(out)
+
+        scales = np.array([8.0, 16.0, 32.0])
+        ratios = np.array([0.5, 1.0, 2.0])
+        golden = ref(16, scales, ratios)
+        got = generate_anchors(stride=16, sizes=(128, 256, 512),
+                               aspect_ratios=(0.5, 1, 2))
+        np.testing.assert_allclose(got, golden, atol=1e-4)
+        # sanity: ratio-1 scale-8 anchor is 128x128 centered at 7.5
+        assert got[3, 2] - got[3, 0] + 1 == 128
+
+    def test_generate_proposals(self):
+        from nafwebsod_tpu.ops.rpn import generate_anchors, generate_proposals
+        rng = np.random.RandomState(0)
+        anchors = generate_anchors(16, (64, 128), (0.5, 1, 2))
+        A = anchors.shape[0]
+        H, W = 8, 10
+        scores = rng.rand(A, H, W).astype(np.float32)
+        deltas = (rng.randn(4 * A, H, W) * 0.1).astype(np.float32)
+        im_info = np.array([128.0, 160.0, 1.0], np.float32)
+        props, sc = generate_proposals(scores, deltas, im_info, anchors,
+                                       spatial_scale=1.0 / 16,
+                                       pre_nms_top_n=200, post_nms_top_n=50,
+                                       nms_thresh=0.7, min_size=4)
+        assert props.shape[0] <= 50 and props.shape[0] > 0
+        assert props.shape[0] == sc.shape[0]
+        # clipped to the image
+        assert props[:, 0].min() >= 0 and props[:, 2].max() <= 159
+        assert props[:, 3].max() <= 127
+        # scores sorted descending after NMS
+        assert (np.diff(sc.squeeze(-1)) <= 1e-6).all()
