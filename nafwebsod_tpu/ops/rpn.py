@@ -81,6 +81,74 @@ def _filter_boxes(boxes, min_size, im_info):
                     (x_ctr < im_info[1]) & (y_ctr < im_info[0]))[0]
 
 
+def rpn_targets(im_height, im_width, all_anchors, gt_boxes, rng=None,
+                straddle_thresh=0.0, positive_overlap=0.7,
+                negative_overlap=0.3, fg_fraction=0.5, batch_size=256,
+                reg_weights=(1.0, 1.0, 1.0, 1.0)):
+    """Per-anchor RPN training targets (roi_data/rpn.py:131-230).
+
+    Returns (labels (-1 ignore / 0 bg / 1 fg), bbox_targets (N, 4),
+    inside_weights, outside_weights), all over the full anchor set.
+    """
+    rng = rng or np.random
+    total = all_anchors.shape[0]
+    if straddle_thresh >= 0:
+        inside = np.where(
+            (all_anchors[:, 0] >= -straddle_thresh) &
+            (all_anchors[:, 1] >= -straddle_thresh) &
+            (all_anchors[:, 2] < im_width + straddle_thresh) &
+            (all_anchors[:, 3] < im_height + straddle_thresh))[0]
+    else:
+        inside = np.arange(total)
+    anchors = all_anchors[inside]
+    n = len(inside)
+
+    labels = np.full((n,), -1, np.int32)
+    anchor_to_gt_argmax = np.zeros((n,), np.int64)
+    if len(gt_boxes) > 0:
+        ov = box_utils.bbox_overlaps(anchors.astype(np.float32),
+                                     gt_boxes.astype(np.float32))
+        anchor_to_gt_argmax = ov.argmax(axis=1)
+        anchor_to_gt_max = ov[np.arange(n), anchor_to_gt_argmax]
+        gt_to_anchor_max = ov.max(axis=0)
+        # fg: per-gt best anchors (incl. ties) + anchors above the threshold
+        labels[np.where(ov == gt_to_anchor_max)[0]] = 1
+        labels[anchor_to_gt_max >= positive_overlap] = 1
+    else:
+        anchor_to_gt_max = np.zeros((n,), np.float32)
+
+    num_fg = int(fg_fraction * batch_size)
+    fg_inds = np.where(labels == 1)[0]
+    if len(fg_inds) > num_fg:
+        labels[rng.choice(fg_inds, len(fg_inds) - num_fg, replace=False)] = -1
+    fg_inds = np.where(labels == 1)[0]
+
+    num_bg = batch_size - len(fg_inds)
+    bg_inds = np.where(anchor_to_gt_max < negative_overlap)[0]
+    if len(bg_inds) > num_bg:
+        bg_inds = bg_inds[rng.randint(len(bg_inds), size=num_bg)]
+    labels[bg_inds] = 0
+
+    bbox_targets = np.zeros((n, 4), np.float32)
+    if len(gt_boxes) > 0 and len(fg_inds) > 0:
+        bbox_targets[fg_inds] = box_utils.bbox_transform_inv(
+            anchors[fg_inds], gt_boxes[anchor_to_gt_argmax[fg_inds]],
+            reg_weights)
+    inside_w = np.zeros((n, 4), np.float32)
+    inside_w[labels == 1] = 1.0
+    outside_w = np.zeros((n, 4), np.float32)
+    num_examples = max(np.sum(labels >= 0), 1)
+    outside_w[labels >= 0] = 1.0 / num_examples
+
+    def unmap(x, fill):
+        out = np.full((total,) + x.shape[1:], fill, x.dtype)
+        out[inside] = x
+        return out
+
+    return (unmap(labels, -1), unmap(bbox_targets, 0.0),
+            unmap(inside_w, 0.0), unmap(outside_w, 0.0))
+
+
 def generate_proposals(scores, bbox_deltas, im_info, anchors, spatial_scale,
                        pre_nms_top_n=6000, post_nms_top_n=300,
                        nms_thresh=0.7, min_size=0,

@@ -193,3 +193,39 @@ class TestRPN:
         assert props[:, 3].max() <= 127
         # scores sorted descending after NMS
         assert (np.diff(sc.squeeze(-1)) <= 1e-6).all()
+
+    def test_rpn_targets_and_head(self):
+        from nafwebsod_tpu.models import rpn_head
+        from nafwebsod_tpu.ops.rpn import (generate_anchors, rpn_targets,
+                                           shifted_anchors)
+        rng = np.random.RandomState(0)
+        anchors = generate_anchors(16, (64, 128), (0.5, 1, 2))
+        A = anchors.shape[0]
+        H, W = 6, 8
+        all_anchors = shifted_anchors(H, W, 16, anchors)
+        gt = np.array([[20, 20, 80, 80], [50, 10, 110, 60]], np.float32)
+        labels, tgts, inw, outw = rpn_targets(
+            H * 16, W * 16, all_anchors, gt, rng=rng, batch_size=32)
+        assert labels.shape == (H * W * A,)
+        assert (labels == 1).sum() > 0       # per-gt best anchors forced fg
+        assert (labels == 0).sum() > 0
+        assert ((labels == 1) | (labels == 0)).sum() <= 32 + 2  # ties slack
+        # fg rows have targets + unit inside weights
+        fg = labels == 1
+        assert inw[fg].sum() == 4 * fg.sum()
+        assert outw[labels >= 0].sum() > 0
+
+        params = rpn_head.init_rpn_params(jax.random.PRNGKey(0), 16, A)
+        feat = jnp.asarray(rng.randn(1, H, W, 16).astype(np.float32))
+        cls, bbox = rpn_head.forward(params, feat)
+        assert cls.shape == (1, H, W, A) and bbox.shape == (1, H, W, 4 * A)
+        l = rpn_head.losses(cls, bbox, jnp.asarray(labels),
+                            jnp.asarray(tgts), jnp.asarray(inw),
+                            jnp.asarray(outw))
+        assert np.isfinite(float(l['loss_rpn_cls']))
+        assert np.isfinite(float(l['loss_rpn_bbox']))
+        g = jax.grad(lambda p: sum(rpn_head.losses(
+            *rpn_head.forward(p, feat), jnp.asarray(labels),
+            jnp.asarray(tgts), jnp.asarray(inw),
+            jnp.asarray(outw)).values()))(params)
+        assert float(jnp.abs(g['conv_rpn_w']).max()) > 0
