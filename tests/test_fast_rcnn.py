@@ -229,3 +229,39 @@ class TestRPN:
             jnp.asarray(tgts), jnp.asarray(inw),
             jnp.asarray(outw)).values()))(params)
         assert float(jnp.abs(g['conv_rpn_w']).max()) > 0
+
+
+class TestRFCN:
+    def test_psroi_pool_selects_groups(self):
+        from nafwebsod_tpu.models.rfcn_head import psroi_pool
+        k, c = 2, 3
+        H, W = 8, 8
+        # group-coded features: group g everywhere equals g+1
+        feat = np.zeros((H, W, k * k * c), np.float32)
+        for g in range(k * k):
+            feat[:, :, g * c:(g + 1) * c] = g + 1
+        rois = np.array([[0, 0, 0, 63, 63]], np.float32)  # whole image
+        out = np.asarray(psroi_pool(jnp.asarray(feat), jnp.asarray(rois),
+                                    c, group_size=k, spatial_scale=1.0 / 8))
+        assert out.shape == (1, k, k, c)
+        # bin (i, j) must read exclusively from group i*k + j
+        for i in range(k):
+            for j in range(k):
+                np.testing.assert_allclose(out[0, i, j], i * k + j + 1,
+                                           rtol=1e-5)
+
+    def test_rfcn_forward(self):
+        from nafwebsod_tpu.models import rfcn_head
+        rng = np.random.RandomState(0)
+        params = rfcn_head.init_rfcn_params(
+            jax.random.PRNGKey(0), dim_in=16, num_classes=4, ps_grid=3,
+            dim_reduce=8)
+        feat = jnp.asarray(rng.randn(1, 10, 10, 16).astype(np.float32))
+        rois = jnp.asarray(np.array([[0, 0, 0, 80, 80],
+                                     [0, 40, 40, 150, 150]], np.float32))
+        cls, bbox = rfcn_head.forward(params, feat, rois, num_classes=4,
+                                      ps_grid=3, spatial_scale=1.0 / 16)
+        assert cls.shape == (2, 4) and bbox.shape == (2, 16)
+        g = jax.grad(lambda p: jnp.sum(rfcn_head.forward(
+            p, feat, rois, 4, 3, 1.0 / 16)[0]))(params)
+        assert float(jnp.abs(g['conv_cls_w']).max()) > 0
