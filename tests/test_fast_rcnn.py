@@ -265,3 +265,37 @@ class TestRFCN:
         g = jax.grad(lambda p: jnp.sum(rfcn_head.forward(
             p, feat, rois, 4, 3, 1.0 / 16)[0]))(params)
         assert float(jnp.abs(g['conv_cls_w']).max()) > 0
+
+
+class TestKeypointHead:
+    def test_forward_targets_loss(self):
+        from nafwebsod_tpu.models import keypoint_head
+        rng = np.random.RandomState(0)
+        K = 5
+        params = keypoint_head.init_keypoint_params(
+            jax.random.PRNGKey(0), dim_in=8, hidden=8, num_convs=2,
+            num_keypoints=K, deconv_dim=8)
+        feat = jnp.asarray(rng.randn(12, 12, 8).astype(np.float32))
+        rois = np.array([[0, 8, 8, 72, 72], [0, 16, 0, 88, 64]], np.float32)
+        logits = keypoint_head.forward(params, feat, jnp.asarray(rois),
+                                       1.0 / 8, resolution=7, num_convs=2)
+        assert logits.shape == (2, 14, 14, K)
+
+        kps = np.zeros((2, K, 3), np.float32)
+        kps[0, 0] = [40, 40, 1]    # visible, inside roi 0
+        kps[0, 1] = [100, 100, 1]  # outside roi 0 -> ignored
+        kps[1, 2] = [50, 30, 1]
+        locs, w = keypoint_head.keypoint_targets(kps, rois, 14)
+        assert locs.shape == (2 * K,) and w.shape == (2 * K,)
+        assert w.sum() == 2  # two usable keypoints
+        assert locs[0] >= 0 and w[0] == 1
+        assert w[1] == 0
+
+        loss = keypoint_head.keypoint_losses(
+            logits, jnp.asarray(locs), jnp.asarray(w))
+        assert np.isfinite(float(loss)) and float(loss) > 0
+        g = jax.grad(lambda p: keypoint_head.keypoint_losses(
+            keypoint_head.forward(p, feat, jnp.asarray(rois), 1.0 / 8,
+                                  resolution=7, num_convs=2),
+            jnp.asarray(locs), jnp.asarray(w)))(params)
+        assert float(jnp.abs(g['kps_score_w']).max()) > 0
