@@ -228,3 +228,18 @@ class TestDeeplabHead:
             seg_head.deeplab_head_forward(p, feat), cpg, labels, cls_prob,
             image, run_crf=False)['mask_seed_loss'])(params)
         assert float(jnp.abs(g['fc6_1_w']).max()) > 0
+
+
+class TestSegms:
+    def test_polys_to_mask_and_box_crop(self):
+        from nafwebsod_tpu.utils import segms
+        poly = [[2, 2, 10, 2, 10, 10, 2, 10]]  # square
+        m = segms.polys_to_mask(poly, 16, 16)
+        assert m.shape == (16, 16)
+        assert m[5, 5] == 1 and m[14, 14] == 0
+        mb = segms.polys_to_mask_wrt_box(poly, [2, 2, 10, 10], 8)
+        assert mb.shape == (8, 8) and mb.mean() > 0.8
+        boxes = segms.polys_to_boxes([poly])
+        np.testing.assert_allclose(boxes[0], [2, 2, 10, 10])
+        flipped = segms.flip_segms([poly], 16, 16)
+        assert flipped[0][0][0] == 16 - 2 - 1
