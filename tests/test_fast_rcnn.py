@@ -299,3 +299,38 @@ class TestKeypointHead:
                                   resolution=7, num_convs=2),
             jnp.asarray(locs), jnp.asarray(w)))(params)
         assert float(jnp.abs(g['kps_score_w']).max()) > 0
+
+
+class TestMaskRCNNBlobs:
+    def test_targets_and_loss(self):
+        from nafwebsod_tpu.data.mask_rcnn import (add_mask_rcnn_blobs,
+                                                  mask_rcnn_loss)
+        segms = [[[2, 2, 30, 2, 30, 30, 2, 30]],
+                 [[40, 40, 60, 40, 60, 60, 40, 60]]]
+        gt_classes = np.array([1, 2], np.int32)
+        boxes = np.array([[2, 2, 30, 30], [40, 40, 60, 60],
+                          [0, 0, 10, 10]], np.float32)
+        labels = np.array([1, 2, 0], np.int32)
+        rois5, masks, has_mask = add_mask_rcnn_blobs(
+            boxes, labels, segms, gt_classes,
+            np.zeros(2, bool), im_scale=1.0, M=8, cls_specific=True,
+            num_classes=3)
+        assert rois5.shape == (2, 5)
+        assert masks.shape == (2, 3 * 64)
+        # roi 0 (class 1): its class slot is mostly 1, other slots ignored
+        assert (masks[0, 64:128] == 1).mean() > 0.8
+        assert (masks[0, :64] == -1).all()
+
+        logits = jnp.asarray(np.random.RandomState(0).randn(
+            2, 8, 8, 3).astype(np.float32))
+        loss = mask_rcnn_loss(logits, jnp.asarray(masks))
+        assert np.isfinite(float(loss)) and float(loss) > 0
+
+    def test_no_fg_fallback(self):
+        from nafwebsod_tpu.data.mask_rcnn import add_mask_rcnn_blobs
+        boxes = np.array([[0, 0, 10, 10]], np.float32)
+        rois5, masks, has_mask = add_mask_rcnn_blobs(
+            boxes, np.zeros(1, np.int32), [], np.zeros(0, np.int32),
+            np.zeros(0, bool), 1.0, M=8, cls_specific=False, num_classes=3)
+        assert (masks == -1).all()
+        assert has_mask[0] == 1
