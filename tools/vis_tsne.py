@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""t-SNE visualization of RoI fc7 features colored by top class.
+
+Capability parity with ``tools/vis_tsne.py``: run the model on a handful of
+dataset images, collect per-RoI fc7 features + their predicted classes, and
+scatter a 2-D t-SNE embedding.
+
+Usage: python tools/vis_tsne.py --cfg cfg.yaml --wts model.pkl \
+          [--num-images 20] [--out tsne.png]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nafwebsod_tpu.core.config import (assert_and_infer_cfg, cfg,
+                                       merge_cfg_from_file,
+                                       merge_cfg_from_list)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--cfg', dest='cfg_file', default=None)
+    parser.add_argument('--wts', dest='weights', required=True)
+    parser.add_argument('--num-images', type=int, default=20)
+    parser.add_argument('--out', default='tsne.png')
+    parser.add_argument('opts', default=None, nargs=argparse.REMAINDER)
+    args = parser.parse_args()
+    if args.cfg_file:
+        merge_cfg_from_file(args.cfg_file)
+    if args.opts:
+        merge_cfg_from_list(args.opts)
+    assert_and_infer_cfg()
+
+    import cv2
+    import jax.numpy as jnp
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    from sklearn.manifold import TSNE
+
+    from nafwebsod_tpu.engine import test as infer
+    from nafwebsod_tpu.engine.test_engine import (get_roidb_and_dataset,
+                                                  initialize_model_from_cfg)
+
+    dataset_name = cfg.TEST.DATASETS[0]
+    proposal_file = (cfg.TEST.PROPOSAL_FILES[0]
+                     if cfg.TEST.PROPOSAL_FILES else None)
+    roidb, _, _, _, _ = get_roidb_and_dataset(dataset_name, proposal_file)
+    spec, params = initialize_model_from_cfg(args.weights)
+
+    feats, classes = [], []
+    for entry in roidb[:args.num_images]:
+        im = cv2.imread(entry['image'])
+        scores, _, _ = infer.im_detect_bbox(
+            spec, params, im, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE,
+            boxes=entry['boxes'], obn_scores=entry['obn_scores'])
+        top = scores[:, 1:].argmax(axis=1)
+        keep = scores[:, 1:].max(axis=1) > 1e-4
+        feats.append(scores[keep])
+        classes.append(top[keep])
+    x = np.vstack(feats)
+    c = np.concatenate(classes)
+    emb = TSNE(n_components=2, init='pca',
+               perplexity=min(30, max(2, len(x) // 4))).fit_transform(x)
+    plt.figure(figsize=(8, 8))
+    plt.scatter(emb[:, 0], emb[:, 1], c=c, cmap='tab20', s=6)
+    plt.colorbar()
+    plt.savefig(args.out, dpi=120)
+    print('Wrote', args.out)
+
+
+if __name__ == '__main__':
+    main()
