@@ -16,6 +16,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -23,6 +24,15 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# persistent compilation cache: the scan-of-K step is a large program and
+# the dev rig compiles through a remote helper — cache hits make reruns fast
+try:
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.expanduser('~/.cache/jax_comp_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
+except Exception:
+    pass
 
 sys.path.insert(0, '/root/repo')
 

@@ -173,8 +173,19 @@ def get_minibatch(entry, rng=None, pad_rois_to=None, size_bucket=None,
     im, im_scale, im_crop = get_image_blob(entry, target_size, rng, train=True)
     if size_bucket:
         im = pad_image_to_bucket(im, size_bucket)
-    blobs = sample_rois(entry, im_scale, im_crop, cfg.MODEL.NUM_CLASSES,
-                        cfg.TRAIN.BATCH_SIZE_PER_IM, pad_to=pad_rois_to)
+    if cfg.MODEL.TYPE == 'generalized_rcnn':
+        # supervised Fast R-CNN path: fg/bg sampled rois + bbox-reg targets
+        # (roi_data/fast_rcnn.py; no crop/distortion projection — the
+        # supervised path uses plain flip/scale augmentation)
+        from nafwebsod_tpu.data.fast_rcnn import sample_rois as frcnn_sample
+        blobs = frcnn_sample(entry, im_scale, rng=rng, pad_to=pad_rois_to)
+        blobs['obn_scores'] = np.ones(
+            (blobs['rois'].shape[0], 1), np.float32)
+        blobs['labels_oh'] = np.zeros((1, cfg.MODEL.NUM_CLASSES - 1),
+                                      np.float32)
+    else:
+        blobs = sample_rois(entry, im_scale, im_crop, cfg.MODEL.NUM_CLASSES,
+                            cfg.TRAIN.BATCH_SIZE_PER_IM, pad_to=pad_rois_to)
     blobs['data'] = im[None, :, :, :]  # (1, H, W, 3) NHWC
     blobs['im_scale'] = im_scale
     blobs['data_ids'] = np.array([entry.get('id', 0)], dtype=np.int32)

@@ -1,0 +1,144 @@
+"""Pallas RoIPool v2: row-max pyramid (range-max lookups).
+
+v1 (`roi_pool_pallas.py`) reads MBH (~15) rows per (roi, h-bin) from the
+VMEM-resident feature block. v2 builds TWO row-max pyramids P2[y] =
+max(rows y..y+1) and P8[y] = max(rows y..y+7) ONCE per channel block
+(scratch persists across grid steps; rebuilt when the RoI grid index is 0),
+turning each h-bin's row-range max into 2 reads (range >= 8), 4 reads
+(2 <= range < 8), or 1 read (range 1). This cuts per-RoI VMEM traffic
+~3-5x; VMEM budget = feat block + 2 pyramid levels at cblk=128 (~12 MB).
+Bin semantics identical to v1/RoIPoolF (bit-exact).
+
+Requires bin heights <= 15 rows (feature maps up to pooled_h * 14 rows) —
+larger maps (test-time MAX_SIZE 4000 pyramids) fall back to v1 via the
+dispatcher in ops/roi_pool.py.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -3.0e38
+
+
+def _kernel(rois_ref, feat_ref, out_ref, p2_ref, p8_ref, rowmax_ref,
+            *, pooled_h, pooled_w, mbw, H, W, clip_h, clip_w, spatial_scale):
+    r = pl.program_id(1)
+
+    # build the win-2 / win-8 row-max pyramids once per channel block
+    @pl.when(r == 0)
+    def _():
+        def shifted_max(ref_read, off):
+            x = ref_read
+            pad = jnp.full((off,) + x.shape[1:], NEG, x.dtype)
+            return jnp.maximum(x, jnp.concatenate([x[off:], pad], axis=0))
+
+        p2_ref[:] = shifted_max(feat_ref[:], 1)          # win 2
+        p4 = shifted_max(p2_ref[:], 2)                   # win 4
+        p8_ref[:] = shifted_max(p4, 4)                   # win 8
+
+    def scaled(i):
+        v = rois_ref[i, r] * spatial_scale
+        return jnp.floor(jnp.abs(v) + 0.5).astype(jnp.int32) * jnp.where(
+            v < 0, -1, 1)
+
+    x1, y1, x2, y2 = scaled(1), scaled(2), scaled(3), scaled(4)
+    roi_h = jnp.maximum(y2 - y1 + 1, 1)
+    roi_w = jnp.maximum(x2 - x1 + 1, 1)
+
+    for ph in range(pooled_h):
+        a = jnp.clip((ph * roi_h) // pooled_h + y1, 0, clip_h)
+        b = jnp.clip(((ph + 1) * roi_h + pooled_h - 1) // pooled_h + y1,
+                     0, clip_h)
+        length = b - a
+        a_s = jnp.minimum(a, H - 1)
+
+        def read1(ref, y):
+            return ref[pl.ds(jnp.clip(y, 0, H - 1), 1)][0]
+
+        def big(_):    # length >= 8: two win-8 reads
+            return jnp.maximum(read1(p8_ref, a_s), read1(p8_ref, b - 8))
+
+        def mid(_):    # 2 <= length < 8: four win-2 reads tiling [a, b)
+            r0 = read1(p2_ref, a_s)
+            r1 = read1(p2_ref, jnp.minimum(a + 2, b - 2))
+            r2 = read1(p2_ref, jnp.minimum(a + 4, b - 2))
+            r3 = read1(p2_ref, b - 2)
+            return jnp.maximum(jnp.maximum(r0, r1), jnp.maximum(r2, r3))
+
+        def one(_):    # length <= 1: single feature row
+            return read1(feat_ref, a_s)
+
+        row = jax.lax.cond(
+            length >= 8, big,
+            lambda o: jax.lax.cond(length >= 2, mid, one, o), None)
+        rowmax_ref[ph, :, :] = jnp.where(b > a, row, NEG)
+
+    for pw in range(pooled_w):
+        c = jnp.clip((pw * roi_w) // pooled_w + x1, 0, clip_w)
+        d = jnp.clip(((pw + 1) * roi_w + pooled_w - 1) // pooled_w + x1,
+                     0, clip_w)
+        start = jnp.minimum(c, W - mbw)
+        cols = rowmax_ref[:, pl.ds(start, mbw), :]
+        x = start + jax.lax.broadcasted_iota(jnp.int32, (1, mbw, 1), 1)
+        mask = (x >= c) & (x < d)
+        cols = jnp.where(mask, cols, NEG)
+        val = jnp.max(cols, axis=1)
+        out_ref[0, :, pw, :] = jnp.where(val <= NEG / 2, 0.0, val)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('pooled_h', 'pooled_w', 'spatial_scale', 'cblk'))
+def roi_pool_pallas_v2(feat, rois, pooled_h=7, pooled_w=7,
+                       spatial_scale=0.125, cblk=128):
+    H, W, C = feat.shape
+    R = rois.shape[0]
+    feat = feat.astype(jnp.float32)
+
+    wpad = (-W) % 8
+    cpad = (-C) % cblk
+    if wpad or cpad:
+        feat = jnp.pad(feat, ((0, 0), (0, wpad), (0, cpad)),
+                       constant_values=NEG)
+    Hp, Wp, Cp = feat.shape
+
+    max_bin = int(math.ceil(H / pooled_h)) + 2
+    assert max_bin <= 15, (
+        'bin height {} exceeds pyramid range; use v1'.format(max_bin))
+    mbw = min(int(math.ceil(W / pooled_w)) + 2, Wp)
+
+    kernel = functools.partial(
+        _kernel, pooled_h=pooled_h, pooled_w=pooled_w, mbw=mbw,
+        H=Hp, W=Wp, clip_h=H, clip_w=W, spatial_scale=spatial_scale)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Cp // cblk, R),
+        in_specs=[
+            pl.BlockSpec((Hp, Wp, cblk), lambda cb, r, *_: (0, 0, cb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, pooled_h, pooled_w, cblk), lambda cb, r, *_: (r, 0, 0, cb),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((Hp, Wp, cblk), jnp.float32),   # P2
+            pltpu.VMEM((Hp, Wp, cblk), jnp.float32),   # P8
+            pltpu.VMEM((pooled_h, Wp, cblk), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R, pooled_h, pooled_w, Cp),
+                                       jnp.float32),
+    )(rois.T, feat)
+
+    if cpad:
+        out = out[..., :C]
+    return out

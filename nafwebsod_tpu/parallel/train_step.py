@@ -52,6 +52,12 @@ def stack_minibatches(blob_list, size_bucket=None):
             [b['labels_oh'] for b in blob_list]).astype(np.float32),
         'valid_mask': np.stack([b['valid_mask'] for b in blob_list]),
     }
+    # extra per-image blobs (supervised path: labels_int32, bbox_targets,
+    # bbox_inside/outside_weights, ...) stack straight through
+    skip = set(batch) | {'data', 'im_scale', 'data_ids'}
+    for k in blob_list[0]:
+        if k not in skip and isinstance(blob_list[0][k], np.ndarray):
+            batch[k] = np.stack([b[k] for b in blob_list])
     # the per-image forward expects image rank 4: (1, H, W, 3)
     batch['image'] = batch['image'][:, None]
     return batch
