@@ -9,9 +9,13 @@ turning each h-bin's row-range max into 2 reads (range >= 8), 4 reads
 ~3-5x; VMEM budget = feat block + 2 pyramid levels at cblk=128 (~12 MB).
 Bin semantics identical to v1/RoIPoolF (bit-exact).
 
-Requires bin heights <= 15 rows (feature maps up to pooled_h * 14 rows) —
-larger maps (test-time MAX_SIZE 4000 pyramids) fall back to v1 via the
-dispatcher in ops/roi_pool.py.
+Requires bin heights <= 15 rows (feature maps up to pooled_h * 14 rows).
+
+MEASURED RESULT (v5e, 87x87x512, 2048 RoIs): v2 = 45.5 ms vs v1 = 9.5 ms —
+the per-bin scalar `lax.cond` branches and single-row dynamic reads
+serialize far worse on the VPU than v1's bulk (MBH, W, CBLK) strided reads,
+despite moving ~4x fewer bytes. Kept as an engineering record; the
+dispatcher in ops/roi_pool.py uses v1. (Bit-exact vs v1/RoIPoolF.)
 """
 
 import functools
