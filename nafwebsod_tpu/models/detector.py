@@ -90,8 +90,10 @@ class ModelSpec:
     csc_fg_threshold: float = 0.1
     # bounded per-image gt-class capacity for CPG backward passes
     max_gt_cpg: int = 4
-    # weakly-supervised mask branch (MODEL.MASK_ON, wsl_seg_heads.py)
+    # weakly-supervised mask branch (MODEL.MASK_ON, wsl_seg_heads.py);
+    # mask_head 'fcn' or 'deeplab' (MRCNN.ROI_MASK_HEAD)
     mask_on: bool = False
+    mask_head: str = 'fcn'
     mask_resolution: int = 14
     mask_dim_reduced: int = 256
     mask_dilation: int = 2
@@ -175,6 +177,8 @@ def spec_from_cfg(cfg):
         max_iter=cfg.SOLVER.MAX_ITER,
         context_ratio=cfg.WSL.CONTEXT_RATIO,
         mask_on=cfg.MODEL.MASK_ON,
+        mask_head=('deeplab' if 'deeplab' in cfg.MRCNN.ROI_MASK_HEAD
+                   else 'fcn'),
         mask_resolution=cfg.MRCNN.ROI_XFORM_RESOLUTION,
         mask_dim_reduced=cfg.MRCNN.DIM_REDUCED,
         mask_dilation=cfg.MRCNN.DILATION,
@@ -237,9 +241,14 @@ def init_params(spec: ModelSpec, rng):
             params.pop(k, None)
     if spec.mask_on:
         from nafwebsod_tpu.models import seg_head
-        params.update(seg_head.init_mask_head_params(
-            jax.random.fold_in(r2, 13), spec.num_classes,
-            dim_in=512, dim_inner=spec.mask_dim_reduced))
+        if spec.mask_head == 'deeplab':
+            params.update(seg_head.init_deeplab_head_params(
+                jax.random.fold_in(r2, 13), spec.num_classes,
+                dim_in=spec.body_out_dim))
+        else:
+            params.update(seg_head.init_mask_head_params(
+                jax.random.fold_in(r2, 13), spec.num_classes,
+                dim_in=spec.body_out_dim, dim_inner=spec.mask_dim_reduced))
     return params
 
 
@@ -586,7 +595,41 @@ def forward_train(spec: ModelSpec, params, batch, rng):
             cls_prob, labels_oh, spec.mean_loss)
         aux['accuracy_cls'] = loss_ops.multilabel_accuracy(cls_prob, labels_oh)
 
-    if spec.mask_on:
+    if spec.mask_on and spec.mask_head == 'deeplab':
+        # deeplab branch (wsl_seg_heads.add_deeplab_losses): ASPP head on the
+        # conv features, pixel pseudo-labels from CPG saliency, seed +
+        # CRF-consistency losses. Needs the no-freeze image gradient like CSC.
+        from dataclasses import replace as dc_replace
+        from nafwebsod_tpu.models import seg_head
+        from nafwebsod_tpu.ops import cpg as cpg_ops
+
+        unfrozen = dc_replace(spec, freeze_conv_body=False, freeze_at=0,
+                              csc=False, cpg=False, mask_on=False)
+
+        def cls_prob_fn(im):
+            f7, _, _ = _run_body_and_head(unfrozen, params, im, rois, obn,
+                                          train=False, rng=None)
+            f7m = f7[0] if spec.is_context else f7
+            o = heads.wsl_outputs(params, f7m, valid)
+            return heads.cls_pred(o['rois_pred'])
+
+        maps, idx, keep = cpg_ops.cpg_maps(
+            cls_prob_fn, image, labels_oh, jax.lax.stop_gradient(cls_prob),
+            tau=spec.cpg_tau, max_gt=spec.max_gt_cpg)
+        # scatter the selected-class maps into a (1, C-1, H, W) cpg tensor
+        cpg_full = jnp.zeros(
+            (1, spec.num_classes - 1) + maps.shape[1:], jnp.float32)
+        cpg_full = cpg_full.at[0, jnp.maximum(idx, 0)].set(
+            jnp.where(keep[:, None, None], maps, 0.0))
+        mask_fc8 = seg_head.deeplab_head_forward(
+            params, feat.astype(jnp.float32),
+            freeze_body=spec.freeze_conv_body, train=True, rng=rng)
+        dl = seg_head.deeplab_losses(
+            mask_fc8, jax.lax.stop_gradient(cpg_full), labels_oh,
+            jax.lax.stop_gradient(cls_prob), image, tau=spec.cpg_tau)
+        losses['mask_seed_loss'] = dl['mask_seed_loss']
+        losses['mask_constraint_loss'] = dl['mask_constraint_loss']
+    elif spec.mask_on:
         from nafwebsod_tpu.models import seg_head
         spatial_scale = body_spatial_scale(spec)
         mask_logits = seg_head.mask_head_forward(

@@ -243,3 +243,36 @@ class TestSegms:
         np.testing.assert_allclose(boxes[0], [2, 2, 10, 10])
         flipped = segms.flip_segms([poly], 16, 16)
         assert flipped[0][0][0] == 16 - 2 - 1
+
+
+class TestDeeplabBranchIntegration:
+    def test_forward_train_deeplab_mask(self):
+        spec = detector.ModelSpec(
+            num_classes=5, hidden_dim=16, webly_on=False,
+            webly_entropy=False, box_head='vgg16_2fc', mask_on=True,
+            mask_head='deeplab', cpg_tau=0.0)
+        params = detector.init_params(spec, jax.random.PRNGKey(0))
+        assert 'fc6_1_w' in params  # ASPP branch params
+
+        rng = np.random.RandomState(0)
+        R = 6
+        x1 = rng.uniform(0, 20, R)
+        y1 = rng.uniform(0, 20, R)
+        labels = np.zeros((1, 4), np.float32)
+        labels[0, [0, 2]] = 1
+        batch = {
+            'image': jnp.asarray(rng.randn(1, 48, 48, 3).astype(np.float32)),
+            'rois': jnp.asarray(np.stack(
+                [np.zeros(R), x1, y1, x1 + 16, y1 + 16], 1).astype(
+                    np.float32)),
+            'obn_scores': jnp.asarray(rng.rand(R, 1).astype(np.float32)),
+            'labels_oh': jnp.asarray(labels),
+            'valid_mask': jnp.ones((R,), bool),
+        }
+        total, aux = detector.forward_train(spec, params, batch,
+                                            jax.random.PRNGKey(1))
+        assert 'mask_seed_loss' in aux and 'mask_constraint_loss' in aux
+        assert np.isfinite(float(total))
+        g = jax.grad(lambda p: detector.forward_train(
+            spec, p, batch, jax.random.PRNGKey(1))[0])(params)
+        assert float(jnp.abs(g['fc6_1_w']).max()) > 0
