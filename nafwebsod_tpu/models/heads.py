@@ -87,14 +87,21 @@ def init_head_params(rng, num_classes, roi_feat_dim=512 * 7 * 7, hidden=4096,
 # --------------------------------------------------------------------------- #
 
 def _fc(x, params, name, out_dtype=None):
-    """FC layer in the input dtype with fp32 MXU accumulation. Params are
-    stored fp32; casting weights to the bf16 activation dtype keeps the
-    matmul on the MXU fast path while ``preferred_element_type`` preserves
-    fp32 partial sums."""
+    """FC layer in the input dtype. Params are stored fp32; weights are cast
+    to the activation dtype so the matmul rides the MXU bf16 fast path (the
+    MXU accumulates bf16 products in fp32 internally regardless).
+
+    Hidden layers (no out_dtype) intentionally do NOT set
+    ``preferred_element_type=float32``: that would make the dot OUTPUT fp32
+    and, through autodiff, run every backward GEMM (incl. the dominant
+    R x 25088 x 4096 fc6 weight grad) as fp32 x bf16 at 1/2-1/4 MXU rate.
+    Only the fc8 logit layers request fp32 outputs (softmax numerics)."""
     w = params[name + '_w'].astype(x.dtype)
-    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
-    y = y + params[name + '_b']
-    return y.astype(out_dtype or x.dtype)
+    if out_dtype is not None and out_dtype != x.dtype:
+        y = jnp.dot(x, w, preferred_element_type=out_dtype)
+        return y + params[name + '_b'].astype(out_dtype)
+    y = jnp.dot(x, w)
+    return y + params[name + '_b'].astype(x.dtype)
 
 
 def _dropout(x, rate, rng, train):
