@@ -63,6 +63,35 @@ def init_params(rng, stage_dims, fpn_dim=256, min_level=3, max_level=7,
     return params
 
 
+def map_rois_to_fpn_levels(rois_xyxy, k_min, k_max, canonical_scale=224,
+                           canonical_level=4):
+    """FPN paper Eqn.(1) level assignment (FPN.py:500-512). rois: (R, 4)."""
+    w = rois_xyxy[:, 2] - rois_xyxy[:, 0] + 1
+    h = rois_xyxy[:, 3] - rois_xyxy[:, 1] + 1
+    s = np.sqrt(np.maximum(w * h, 0))
+    target = np.floor(canonical_level + np.log2(s / canonical_scale + 1e-6))
+    return np.clip(target, k_min, k_max).astype(np.int64)
+
+
+def distribute_rois_over_fpn_levels(rois5, k_min, k_max, canonical_scale=224,
+                                    canonical_level=4):
+    """Split (R, 5) rois into per-level blobs plus the restore permutation
+    (FPN.add_multilevel_roi_blobs / roi_data/wsl.py:184-209). Returns
+    ({lvl: rois}, restore_index) where concatenating the per-level blobs in
+    level order and indexing with restore_index recovers the input order."""
+    lvls = map_rois_to_fpn_levels(rois5[:, 1:5], k_min, k_max,
+                                  canonical_scale, canonical_level)
+    per_level = {}
+    order = []
+    for lvl in range(k_min, k_max + 1):
+        idx = np.where(lvls == lvl)[0]
+        per_level[lvl] = rois5[idx]
+        order.append(idx)
+    order = np.concatenate(order) if order else np.zeros((0,), np.int64)
+    restore = np.argsort(order)
+    return per_level, restore
+
+
 def forward(params, stages, fpn_dim=256, min_level=3, max_level=7):
     """stages: [res2, ..., res5] NHWC feature maps. Returns dict
     {level: feature} for levels min_level..max_level and the per-level

@@ -56,3 +56,20 @@ class TestRetinaNetWSL:
             spec, p, image, labels)[0])(params)
         assert float(jnp.abs(grads['retnet_cls_pred_c_w']).max()) > 0
         assert float(jnp.abs(grads['fpn_inner5_w']).max()) > 0
+
+
+class TestFPNRoIDistribution:
+    def test_levels_and_restore(self):
+        from nafwebsod_tpu.models.fpn import (distribute_rois_over_fpn_levels,
+                                              map_rois_to_fpn_levels)
+        rois = np.array([
+            [0, 0, 0, 31, 31],      # tiny -> low level
+            [0, 0, 0, 223, 223],    # canonical -> level 4
+            [0, 0, 0, 899, 899],    # big -> high level
+        ], np.float32)
+        lvls = map_rois_to_fpn_levels(rois[:, 1:5], 2, 5)
+        assert lvls[0] == 2 and lvls[1] == 4 and lvls[2] == 5
+
+        per_level, restore = distribute_rois_over_fpn_levels(rois, 2, 5)
+        cat = np.vstack([per_level[l] for l in range(2, 6)])
+        np.testing.assert_array_equal(cat[restore], rois)
