@@ -271,6 +271,9 @@ __C.TPU.SIZE_BUCKET_MULTIPLE = 64
 __C.TPU.USE_PALLAS = True
 # fc6/fc7 width (4096 in the reference; narrow for CPU tests only).
 __C.TPU.HEAD_HIDDEN_DIM = 4096
+# When set, capture a jax.profiler trace of iterations [10, 15) into this
+# directory (the TPU-native analogue of the reference's per-phase Timers).
+__C.TPU.PROFILE_DIR = ''
 
 # Deprecated/renamed keys from the reference's registry that we silently accept
 # in YAML files (reference config.py:1109-1175).

@@ -120,8 +120,18 @@ def train_model(roidb=None, max_iters=None):
     losses = []
     lr_prev = lr_policy.get_lr_at_iter(start_iter)
 
+    profiling = False
     try:
         for cur_iter in range(start_iter, max_iters):
+            if cfg.TPU.PROFILE_DIR:
+                if cur_iter == start_iter + 10:
+                    jax.profiler.start_trace(cfg.TPU.PROFILE_DIR)
+                    profiling = True
+                elif cur_iter == start_iter + 15 and profiling:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    logger.info('Wrote profiler trace to %s',
+                                cfg.TPU.PROFILE_DIR)
             stats.IterTic()
             lr = lr_policy.get_lr_at_iter(cur_iter)
             factor = sgd.momentum_correction_factor(cfg, lr, lr_prev)
@@ -167,6 +177,8 @@ def train_model(roidb=None, max_iters=None):
             if loader.coordinator.should_stop():
                 raise RuntimeError('roi_data_loader failed')
     finally:
+        if profiling:
+            jax.profiler.stop_trace()
         loader.shutdown()
 
     final_path = os.path.join(output_dir, 'model_final.pkl')
