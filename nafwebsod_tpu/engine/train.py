@@ -118,6 +118,7 @@ def train_model(roidb=None, max_iters=None):
     # NUM_GPUS (train_wsl.py:45)
     snapshot_iters = max(cfg.TRAIN.SNAPSHOT_ITERS // num_devices, 1)
     losses = []
+    pending = []  # (iter, device_loss, device_aux) awaiting host fetch
     lr_prev = lr_policy.get_lr_at_iter(start_iter)
 
     profiling = False
@@ -152,17 +153,28 @@ def train_model(roidb=None, max_iters=None):
             params, opt_state, loss, aux = step_fn(
                 params, opt_state, batch, np.float32(lr), rngs)
 
-            loss = float(loss)
-            losses.append(loss)
+            # Defer the host fetch: a per-step sync would serialize the
+            # pipeline (and costs a full RTT on remote-TPU rigs). Losses are
+            # drained every LOG_PERIOD iterations; the NaN guard
+            # (train_wsl.py:77-83) therefore fires within LOG_PERIOD steps
+            # of the event instead of immediately.
+            pending.append((cur_iter, loss, aux))
+            if (cur_iter % stats.LOG_PERIOD == 0 or
+                    cur_iter + 1 == max_iters or
+                    (cur_iter + 1) % snapshot_iters == 0):
+                for it_i, l_i, aux_i in pending:
+                    l_i = float(l_i)
+                    losses.append(l_i)
+                    stats.UpdateIterStats(
+                        l_i, {k: float(v) for k, v in aux_i.items()})
+                    if np.isnan(l_i):
+                        _save(os.path.join(output_dir, 'model_nan.pkl'),
+                              params, opt_state)
+                        raise FloatingPointError(
+                            'Loss is NaN at iter {}'.format(it_i))
+                pending = []
             stats.IterToc()
-            stats.UpdateIterStats(loss, {k: float(v) for k, v in aux.items()})
             stats.LogIterStats(cur_iter, lr, queue_size=loader.queue_size())
-
-            if np.isnan(loss):  # NaN guard (train_wsl.py:77-83)
-                _save(os.path.join(output_dir, 'model_nan.pkl'),
-                      params, opt_state)
-                raise FloatingPointError(
-                    'Loss is NaN at iter {}'.format(cur_iter))
 
             if cfg.WSL.SAMPLE and cur_iter % cfg.WSL.SAMPLE_ITER == 0:
                 _vis_sample(spec, params, blobs[0], output_dir, cur_iter)
