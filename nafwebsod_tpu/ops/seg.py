@@ -95,6 +95,22 @@ def mask_utility(rois_pred, rois, labels_oh):
     return mask_w, rois, mask_labels
 
 
+def cpg_sw(cpg, mask_logits_up, loss_per_class, labels_oh, cls_prob,
+           tau=0.7, min_loss=0.1):
+    """CPGSW (``cpg_sw_op.cu:27-118``): per (image, class), once the seg
+    branch is confident — gt class, prediction >= tau, and that class's seg
+    loss <= min_loss — replace the CPG saliency map with sigmoid(mask
+    logits), letting the learned mask take over from the gradient saliency.
+
+    cpg / mask_logits_up: (B, C, H, W); loss_per_class / labels_oh /
+    cls_prob: (B, C).
+    """
+    use_mask = ((labels_oh >= 0.5) & (cls_prob >= tau) &
+                (loss_per_class <= min_loss))
+    return jnp.where(use_mask[:, :, None, None],
+                     jax.nn.sigmoid(mask_logits_up), cpg)
+
+
 def _gaussian_blur(x, sigma, truncate=2.0):
     """Separable Gaussian blur over the last two axes. The kernel radius is
     clamped per axis so 'same' convolution never exceeds the signal length."""

@@ -276,3 +276,20 @@ class TestDeeplabBranchIntegration:
         g = jax.grad(lambda p: detector.forward_train(
             spec, p, batch, jax.random.PRNGKey(1))[0])(params)
         assert float(jnp.abs(g['fc6_1_w']).max()) > 0
+
+
+class TestCPGSW:
+    def test_confident_classes_switch_to_mask(self):
+        from nafwebsod_tpu.ops.seg import cpg_sw
+        rng = np.random.RandomState(0)
+        cpg = jnp.asarray(rng.rand(1, 3, 4, 4).astype(np.float32))
+        logits = jnp.asarray(rng.randn(1, 3, 4, 4).astype(np.float32))
+        labels = jnp.asarray([[1.0, 1.0, 0.0]])
+        pred = jnp.asarray([[0.9, 0.9, 0.9]])
+        loss = jnp.asarray([[0.05, 0.5, 0.01]])  # only class 0 below min_loss
+        out = np.asarray(cpg_sw(cpg, logits, loss, labels, pred,
+                                tau=0.7, min_loss=0.1))
+        sig = 1.0 / (1.0 + np.exp(-np.asarray(logits)))
+        np.testing.assert_allclose(out[0, 0], sig[0, 0], rtol=1e-5)   # switched
+        np.testing.assert_allclose(out[0, 1], np.asarray(cpg)[0, 1])  # high loss
+        np.testing.assert_allclose(out[0, 2], np.asarray(cpg)[0, 2])  # not gt
