@@ -119,6 +119,7 @@ def train_model(roidb=None, max_iters=None):
     snapshot_iters = max(cfg.TRAIN.SNAPSHOT_ITERS // num_devices, 1)
     losses = []
     pending = []  # (iter, device_loss, device_aux) awaiting host fetch
+    last_good = None  # (params, opt_state) at the last all-finite drain
     lr_prev = lr_policy.get_lr_at_iter(start_iter)
 
     profiling = False
@@ -145,9 +146,12 @@ def train_model(roidb=None, max_iters=None):
             blobs = [loader.get() for _ in range(num_devices)]
             batch = ts.stack_minibatches(
                 blobs, size_bucket=cfg.TPU.SIZE_BUCKET_MULTIPLE)
-            if cfg.WSL.CMIL:
-                batch['cur_iter'] = np.full((num_devices,), cur_iter,
-                                            np.float32)
+            # cur_iter gates the C-MIL continuation schedule AND the
+            # CSC / center-loss / deeplab CSC_MAX_ITER cutoffs in
+            # detector.forward_train — inject it unconditionally so those
+            # branches deactivate on schedule like the reference ops
+            # (csc_op/center_loss_op cur_iter >= max_iter pass-through).
+            batch['cur_iter'] = np.full((num_devices,), cur_iter, np.float32)
             rng, sub = jax.random.split(rng)
             rngs = ts.device_rngs(sub, num_devices)
             params, opt_state, loss, aux = step_fn(
@@ -168,11 +172,18 @@ def train_model(roidb=None, max_iters=None):
                     stats.UpdateIterStats(
                         l_i, {k: float(v) for k, v in aux_i.items()})
                     if np.isnan(l_i):
+                        # dump the params from the last all-finite drain:
+                        # the pipeline has stepped past the NaN event, so
+                        # the CURRENT params already contain NaNs — the
+                        # last-known-good snapshot is the debuggable one
+                        # (reference dumps at-event params, train_wsl.py:77-83)
+                        good = last_good or (params, opt_state)
                         _save(os.path.join(output_dir, 'model_nan.pkl'),
-                              params, opt_state)
+                              *good)
                         raise FloatingPointError(
                             'Loss is NaN at iter {}'.format(it_i))
                 pending = []
+                last_good = (params, opt_state)
             stats.IterToc()
             stats.LogIterStats(cur_iter, lr, queue_size=loader.queue_size())
 

@@ -103,6 +103,9 @@ class ModelSpec:
     center_loss_number: int = 5
     center_loss_top_k: int = 10
     csc_max_iter: int = 35000
+    # CPGSW saliency switch cutoff (WSL.CPG_MAX_ITER; 0 = disabled, the
+    # reference default — cpg_sw_op.cu:59-61)
+    cpg_max_iter: int = 0
     compute_dtype: str = 'float32'
     # supervised Fast R-CNN path (MODEL.TYPE generalized_rcnn):
     # cls_score/bbox_pred outputs + SoftmaxWithLoss/SmoothL1 losses
@@ -191,6 +194,7 @@ def spec_from_cfg(cfg):
         center_loss_number=cfg.WSL.CENTER_LOSS_NUMBER,
         center_loss_top_k=cfg.WSL.CENTER_LOSS_TOP_K,
         csc_max_iter=cfg.WSL.CSC_MAX_ITER,
+        cpg_max_iter=cfg.WSL.CPG_MAX_ITER,
         supervised=cfg.MODEL.TYPE == 'generalized_rcnn',
         cls_agnostic_bbox_reg=cfg.MODEL.CLS_AGNOSTIC_BBOX_REG,
         bbox_reg_weights=tuple(cfg.MODEL.BBOX_REG_WEIGHTS),
@@ -457,9 +461,14 @@ def _refinement_losses(spec, params, fc7, rois, out, cls_prob, labels_oh,
     else:
         label_kwargs = {}
         prev = sg(out['rois_pred'])
+    # the reference always feeds cls_prob as RoILabel's 4th input
+    # (wsl_heads.py:468-478,525-531), so per-RoI loss weights are the
+    # image-level class probability of the assigned class
+    cw = sg(cls_prob[0])
     for k in range(1, spec.refine_k + 1):
         lbl, w = refine_ops.roi_label(prev, iou, labels_oh,
-                                      valid_mask=valid, **label_kwargs)
+                                      valid_mask=valid, class_weights=cw,
+                                      **label_kwargs)
         logits = heads.refine_score(params, fc7, k)
         loss_k = loss_ops.softmax_with_loss_n(logits, lbl, w)
         if not spec.mean_loss:
@@ -624,9 +633,12 @@ def forward_train(spec: ModelSpec, params, batch, rng):
         mask_fc8 = seg_head.deeplab_head_forward(
             params, feat.astype(jnp.float32),
             freeze_body=spec.freeze_conv_body, train=True, rng=rng)
+        sw_active = (batch.get('cur_iter', jnp.zeros(())) < spec.cpg_max_iter
+                     if spec.cpg_max_iter > 0 else None)
         dl = seg_head.deeplab_losses(
             mask_fc8, jax.lax.stop_gradient(cpg_full), labels_oh,
-            jax.lax.stop_gradient(cls_prob), image, tau=spec.cpg_tau)
+            jax.lax.stop_gradient(cls_prob), image, tau=spec.cpg_tau,
+            cpg_sw_active=sw_active)
         losses['mask_seed_loss'] = dl['mask_seed_loss']
         losses['mask_constraint_loss'] = dl['mask_constraint_loss']
     elif spec.mask_on:

@@ -168,13 +168,19 @@ def deeplab_outputs(mask_fc8):
 
 
 def deeplab_losses(mask_fc8, cpg, labels_oh, cls_prob, image, tau=0.7,
-                   run_crf=True):
+                   run_crf=True, cpg_sw_active=None):
     """add_deeplab_losses (wsl_seg_heads.py:288-370), sigmoid variant: seed
     loss = SigmoidCrossEntropyWithLogitsWSL vs DeeplabUtility targets at
     image resolution; CRF-consistency loss = KL(sigmoid probs, CRF-refined
-    fg probs). cpg: (1, C-1, H_im, W_im) saliency maps."""
+    fg probs). cpg: (1, C-1, H_im, W_im) saliency maps.
+
+    ``cpg_sw_active``: traced bool (``cur_iter < WSL.CPG_MAX_ITER``) enabling
+    the CPGSW saliency switch (wsl_seg_heads.py:193-214): per confident
+    class, the learned mask replaces the CPG map as the pseudo-label source,
+    with the reference's cur_iter cutoff. None = disabled."""
     from nafwebsod_tpu.ops.misc import kl_loss
     from nafwebsod_tpu.ops.misc import sigmoid_cross_entropy_with_logits_wsl
+    from nafwebsod_tpu.ops import seg as seg_ops
     from nafwebsod_tpu.ops.seg import (dense_crf, deeplab_utility_sigmoid,
                                        upsample_bilinear_wsl)
 
@@ -183,6 +189,13 @@ def deeplab_losses(mask_fc8, cpg, labels_oh, cls_prob, image, tau=0.7,
     logits_up = upsample_bilinear_wsl(
         jnp.moveaxis(mask_fc8, -1, 1), h_im, w_im)       # (1, C-1, H, W)
     xent, _ = sigmoid_cross_entropy_with_logits_wsl(logits_up, targets)
+    if cpg_sw_active is not None:
+        loss_pc = jnp.mean(xent, axis=(2, 3))            # (1, C-1)
+        cpg = seg_ops.cpg_sw(
+            cpg, jax.lax.stop_gradient(logits_up), loss_pc, labels_oh,
+            cls_prob, tau=tau, active=cpg_sw_active)
+        targets = deeplab_utility_sigmoid(cpg, labels_oh, cls_prob, tau=tau)
+        xent, _ = sigmoid_cross_entropy_with_logits_wsl(logits_up, targets)
     seed_loss = jnp.mean(jnp.sum(xent, axis=1))
 
     losses = {'mask_seed_loss': seed_loss}

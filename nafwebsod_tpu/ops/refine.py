@@ -43,6 +43,12 @@ def roi_label(scores, iou, labels_oh, fg_thresh=0.5, bg_thresh_hi=0.5,
     """OICR-style pseudo labels. scores: (R, C) or (R, C+1) RoI scores;
     iou: (R, R); labels_oh: (1, C). Returns (labels int32 (R,), weights (R,)).
 
+    ``class_weights``: optional (C,) image-level class probabilities — the
+    reference's 4th RoILabel input (always passed by the OICR/C-MIL call
+    sites, wsl_heads.py:468-478,525-531); when given, a labeled RoI's loss
+    weight is ``class_weights[assign_c]`` instead of its seed's score
+    (roi_label_op.cc:104 CWdata branch).
+
     Padded RoIs (valid_mask False) get weight 0 and label 0.
     """
     r, num_class_s = scores.shape
@@ -56,16 +62,29 @@ def roi_label(scores, iou, labels_oh, fg_thresh=0.5, bg_thresh_hi=0.5,
     else:
         valid = valid_mask.astype(bool)
 
-    # seeds: top_k scoring valid RoIs per gt class -> flat (C*top_k,) index
-    # and per-seed score; invalid classes masked out
+    # Seeds are chosen sequentially over (gt class, k) with GLOBAL de-dup: an
+    # RoI already chosen as a seed for any earlier class/k is skipped
+    # (roi_label_op.cc:56-74 std::find over highest_n). Unrolled over the
+    # static (C, K) grid — C masked argmaxes, cheap under XLA.
     masked = jnp.where(valid[:, None], fg_scores, -jnp.inf)
-    seed_scores, seed_idx = jax.lax.top_k(masked.T, top_k)  # (C, K)
-    seed_valid = (gt[:, None] > 0) & jnp.isfinite(seed_scores)  # (C, K)
+    chosen = jnp.zeros((r,), bool)
+    seed_idx, seed_cls, seed_score, seed_ok = [], [], [], []
+    for c_i in range(num_class):
+        for _k in range(top_k):
+            col = jnp.where(chosen, -jnp.inf, masked[:, c_i])
+            idx = jnp.argmax(col)
+            sc = col[idx]
+            ok = (gt[c_i] > 0) & jnp.isfinite(sc)
+            chosen = chosen.at[idx].set(chosen[idx] | ok)
+            seed_idx.append(idx)
+            seed_cls.append(c_i)
+            seed_score.append(sc)
+            seed_ok.append(ok)
 
-    seed_idx_f = seed_idx.reshape(-1)          # (C*K,)
-    seed_cls_f = jnp.repeat(jnp.arange(num_class), top_k)
-    seed_score_f = seed_scores.reshape(-1)
-    seed_valid_f = seed_valid.reshape(-1)
+    seed_idx_f = jnp.stack(seed_idx)                    # (C*K,)
+    seed_cls_f = jnp.asarray(seed_cls, jnp.int32)
+    seed_score_f = jnp.stack(seed_score)
+    seed_valid_f = jnp.stack(seed_ok)
 
     # per-RoI max-IoU seed
     iou_to_seeds = iou[:, seed_idx_f]                       # (R, C*K)
@@ -82,7 +101,10 @@ def roi_label(scores, iou, labels_oh, fg_thresh=0.5, bg_thresh_hi=0.5,
     is_bg = (max_iou >= bg_thresh_lo) & (max_iou < bg_thresh_hi)
 
     # fg/bg caps: the reference visits RoIs in random order and stops
-    # labeling past the cap; here the cap keeps the highest-IoU ones.
+    # labeling past the cap; here the cap keeps the highest-IoU ones
+    # (deterministic, XLA-friendly — deviation documented in PARITY.md).
+    # The reference's `num_pos <= num_pos_` pre-increment check admits
+    # cap+1 rois (roi_label_op.cc:105,112), reproduced with limit+1.
     def cap(mask, limit):
         if limit >= r:
             return mask
@@ -90,8 +112,8 @@ def roi_label(scores, iou, labels_oh, fg_thresh=0.5, bg_thresh_hi=0.5,
         kth = jax.lax.top_k(order_key, limit)[0][-1]
         return mask & (order_key >= kth)
 
-    is_fg = cap(is_fg, num_pos)
-    is_bg = cap(is_bg & ~is_fg, num_neg)
+    is_fg = cap(is_fg, num_pos + 1)
+    is_bg = cap(is_bg & ~is_fg, num_neg + 1)
 
     labels = jnp.where(is_fg, assign_c + 1,
                        jnp.where(is_bg, 0, assign_c + 1)).astype(jnp.int32)

@@ -96,17 +96,22 @@ def mask_utility(rois_pred, rois, labels_oh):
 
 
 def cpg_sw(cpg, mask_logits_up, loss_per_class, labels_oh, cls_prob,
-           tau=0.7, min_loss=0.1):
+           tau=0.7, min_loss=0.1, active=True):
     """CPGSW (``cpg_sw_op.cu:27-118``): per (image, class), once the seg
     branch is confident — gt class, prediction >= tau, and that class's seg
     loss <= min_loss — replace the CPG saliency map with sigmoid(mask
     logits), letting the learned mask take over from the gradient saliency.
+
+    ``active`` is the iteration cutoff (cpg_sw_op.cu:59-61 returns the raw
+    CPG once ``cur_iter >= max_iter``): pass ``cur_iter < max_iter`` as a
+    traced bool.
 
     cpg / mask_logits_up: (B, C, H, W); loss_per_class / labels_oh /
     cls_prob: (B, C).
     """
     use_mask = ((labels_oh >= 0.5) & (cls_prob >= tau) &
                 (loss_per_class <= min_loss))
+    use_mask = use_mask & jnp.asarray(active)
     return jnp.where(use_mask[:, :, None, None],
                      jax.nn.sigmoid(mask_logits_up), cpg)
 
