@@ -48,6 +48,17 @@ __C.TRAIN.AUTO_RESUME = True
 __C.TRAIN.COPY_WEIGHTS = False
 __C.TRAIN.FREEZE_AT = 2
 
+# RPN training options (reference config.py:146-177)
+__C.TRAIN.RPN_POSITIVE_OVERLAP = 0.7
+__C.TRAIN.RPN_NEGATIVE_OVERLAP = 0.3
+__C.TRAIN.RPN_FG_FRACTION = 0.5
+__C.TRAIN.RPN_BATCH_SIZE_PER_IM = 256
+__C.TRAIN.RPN_NMS_THRESH = 0.7
+__C.TRAIN.RPN_PRE_NMS_TOP_N = 12000
+__C.TRAIN.RPN_POST_NMS_TOP_N = 2000
+__C.TRAIN.RPN_STRADDLE_THRESH = 0
+__C.TRAIN.RPN_MIN_SIZE = 0
+
 # ---------------------------------------------------------------------------- #
 # Data loader options
 # ---------------------------------------------------------------------------- #
@@ -73,6 +84,12 @@ __C.TEST.SCORE_THRESH = 0.05
 __C.TEST.COMPETITION_MODE = True
 __C.TEST.FORCE_JSON_DATASET_EVAL = False
 __C.TEST.PRECOMPUTED_PROPOSALS = True
+
+# RPN test options (reference config.py:254-267)
+__C.TEST.RPN_NMS_THRESH = 0.7
+__C.TEST.RPN_PRE_NMS_TOP_N = 12000
+__C.TEST.RPN_POST_NMS_TOP_N = 2000
+__C.TEST.RPN_MIN_SIZE = 0
 
 # Test-time augmentation for bounding boxes
 __C.TEST.BBOX_AUG = AttrDict()
@@ -225,6 +242,100 @@ __C.MRCNN.WEIGHT_LOSS_MASK = 1.0
 __C.MRCNN.THRESH_BINARIZE = 0.5
 
 # ---------------------------------------------------------------------------- #
+# RPN options (reference config.py:683-693)
+# ---------------------------------------------------------------------------- #
+__C.RPN = AttrDict()
+__C.RPN.RPN_ON = False
+__C.RPN.SIZES = (64, 128, 256, 512)
+__C.RPN.STRIDE = 16
+__C.RPN.ASPECT_RATIOS = (0.5, 1, 2)
+
+# ---------------------------------------------------------------------------- #
+# FPN options (reference config.py:702-743)
+# ---------------------------------------------------------------------------- #
+__C.FPN = AttrDict()
+__C.FPN.FPN_ON = False
+__C.FPN.DIM = 256
+__C.FPN.ZERO_INIT_LATERAL = False
+__C.FPN.COARSEST_STRIDE = 32
+__C.FPN.MULTILEVEL_ROIS = False
+__C.FPN.ROI_CANONICAL_SCALE = 224
+__C.FPN.ROI_CANONICAL_LEVEL = 4
+__C.FPN.ROI_MAX_LEVEL = 5
+__C.FPN.ROI_MIN_LEVEL = 2
+__C.FPN.MULTILEVEL_RPN = False
+__C.FPN.RPN_MAX_LEVEL = 6
+__C.FPN.RPN_MIN_LEVEL = 2
+__C.FPN.RPN_ASPECT_RATIOS = (0.5, 1, 2)
+__C.FPN.RPN_ANCHOR_START_SIZE = 32
+__C.FPN.EXTRA_CONV_LEVELS = False
+__C.FPN.USE_GN = False
+
+# ---------------------------------------------------------------------------- #
+# RetinaNet options (reference config.py:500-556)
+# ---------------------------------------------------------------------------- #
+__C.RETINANET = AttrDict()
+__C.RETINANET.RETINANET_ON = False
+__C.RETINANET.ASPECT_RATIOS = (0.5, 1.0, 2.0)
+__C.RETINANET.SCALES_PER_OCTAVE = 3
+__C.RETINANET.ANCHOR_SCALE = 4
+__C.RETINANET.NUM_CONVS = 4
+__C.RETINANET.BBOX_REG_WEIGHT = 1.0
+__C.RETINANET.BBOX_REG_BETA = 0.11
+__C.RETINANET.PRE_NMS_TOP_N = 1000
+__C.RETINANET.POSITIVE_OVERLAP = 0.5
+__C.RETINANET.NEGATIVE_OVERLAP = 0.4
+__C.RETINANET.LOSS_ALPHA = 0.25
+__C.RETINANET.LOSS_GAMMA = 2.0
+__C.RETINANET.PRIOR_PROB = 0.01
+__C.RETINANET.SHARE_CLS_BBOX_TOWER = False
+__C.RETINANET.CLASS_SPECIFIC_BBOX = False
+__C.RETINANET.SOFTMAX = False
+__C.RETINANET.INFERENCE_TH = 0.05
+
+# ---------------------------------------------------------------------------- #
+# Keypoint R-CNN options (reference config.py:803-870)
+# ---------------------------------------------------------------------------- #
+__C.KRCNN = AttrDict()
+__C.KRCNN.ROI_KEYPOINTS_HEAD = ''
+__C.KRCNN.HEATMAP_SIZE = -1
+__C.KRCNN.UP_SCALE = -1
+__C.KRCNN.USE_DECONV = False
+__C.KRCNN.DECONV_DIM = 256
+__C.KRCNN.USE_DECONV_OUTPUT = False
+__C.KRCNN.DILATION = 1
+__C.KRCNN.DECONV_KERNEL = 4
+__C.KRCNN.NUM_KEYPOINTS = -1
+__C.KRCNN.NUM_STACKED_CONVS = 8
+__C.KRCNN.CONV_HEAD_DIM = 256
+__C.KRCNN.CONV_HEAD_KERNEL = 3
+__C.KRCNN.CONV_INIT = 'GaussianFill'
+__C.KRCNN.NMS_OKS = False
+__C.KRCNN.KEYPOINT_CONFIDENCE = 'bbox'
+__C.KRCNN.ROI_XFORM_METHOD = 'RoIAlign'
+__C.KRCNN.ROI_XFORM_RESOLUTION = 7
+__C.KRCNN.ROI_XFORM_SAMPLING_RATIO = 0
+__C.KRCNN.MIN_KEYPOINT_COUNT_FOR_VALID_MINIBATCH = 20
+__C.KRCNN.INFERENCE_MIN_SIZE = 0
+__C.KRCNN.LOSS_WEIGHT = 1.0
+__C.KRCNN.NORMALIZE_BY_VISIBLE_KEYPOINTS = True
+
+# ---------------------------------------------------------------------------- #
+# R-FCN / ResNet options (reference config.py:879-905)
+# ---------------------------------------------------------------------------- #
+__C.RFCN = AttrDict()
+__C.RFCN.PS_GRID_SIZE = 3
+
+__C.RESNETS = AttrDict()
+__C.RESNETS.NUM_GROUPS = 1
+__C.RESNETS.WIDTH_PER_GROUP = 64
+__C.RESNETS.STRIDE_1X1 = True
+__C.RESNETS.TRANS_FUNC = 'bottleneck_transformation'
+__C.RESNETS.STEM_FUNC = 'basic_bn_stem'
+__C.RESNETS.SHORTCUT_FUNC = 'basic_bn_shortcut'
+__C.RESNETS.RES5_DILATION = 1
+
+# ---------------------------------------------------------------------------- #
 # GroupNorm options
 # ---------------------------------------------------------------------------- #
 __C.GROUP_NORM = AttrDict()
@@ -274,6 +385,10 @@ __C.TPU.HEAD_HIDDEN_DIM = 4096
 # When set, capture a jax.profiler trace of iterations [10, 15) into this
 # directory (the TPU-native analogue of the reference's per-phase Timers).
 __C.TPU.PROFILE_DIR = ''
+# Static ground-truth box capacity per image for the in-graph Faster R-CNN
+# target machinery (padded with a validity mask; no reference equivalent —
+# the Caffe2 python ops used dynamic shapes on host).
+__C.TPU.MAX_GT_BOXES = 64
 
 # Deprecated/renamed keys from the reference's registry that we silently accept
 # in YAML files (reference config.py:1109-1175).
@@ -288,9 +403,9 @@ _RENAMED_KEYS = {
     'PIXEL_MEAN': 'PIXEL_MEANS',
 }
 
-# Keys the TPU rebuild accepts but ignores (Caffe2-runtime specific). Recorded
-# so reference YAMLs merge cleanly.
-_IGNORED_SUBTREES = ('RPN', 'FPN', 'RETINANET', 'KRCNN', 'RESNETS', 'RFCN')
+# Keys the TPU rebuild accepts but ignores (none currently; the model-family
+# subtrees RPN/FPN/RETINANET/KRCNN/RESNETS/RFCN are real keys now).
+_IGNORED_SUBTREES = ()
 
 
 def merge_cfg_from_file(cfg_filename):

@@ -164,6 +164,30 @@ def pad_image_to_bucket(im, multiple):
     return out
 
 
+def gt_blobs(entry, im_scale, true_h, true_w, max_gt):
+    """Padded ground-truth blobs for the in-graph Faster R-CNN machinery
+    (the reference feeds roidb entries to its host python ops; the TPU
+    rebuild ships fixed-capacity gt arrays to the device instead)."""
+    gt_inds = np.where((entry['gt_classes'] > 0) &
+                       (entry.get('is_crowd',
+                                  np.zeros(len(entry['gt_classes']))) == 0))[0]
+    boxes = entry['boxes'][gt_inds].astype(np.float32) * im_scale
+    classes = entry['gt_classes'][gt_inds].astype(np.int32)
+    n = min(len(gt_inds), max_gt)
+    gt_boxes = np.zeros((max_gt, 4), np.float32)
+    gt_classes = np.zeros((max_gt,), np.int32)
+    gt_valid = np.zeros((max_gt,), bool)
+    gt_boxes[:n] = boxes[:n]
+    gt_classes[:n] = classes[:n]
+    gt_valid[:n] = True
+    return {
+        'gt_boxes': gt_boxes,
+        'gt_classes': gt_classes,
+        'gt_valid': gt_valid,
+        'im_info': np.array([true_h, true_w, im_scale], np.float32),
+    }
+
+
 def get_minibatch(entry, rng=None, pad_rois_to=None, size_bucket=None,
                   target_size=None):
     """Build all blobs for one training image."""
@@ -171,9 +195,20 @@ def get_minibatch(entry, rng=None, pad_rois_to=None, size_bucket=None,
     if target_size is None:
         target_size = cfg.TRAIN.SCALES[rng.randint(0, len(cfg.TRAIN.SCALES))]
     im, im_scale, im_crop = get_image_blob(entry, target_size, rng, train=True)
+    true_h, true_w = im.shape[:2]
     if size_bucket:
         im = pad_image_to_bucket(im, size_bucket)
-    if cfg.MODEL.TYPE == 'generalized_rcnn':
+    if cfg.MODEL.TYPE == 'generalized_rcnn' and cfg.MODEL.FASTER_RCNN:
+        # end-to-end path: only image + gt blobs; proposals come from the
+        # in-graph RPN. Dummy roi blobs keep the batch schema uniform.
+        blobs = gt_blobs(entry, im_scale, true_h, true_w,
+                         cfg.TPU.MAX_GT_BOXES)
+        blobs['rois'] = np.zeros((1, 5), np.float32)
+        blobs['obn_scores'] = np.ones((1, 1), np.float32)
+        blobs['valid_mask'] = np.zeros((1,), bool)
+        blobs['labels_oh'] = np.zeros((1, cfg.MODEL.NUM_CLASSES - 1),
+                                      np.float32)
+    elif cfg.MODEL.TYPE == 'generalized_rcnn':
         # supervised Fast R-CNN path: fg/bg sampled rois + bbox-reg targets
         # (roi_data/fast_rcnn.py; no crop/distortion projection — the
         # supervised path uses plain flip/scale augmentation)

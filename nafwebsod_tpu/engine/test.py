@@ -48,8 +48,15 @@ def im_detect_bbox(spec, params, im, target_scale, target_max_size,
                    boxes=None, obn_scores=None):
     """Detect on one image with given proposals. Returns (scores, pred_boxes,
     im_scale): scores (R, num_classes) incl. bg column; pred_boxes
-    (R, 4*num_classes) tiled proposals."""
-    assert boxes is not None and obn_scores is not None
+    (R, 4*num_classes) tiled proposals.
+
+    With ``boxes=None`` (TEST.PRECOMPUTED_PROPOSALS=False / FASTER_RCNN) the
+    model's in-graph RPN generates the proposals (upstream test.py
+    im_detect_bbox RPN branch)."""
+    if boxes is None:
+        assert spec.faster_rcnn, 'proposal-less inference needs FASTER_RCNN'
+        return _im_detect_bbox_rpn(spec, params, im, target_scale,
+                                   target_max_size)
     boxes_o = boxes
     im_blob, im_scale = prep_im_for_blob(
         im, cfg.PIXEL_MEANS, target_scale, target_max_size, cfg.PIXEL_STDS)
@@ -94,6 +101,33 @@ def im_detect_bbox(spec, params, im, target_scale, target_max_size,
             pred_boxes = np.tile(pred_boxes[:, 4:], (1, scores.shape[1]))
     else:
         # WSL: no bbox regression — tile original boxes per class (ref :171)
+        pred_boxes = np.tile(boxes_o, (1, scores.shape[1]))
+    return scores, pred_boxes, im_scale
+
+
+def _im_detect_bbox_rpn(spec, params, im, target_scale, target_max_size):
+    """Faster R-CNN inference: the RPN proposes, the box head classifies and
+    regresses; deltas decode in original-image coordinates (upstream
+    test.py:im_detect_bbox)."""
+    im_blob, im_scale = prep_im_for_blob(
+        im, cfg.PIXEL_MEANS, target_scale, target_max_size, cfg.PIXEL_STDS)
+    h, w = im_blob.shape[:2]
+    im_in = pad_image_to_bucket(im_blob, cfg.TPU.SIZE_BUCKET_MULTIPLE)
+    im_info = np.array([h, w, im_scale], np.float32)
+    out = detector.forward_test(
+        spec, params, jnp.asarray(im_in[None]), None, None, None,
+        im_info=jnp.asarray(im_info))
+    pvalid = np.asarray(out['proposal_valid'])
+    scores = np.asarray(out['scores'])[pvalid]
+    boxes_o = np.asarray(out['rois'])[pvalid][:, 1:5] / im_scale
+    if cfg.TEST.BBOX_REG:
+        deltas = np.asarray(out['bbox_pred'])[pvalid]
+        pred_boxes = box_utils.bbox_transform(
+            boxes_o, deltas, cfg.MODEL.BBOX_REG_WEIGHTS)
+        pred_boxes = box_utils.clip_tiled_boxes(pred_boxes, im.shape)
+        if pred_boxes.shape[1] == 8:
+            pred_boxes = np.tile(pred_boxes[:, 4:], (1, scores.shape[1]))
+    else:
         pred_boxes = np.tile(boxes_o, (1, scores.shape[1]))
     return scores, pred_boxes, im_scale
 

@@ -112,6 +112,32 @@ class ModelSpec:
     supervised: bool = False
     cls_agnostic_bbox_reg: bool = False
     bbox_reg_weights: tuple = (10.0, 10.0, 5.0, 5.0)
+    # end-to-end Faster R-CNN (MODEL.FASTER_RCNN): RPN in the graph
+    # (model_builder.py:74-112); proposals generated on device, fg/bg
+    # sampled on device (ops/rpn_device.py) instead of the reference's
+    # host python ops
+    faster_rcnn: bool = False
+    rpn_sizes: tuple = (64, 128, 256, 512)
+    rpn_stride: int = 16
+    rpn_aspect_ratios: tuple = (0.5, 1.0, 2.0)
+    rpn_straddle_thresh: float = 0.0
+    rpn_positive_overlap: float = 0.7
+    rpn_negative_overlap: float = 0.3
+    rpn_fg_fraction: float = 0.5
+    rpn_batch_size: int = 256
+    rpn_pre_nms_top_n: int = 12000
+    rpn_post_nms_top_n: int = 2000
+    rpn_test_pre_nms_top_n: int = 12000
+    rpn_test_post_nms_top_n: int = 2000
+    rpn_nms_thresh: float = 0.7
+    rpn_test_nms_thresh: float = 0.7
+    rpn_min_size: float = 0.0
+    # Fast R-CNN fg/bg sampling (roi_data/fast_rcnn.py)
+    frcnn_batch_size: int = 512
+    frcnn_fg_fraction: float = 0.25
+    frcnn_fg_thresh: float = 0.5
+    frcnn_bg_thresh_hi: float = 0.5
+    frcnn_bg_thresh_lo: float = 0.0
     # fc6/fc7 width; 4096 in the reference (wsl_heads.py:674-679). Tests use a
     # narrow tower to keep single-core CPU runtimes sane.
     hidden_dim: int = 4096
@@ -198,6 +224,27 @@ def spec_from_cfg(cfg):
         supervised=cfg.MODEL.TYPE == 'generalized_rcnn',
         cls_agnostic_bbox_reg=cfg.MODEL.CLS_AGNOSTIC_BBOX_REG,
         bbox_reg_weights=tuple(cfg.MODEL.BBOX_REG_WEIGHTS),
+        faster_rcnn=cfg.MODEL.FASTER_RCNN,
+        rpn_sizes=tuple(cfg.RPN.SIZES),
+        rpn_stride=cfg.RPN.STRIDE,
+        rpn_aspect_ratios=tuple(cfg.RPN.ASPECT_RATIOS),
+        rpn_straddle_thresh=float(cfg.TRAIN.RPN_STRADDLE_THRESH),
+        rpn_positive_overlap=cfg.TRAIN.RPN_POSITIVE_OVERLAP,
+        rpn_negative_overlap=cfg.TRAIN.RPN_NEGATIVE_OVERLAP,
+        rpn_fg_fraction=cfg.TRAIN.RPN_FG_FRACTION,
+        rpn_batch_size=cfg.TRAIN.RPN_BATCH_SIZE_PER_IM,
+        rpn_pre_nms_top_n=cfg.TRAIN.RPN_PRE_NMS_TOP_N,
+        rpn_post_nms_top_n=cfg.TRAIN.RPN_POST_NMS_TOP_N,
+        rpn_test_pre_nms_top_n=cfg.TEST.RPN_PRE_NMS_TOP_N,
+        rpn_test_post_nms_top_n=cfg.TEST.RPN_POST_NMS_TOP_N,
+        rpn_nms_thresh=cfg.TRAIN.RPN_NMS_THRESH,
+        rpn_test_nms_thresh=cfg.TEST.RPN_NMS_THRESH,
+        rpn_min_size=float(cfg.TRAIN.RPN_MIN_SIZE),
+        frcnn_batch_size=cfg.TRAIN.BATCH_SIZE_PER_IM,
+        frcnn_fg_fraction=cfg.TRAIN.FG_FRACTION,
+        frcnn_fg_thresh=cfg.TRAIN.FG_THRESH,
+        frcnn_bg_thresh_hi=cfg.TRAIN.BG_THRESH_HI,
+        frcnn_bg_thresh_lo=cfg.TRAIN.BG_THRESH_LO,
     )
 
 
@@ -243,6 +290,11 @@ def init_params(spec: ModelSpec, rng):
         # the WSDDN output layers are not part of the supervised graph
         for k in ('fc8c_w', 'fc8c_b', 'fc8d_w', 'fc8d_b'):
             params.pop(k, None)
+    if spec.faster_rcnn:
+        from nafwebsod_tpu.models import rpn_head
+        num_anchors = len(spec.rpn_sizes) * len(spec.rpn_aspect_ratios)
+        params.update(rpn_head.init_rpn_params(
+            jax.random.fold_in(r2, 19), spec.body_out_dim, num_anchors))
     if spec.mask_on:
         from nafwebsod_tpu.models import seg_head
         if spec.mask_head == 'deeplab':
@@ -329,6 +381,58 @@ def body_spatial_scale(spec):
     return 1.0 / 8.0 if spec.dilation == 2 else 1.0 / 16.0
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _base_anchors(sizes, aspect_ratios, stride):
+    """Matlab-matched base anchors as a trace-time constant."""
+    from nafwebsod_tpu.ops import rpn as rpn_host
+    return rpn_host.generate_anchors(stride, sizes, aspect_ratios)
+
+
+def _rpn_forward(spec, params, feat):
+    """RPN conv head over the body features + the full anchor grid.
+
+    Returns (cls_logits (1,H,W,A), bbox_pred (1,H,W,4A), probs (N,),
+    deltas (N,4), anchors (N,4)) with N = H*W*A in (H, W, A) order — the
+    same flattening the reference's GenerateProposalsOp applies to the
+    NCHW conv outputs (generate_proposals.py:47-60)."""
+    from nafwebsod_tpu.models import rpn_head
+    from nafwebsod_tpu.ops import rpn_device
+
+    cls_l, bbox_l = rpn_head.forward(params, feat)
+    base = _base_anchors(spec.rpn_sizes, spec.rpn_aspect_ratios,
+                         spec.rpn_stride)
+    anchors = rpn_device.shifted_anchors(
+        cls_l.shape[1], cls_l.shape[2], spec.rpn_stride, base)
+    probs = jax.nn.sigmoid(cls_l.reshape(-1))
+    deltas = bbox_l.reshape(-1, 4)
+    return cls_l, bbox_l, probs, deltas, anchors
+
+
+def _fast_rcnn_outputs(spec, params, fc7):
+    """cls_score softmax + bbox_pred deltas (fast_rcnn_heads.py:45-72)."""
+    logits = heads._fc(fc7, params, 'cls_score', out_dtype=jnp.float32)
+    bbox_pred = heads._fc(fc7, params, 'bbox_pred', out_dtype=jnp.float32)
+    return logits, bbox_pred
+
+
+def _fast_rcnn_losses(spec, params, fc7, labels, bbox_targets, bbox_iw,
+                      bbox_ow, valid):
+    """Supervised box-head losses (fast_rcnn_heads.py:75-93)."""
+    logits, bbox_pred = _fast_rcnn_outputs(spec, params, fc7)
+    loss_cls = loss_ops.softmax_with_loss(logits, labels, valid)
+    loss_bbox = loss_ops.smooth_l1_loss(
+        bbox_pred, bbox_targets, bbox_iw, bbox_ow, valid_mask=valid)
+    acc = jnp.sum((jnp.argmax(logits, 1) == labels) *
+                  (valid if valid is not None else 1.0))
+    n = (jnp.sum(valid) if valid is not None else labels.shape[0])
+    aux = {'loss_cls': loss_cls, 'loss_bbox': loss_bbox,
+           'accuracy_cls': acc / jnp.maximum(n, 1)}
+    return loss_cls + loss_bbox, aux
+
+
 def _run_body_and_head(spec, params, image, rois, obn_scores, train, rng):
     feat, spatial_scale = body_forward(spec, params, image)
     if spec.freeze_conv_body:
@@ -358,13 +462,43 @@ def _run_body_and_head(spec, params, image, rois, obn_scores, train, rng):
 
 @partial(jax.jit, static_argnames=('spec',))
 def forward_test(spec: ModelSpec, params, image, rois, obn_scores,
-                 valid_mask=None):
+                 valid_mask=None, im_info=None):
     """Per-image inference. Returns per-RoI class scores (R, num_classes).
 
     Without a refinement ladder the scores are the WSDDN rois_pred with a
     dummy background column prepended (wsl_heads.py:58-67); with OICR / PCL /
     C-MIL they are the mean of the refinement softmaxes
-    (wsl_heads.py:125-180, test branches)."""
+    (wsl_heads.py:125-180, test branches).
+
+    With spec.faster_rcnn the input rois are ignored: the RPN generates the
+    proposals in-graph (model_builder.py:74-112 inference); ``im_info``
+    (h, w, scale) is required for clipping/min-size. The returned dict gains
+    'rois' (P, 5) in scaled-image coords and 'proposal_valid' (P,)."""
+    if spec.faster_rcnn:
+        from nafwebsod_tpu.ops import rpn_device
+
+        feat, spatial_scale = body_forward(spec, params, image)
+        if spec.freeze_conv_body:
+            feat = jax.lax.stop_gradient(feat)
+        _, _, probs, deltas, anchors = _rpn_forward(spec, params, feat)
+        props, pscores, pvalid = rpn_device.generate_proposals(
+            probs, deltas, anchors, im_info[0], im_info[1], im_info[2],
+            pre_nms_top_n=spec.rpn_test_pre_nms_top_n,
+            post_nms_top_n=spec.rpn_test_post_nms_top_n,
+            nms_thresh=spec.rpn_test_nms_thresh,
+            min_size=spec.rpn_min_size)
+        rois5 = jnp.concatenate(
+            [jnp.zeros((props.shape[0], 1)), props], axis=1)
+        obn = jnp.ones((props.shape[0], 1), jnp.float32)
+        fc7, _ = heads.vgg16_roi_2fc_head(
+            params, feat, rois5, obn, spatial_scale,
+            method=spec.roi_xform_method, resolution=spec.roi_resolution,
+            sampling_ratio=spec.roi_sampling_ratio,
+            freeze_body=spec.freeze_conv_body, train=False, rng=None)
+        logits, bbox_pred = _fast_rcnn_outputs(spec, params, fc7)
+        scores = jax.nn.softmax(logits, axis=1) * pvalid[:, None]
+        return {'scores': scores, 'bbox_pred': bbox_pred, 'rois': rois5,
+                'proposal_valid': pvalid, 'rois_pred': scores[:, 1:]}
     fc7_clean, fc7_noisy, feat = _run_body_and_head(
         spec, params, image, rois, obn_scores, train=False, rng=None)
     if spec.supervised:
@@ -499,25 +633,72 @@ def forward_train(spec: ModelSpec, params, batch, rng):
     labels_oh = batch['labels_oh']
     valid = batch.get('valid_mask')
 
+    if spec.faster_rcnn:
+        # end-to-end Faster R-CNN: RPN losses + on-device proposal
+        # generation/labeling + box head (model_builder.py:74-112; the
+        # reference's GenerateProposals/GenerateProposalLabels python ops
+        # run as statically-shaped device code in ops/rpn_device.py)
+        from nafwebsod_tpu.models import rpn_head
+        from nafwebsod_tpu.ops import rpn_device
+
+        sg = jax.lax.stop_gradient
+        rng_rpn, rng_prop, rng_head = jax.random.split(rng, 3)
+        feat, spatial_scale = body_forward(spec, params, image)
+        if spec.freeze_conv_body:
+            feat = sg(feat)
+        cls_l, bbox_l, probs, deltas, anchors = _rpn_forward(
+            spec, params, feat)
+        im_info = batch['im_info']
+        lab, tgt, iw, ow = rpn_device.rpn_targets(
+            anchors, batch['gt_boxes'], batch['gt_valid'],
+            im_info[0], im_info[1], rng_rpn,
+            straddle_thresh=spec.rpn_straddle_thresh,
+            positive_overlap=spec.rpn_positive_overlap,
+            negative_overlap=spec.rpn_negative_overlap,
+            fg_fraction=spec.rpn_fg_fraction,
+            batch_size=spec.rpn_batch_size)
+        losses = rpn_head.losses(cls_l, bbox_l, lab, tgt, iw, ow)
+        props, _, pvalid = rpn_device.generate_proposals(
+            sg(probs), sg(deltas), anchors,
+            im_info[0], im_info[1], im_info[2],
+            pre_nms_top_n=spec.rpn_pre_nms_top_n,
+            post_nms_top_n=spec.rpn_post_nms_top_n,
+            nms_thresh=spec.rpn_nms_thresh, min_size=spec.rpn_min_size)
+        blobs = rpn_device.proposal_labels(
+            rng_prop, props, pvalid, batch['gt_boxes'],
+            batch['gt_classes'].astype(jnp.int32), batch['gt_valid'],
+            rois_per_image=spec.frcnn_batch_size,
+            fg_fraction=spec.frcnn_fg_fraction,
+            fg_thresh=spec.frcnn_fg_thresh,
+            bg_thresh_hi=spec.frcnn_bg_thresh_hi,
+            bg_thresh_lo=spec.frcnn_bg_thresh_lo,
+            num_classes=spec.num_classes,
+            cls_agnostic_bbox_reg=spec.cls_agnostic_bbox_reg,
+            bbox_reg_weights=spec.bbox_reg_weights)
+        srois = blobs['rois']
+        svalid = blobs['valid_mask']
+        obn1 = jnp.ones((srois.shape[0], 1), jnp.float32)
+        fc7, _ = heads.vgg16_roi_2fc_head(
+            params, feat, srois, obn1, spatial_scale,
+            method=spec.roi_xform_method, resolution=spec.roi_resolution,
+            sampling_ratio=spec.roi_sampling_ratio,
+            freeze_body=spec.freeze_conv_body, train=True, rng=rng_head)
+        total, aux = _fast_rcnn_losses(
+            spec, params, fc7, blobs['labels_int32'],
+            blobs['bbox_targets'], blobs['bbox_inside_weights'],
+            blobs['bbox_outside_weights'], svalid.astype(jnp.float32))
+        total = total + losses['loss_rpn_cls'] + losses['loss_rpn_bbox']
+        aux.update(losses)
+        return total, aux
+
     fc7_clean, fc7_noisy, feat = _run_body_and_head(
         spec, params, image, rois, obn, train=True, rng=rng)
     if spec.supervised:
-        # Fast R-CNN supervised losses (fast_rcnn_heads.py:75-93)
-        logits = heads._fc(fc7_clean, params, 'cls_score',
-                           out_dtype=jnp.float32)
-        bbox_pred = heads._fc(fc7_clean, params, 'bbox_pred',
-                              out_dtype=jnp.float32)
-        labels = batch['labels_int32']
-        loss_cls = loss_ops.softmax_with_loss(logits, labels, valid)
-        loss_bbox = loss_ops.smooth_l1_loss(
-            bbox_pred, batch['bbox_targets'], batch['bbox_inside_weights'],
-            batch['bbox_outside_weights'], valid_mask=valid)
-        acc = jnp.sum((jnp.argmax(logits, 1) == labels) *
-                      (valid if valid is not None else 1.0))
-        n = (jnp.sum(valid) if valid is not None else labels.shape[0])
-        aux = {'loss_cls': loss_cls, 'loss_bbox': loss_bbox,
-               'accuracy_cls': acc / jnp.maximum(n, 1)}
-        return loss_cls + loss_bbox, aux
+        # Fast R-CNN supervised losses on precomputed-proposal blobs
+        return _fast_rcnn_losses(
+            spec, params, fc7_clean, batch['labels_int32'],
+            batch['bbox_targets'], batch['bbox_inside_weights'],
+            batch['bbox_outside_weights'], valid)
     fc7_main = fc7_clean[0] if spec.is_context else fc7_clean
     if spec.cmil:
         lam = refine_ops.cmil_lambda(
