@@ -32,15 +32,22 @@ _SUPPORTED_BODIES = {
     'ResNet.add_ResNet50_conv5_body': 'resnet50_c5',
     'ResNet.add_ResNet101_conv4_body': 'resnet101_c4',
     'ResNet.add_ResNet101_conv5_body': 'resnet101_c5',
+    'ResNet.add_ResNet152_conv5_body': 'resnet152_c5',
     'VGG_CNN_M_1024.add_VGG_CNN_M_1024_conv5_body': 'vgg_cnn_m_c5',
     'ResNet18.add_ResNet18_conv4_body': 'resnet18_c4',
     'ResNet18.add_ResNet18_conv5_body': 'resnet18_c5',
+    # FPN bodies (FPN.py:47-94): ResNet backbone + pyramid; RoIs ride the
+    # multilevel transform (fpn.multilevel_roi_pool)
+    'FPN.add_fpn_ResNet50_conv5_body': 'fpn_resnet50',
+    'FPN.add_fpn_ResNet101_conv5_body': 'fpn_resnet101',
+    'FPN.add_fpn_ResNet152_conv5_body': 'fpn_resnet152',
+    'FPN.add_fpn_ResNet18_conv5_body': 'fpn_resnet18',
 }
-# internal body name -> feature channel count
+# internal body name -> feature channel count (FPN bodies: spec.fpn_dim)
 _BODY_OUT_DIM = {
     'vgg16_c5': 512,
     'resnet50_c4': 1024, 'resnet101_c4': 1024,
-    'resnet50_c5': 2048, 'resnet101_c5': 2048,
+    'resnet50_c5': 2048, 'resnet101_c5': 2048, 'resnet152_c5': 2048,
     'resnet18_c4': 256, 'resnet18_c5': 512,
     'vgg_cnn_m_c5': 512,
 }
@@ -138,13 +145,40 @@ class ModelSpec:
     frcnn_fg_thresh: float = 0.5
     frcnn_bg_thresh_hi: float = 0.5
     frcnn_bg_thresh_lo: float = 0.0
+    # FPN (cfg.FPN.*, FPN.py:47-94): pyramid dim, RoI/RPN level ranges,
+    # Eqn.1 canonical scale/level, conv vs subsample extra levels
+    fpn_dim: int = 256
+    fpn_roi_min_level: int = 2
+    fpn_roi_max_level: int = 5
+    fpn_rpn_min_level: int = 2
+    fpn_rpn_max_level: int = 6
+    fpn_canonical_scale: int = 224
+    fpn_canonical_level: int = 4
+    fpn_extra_conv_levels: bool = False
+    fpn_rpn_anchor_start_size: int = 32
+    fpn_rpn_aspect_ratios: tuple = (0.5, 1.0, 2.0)
     # fc6/fc7 width; 4096 in the reference (wsl_heads.py:674-679). Tests use a
     # narrow tower to keep single-core CPU runtimes sane.
     hidden_dim: int = 4096
 
     @property
     def body_out_dim(self):
+        if self.is_fpn:
+            return self.fpn_dim
         return _BODY_OUT_DIM[self.conv_body]
+
+    @property
+    def is_fpn(self):
+        return self.conv_body.startswith('fpn_')
+
+    @property
+    def fpn_level_range(self):
+        """(min, max) pyramid levels the body must produce."""
+        lo, hi = self.fpn_roi_min_level, self.fpn_roi_max_level
+        if self.faster_rcnn:
+            lo = min(lo, self.fpn_rpn_min_level)
+            hi = max(hi, self.fpn_rpn_max_level)
+        return lo, hi
 
     @property
     def is_webly(self):
@@ -172,6 +206,10 @@ def spec_from_cfg(cfg):
         raise NotImplementedError('CONV_BODY {} not implemented'.format(body))
     if head not in _SUPPORTED_HEADS:
         raise NotImplementedError('ROI_BOX_HEAD {} not implemented'.format(head))
+    if cfg.MODEL.MASK_ON and _SUPPORTED_BODIES[body].startswith('fpn_'):
+        raise NotImplementedError(
+            'MASK_ON with an FPN body is not wired yet (single-scale mask '
+            'branch only)')
     if cfg.WEBLY.MINING:
         # the reference's WEBLY.MINING switch calls webly_heads.
         # add_webly_mining which does not exist anywhere in the reference
@@ -245,15 +283,42 @@ def spec_from_cfg(cfg):
         frcnn_fg_thresh=cfg.TRAIN.FG_THRESH,
         frcnn_bg_thresh_hi=cfg.TRAIN.BG_THRESH_HI,
         frcnn_bg_thresh_lo=cfg.TRAIN.BG_THRESH_LO,
+        fpn_dim=cfg.FPN.DIM,
+        fpn_roi_min_level=cfg.FPN.ROI_MIN_LEVEL,
+        fpn_roi_max_level=cfg.FPN.ROI_MAX_LEVEL,
+        fpn_rpn_min_level=cfg.FPN.RPN_MIN_LEVEL,
+        fpn_rpn_max_level=cfg.FPN.RPN_MAX_LEVEL,
+        fpn_canonical_scale=cfg.FPN.ROI_CANONICAL_SCALE,
+        fpn_canonical_level=cfg.FPN.ROI_CANONICAL_LEVEL,
+        fpn_extra_conv_levels=cfg.FPN.EXTRA_CONV_LEVELS,
+        fpn_rpn_anchor_start_size=cfg.FPN.RPN_ANCHOR_START_SIZE,
+        fpn_rpn_aspect_ratios=tuple(cfg.FPN.RPN_ASPECT_RATIOS),
     )
+
+
+def _resnet_depth(conv_body):
+    for d in ('152', '101', '18', '50'):
+        if d in conv_body:
+            return 'resnet' + d
+    return 'resnet50'
 
 
 def init_params(spec: ModelSpec, rng):
     r1, r2 = jax.random.split(rng)
-    if spec.conv_body.startswith('resnet'):
+    if spec.is_fpn:
+        from nafwebsod_tpu.models import fpn, resnet
+        depth = _resnet_depth(spec.conv_body)
+        params = resnet.init_params(r1, depth, include_res5=True)
+        dims = (resnet.SHALLOW_STAGE_DIMS if depth == 'resnet18'
+                else resnet.STAGE_DIMS)
+        lo, hi = spec.fpn_level_range
+        params.update(fpn.init_params(
+            jax.random.fold_in(r1, 23), dims, spec.fpn_dim,
+            min_level=lo, max_level=hi,
+            extra_conv_levels=spec.fpn_extra_conv_levels))
+    elif spec.conv_body.startswith('resnet'):
         from nafwebsod_tpu.models import resnet
-        depth = ('resnet18' if '18' in spec.conv_body else
-                 'resnet101' if '101' in spec.conv_body else 'resnet50')
+        depth = _resnet_depth(spec.conv_body)
         params = resnet.init_params(r1, depth,
                                     include_res5=spec.conv_body.endswith('c5'))
     elif spec.conv_body == 'vgg_cnn_m_c5':
@@ -292,7 +357,12 @@ def init_params(spec: ModelSpec, rng):
             params.pop(k, None)
     if spec.faster_rcnn:
         from nafwebsod_tpu.models import rpn_head
-        num_anchors = len(spec.rpn_sizes) * len(spec.rpn_aspect_ratios)
+        if spec.is_fpn:
+            # FPN RPN: one anchor size per level -> A = len(aspect_ratios),
+            # conv weights shared across levels (FPN.py add_fpn_rpn_outputs)
+            num_anchors = len(spec.fpn_rpn_aspect_ratios)
+        else:
+            num_anchors = len(spec.rpn_sizes) * len(spec.rpn_aspect_ratios)
         params.update(rpn_head.init_rpn_params(
             jax.random.fold_in(r2, 19), spec.body_out_dim, num_anchors))
     if spec.mask_on:
@@ -311,12 +381,12 @@ def init_params(spec: ModelSpec, rng):
 def _body_param_names(spec):
     """All param names belonging to the configured conv body, grouped by
     stage index (for FREEZE_AT)."""
-    if spec.conv_body.startswith('resnet'):
+    if spec.conv_body.startswith('resnet') or spec.is_fpn:
         from nafwebsod_tpu.models import resnet
-        depth = ('resnet18' if '18' in spec.conv_body else
-                 'resnet101' if '101' in spec.conv_body else 'resnet50')
+        depth = _resnet_depth(spec.conv_body)
         names = resnet.param_shapes(
-            depth, include_res5=spec.conv_body.endswith('c5'))
+            depth,
+            include_res5=spec.is_fpn or spec.conv_body.endswith('c5'))
 
         def stage_of(name):
             if name.startswith('conv1') or name.startswith('res_conv1'):
@@ -337,6 +407,9 @@ def trainable_param_names(spec: ModelSpec, params):
     whole conv body is excluded; otherwise stages up to FREEZE_AT are."""
     body_stage = _body_param_names(spec)
     out = set()
+    # FPN pyramid convs are trainable head-side params (never frozen by
+    # FREEZE_AT, which indexes backbone stages) — they fall through the
+    # body_stage lookup below as head params, as intended.
     for name in params:
         stage_idx = body_stage.get(name)
         if stage_idx is None:
@@ -350,14 +423,29 @@ def trainable_param_names(spec: ModelSpec, params):
     return out
 
 
+def body_forward_fpn(spec, params, image):
+    """FPN body: ResNet stages -> pyramid. Returns (levels dict, scales
+    dict), both keyed by pyramid level."""
+    from nafwebsod_tpu.models import fpn, resnet
+
+    dtype = jnp.bfloat16 if spec.compute_dtype == 'bfloat16' else jnp.float32
+    x = image.astype(dtype)
+    depth = _resnet_depth(spec.conv_body)
+    stages, _ = resnet.forward(params, x, depth, include_res5=True,
+                               freeze_at=spec.freeze_at, return_stages=True)
+    lo, hi = spec.fpn_level_range
+    return fpn.forward(params, stages, spec.fpn_dim, min_level=lo,
+                       max_level=hi,
+                       extra_conv_levels=spec.fpn_extra_conv_levels)
+
+
 def body_forward(spec, params, image):
     """Dispatch to the configured conv body. Returns (feat NHWC, scale)."""
     dtype = jnp.bfloat16 if spec.compute_dtype == 'bfloat16' else jnp.float32
     x = image.astype(dtype)
     if spec.conv_body.startswith('resnet'):
         from nafwebsod_tpu.models import resnet
-        depth = ('resnet18' if '18' in spec.conv_body else
-                 'resnet101' if '101' in spec.conv_body else 'resnet50')
+        depth = _resnet_depth(spec.conv_body)
         feat, _, scale = resnet.forward(
             params, x, depth, include_res5=spec.conv_body.endswith('c5'),
             res5_dilation=spec.dilation if spec.dilation > 1 else 1,
@@ -411,6 +499,74 @@ def _rpn_forward(spec, params, feat):
     return cls_l, bbox_l, probs, deltas, anchors
 
 
+def _fpn_rpn_forward(spec, params, levels):
+    """Shared RPN conv head over the pyramid levels
+    (FPN.py add_fpn_rpn_outputs: one weight set, applied per level; one
+    anchor size per level = RPN_ANCHOR_START_SIZE * 2^(lvl - min)).
+
+    Returns dict with concatenated flat 'logits' (N,), 'deltas' (N, 4),
+    'anchors' (N, 4) in level order, plus 'per_level'
+    [(probs, deltas, anchors), ...] for per-level proposal generation."""
+    from nafwebsod_tpu.models import rpn_head
+    from nafwebsod_tpu.ops import rpn_device
+
+    logits_all, deltas_all, anchors_all, per_level = [], [], [], []
+    for lvl in range(spec.fpn_rpn_min_level, spec.fpn_rpn_max_level + 1):
+        cls_l, bbox_l = rpn_head.forward(params, levels[lvl])
+        stride = 2.0 ** lvl
+        size = (spec.fpn_rpn_anchor_start_size *
+                2 ** (lvl - spec.fpn_rpn_min_level))
+        base = _base_anchors((size,), spec.fpn_rpn_aspect_ratios,
+                             int(stride))
+        anchors = rpn_device.shifted_anchors(
+            cls_l.shape[1], cls_l.shape[2], stride, base)
+        logits = cls_l.reshape(-1)
+        deltas = bbox_l.reshape(-1, 4)
+        logits_all.append(logits)
+        deltas_all.append(deltas)
+        anchors_all.append(anchors)
+        per_level.append((jax.nn.sigmoid(logits), deltas, anchors))
+    return {
+        'logits': jnp.concatenate(logits_all),
+        'deltas': jnp.concatenate(deltas_all),
+        'anchors': jnp.concatenate(anchors_all),
+        'per_level': per_level,
+    }
+
+
+def _fpn_collect_proposals(spec, per_level, im_info, train):
+    """Per-level GenerateProposals + overall top-k collection
+    (collect_and_distribute_fpn_rpn_proposals.py: per-level NMS, union,
+    keep the top POST_NMS_TOP_N by score; distribution back to levels
+    happens inside the multilevel RoI transform)."""
+    from nafwebsod_tpu.ops import rpn_device
+
+    sg = jax.lax.stop_gradient
+    pre = spec.rpn_pre_nms_top_n if train else spec.rpn_test_pre_nms_top_n
+    post = (spec.rpn_post_nms_top_n if train
+            else spec.rpn_test_post_nms_top_n)
+    thresh = spec.rpn_nms_thresh if train else spec.rpn_test_nms_thresh
+    props, scores, valid = [], [], []
+    for probs_i, deltas_i, anchors_i in per_level:
+        p, s, v = rpn_device.generate_proposals(
+            sg(probs_i), sg(deltas_i), anchors_i,
+            im_info[0], im_info[1], im_info[2],
+            pre_nms_top_n=pre, post_nms_top_n=post,
+            nms_thresh=thresh, min_size=spec.rpn_min_size)
+        props.append(p)
+        scores.append(s)
+        valid.append(v)
+    props = jnp.concatenate(props)
+    scores = jnp.concatenate(scores)
+    valid = jnp.concatenate(valid)
+    k = min(post, props.shape[0])
+    masked = jnp.where(valid, scores, -jnp.inf)
+    top_s, idx = jax.lax.top_k(masked, k)
+    v = jnp.isfinite(top_s)
+    return (jnp.where(v[:, None], props[idx], 0.0),
+            jnp.where(v, top_s, 0.0), v)
+
+
 def _fast_rcnn_outputs(spec, params, fc7):
     """cls_score softmax + bbox_pred deltas (fast_rcnn_heads.py:45-72)."""
     logits = heads._fc(fc7, params, 'cls_score', out_dtype=jnp.float32)
@@ -433,7 +589,36 @@ def _fast_rcnn_losses(spec, params, fc7, labels, bbox_targets, bbox_iw,
     return loss_cls + loss_bbox, aux
 
 
+def _fpn_head_tower(spec, params, levels, scales, rois, obn_scores, train,
+                    rng):
+    """Multilevel RoI transform + fc tower(s) for FPN bodies
+    (detector.py:268-331 FPN-aware RoIFeatureTransform)."""
+    from nafwebsod_tpu.models import fpn
+
+    pooled = fpn.multilevel_roi_pool(
+        levels, scales, rois, obn_scores,
+        k_min=spec.fpn_roi_min_level, k_max=spec.fpn_roi_max_level,
+        method=spec.roi_xform_method, resolution=spec.roi_resolution,
+        sampling_ratio=spec.roi_sampling_ratio,
+        canonical_scale=spec.fpn_canonical_scale,
+        canonical_level=spec.fpn_canonical_level,
+        freeze_body=spec.freeze_conv_body)
+    if spec.box_head == 'vgg16_2fc_noise':
+        r1 = r2 = None
+        if rng is not None:
+            r1, r2 = jax.random.split(rng)
+        clean = heads._fc_tower(pooled, params, '', r1, train)
+        noisy = heads._fc_tower(pooled, params, '_[noisy]_', r2, train)
+        return clean, noisy
+    return heads._fc_tower(pooled, params, '', rng, train), None
+
+
 def _run_body_and_head(spec, params, image, rois, obn_scores, train, rng):
+    if spec.is_fpn:
+        levels, scales = body_forward_fpn(spec, params, image)
+        fc7_clean, fc7_noisy = _fpn_head_tower(
+            spec, params, levels, scales, rois, obn_scores, train, rng)
+        return fc7_clean, fc7_noisy, levels
     feat, spatial_scale = body_forward(spec, params, image)
     if spec.freeze_conv_body:
         feat = jax.lax.stop_gradient(feat)
@@ -477,24 +662,34 @@ def forward_test(spec: ModelSpec, params, image, rois, obn_scores,
     if spec.faster_rcnn:
         from nafwebsod_tpu.ops import rpn_device
 
-        feat, spatial_scale = body_forward(spec, params, image)
-        if spec.freeze_conv_body:
-            feat = jax.lax.stop_gradient(feat)
-        _, _, probs, deltas, anchors = _rpn_forward(spec, params, feat)
-        props, pscores, pvalid = rpn_device.generate_proposals(
-            probs, deltas, anchors, im_info[0], im_info[1], im_info[2],
-            pre_nms_top_n=spec.rpn_test_pre_nms_top_n,
-            post_nms_top_n=spec.rpn_test_post_nms_top_n,
-            nms_thresh=spec.rpn_test_nms_thresh,
-            min_size=spec.rpn_min_size)
+        if spec.is_fpn:
+            levels, scales = body_forward_fpn(spec, params, image)
+            rp = _fpn_rpn_forward(spec, params, levels)
+            props, pscores, pvalid = _fpn_collect_proposals(
+                spec, rp['per_level'], im_info, train=False)
+        else:
+            feat, spatial_scale = body_forward(spec, params, image)
+            if spec.freeze_conv_body:
+                feat = jax.lax.stop_gradient(feat)
+            _, _, probs, deltas, anchors = _rpn_forward(spec, params, feat)
+            props, pscores, pvalid = rpn_device.generate_proposals(
+                probs, deltas, anchors, im_info[0], im_info[1], im_info[2],
+                pre_nms_top_n=spec.rpn_test_pre_nms_top_n,
+                post_nms_top_n=spec.rpn_test_post_nms_top_n,
+                nms_thresh=spec.rpn_test_nms_thresh,
+                min_size=spec.rpn_min_size)
         rois5 = jnp.concatenate(
             [jnp.zeros((props.shape[0], 1)), props], axis=1)
         obn = jnp.ones((props.shape[0], 1), jnp.float32)
-        fc7, _ = heads.vgg16_roi_2fc_head(
-            params, feat, rois5, obn, spatial_scale,
-            method=spec.roi_xform_method, resolution=spec.roi_resolution,
-            sampling_ratio=spec.roi_sampling_ratio,
-            freeze_body=spec.freeze_conv_body, train=False, rng=None)
+        if spec.is_fpn:
+            fc7, _ = _fpn_head_tower(spec, params, levels, scales, rois5,
+                                     obn, False, None)
+        else:
+            fc7, _ = heads.vgg16_roi_2fc_head(
+                params, feat, rois5, obn, spatial_scale,
+                method=spec.roi_xform_method, resolution=spec.roi_resolution,
+                sampling_ratio=spec.roi_sampling_ratio,
+                freeze_body=spec.freeze_conv_body, train=False, rng=None)
         logits, bbox_pred = _fast_rcnn_outputs(spec, params, fc7)
         scores = jax.nn.softmax(logits, axis=1) * pvalid[:, None]
         return {'scores': scores, 'bbox_pred': bbox_pred, 'rois': rois5,
@@ -643,12 +838,19 @@ def forward_train(spec: ModelSpec, params, batch, rng):
 
         sg = jax.lax.stop_gradient
         rng_rpn, rng_prop, rng_head = jax.random.split(rng, 3)
-        feat, spatial_scale = body_forward(spec, params, image)
-        if spec.freeze_conv_body:
-            feat = sg(feat)
-        cls_l, bbox_l, probs, deltas, anchors = _rpn_forward(
-            spec, params, feat)
         im_info = batch['im_info']
+        if spec.is_fpn:
+            levels, scales = body_forward_fpn(spec, params, image)
+            rp = _fpn_rpn_forward(spec, params, levels)
+            flat_logits, flat_deltas, anchors = (
+                rp['logits'], rp['deltas'], rp['anchors'])
+        else:
+            feat, spatial_scale = body_forward(spec, params, image)
+            if spec.freeze_conv_body:
+                feat = sg(feat)
+            cls_l, bbox_l, probs, deltas, anchors = _rpn_forward(
+                spec, params, feat)
+            flat_logits, flat_deltas = cls_l.reshape(-1), deltas
         lab, tgt, iw, ow = rpn_device.rpn_targets(
             anchors, batch['gt_boxes'], batch['gt_valid'],
             im_info[0], im_info[1], rng_rpn,
@@ -657,13 +859,18 @@ def forward_train(spec: ModelSpec, params, batch, rng):
             negative_overlap=spec.rpn_negative_overlap,
             fg_fraction=spec.rpn_fg_fraction,
             batch_size=spec.rpn_batch_size)
-        losses = rpn_head.losses(cls_l, bbox_l, lab, tgt, iw, ow)
-        props, _, pvalid = rpn_device.generate_proposals(
-            sg(probs), sg(deltas), anchors,
-            im_info[0], im_info[1], im_info[2],
-            pre_nms_top_n=spec.rpn_pre_nms_top_n,
-            post_nms_top_n=spec.rpn_post_nms_top_n,
-            nms_thresh=spec.rpn_nms_thresh, min_size=spec.rpn_min_size)
+        losses = rpn_head.losses_flat(flat_logits, flat_deltas, lab, tgt,
+                                      iw, ow)
+        if spec.is_fpn:
+            props, _, pvalid = _fpn_collect_proposals(
+                spec, rp['per_level'], im_info, train=True)
+        else:
+            props, _, pvalid = rpn_device.generate_proposals(
+                sg(probs), sg(deltas), anchors,
+                im_info[0], im_info[1], im_info[2],
+                pre_nms_top_n=spec.rpn_pre_nms_top_n,
+                post_nms_top_n=spec.rpn_post_nms_top_n,
+                nms_thresh=spec.rpn_nms_thresh, min_size=spec.rpn_min_size)
         blobs = rpn_device.proposal_labels(
             rng_prop, props, pvalid, batch['gt_boxes'],
             batch['gt_classes'].astype(jnp.int32), batch['gt_valid'],
@@ -678,11 +885,15 @@ def forward_train(spec: ModelSpec, params, batch, rng):
         srois = blobs['rois']
         svalid = blobs['valid_mask']
         obn1 = jnp.ones((srois.shape[0], 1), jnp.float32)
-        fc7, _ = heads.vgg16_roi_2fc_head(
-            params, feat, srois, obn1, spatial_scale,
-            method=spec.roi_xform_method, resolution=spec.roi_resolution,
-            sampling_ratio=spec.roi_sampling_ratio,
-            freeze_body=spec.freeze_conv_body, train=True, rng=rng_head)
+        if spec.is_fpn:
+            fc7, _ = _fpn_head_tower(spec, params, levels, scales, srois,
+                                     obn1, True, rng_head)
+        else:
+            fc7, _ = heads.vgg16_roi_2fc_head(
+                params, feat, srois, obn1, spatial_scale,
+                method=spec.roi_xform_method, resolution=spec.roi_resolution,
+                sampling_ratio=spec.roi_sampling_ratio,
+                freeze_body=spec.freeze_conv_body, train=True, rng=rng_head)
         total, aux = _fast_rcnn_losses(
             spec, params, fc7, blobs['labels_int32'],
             blobs['bbox_targets'], blobs['bbox_inside_weights'],

@@ -32,8 +32,14 @@ def _upsample2(x):
 
 
 def param_shapes(stage_dims, fpn_dim=256, min_level=3, max_level=7,
-                 lowest_backbone=2, highest_backbone=5):
-    """stage_dims: channel counts of res2..res5 (index 0 = res2)."""
+                 lowest_backbone=2, highest_backbone=5,
+                 extra_conv_levels=True):
+    """stage_dims: channel counts of res2..res5 (index 0 = res2).
+
+    ``extra_conv_levels=False`` (the Fast/Faster R-CNN FPN default,
+    cfg.FPN.EXTRA_CONV_LEVELS): levels above the backbone are parameter-free
+    stride-2 subsampling of the top level; True (RetinaNet) gives them
+    stride-2 convs."""
     shapes = {}
     for k in range(max(min_level, lowest_backbone), highest_backbone + 1):
         d = stage_dims[k - 2]
@@ -41,17 +47,19 @@ def param_shapes(stage_dims, fpn_dim=256, min_level=3, max_level=7,
         shapes['fpn_inner{}_b'.format(k)] = (fpn_dim,)
         shapes['fpn_post{}_w'.format(k)] = (3, 3, fpn_dim, fpn_dim)
         shapes['fpn_post{}_b'.format(k)] = (fpn_dim,)
-    for k in range(highest_backbone + 1, max_level + 1):
-        d_in = stage_dims[-1] if k == highest_backbone + 1 else fpn_dim
-        shapes['fpn_extra{}_w'.format(k)] = (3, 3, d_in, fpn_dim)
-        shapes['fpn_extra{}_b'.format(k)] = (fpn_dim,)
+    if extra_conv_levels:
+        for k in range(highest_backbone + 1, max_level + 1):
+            d_in = stage_dims[-1] if k == highest_backbone + 1 else fpn_dim
+            shapes['fpn_extra{}_w'.format(k)] = (3, 3, d_in, fpn_dim)
+            shapes['fpn_extra{}_b'.format(k)] = (fpn_dim,)
     return shapes
 
 
 def init_params(rng, stage_dims, fpn_dim=256, min_level=3, max_level=7,
-                dtype=jnp.float32):
+                extra_conv_levels=True, dtype=jnp.float32):
     shapes = param_shapes(stage_dims, fpn_dim, min_level, max_level,
-                          highest_backbone=len(stage_dims) + 1)
+                          highest_backbone=len(stage_dims) + 1,
+                          extra_conv_levels=extra_conv_levels)
     params = {}
     keys = jax.random.split(rng, len(shapes))
     for i, (name, shape) in enumerate(sorted(shapes.items())):
@@ -92,7 +100,56 @@ def distribute_rois_over_fpn_levels(rois5, k_min, k_max, canonical_scale=224,
     return per_level, restore
 
 
-def forward(params, stages, fpn_dim=256, min_level=3, max_level=7):
+def map_rois_to_fpn_levels_dev(rois_xyxy, k_min, k_max, canonical_scale=224,
+                               canonical_level=4):
+    """Device twin of ``map_rois_to_fpn_levels`` (FPN paper Eqn.1,
+    FPN.py:500-512). rois: (R, 4) jnp. Returns int32 levels (R,)."""
+    w = rois_xyxy[:, 2] - rois_xyxy[:, 0] + 1
+    h = rois_xyxy[:, 3] - rois_xyxy[:, 1] + 1
+    s = jnp.sqrt(jnp.maximum(w * h, 0.0))
+    target = jnp.floor(canonical_level +
+                       jnp.log2(s / canonical_scale + 1e-6))
+    return jnp.clip(target, k_min, k_max).astype(jnp.int32)
+
+
+def multilevel_roi_pool(levels, scales, rois5, obn_scores, *, k_min, k_max,
+                        method='RoIAlign', resolution=7, sampling_ratio=2,
+                        canonical_scale=224, canonical_level=4,
+                        freeze_body=False):
+    """FPN-aware RoIFeatureTransform (detector.py:268-331), TPU-first.
+
+    The reference splits rois into per-level blobs on the host and
+    BatchPermutation-restores the order; with XLA's static shapes we instead
+    pool EVERY roi on EVERY level and select each roi's assigned level with
+    a mask — L small pooling passes, no dynamic shapes, no permutation.
+    Returns flattened (R, C*res*res) boosted features.
+    """
+    import jax
+    from nafwebsod_tpu.ops.roi_pool import roi_align, roi_pool
+    from nafwebsod_tpu.ops.roi_pool import roi_feature_boost
+
+    lvls = map_rois_to_fpn_levels_dev(rois5[:, 1:5], k_min, k_max,
+                                      canonical_scale, canonical_level)
+    out = None
+    for lvl in range(k_min, k_max + 1):
+        feat = levels[lvl][0]  # (H, W, C)
+        if method == 'RoIAlign':
+            pooled = roi_align(feat, rois5, resolution, resolution,
+                               scales[lvl], max(sampling_ratio, 1))
+        else:
+            pooled = roi_pool(feat, rois5, resolution, resolution,
+                              scales[lvl])
+        sel = (lvls == lvl).astype(pooled.dtype)[:, None, None, None]
+        out = pooled * sel if out is None else out + pooled * sel
+    out = roi_feature_boost(out, obn_scores)
+    if freeze_body:
+        out = jax.lax.stop_gradient(out)
+    r = out.shape[0]
+    return jnp.transpose(out, (0, 3, 1, 2)).reshape(r, -1)
+
+
+def forward(params, stages, fpn_dim=256, min_level=3, max_level=7,
+            extra_conv_levels=True):
     """stages: [res2, ..., res5] NHWC feature maps. Returns dict
     {level: feature} for levels min_level..max_level and the per-level
     spatial scales."""
@@ -114,12 +171,21 @@ def forward(params, stages, fpn_dim=256, min_level=3, max_level=7):
             continue
         levels[k] = _conv(inners[k], params, 'fpn_post{}'.format(k))
         scales[k] = 1.0 / (2 ** k)
-    # extra coarse levels (retinanet): P6 from res5 conv/2; P7 from relu(P6)
-    prev = stages[-1]
-    for k in range(highest_backbone + 1, max_level + 1):
-        if k > highest_backbone + 1:
-            prev = jax.nn.relu(prev)
-        prev = _conv(prev, params, 'fpn_extra{}'.format(k), stride=2)
-        levels[k] = prev
-        scales[k] = 1.0 / (2 ** k)
+    if extra_conv_levels:
+        # coarse levels (retinanet): P6 from res5 conv/2; P7 from relu(P6)
+        prev = stages[-1]
+        for k in range(highest_backbone + 1, max_level + 1):
+            if k > highest_backbone + 1:
+                prev = jax.nn.relu(prev)
+            prev = _conv(prev, params, 'fpn_extra{}'.format(k), stride=2)
+            levels[k] = prev
+            scales[k] = 1.0 / (2 ** k)
+    else:
+        # Fast/Faster R-CNN FPN: parameter-free stride-2 subsample of the
+        # top level (FPN.py MaxPool kernel 1 stride 2)
+        prev = levels.get(highest_backbone)
+        for k in range(highest_backbone + 1, max_level + 1):
+            prev = prev[:, ::2, ::2, :]
+            levels[k] = prev
+            scales[k] = 1.0 / (2 ** k)
     return levels, scales

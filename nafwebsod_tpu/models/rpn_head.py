@@ -51,7 +51,14 @@ def forward(params, feat):
 def losses(cls_logits, bbox_pred, labels, bbox_targets, inside_w, outside_w):
     """cls_logits: (1, H, W, A) -> flattened against per-anchor labels
     ordered (H, W, A); labels: (H*W*A,) in {-1, 0, 1}."""
-    logits = cls_logits.reshape(-1)
+    return losses_flat(cls_logits.reshape(-1), bbox_pred.reshape(-1, 4),
+                       labels, bbox_targets, inside_w, outside_w)
+
+
+def losses_flat(logits, bbox_pred, labels, bbox_targets, inside_w,
+                outside_w):
+    """Flat-anchor variant (FPN: anchors concatenated over levels).
+    logits: (N,); bbox_pred: (N, 4)."""
     valid = labels >= 0
     # SigmoidCrossEntropyLoss: mean over the labeled anchors
     x = logits
@@ -60,8 +67,7 @@ def losses(cls_logits, bbox_pred, labels, bbox_targets, inside_w, outside_w):
     loss_cls = jnp.sum(jnp.where(valid, elem, 0.0)) / jnp.maximum(
         jnp.sum(valid), 1)
 
-    pred = bbox_pred.reshape(-1, 4)
-    d = inside_w * (pred - bbox_targets)
+    d = inside_w * (bbox_pred - bbox_targets)
     ad = jnp.abs(d)
     beta = 1.0 / 9.0
     sl1 = jnp.where(ad < beta, 0.5 * d * d / beta, ad - 0.5 * beta)
