@@ -445,7 +445,8 @@ def merge_cfg_from_list(cfg_list):
 
 def assert_and_infer_cfg(make_immutable=True):
     """Validate config invariants and freeze the config."""
-    if __C.MODEL.RPN_ONLY or __C.MODEL.FASTER_RCNN:
+    if (__C.MODEL.RPN_ONLY or __C.MODEL.FASTER_RCNN or
+            __C.MODEL.TYPE == 'retinanet'):
         __C.TEST.PRECOMPUTED_PROPOSALS = False
     if make_immutable:
         __C.immutable(True)

@@ -198,9 +198,10 @@ def get_minibatch(entry, rng=None, pad_rois_to=None, size_bucket=None,
     true_h, true_w = im.shape[:2]
     if size_bucket:
         im = pad_image_to_bucket(im, size_bucket)
-    if cfg.MODEL.TYPE == 'generalized_rcnn' and cfg.MODEL.FASTER_RCNN:
-        # end-to-end path: only image + gt blobs; proposals come from the
-        # in-graph RPN. Dummy roi blobs keep the batch schema uniform.
+    if ((cfg.MODEL.TYPE == 'generalized_rcnn' and cfg.MODEL.FASTER_RCNN) or
+            cfg.MODEL.TYPE == 'retinanet'):
+        # end-to-end paths (RPN-in-graph / RetinaNet): only image + gt
+        # blobs. Dummy roi blobs keep the batch schema uniform.
         blobs = gt_blobs(entry, im_scale, true_h, true_w,
                          cfg.TPU.MAX_GT_BOXES)
         blobs['rois'] = np.zeros((1, 5), np.float32)

@@ -280,10 +280,109 @@ def box_results_with_nms_and_limit(scores, boxes):
     return scores_out, boxes_out, cls_boxes
 
 
+def im_detect_retinanet(spec, params, im, timers=None):
+    """RetinaNet per-image inference (ref core/test_retinanet.py:67-231):
+    per level threshold + top-k candidate anchors, decode (supervised) or
+    bare cell anchors (WSL, whose box preds the reference zeroes,
+    test_retinanet.py:96-99), then class-wise NMS + DETECTIONS_PER_IM."""
+    from nafwebsod_tpu.models.retinanet import cell_anchors
+
+    if timers is None:
+        timers = defaultdict(Timer)
+    timers['im_detect_bbox'].tic()
+    num_classes = cfg.MODEL.NUM_CLASSES
+    im_blob, im_scale = prep_im_for_blob(
+        im, cfg.PIXEL_MEANS, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE,
+        cfg.PIXEL_STDS)
+    im_in = pad_image_to_bucket(im_blob, cfg.TPU.SIZE_BUCKET_MULTIPLE)
+    out = detector.forward_test(spec, params, jnp.asarray(im_in[None]),
+                                None, None, None)
+    cls_probs = {l: np.asarray(v) for l, v in out['retnet_cls_prob'].items()}
+    bbox_preds = {l: np.asarray(v)
+                  for l, v in out.get('retnet_bbox_pred', {}).items()}
+
+    k_min, k_max = spec.fpn_rpn_min_level, spec.fpn_rpn_max_level
+    a = (spec.retinanet_scales_per_octave *
+         len(spec.retinanet_aspect_ratios)) if spec.retinanet else 1
+    c = num_classes - 1
+    boxes_all = {cls: [] for cls in range(1, num_classes)}
+    for lvl in range(k_min, k_max + 1):
+        stride = 2.0 ** lvl
+        prob = cls_probs[lvl][0]                       # (h, w, A*(C-1))
+        h, w = prob.shape[:2]
+        prob = prob.reshape(h, w, a, c)
+        th = spec.retinanet_inference_th if lvl < k_max else 0.0
+        cand = np.where(prob.ravel() > th)[0]
+        if len(cand) == 0:
+            continue
+        top = min(spec.retinanet_pre_nms_top_n, len(cand))
+        inds = cand[np.argpartition(prob.ravel()[cand], -top)[-top:]]
+        y, x, aid, cls_i = np.unravel_index(inds, prob.shape)
+        scores = prob[y, x, aid, cls_i]
+
+        if spec.retinanet:
+            cell = cell_anchors(lvl, spec.retinanet_anchor_scale,
+                                spec.retinanet_scales_per_octave,
+                                spec.retinanet_aspect_ratios)
+        else:
+            cell = cell_anchors(lvl, spec.retinanet_anchor_scale, 1, (1.0,))
+        boxes = np.column_stack((x, y, x, y)).astype(np.float32) * stride
+        boxes += cell[aid if spec.retinanet else np.zeros_like(aid)]
+
+        if spec.retinanet and cfg.TEST.BBOX_REG and lvl in bbox_preds:
+            bp = bbox_preds[lvl][0]                    # (h, w, 4A[*C-1])
+            if spec.retinanet_class_specific_bbox:
+                bp = bp.reshape(h, w, a, c, 4)
+                deltas = bp[y, x, aid, cls_i]
+            else:
+                bp = bp.reshape(h, w, a, 4)
+                deltas = bp[y, x, aid]
+            pred = box_utils.bbox_transform(boxes, deltas)
+        else:
+            pred = boxes
+        pred = pred / im_scale
+        pred = box_utils.clip_tiled_boxes(pred, im.shape)
+        dets = np.hstack([pred, scores[:, None]]).astype(np.float32)
+        for cls in range(1, num_classes):
+            sel = np.where(cls_i == cls - 1)[0]
+            if len(sel):
+                boxes_all[cls].append(dets[sel])
+    timers['im_detect_bbox'].toc()
+
+    timers['misc_bbox'].tic()
+    cls_boxes = [[] for _ in range(num_classes)]
+    for cls in range(1, num_classes):
+        if not boxes_all[cls]:
+            cls_boxes[cls] = np.zeros((0, 5), np.float32)
+            continue
+        dets = np.vstack(boxes_all[cls])
+        if cfg.TEST.SOFT_NMS.ENABLED:
+            dets, _ = box_utils.soft_nms(
+                dets, sigma=cfg.TEST.SOFT_NMS.SIGMA,
+                overlap_thresh=cfg.TEST.NMS, score_thresh=0.0001,
+                method=cfg.TEST.SOFT_NMS.METHOD)
+        else:
+            keep = box_utils.nms(dets, cfg.TEST.NMS)
+            dets = dets[keep, :]
+        cls_boxes[cls] = dets
+    if cfg.TEST.DETECTIONS_PER_IM > 0:
+        image_scores = np.hstack(
+            [cls_boxes[j][:, -1] for j in range(1, num_classes)])
+        if len(image_scores) > cfg.TEST.DETECTIONS_PER_IM:
+            image_thresh = np.sort(image_scores)[-cfg.TEST.DETECTIONS_PER_IM]
+            for j in range(1, num_classes):
+                keep = np.where(cls_boxes[j][:, -1] >= image_thresh)[0]
+                cls_boxes[j] = cls_boxes[j][keep, :]
+    timers['misc_bbox'].toc()
+    return cls_boxes, None, None
+
+
 def im_detect_all(spec, params, im, box_proposals, obn_scores, timers=None):
     """Full per-image detection pipeline (ref :29-89)."""
     if timers is None:
         timers = defaultdict(Timer)
+    if spec.retinanet or spec.retinanet_wsl:
+        return im_detect_retinanet(spec, params, im, timers)
     timers['im_detect_bbox'].tic()
     if cfg.TEST.BBOX_AUG.ENABLED:
         scores, boxes, im_scale = im_detect_bbox_aug(

@@ -157,6 +157,26 @@ class ModelSpec:
     fpn_extra_conv_levels: bool = False
     fpn_rpn_anchor_start_size: int = 32
     fpn_rpn_aspect_ratios: tuple = (0.5, 1.0, 2.0)
+    # RetinaNet (cfg.RETINANET.*): supervised one-stage model
+    # (MODEL.TYPE 'retinanet', retinanet_heads.py:64-246,447-510) and the
+    # WSL variant (RETINANET.RETINANET_ON under generalized_wsl,
+    # model_builder_wsl.py:580-594)
+    retinanet: bool = False
+    retinanet_wsl: bool = False
+    retinanet_aspect_ratios: tuple = (0.5, 1.0, 2.0)
+    retinanet_scales_per_octave: int = 3
+    retinanet_anchor_scale: int = 4
+    retinanet_num_convs: int = 4
+    retinanet_prior_prob: float = 0.01
+    retinanet_loss_alpha: float = 0.25
+    retinanet_loss_gamma: float = 2.0
+    retinanet_bbox_reg_beta: float = 0.11
+    retinanet_bbox_reg_weight: float = 1.0
+    retinanet_class_specific_bbox: bool = False
+    retinanet_positive_overlap: float = 0.5
+    retinanet_negative_overlap: float = 0.4
+    retinanet_inference_th: float = 0.05
+    retinanet_pre_nms_top_n: int = 1000
     # fc6/fc7 width; 4096 in the reference (wsl_heads.py:674-679). Tests use a
     # narrow tower to keep single-core CPU runtimes sane.
     hidden_dim: int = 4096
@@ -174,6 +194,8 @@ class ModelSpec:
     @property
     def fpn_level_range(self):
         """(min, max) pyramid levels the body must produce."""
+        if self.retinanet or self.retinanet_wsl:
+            return self.fpn_rpn_min_level, self.fpn_rpn_max_level
         lo, hi = self.fpn_roi_min_level, self.fpn_roi_max_level
         if self.faster_rcnn:
             lo = min(lo, self.fpn_rpn_min_level)
@@ -204,8 +226,19 @@ def spec_from_cfg(cfg):
     head = cfg.FAST_RCNN.ROI_BOX_HEAD
     if body not in _SUPPORTED_BODIES:
         raise NotImplementedError('CONV_BODY {} not implemented'.format(body))
-    if head not in _SUPPORTED_HEADS:
+    retinanet = cfg.MODEL.TYPE == 'retinanet'
+    retinanet_wsl = (cfg.RETINANET.RETINANET_ON and not retinanet)
+    if retinanet or retinanet_wsl:
+        assert _SUPPORTED_BODIES[body].startswith('fpn_'), \
+            'RetinaNet needs an FPN conv body'
+        assert not cfg.RETINANET.SOFTMAX or retinanet_wsl, \
+            'supervised RETINANET.SOFTMAX head not supported (sigmoid only)'
+        assert not cfg.RETINANET.SHARE_CLS_BBOX_TOWER, \
+            'RETINANET.SHARE_CLS_BBOX_TOWER not supported'
+    elif head not in _SUPPORTED_HEADS:
         raise NotImplementedError('ROI_BOX_HEAD {} not implemented'.format(head))
+    if retinanet or retinanet_wsl:
+        head = 'fast_rcnn_heads.add_roi_2mlp_head'  # unused placeholder
     if cfg.MODEL.MASK_ON and _SUPPORTED_BODIES[body].startswith('fpn_'):
         raise NotImplementedError(
             'MASK_ON with an FPN body is not wired yet (single-scale mask '
@@ -290,9 +323,26 @@ def spec_from_cfg(cfg):
         fpn_rpn_max_level=cfg.FPN.RPN_MAX_LEVEL,
         fpn_canonical_scale=cfg.FPN.ROI_CANONICAL_SCALE,
         fpn_canonical_level=cfg.FPN.ROI_CANONICAL_LEVEL,
-        fpn_extra_conv_levels=cfg.FPN.EXTRA_CONV_LEVELS,
+        fpn_extra_conv_levels=(cfg.FPN.EXTRA_CONV_LEVELS or retinanet or
+                               retinanet_wsl),
         fpn_rpn_anchor_start_size=cfg.FPN.RPN_ANCHOR_START_SIZE,
         fpn_rpn_aspect_ratios=tuple(cfg.FPN.RPN_ASPECT_RATIOS),
+        retinanet=retinanet,
+        retinanet_wsl=retinanet_wsl,
+        retinanet_aspect_ratios=tuple(cfg.RETINANET.ASPECT_RATIOS),
+        retinanet_scales_per_octave=cfg.RETINANET.SCALES_PER_OCTAVE,
+        retinanet_anchor_scale=cfg.RETINANET.ANCHOR_SCALE,
+        retinanet_num_convs=cfg.RETINANET.NUM_CONVS,
+        retinanet_prior_prob=cfg.RETINANET.PRIOR_PROB,
+        retinanet_loss_alpha=cfg.RETINANET.LOSS_ALPHA,
+        retinanet_loss_gamma=cfg.RETINANET.LOSS_GAMMA,
+        retinanet_bbox_reg_beta=cfg.RETINANET.BBOX_REG_BETA,
+        retinanet_bbox_reg_weight=cfg.RETINANET.BBOX_REG_WEIGHT,
+        retinanet_class_specific_bbox=cfg.RETINANET.CLASS_SPECIFIC_BBOX,
+        retinanet_positive_overlap=cfg.RETINANET.POSITIVE_OVERLAP,
+        retinanet_negative_overlap=cfg.RETINANET.NEGATIVE_OVERLAP,
+        retinanet_inference_th=cfg.RETINANET.INFERENCE_TH,
+        retinanet_pre_nms_top_n=cfg.RETINANET.PRE_NMS_TOP_N,
     )
 
 
@@ -326,6 +376,17 @@ def init_params(spec: ModelSpec, rng):
         params = vgg_cnn_m.init_params(r1)
     else:
         params = vgg16.init_params(r1, dilation=spec.dilation)
+    if spec.retinanet:
+        from nafwebsod_tpu.models import retinanet
+        params.update(retinanet.init_params(jax.random.fold_in(r2, 29),
+                                            spec))
+        return params
+    if spec.retinanet_wsl:
+        from nafwebsod_tpu.models import retinanet_wsl
+        params.update(retinanet_wsl.init_tower_params(
+            jax.random.fold_in(r2, 31), spec.num_classes, spec.fpn_dim,
+            spec.retinanet_num_convs))
+        return params
     roi_feat_dim = (spec.body_out_dim * spec.roi_resolution *
                     spec.roi_resolution)
     params.update(heads.init_head_params(
@@ -659,6 +720,19 @@ def forward_test(spec: ModelSpec, params, image, rois, obn_scores,
     proposals in-graph (model_builder.py:74-112 inference); ``im_info``
     (h, w, scale) is required for clipping/min-size. The returned dict gains
     'rois' (P, 5) in scaled-image coords and 'proposal_valid' (P,)."""
+    if spec.retinanet:
+        from nafwebsod_tpu.models import retinanet
+        levels, _ = body_forward_fpn(spec, params, image)
+        cls_out, bbox_out = retinanet.head_forward(spec, params, levels)
+        return {'retnet_cls_prob': {l: jax.nn.sigmoid(v)
+                                    for l, v in cls_out.items()},
+                'retnet_bbox_pred': bbox_out}
+    if spec.retinanet_wsl:
+        from nafwebsod_tpu.models import retinanet_wsl
+        levels, _ = body_forward_fpn(spec, params, image)
+        maps, img_scores = retinanet_wsl.tower_outputs(
+            params, levels, spec.retinanet_num_convs)
+        return {'retnet_cls_prob': maps, 'img_scores': img_scores}
     if spec.faster_rcnn:
         from nafwebsod_tpu.ops import rpn_device
 
@@ -827,6 +901,34 @@ def forward_train(spec: ModelSpec, params, batch, rng):
     obn = batch['obn_scores']
     labels_oh = batch['labels_oh']
     valid = batch.get('valid_mask')
+
+    if spec.retinanet:
+        # supervised RetinaNet (retinanet_heads.py:447-510): focal +
+        # select-smooth-L1 over the pyramid, targets on device
+        from nafwebsod_tpu.models import retinanet
+        levels, _ = body_forward_fpn(spec, params, image)
+        cls_out, bbox_out = retinanet.head_forward(spec, params, levels)
+        losses = retinanet.losses(
+            spec, cls_out, bbox_out, batch['gt_boxes'],
+            batch['gt_classes'].astype(jnp.int32), batch['gt_valid'])
+        return sum(losses.values()), dict(losses)
+
+    if spec.retinanet_wsl:
+        # WSL RetinaNet (retinanet_heads.py:249-370,513-538): per-level
+        # WSDDN-style position maps -> image scores -> CE vs image labels
+        from nafwebsod_tpu.models import retinanet_wsl
+        levels, _ = body_forward_fpn(spec, params, image)
+        _, img_scores = retinanet_wsl.tower_outputs(
+            params, levels, spec.retinanet_num_convs)
+        losses = {}
+        for lvl, score in img_scores.items():
+            losses['cls_loss_fpn{}'.format(lvl)] = (
+                loss_ops.cross_entropy_with_logits(score, labels_oh,
+                                                   spec.mean_loss))
+        aux = dict(losses)
+        aux['accuracy_cls'] = loss_ops.multilabel_accuracy(
+            sum(img_scores.values()), labels_oh)
+        return sum(losses.values()), aux
 
     if spec.faster_rcnn:
         # end-to-end Faster R-CNN: RPN losses + on-device proposal

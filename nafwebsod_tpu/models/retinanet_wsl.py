@@ -36,6 +36,26 @@ class RetinaNetWSLSpec:
     compute_dtype: str = 'float32'
 
 
+def init_tower_params(rng, num_classes, fpn_dim, num_convs):
+    """The two WSL conv towers ('c'/'d' streams), shared across levels."""
+    keys = jax.random.split(rng, 2 * (num_convs + 1))
+    ki = 0
+    c = num_classes - 1
+    params = {}
+    for stream in ('c', 'd'):
+        for n in range(num_convs):
+            params['retnet_cls_conv_n{}_{}_w'.format(n, stream)] = (
+                0.01 * jax.random.normal(keys[ki], (3, 3, fpn_dim, fpn_dim)))
+            params['retnet_cls_conv_n{}_{}_b'.format(n, stream)] = (
+                jnp.zeros((fpn_dim,)))
+            ki += 1
+        params['retnet_cls_pred_{}_w'.format(stream)] = (
+            0.01 * jax.random.normal(keys[ki], (3, 3, fpn_dim, c)))
+        params['retnet_cls_pred_{}_b'.format(stream)] = jnp.zeros((c,))
+        ki += 1
+    return params
+
+
 def init_params(spec, rng):
     r1, r2, r3 = jax.random.split(rng, 3)
     params = resnet.init_params(r1, spec.depth, include_res5=True)
@@ -43,21 +63,8 @@ def init_params(spec, rng):
             else resnet.STAGE_DIMS)
     params.update(fpn_lib.init_params(r2, list(dims), spec.fpn_dim,
                                       spec.min_level, spec.max_level))
-    keys = jax.random.split(r3, 2 * (spec.num_convs + 1))
-    ki = 0
-    c = spec.num_classes - 1
-    for stream in ('c', 'd'):
-        for n in range(spec.num_convs):
-            params['retnet_cls_conv_n{}_{}_w'.format(n, stream)] = (
-                0.01 * jax.random.normal(
-                    keys[ki], (3, 3, spec.fpn_dim, spec.fpn_dim)))
-            params['retnet_cls_conv_n{}_{}_b'.format(n, stream)] = (
-                jnp.zeros((spec.fpn_dim,)))
-            ki += 1
-        params['retnet_cls_pred_{}_w'.format(stream)] = (
-            0.01 * jax.random.normal(keys[ki], (3, 3, spec.fpn_dim, c)))
-        params['retnet_cls_pred_{}_b'.format(stream)] = jnp.zeros((c,))
-        ki += 1
+    params.update(init_tower_params(r3, spec.num_classes, spec.fpn_dim,
+                                    spec.num_convs))
     return params
 
 
@@ -77,21 +84,14 @@ def _tower(x, params, stream, num_convs):
     return _conv3(x, params, 'retnet_cls_pred_{}'.format(stream))
 
 
-def forward(spec, params, image):
-    """image: (1, H, W, 3). Returns dict {level: per-position score map
-    (1, h, w, C-1)} and {level: image-level scores (1, C-1)}."""
-    dtype = jnp.bfloat16 if spec.compute_dtype == 'bfloat16' else jnp.float32
-    stages, _ = resnet.forward(params, image.astype(dtype), spec.depth,
-                               include_res5=True, freeze_at=spec.freeze_at,
-                               return_stages=True)
-    levels, _ = fpn_lib.forward(params, stages, spec.fpn_dim,
-                                spec.min_level, spec.max_level)
+def tower_outputs(params, levels, num_convs):
+    """Run the two streams over an externally-built pyramid. Returns
+    ({level: per-position score map (1, h, w, C-1)},
+     {level: image-level scores (1, C-1)})."""
     maps, img_scores = {}, {}
     for lvl, feat in levels.items():
-        logits_c = _tower(feat, params, 'c', spec.num_convs).astype(
-            jnp.float32)
-        logits_d = _tower(feat, params, 'd', spec.num_convs).astype(
-            jnp.float32)
+        logits_c = _tower(feat, params, 'c', num_convs).astype(jnp.float32)
+        logits_d = _tower(feat, params, 'd', num_convs).astype(jnp.float32)
         # 'c': softmax over CLASSES at each position (GroupSpatialSoftmax)
         prob_c = jax.nn.softmax(logits_c, axis=-1)
         # 'd': per-class softmax over ALL positions (Caffe2 Softmax axis=2)
@@ -103,6 +103,18 @@ def forward(spec, params, image):
         # RoIScorePool: sum over positions -> (1, C-1)
         img_scores[lvl] = jnp.sum(score_map, axis=(1, 2))
     return maps, img_scores
+
+
+def forward(spec, params, image):
+    """image: (1, H, W, 3). Returns dict {level: per-position score map
+    (1, h, w, C-1)} and {level: image-level scores (1, C-1)}."""
+    dtype = jnp.bfloat16 if spec.compute_dtype == 'bfloat16' else jnp.float32
+    stages, _ = resnet.forward(params, image.astype(dtype), spec.depth,
+                               include_res5=True, freeze_at=spec.freeze_at,
+                               return_stages=True)
+    levels, _ = fpn_lib.forward(params, stages, spec.fpn_dim,
+                                spec.min_level, spec.max_level)
+    return tower_outputs(params, levels, spec.num_convs)
 
 
 def losses(spec, img_scores, cls_labels):

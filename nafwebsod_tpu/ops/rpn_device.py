@@ -144,6 +144,38 @@ def rpn_targets(anchors, gt_boxes, gt_valid, im_h, im_w, rng,
     return labels, targets, inside_w, outside_w
 
 
+def retinanet_targets(anchors, gt_boxes, gt_classes, gt_valid,
+                      positive_overlap=0.5, negative_overlap=0.4):
+    """Per-anchor RetinaNet classification/regression targets on device
+    (``detectron/roi_data/retinanet.py:182-240``). No subsampling — focal
+    loss consumes every non-ignored anchor.
+
+    Returns (labels (N,) int32 with 0 bg / c fg / -1 ignore,
+    bbox_targets (N, 4), fg_mask (N,) post-bg-overwrite fg anchors,
+    num_fg () = pre-overwrite fg count + 1, the reference's normalizer).
+    """
+    gv = gt_valid.astype(bool)
+    ov = jbox.iou_matrix(anchors, gt_boxes)
+    ov = jnp.where(gv[None, :], ov, 0.0)
+    a2g_argmax = jnp.argmax(ov, axis=1)
+    a2g_max = jnp.max(ov, axis=1)
+    g2a_max = jnp.max(ov, axis=0)
+    forced = jnp.any((ov == g2a_max[None, :]) & gv[None, :], axis=1)
+    fg_pre = (forced | (a2g_max >= positive_overlap)) & jnp.any(gv)
+    cls = jnp.where(gv[a2g_argmax], gt_classes[a2g_argmax], 0)
+
+    bg = a2g_max < negative_overlap
+    # reference order: fg labels assigned, fg_inds/num_fg captured, THEN
+    # bg overwrites (a forced anchor with tiny IoU can be demoted)
+    labels = jnp.where(bg, 0, jnp.where(fg_pre, cls, -1)).astype(jnp.int32)
+    fg_post = fg_pre & ~bg
+
+    targets = bbox_transform_inv(anchors, gt_boxes[a2g_argmax])
+    targets = jnp.where(fg_pre[:, None], targets, 0.0)
+    num_fg = jnp.sum(fg_pre).astype(jnp.float32) + 1.0
+    return labels, targets, fg_post, num_fg
+
+
 def generate_proposals(scores, deltas, anchors, im_h, im_w, im_scale, *,
                        pre_nms_top_n=6000, post_nms_top_n=1000,
                        nms_thresh=0.7, min_size=0.0):
