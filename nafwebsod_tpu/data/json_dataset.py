@@ -50,6 +50,11 @@ class JsonDataset:
         self.contiguous_category_id_to_json_id = {
             v: k for k, v in self.json_category_id_to_contiguous_id.items()
         }
+        # keypoint metadata (ref json_dataset.py _init_keypoints): present
+        # when the category schema carries 'keypoints' (COCO person)
+        cats = self.COCO.loadCats(category_ids)
+        self.keypoints = cats[0].get('keypoints') if cats else None
+        self.num_keypoints = len(self.keypoints) if self.keypoints else 0
 
     # ------------------------------------------------------------------ #
 
@@ -93,6 +98,9 @@ class JsonDataset:
         entry['gt_overlaps'] = np.empty((0, self.num_classes), dtype=np.float32)
         entry['is_crowd'] = np.empty((0,), dtype=bool)
         entry['box_to_gt_ind_map'] = np.empty((0,), dtype=np.int32)
+        if self.num_keypoints:
+            entry['gt_keypoints'] = np.empty(
+                (0, self.num_keypoints, 3), dtype=np.float32)
         for k in ('date_captured', 'url', 'license', 'file_name'):
             entry.pop(k, None)
 
@@ -152,6 +160,14 @@ class JsonDataset:
         entry['is_crowd'] = np.append(entry['is_crowd'], is_crowd)
         entry['box_to_gt_ind_map'] = np.append(
             entry['box_to_gt_ind_map'], box_to_gt_ind_map)
+        if self.num_keypoints:
+            kps = np.zeros((n, self.num_keypoints, 3), np.float32)
+            for ix, obj in enumerate(valid_objs):
+                raw = obj.get('keypoints')
+                if raw:
+                    kps[ix] = np.asarray(raw, np.float32).reshape(-1, 3)
+            entry['gt_keypoints'] = np.append(
+                entry['gt_keypoints'], kps, axis=0)
 
     def _add_pseudo_gt_annotations(self, roidb, gt_roidb):
         """Inject pseudo gt from prior detection pkls (self-training rounds).

@@ -180,12 +180,29 @@ def gt_blobs(entry, im_scale, true_h, true_w, max_gt):
     gt_boxes[:n] = boxes[:n]
     gt_classes[:n] = classes[:n]
     gt_valid[:n] = True
-    return {
+    out = {
         'gt_boxes': gt_boxes,
         'gt_classes': gt_classes,
         'gt_valid': gt_valid,
         'im_info': np.array([true_h, true_w, im_scale], np.float32),
     }
+    if cfg.MODEL.KEYPOINTS_ON:
+        k = max(cfg.KRCNN.NUM_KEYPOINTS, 1)
+        kps = np.zeros((max_gt, k, 3), np.float32)
+        raw = entry.get('gt_keypoints')
+        if raw is not None and len(raw):
+            raw = raw[gt_inds][:n].astype(np.float32).copy()
+            if entry.get('flipped', False):
+                # roidb flip copies boxes only; mirror keypoint x here.
+                # DEVIATION: no left/right identity swap (the reference
+                # remaps e.g. left_eye<->right_eye via keypoint names)
+                vis = raw[:, :, 2] > 0
+                raw[:, :, 0] = np.where(
+                    vis, entry['width'] - raw[:, :, 0] - 1, 0)
+            raw[:, :, :2] *= im_scale
+            kps[:n, :raw.shape[1]] = raw
+        out['gt_keypoints'] = kps
+    return out
 
 
 def get_minibatch(entry, rng=None, pad_rois_to=None, size_bucket=None,
@@ -198,7 +215,8 @@ def get_minibatch(entry, rng=None, pad_rois_to=None, size_bucket=None,
     true_h, true_w = im.shape[:2]
     if size_bucket:
         im = pad_image_to_bucket(im, size_bucket)
-    if ((cfg.MODEL.TYPE == 'generalized_rcnn' and cfg.MODEL.FASTER_RCNN) or
+    supervised_type = cfg.MODEL.TYPE in ('generalized_rcnn', 'rfcn')
+    if ((supervised_type and cfg.MODEL.FASTER_RCNN) or
             cfg.MODEL.TYPE == 'retinanet'):
         # end-to-end paths (RPN-in-graph / RetinaNet): only image + gt
         # blobs. Dummy roi blobs keep the batch schema uniform.
@@ -209,7 +227,7 @@ def get_minibatch(entry, rng=None, pad_rois_to=None, size_bucket=None,
         blobs['valid_mask'] = np.zeros((1,), bool)
         blobs['labels_oh'] = np.zeros((1, cfg.MODEL.NUM_CLASSES - 1),
                                       np.float32)
-    elif cfg.MODEL.TYPE == 'generalized_rcnn':
+    elif supervised_type:
         # supervised Fast R-CNN path: fg/bg sampled rois + bbox-reg targets
         # (roi_data/fast_rcnn.py; no crop/distortion projection — the
         # supervised path uses plain flip/scale augmentation)

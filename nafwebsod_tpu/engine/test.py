@@ -396,4 +396,61 @@ def im_detect_all(spec, params, im, box_proposals, obn_scores, timers=None):
     timers['misc_bbox'].tic()
     scores, boxes, cls_boxes = box_results_with_nms_and_limit(scores, boxes)
     timers['misc_bbox'].toc()
-    return cls_boxes, None, None
+
+    cls_keyps = None
+    if getattr(spec, 'keypoints_on', False):
+        timers['im_detect_keypoints'].tic()
+        cls_keyps = im_detect_keypoints(spec, params, im, cls_boxes)
+        timers['im_detect_keypoints'].toc()
+    return cls_boxes, None, cls_keyps
+
+
+def heatmaps_to_keypoints(maps, rois):
+    """Extract (x, y, logit, prob) per keypoint from per-RoI heatmaps
+    (utils/keypoints.py:heatmaps_to_keypoints semantics: heatmap resized to
+    the roi with cv2 cubic, argmax per keypoint). maps: (R, Hh, Wh, K);
+    rois: (R, 4) original-image coords. Returns (R, 4, K)."""
+    import cv2
+    r, hh, wh, k = maps.shape
+    out = np.zeros((r, 4, k), np.float32)
+    for i in range(r):
+        x1, y1, x2, y2 = rois[i]
+        w = max(int(np.ceil(x2 - x1)), 1)
+        h = max(int(np.ceil(y2 - y1)), 1)
+        m = cv2.resize(maps[i], (w, h), interpolation=cv2.INTER_CUBIC)
+        m = m.reshape(h * w, k) if m.ndim == 3 else m.reshape(h * w, 1)
+        pos = np.argmax(m, axis=0)
+        ys, xs = pos // w, pos % w
+        logits = m[pos, np.arange(k)]
+        probs = np.exp(logits) / np.sum(np.exp(m), axis=0)
+        out[i, 0] = x1 + xs + 0.5
+        out[i, 1] = y1 + ys + 0.5
+        out[i, 2] = logits
+        out[i, 3] = probs
+    return out
+
+
+def im_detect_keypoints(spec, params, im, cls_boxes):
+    """Run the keypoint head on the final detections of the person class
+    (class 1, upstream convention). Returns cls_keyps: per-class list of
+    (R, 4, K) arrays."""
+    num_classes = cfg.MODEL.NUM_CLASSES
+    cls_keyps = [[] for _ in range(num_classes)]
+    dets = cls_boxes[1]
+    if len(dets) == 0:
+        cls_keyps[1] = np.zeros((0, 4, spec.num_keypoints), np.float32)
+        return cls_keyps
+    im_blob, im_scale = prep_im_for_blob(
+        im, cfg.PIXEL_MEANS, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE,
+        cfg.PIXEL_STDS)
+    im_in = pad_image_to_bucket(im_blob, cfg.TPU.SIZE_BUCKET_MULTIPLE)
+    boxes = np.asarray(dets)[:, :4]
+    rois5 = np.hstack([np.zeros((len(boxes), 1), np.float32),
+                       boxes * im_scale]).astype(np.float32)
+    pad_mult = cfg.TPU.ROI_PAD_MULTIPLE
+    rois_p, _, valid = _pad_rois(rois5, np.ones((len(boxes), 1)), pad_mult)
+    maps = np.asarray(detector.forward_keypoints(
+        spec, params, jnp.asarray(im_in[None]),
+        jnp.asarray(rois_p)))[:len(boxes)]
+    cls_keyps[1] = heatmaps_to_keypoints(maps, boxes)
+    return cls_keyps

@@ -177,6 +177,19 @@ class ModelSpec:
     retinanet_negative_overlap: float = 0.4
     retinanet_inference_th: float = 0.05
     retinanet_pre_nms_top_n: int = 1000
+    # R-FCN (MODEL.TYPE 'rfcn', model_builder.py:93 + rfcn_heads.py:29-99):
+    # position-sensitive score maps replace the fc box tower
+    rfcn: bool = False
+    rfcn_ps_grid: int = 3
+    # Keypoint R-CNN (MODEL.KEYPOINTS_ON, keypoint_rcnn_heads.py)
+    keypoints_on: bool = False
+    num_keypoints: int = 17
+    keypoint_num_convs: int = 8
+    keypoint_conv_dim: int = 512
+    keypoint_deconv_dim: int = 256
+    keypoint_resolution: int = 14
+    keypoint_loss_weight: float = 1.0
+    keypoint_normalize_by_visible: bool = True
     # fc6/fc7 width; 4096 in the reference (wsl_heads.py:674-679). Tests use a
     # narrow tower to keep single-core CPU runtimes sane.
     hidden_dim: int = 4096
@@ -235,9 +248,9 @@ def spec_from_cfg(cfg):
             'supervised RETINANET.SOFTMAX head not supported (sigmoid only)'
         assert not cfg.RETINANET.SHARE_CLS_BBOX_TOWER, \
             'RETINANET.SHARE_CLS_BBOX_TOWER not supported'
-    elif head not in _SUPPORTED_HEADS:
+    elif cfg.MODEL.TYPE != 'rfcn' and head not in _SUPPORTED_HEADS:
         raise NotImplementedError('ROI_BOX_HEAD {} not implemented'.format(head))
-    if retinanet or retinanet_wsl:
+    if retinanet or retinanet_wsl or cfg.MODEL.TYPE == 'rfcn':
         head = 'fast_rcnn_heads.add_roi_2mlp_head'  # unused placeholder
     if cfg.MODEL.MASK_ON and _SUPPORTED_BODIES[body].startswith('fpn_'):
         raise NotImplementedError(
@@ -292,7 +305,18 @@ def spec_from_cfg(cfg):
         center_loss_top_k=cfg.WSL.CENTER_LOSS_TOP_K,
         csc_max_iter=cfg.WSL.CSC_MAX_ITER,
         cpg_max_iter=cfg.WSL.CPG_MAX_ITER,
-        supervised=cfg.MODEL.TYPE == 'generalized_rcnn',
+        supervised=cfg.MODEL.TYPE in ('generalized_rcnn', 'rfcn'),
+        rfcn=cfg.MODEL.TYPE == 'rfcn',
+        rfcn_ps_grid=cfg.RFCN.PS_GRID_SIZE,
+        keypoints_on=cfg.MODEL.KEYPOINTS_ON,
+        num_keypoints=max(cfg.KRCNN.NUM_KEYPOINTS, 1),
+        keypoint_num_convs=cfg.KRCNN.NUM_STACKED_CONVS,
+        keypoint_conv_dim=cfg.KRCNN.CONV_HEAD_DIM,
+        keypoint_deconv_dim=cfg.KRCNN.DECONV_DIM,
+        keypoint_resolution=cfg.KRCNN.ROI_XFORM_RESOLUTION,
+        keypoint_loss_weight=cfg.KRCNN.LOSS_WEIGHT,
+        keypoint_normalize_by_visible=(
+            cfg.KRCNN.NORMALIZE_BY_VISIBLE_KEYPOINTS),
         cls_agnostic_bbox_reg=cfg.MODEL.CLS_AGNOSTIC_BBOX_REG,
         bbox_reg_weights=tuple(cfg.MODEL.BBOX_REG_WEIGHTS),
         faster_rcnn=cfg.MODEL.FASTER_RCNN,
@@ -389,11 +413,12 @@ def init_params(spec: ModelSpec, rng):
         return params
     roi_feat_dim = (spec.body_out_dim * spec.roi_resolution *
                     spec.roi_resolution)
-    params.update(heads.init_head_params(
-        r2, spec.num_classes, roi_feat_dim=roi_feat_dim,
-        hidden=spec.hidden_dim,
-        webly=spec.box_head == 'vgg16_2fc_noise',
-        context=spec.is_context))
+    if not spec.rfcn:
+        params.update(heads.init_head_params(
+            r2, spec.num_classes, roi_feat_dim=roi_feat_dim,
+            hidden=spec.hidden_dim,
+            webly=spec.box_head == 'vgg16_2fc_noise',
+            context=spec.is_context))
     if spec.refine_k:
         r3 = jax.random.fold_in(r2, 7)
         params.update(heads.init_refine_params(
@@ -404,7 +429,13 @@ def init_params(spec: ModelSpec, rng):
             spec.num_classes, spec.center_loss_number, spec.hidden_dim,
             jax.random.fold_in(r2, 11))
         params['center_feature'] = cf
-    if spec.supervised:
+    if spec.rfcn:
+        from nafwebsod_tpu.models import rfcn_head
+        params.update(rfcn_head.init_rfcn_params(
+            jax.random.fold_in(r2, 37), spec.body_out_dim,
+            spec.num_classes, ps_grid=spec.rfcn_ps_grid,
+            cls_agnostic_bbox=spec.cls_agnostic_bbox_reg))
+    elif spec.supervised:
         k1, k2 = jax.random.split(jax.random.fold_in(r2, 17))
         num_reg = 2 if spec.cls_agnostic_bbox_reg else spec.num_classes
         params['cls_score_w'] = 0.01 * jax.random.normal(
@@ -416,6 +447,14 @@ def init_params(spec: ModelSpec, rng):
         # the WSDDN output layers are not part of the supervised graph
         for k in ('fc8c_w', 'fc8c_b', 'fc8d_w', 'fc8d_b'):
             params.pop(k, None)
+    if spec.keypoints_on:
+        from nafwebsod_tpu.models import keypoint_head
+        params.update(keypoint_head.init_keypoint_params(
+            jax.random.fold_in(r2, 41), dim_in=spec.body_out_dim,
+            hidden=spec.keypoint_conv_dim,
+            num_convs=spec.keypoint_num_convs,
+            num_keypoints=spec.num_keypoints,
+            deconv_dim=spec.keypoint_deconv_dim))
     if spec.faster_rcnn:
         from nafwebsod_tpu.models import rpn_head
         if spec.is_fpn:
@@ -635,10 +674,21 @@ def _fast_rcnn_outputs(spec, params, fc7):
     return logits, bbox_pred
 
 
-def _fast_rcnn_losses(spec, params, fc7, labels, bbox_targets, bbox_iw,
-                      bbox_ow, valid):
+def _box_outputs(spec, params, fc7, feat, rois, spatial_scale):
+    """cls logits + bbox deltas from either the fc tower (Fast R-CNN) or
+    the position-sensitive R-FCN maps (rfcn_heads.py:29-99)."""
+    if spec.rfcn:
+        from nafwebsod_tpu.models import rfcn_head
+        return rfcn_head.forward(
+            params, feat, rois, spec.num_classes, ps_grid=spec.rfcn_ps_grid,
+            spatial_scale=spatial_scale,
+            cls_agnostic_bbox=spec.cls_agnostic_bbox_reg)
+    return _fast_rcnn_outputs(spec, params, fc7)
+
+
+def _fast_rcnn_losses(spec, logits, bbox_pred, labels, bbox_targets,
+                      bbox_iw, bbox_ow, valid):
     """Supervised box-head losses (fast_rcnn_heads.py:75-93)."""
-    logits, bbox_pred = _fast_rcnn_outputs(spec, params, fc7)
     loss_cls = loss_ops.softmax_with_loss(logits, labels, valid)
     loss_bbox = loss_ops.smooth_l1_loss(
         bbox_pred, bbox_targets, bbox_iw, bbox_ow, valid_mask=valid)
@@ -755,19 +805,36 @@ def forward_test(spec: ModelSpec, params, image, rois, obn_scores,
         rois5 = jnp.concatenate(
             [jnp.zeros((props.shape[0], 1)), props], axis=1)
         obn = jnp.ones((props.shape[0], 1), jnp.float32)
-        if spec.is_fpn:
-            fc7, _ = _fpn_head_tower(spec, params, levels, scales, rois5,
-                                     obn, False, None)
+        if spec.rfcn:
+            logits, bbox_pred = _box_outputs(spec, params, None, feat,
+                                             rois5, spatial_scale)
         else:
-            fc7, _ = heads.vgg16_roi_2fc_head(
-                params, feat, rois5, obn, spatial_scale,
-                method=spec.roi_xform_method, resolution=spec.roi_resolution,
-                sampling_ratio=spec.roi_sampling_ratio,
-                freeze_body=spec.freeze_conv_body, train=False, rng=None)
-        logits, bbox_pred = _fast_rcnn_outputs(spec, params, fc7)
+            if spec.is_fpn:
+                fc7, _ = _fpn_head_tower(spec, params, levels, scales,
+                                         rois5, obn, False, None)
+            else:
+                fc7, _ = heads.vgg16_roi_2fc_head(
+                    params, feat, rois5, obn, spatial_scale,
+                    method=spec.roi_xform_method,
+                    resolution=spec.roi_resolution,
+                    sampling_ratio=spec.roi_sampling_ratio,
+                    freeze_body=spec.freeze_conv_body, train=False,
+                    rng=None)
+            logits, bbox_pred = _fast_rcnn_outputs(spec, params, fc7)
         scores = jax.nn.softmax(logits, axis=1) * pvalid[:, None]
         return {'scores': scores, 'bbox_pred': bbox_pred, 'rois': rois5,
                 'proposal_valid': pvalid, 'rois_pred': scores[:, 1:]}
+    if spec.supervised and spec.rfcn:
+        feat, spatial_scale = body_forward(spec, params, image)
+        if spec.freeze_conv_body:
+            feat = jax.lax.stop_gradient(feat)
+        logits, bbox_pred = _box_outputs(spec, params, None, feat, rois,
+                                         spatial_scale)
+        probs = jax.nn.softmax(logits, axis=1)
+        if valid_mask is not None:
+            probs = probs * valid_mask[:, None]
+        return {'scores': probs, 'bbox_pred': bbox_pred,
+                'rois_pred': probs[:, 1:]}
     fc7_clean, fc7_noisy, feat = _run_body_and_head(
         spec, params, image, rois, obn_scores, train=False, rng=None)
     if spec.supervised:
@@ -799,6 +866,25 @@ def forward_test(spec: ModelSpec, params, image, rois, obn_scores,
     else:
         scores = heads.add_background_column(out['rois_pred'])
     return {'scores': scores, 'rois_pred': out['rois_pred']}
+
+
+@partial(jax.jit, static_argnames=('spec',))
+def forward_keypoints(spec: ModelSpec, params, image, rois):
+    """Keypoint heatmaps for given (final-detection) rois
+    (test.py im_detect_keypoints upstream). Returns (R, Hh, Wh, K)."""
+    from nafwebsod_tpu.models import keypoint_head
+
+    if spec.is_fpn:
+        levels, scales = body_forward_fpn(spec, params, image)
+        kfeat = levels[spec.fpn_roi_min_level][0]
+        kscale = scales[spec.fpn_roi_min_level]
+    else:
+        kfeat_full, kscale = body_forward(spec, params, image)
+        kfeat = kfeat_full[0]
+    return keypoint_head.forward(
+        params, kfeat.astype(jnp.float32), rois, kscale,
+        resolution=spec.keypoint_resolution,
+        num_convs=spec.keypoint_num_convs)
 
 
 def _refinement_losses(spec, params, fc7, rois, out, cls_prob, labels_oh,
@@ -987,29 +1073,73 @@ def forward_train(spec: ModelSpec, params, batch, rng):
         srois = blobs['rois']
         svalid = blobs['valid_mask']
         obn1 = jnp.ones((srois.shape[0], 1), jnp.float32)
-        if spec.is_fpn:
-            fc7, _ = _fpn_head_tower(spec, params, levels, scales, srois,
-                                     obn1, True, rng_head)
+        if spec.rfcn:
+            logits, bbox_pred = _box_outputs(spec, params, None, feat,
+                                             srois, spatial_scale)
         else:
-            fc7, _ = heads.vgg16_roi_2fc_head(
-                params, feat, srois, obn1, spatial_scale,
-                method=spec.roi_xform_method, resolution=spec.roi_resolution,
-                sampling_ratio=spec.roi_sampling_ratio,
-                freeze_body=spec.freeze_conv_body, train=True, rng=rng_head)
+            if spec.is_fpn:
+                fc7, _ = _fpn_head_tower(spec, params, levels, scales,
+                                         srois, obn1, True, rng_head)
+            else:
+                fc7, _ = heads.vgg16_roi_2fc_head(
+                    params, feat, srois, obn1, spatial_scale,
+                    method=spec.roi_xform_method,
+                    resolution=spec.roi_resolution,
+                    sampling_ratio=spec.roi_sampling_ratio,
+                    freeze_body=spec.freeze_conv_body, train=True,
+                    rng=rng_head)
+            logits, bbox_pred = _fast_rcnn_outputs(spec, params, fc7)
         total, aux = _fast_rcnn_losses(
-            spec, params, fc7, blobs['labels_int32'],
+            spec, logits, bbox_pred, blobs['labels_int32'],
             blobs['bbox_targets'], blobs['bbox_inside_weights'],
             blobs['bbox_outside_weights'], svalid.astype(jnp.float32))
         total = total + losses['loss_rpn_cls'] + losses['loss_rpn_bbox']
         aux.update(losses)
+        if spec.keypoints_on:
+            # keypoint head on the fg sampled rois
+            # (keypoint_rcnn_heads.py:110-149; targets rasterized on device)
+            from nafwebsod_tpu.models import keypoint_head
+            kfeat = (levels[spec.fpn_roi_min_level][0] if spec.is_fpn
+                     else feat[0])
+            kscale = (2.0 ** -spec.fpn_roi_min_level if spec.is_fpn
+                      else spatial_scale)
+            kp_logits = keypoint_head.forward(
+                params, kfeat.astype(jnp.float32), srois, kscale,
+                resolution=spec.keypoint_resolution,
+                num_convs=spec.keypoint_num_convs)
+            hm = 2 * spec.keypoint_resolution
+            gt_kps = batch['gt_keypoints'][blobs['gt_assignment']]
+            loc, kw = keypoint_head.keypoint_targets_dev(gt_kps, srois, hm)
+            fg = ((blobs['labels_int32'] > 0) & svalid.astype(bool))
+            kw = kw * jnp.repeat(fg.astype(jnp.float32),
+                                 spec.num_keypoints)
+            loss_kps = keypoint_head.keypoint_losses(
+                kp_logits, loc, kw,
+                normalize_by_visible=spec.keypoint_normalize_by_visible,
+                loss_weight=spec.keypoint_loss_weight)
+            total = total + loss_kps
+            aux['loss_kps'] = loss_kps
         return total, aux
+
+    if spec.supervised and spec.rfcn:
+        # precomputed-proposal R-FCN: PS score maps straight off the body
+        feat, spatial_scale = body_forward(spec, params, image)
+        if spec.freeze_conv_body:
+            feat = jax.lax.stop_gradient(feat)
+        logits, bbox_pred = _box_outputs(spec, params, None, feat, rois,
+                                         spatial_scale)
+        return _fast_rcnn_losses(
+            spec, logits, bbox_pred, batch['labels_int32'],
+            batch['bbox_targets'], batch['bbox_inside_weights'],
+            batch['bbox_outside_weights'], valid)
 
     fc7_clean, fc7_noisy, feat = _run_body_and_head(
         spec, params, image, rois, obn, train=True, rng=rng)
     if spec.supervised:
         # Fast R-CNN supervised losses on precomputed-proposal blobs
+        logits, bbox_pred = _fast_rcnn_outputs(spec, params, fc7_clean)
         return _fast_rcnn_losses(
-            spec, params, fc7_clean, batch['labels_int32'],
+            spec, logits, bbox_pred, batch['labels_int32'],
             batch['bbox_targets'], batch['bbox_inside_weights'],
             batch['bbox_outside_weights'], valid)
     fc7_main = fc7_clean[0] if spec.is_context else fc7_clean

@@ -80,6 +80,23 @@ def keypoint_losses(kps_logits, locations, weights,
     return loss_weight * loss_sum / norm
 
 
+def keypoint_targets_dev(keypoints, rois, heatmap_size):
+    """Device twin of ``keypoint_targets`` for the in-graph Faster R-CNN
+    path: keypoints (R, K, 3) already gathered per sampled roi (via the
+    proposal sampler's gt_assignment). Returns (locations (R*K,) int32,
+    weights (R*K,) float32)."""
+    x1, y1 = rois[:, 1:2], rois[:, 2:3]
+    x2, y2 = rois[:, 3:4], rois[:, 4:5]
+    sx = heatmap_size / jnp.maximum(x2 - x1, 1e-3)
+    sy = heatmap_size / jnp.maximum(y2 - y1, 1e-3)
+    hx = jnp.floor((keypoints[..., 0] - x1) * sx)
+    hy = jnp.floor((keypoints[..., 1] - y1) * sy)
+    ok = ((keypoints[..., 2] > 0) & (hx >= 0) & (hx < heatmap_size) &
+          (hy >= 0) & (hy < heatmap_size))
+    loc = jnp.where(ok, hy * heatmap_size + hx, -1).astype(jnp.int32)
+    return loc.reshape(-1), ok.astype(jnp.float32).reshape(-1)
+
+
 def keypoint_targets(keypoints, rois, heatmap_size):
     """Rasterize gt keypoints into flat heatmap location targets
     (roi_data/keypoint_rcnn.py semantics). keypoints: (R, K, 3) [x, y, vis]

@@ -79,8 +79,10 @@ def _stage(x, params, stage_prefix, n, stride_init, dilation, stride_1x1,
         prefix = '{}_{}'.format(stage_prefix, i)
         stride = stride_init if i == 0 else 1
         if shallow:
+            # first block needs the projection shortcut whenever the stage
+            # changes width, even at stride 1 (dilated res5)
             x = _basic_block(x, params, prefix, stride, dilation,
-                             has_shortcut=(i == 0 and stride_init != 1))
+                             has_shortcut=prefix + '_branch1_w' in params)
         else:
             x = _bottleneck(x, params, prefix, stride, dilation, stride_1x1,
                             has_shortcut=(i == 0))

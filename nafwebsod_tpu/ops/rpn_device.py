@@ -280,6 +280,9 @@ def proposal_labels(rng, proposals, prop_valid, gt_boxes, gt_classes,
         'bbox_inside_weights': bbox_inside.astype(jnp.float32),
         'bbox_outside_weights': bbox_outside.astype(jnp.float32),
         'valid_mask': valid,
+        # assigned gt index per sampled roi (keypoint/mask targets)
+        'gt_assignment': jnp.where(valid, gt_assign[take], 0).astype(
+            jnp.int32),
     }
     if r < rois_per_image:  # pool smaller than the budget: pad
         pad = rois_per_image - r
