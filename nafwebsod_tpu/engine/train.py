@@ -212,17 +212,33 @@ def train_model(roidb=None, max_iters=None):
 
 def _vis_sample(spec, params, blobs, output_dir, cur_iter):
     """Periodic training visualization (webly_vis.vis_training via
-    train_wsl.py:92-95): dump the input image + per-gt-class RoI heatmaps."""
+    train_wsl.py:92-95): dump the input image + per-gt-class RoI heatmaps,
+    and with WEBLY.ENTROPY the entropy/class-weight maps — the paper's core
+    mechanism (webly_vis.py:18-66 save_entropy)."""
     try:
         from nafwebsod_tpu.utils import vis
         out = detector.forward_test(
             spec, params, jnp_asarray(blobs['data']),
             jnp_asarray(blobs['rois']), jnp_asarray(blobs['obn_scores']),
             jnp_asarray(blobs['valid_mask']))
+        vis_dir = os.path.join(output_dir, 'vis')
         vis.vis_training(
-            os.path.join(output_dir, 'vis'), cur_iter, blobs['data'],
+            vis_dir, cur_iter, blobs['data'],
             blobs['rois'], np.asarray(out['rois_pred']), blobs['labels_oh'],
             pixel_means=cfg.PIXEL_MEANS)
+        if spec.is_webly and spec.webly_entropy and 'rois_pred' in out:
+            from nafwebsod_tpu.models import heads
+            from nafwebsod_tpu.ops.entropy import spatial_entropy_weights
+            rois_pred = out['rois_pred']
+            cls_prob = heads.cls_pred(rois_pred)
+            cw, cwn, inter = spatial_entropy_weights(
+                rois_pred, cls_prob, jnp_asarray(blobs['rois']),
+                jnp_asarray(blobs['labels_oh']),
+                jnp_asarray(blobs['valid_mask']),
+                return_intermediates=True)
+            vis.vis_training_entropy(
+                vis_dir, cur_iter, blobs['data'], blobs['rois'], inter,
+                cw, cwn, blobs['labels_oh'], pixel_means=cfg.PIXEL_MEANS)
     except Exception:
         logger.exception('vis_training failed (non-fatal)')
 

@@ -29,7 +29,7 @@ from nafwebsod_tpu.ops.jbox import roi_iou
 
 
 def spatial_entropy_weights(rois_pred, cls_prob, rois, labels_oh,
-                            valid_mask=None):
+                            valid_mask=None, return_intermediates=False):
     r = rois_pred.shape[0]
     if valid_mask is None:
         valid = jnp.ones((r,), dtype=rois_pred.dtype)
@@ -63,5 +63,11 @@ def spatial_entropy_weights(rois_pred, cls_prob, rois, labels_oh,
     labels_bg = 1.0 - labels_oh
     class_weight_noise = norm * labels_bg
     class_weight = 1.0 - class_weight_noise
-    return (jax.lax.stop_gradient(class_weight),
-            jax.lax.stop_gradient(class_weight_noise))
+    cw = jax.lax.stop_gradient(class_weight)
+    cwn = jax.lax.stop_gradient(class_weight_noise)
+    if return_intermediates:
+        # observability for webly_vis.save_entropy (webly_vis.py:18-66):
+        # per-RoI raw/normalized entropy and the y(logN - logy) normalizer
+        inter = {'E': e, 'hatE': hat_e, 'y_logN__logy': y_norm}
+        return cw, cwn, jax.lax.stop_gradient(inter)
+    return cw, cwn

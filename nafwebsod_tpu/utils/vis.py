@@ -95,3 +95,42 @@ def vis_training(output_dir, cur_iter, image, rois, rois_pred, labels_oh,
         np.savetxt(os.path.join(
             output_dir, 'iter{}_class_weights.txt'.format(cur_iter)),
             np.asarray(class_weights))
+
+
+def vis_training_entropy(output_dir, cur_iter, image, rois, entropy_inter,
+                         class_weight, class_weight_noise, labels_oh,
+                         pixel_means=None):
+    """Entropy/class-weight observability dump
+    (webly_vis.py:save_entropy:18-66): per-gt-class heatmaps of the raw
+    per-RoI entropy E and the spatially-normalized Ê, plus the per-class
+    weight vectors and the y(logN - logy) normalizer as text — the paper's
+    core mechanism made inspectable every WSL.SAMPLE_ITER."""
+    os.makedirs(output_dir, exist_ok=True)
+    im = np.asarray(image)
+    if im.ndim == 4:
+        im = im[0]
+    if pixel_means is not None:
+        im = im + pixel_means
+    im = np.clip(im, 0, 255).astype(np.uint8)
+
+    e = np.asarray(entropy_inter['E'])
+    hat_e = np.asarray(entropy_inter['hatE'])
+    rois = np.asarray(rois)
+    gt_classes = np.where(np.asarray(labels_oh)[0] > 0)[0]
+    for c in gt_classes:
+        for tag, vals in (('E', e[:, c]), ('hatE', hat_e[:, c])):
+            heat = roi_score_heatmap(im.shape, rois, vals)
+            hm = cv2.applyColorMap((heat * 255).astype(np.uint8),
+                                   cv2.COLORMAP_JET)
+            blend = cv2.addWeighted(im, 0.5, hm, 0.5, 0)
+            cv2.imwrite(os.path.join(
+                output_dir,
+                'iter{}_class{}_{}.png'.format(cur_iter, c, tag)), blend)
+    header = 'class_weight / class_weight_noise / y_logN__logy'
+    np.savetxt(
+        os.path.join(output_dir,
+                     'iter{}_entropy_weights.txt'.format(cur_iter)),
+        np.vstack([np.asarray(class_weight)[0],
+                   np.asarray(class_weight_noise)[0],
+                   np.asarray(entropy_inter['y_logN__logy'])[0]]),
+        header=header)
