@@ -96,6 +96,15 @@ def test_net(weights_file, dataset_name, proposal_file, output_dir,
         extend_results(i, all_boxes, cls_boxes_i)
         if all_keyps is not None and cls_keyps_i is not None:
             extend_results(i, all_keyps, cls_keyps_i)
+        if cfg.VIS:
+            # detection rendering during eval (ref test_engine_wsl.py:281-302)
+            from nafwebsod_tpu.utils.vis import vis_one_image
+            stem = os.path.splitext(os.path.basename(entry['image']))[0]
+            vis_one_image(
+                im, cls_boxes_i, thresh=cfg.VIS_TH,
+                class_names=dataset.classes,
+                output_name=os.path.join(output_dir, 'vis',
+                                         stem + '.png'))
         if i % 10 == 0:
             ave_total_time = np.sum(
                 [t.average_time for t in timers.values()])
