@@ -129,7 +129,11 @@ def main():
         'metric': 'train_images_per_sec',
         'value': round(ims_per_sec, 3),
         'unit': 'images/sec',
+        # the reference publishes NO throughput; the denominator is the
+        # BASELINE.md estimate for the 4xP100 Caffe2 rig (~10 img/s total),
+        # so this ratio is estimate-based, not a measured-baseline ratio
         'vs_baseline': round(ims_per_sec / BASELINE_IMS_PER_SEC, 3),
+        'baseline_kind': 'estimated-4xP100-detectron (BASELINE.md)',
     }))
 
 
