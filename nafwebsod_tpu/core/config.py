@@ -385,6 +385,12 @@ __C.TPU.HEAD_HIDDEN_DIM = 4096
 # When set, capture a jax.profiler trace of iterations [10, 15) into this
 # directory (the TPU-native analogue of the reference's per-phase Timers).
 __C.TPU.PROFILE_DIR = ''
+# Train-loop steps fused into one device call via lax.scan (1 = one call
+# per step). Per-call dispatch costs real wall-clock (dominant on
+# remote-attached TPUs); K chained steps amortize it Kx at the cost of
+# snapshot/log granularity rounding to K and the window sharing one padded
+# image size.
+__C.TPU.STEPS_PER_CALL = 1
 # Static ground-truth box capacity per image for the in-graph Faster R-CNN
 # target machinery (padded with a validity mask; no reference equivalent —
 # the Caffe2 python ops used dynamic shapes on host).

@@ -18,6 +18,7 @@ import queue
 import random
 import signal
 import threading
+import time
 from collections import deque
 
 import numpy as np
@@ -133,6 +134,9 @@ class RoIDataLoader:
                     4, self._minibatch_queue.maxsize):
                 if self.coordinator.should_stop():
                     break
+                # yield the core to the loader threads we are waiting on
+                # (a bare spin starves them on few-core hosts)
+                time.sleep(0.01)
 
     def get(self, timeout=60.0):
         """Pop one host minibatch for the training loop."""

@@ -96,6 +96,12 @@ def train_model(roidb=None, max_iters=None):
     step_fn = ts.make_train_step(
         spec, hp, mults, m,
         center_update_period=max(128 // num_devices, 1))
+    steps_per_call = max(cfg.TPU.STEPS_PER_CALL, 1)
+    multi_step_fn = None
+    if steps_per_call > 1:
+        multi_step_fn = ts.make_multi_train_step(
+            spec, hp, mults, m,
+            center_update_period=max(128 // num_devices, 1))
 
     # ----- data -----
     if roidb is None:
@@ -124,26 +130,34 @@ def train_model(roidb=None, max_iters=None):
 
     profiling = False
     try:
-        for cur_iter in range(start_iter, max_iters):
+        cur_iter = start_iter
+        while cur_iter < max_iters:
+            # window of w iterations fused into one device call
+            # (TPU.STEPS_PER_CALL; w == 1 is the classic per-step path)
+            w = min(steps_per_call, max_iters - cur_iter)
+            last_it = cur_iter + w - 1
             if cfg.TPU.PROFILE_DIR:
-                if cur_iter == start_iter + 10:
+                if cur_iter <= start_iter + 10 <= last_it:
                     jax.profiler.start_trace(cfg.TPU.PROFILE_DIR)
                     profiling = True
-                elif cur_iter == start_iter + 15 and profiling:
+                elif cur_iter >= start_iter + 15 and profiling:
                     jax.profiler.stop_trace()
                     profiling = False
                     logger.info('Wrote profiler trace to %s',
                                 cfg.TPU.PROFILE_DIR)
             stats.IterTic()
-            lr = lr_policy.get_lr_at_iter(cur_iter)
-            factor = sgd.momentum_correction_factor(cfg, lr, lr_prev)
-            if factor is not None:
-                logger.info('LR change %g -> %g: scaling momentum by %g',
-                            lr_prev, lr, factor)
-                opt_state = sgd.scale_momentum(opt_state, np.float32(factor))
-            lr_prev = lr
+            lrs, factors = [], []
+            for i in range(w):
+                lr = lr_policy.get_lr_at_iter(cur_iter + i)
+                factor = sgd.momentum_correction_factor(cfg, lr, lr_prev)
+                if factor is not None:
+                    logger.info('LR change %g -> %g: scaling momentum by %g',
+                                lr_prev, lr, factor)
+                factors.append(1.0 if factor is None else factor)
+                lrs.append(lr)
+                lr_prev = lr
 
-            blobs = [loader.get() for _ in range(num_devices)]
+            blobs = [loader.get() for _ in range(w * num_devices)]
             batch = ts.stack_minibatches(
                 blobs, size_bucket=cfg.TPU.SIZE_BUCKET_MULTIPLE)
             # cur_iter gates the C-MIL continuation schedule AND the
@@ -151,54 +165,77 @@ def train_model(roidb=None, max_iters=None):
             # detector.forward_train — inject it unconditionally so those
             # branches deactivate on schedule like the reference ops
             # (csc_op/center_loss_op cur_iter >= max_iter pass-through).
-            batch['cur_iter'] = np.full((num_devices,), cur_iter, np.float32)
+            iters_arr = np.repeat(
+                np.arange(cur_iter, cur_iter + w, dtype=np.float32),
+                num_devices)
+            batch['cur_iter'] = iters_arr
             rng, sub = jax.random.split(rng)
-            rngs = ts.device_rngs(sub, num_devices)
-            params, opt_state, loss, aux = step_fn(
-                params, opt_state, batch, np.float32(lr), rngs)
+            rngs = ts.device_rngs(sub, w * num_devices)
+            if w == 1:
+                if factors[0] != 1.0:
+                    opt_state = sgd.scale_momentum(
+                        opt_state, np.float32(factors[0]))
+                params, opt_state, loss, aux = step_fn(
+                    params, opt_state, batch, np.float32(lrs[0]), rngs)
+            else:
+                batch = {k: v.reshape((w, num_devices) + v.shape[1:])
+                         for k, v in batch.items()}
+                params, opt_state, loss, aux = multi_step_fn(
+                    params, opt_state, batch,
+                    np.asarray(lrs, np.float32),
+                    np.asarray(factors, np.float32),
+                    rngs.reshape((w, num_devices) + rngs.shape[1:]))
 
             # Defer the host fetch: a per-step sync would serialize the
             # pipeline (and costs a full RTT on remote-TPU rigs). Losses are
             # drained every LOG_PERIOD iterations; the NaN guard
             # (train_wsl.py:77-83) therefore fires within LOG_PERIOD steps
             # of the event instead of immediately.
-            pending.append((cur_iter, loss, aux))
-            if (cur_iter % stats.LOG_PERIOD == 0 or
-                    cur_iter + 1 == max_iters or
-                    (cur_iter + 1) % snapshot_iters == 0):
-                for it_i, l_i, aux_i in pending:
-                    l_i = float(l_i)
-                    losses.append(l_i)
-                    stats.UpdateIterStats(
-                        l_i, {k: float(v) for k, v in aux_i.items()})
-                    if np.isnan(l_i):
-                        # dump the params from the last all-finite drain:
-                        # the pipeline has stepped past the NaN event, so
-                        # the CURRENT params already contain NaNs — the
-                        # last-known-good snapshot is the debuggable one
-                        # (reference dumps at-event params, train_wsl.py:77-83)
-                        good = last_good or (params, opt_state)
-                        _save(os.path.join(output_dir, 'model_nan.pkl'),
-                              *good)
-                        raise FloatingPointError(
-                            'Loss is NaN at iter {}'.format(it_i))
+            pending.append((cur_iter, w, loss, aux))
+            if (last_it % stats.LOG_PERIOD < w or
+                    last_it + 1 == max_iters or
+                    (last_it + 1) % snapshot_iters < w):
+                for it_0, w_i, l_i, aux_i in pending:
+                    l_host = np.atleast_1d(np.asarray(l_i))
+                    aux_host = {k: np.atleast_1d(np.asarray(v))
+                                for k, v in aux_i.items()}
+                    for j in range(w_i):
+                        lj = float(l_host[j])
+                        losses.append(lj)
+                        stats.UpdateIterStats(
+                            lj, {k: float(v[j])
+                                 for k, v in aux_host.items()})
+                        if np.isnan(lj):
+                            # dump the params from the last all-finite
+                            # drain: the pipeline has stepped past the NaN
+                            # event, so the CURRENT params already contain
+                            # NaNs — the last-known-good snapshot is the
+                            # debuggable one (reference dumps at-event
+                            # params, train_wsl.py:77-83)
+                            good = last_good or (params, opt_state)
+                            _save(os.path.join(output_dir, 'model_nan.pkl'),
+                                  *good)
+                            raise FloatingPointError(
+                                'Loss is NaN at iter {}'.format(it_0 + j))
                 pending = []
                 last_good = (params, opt_state)
-            stats.IterToc()
-            stats.LogIterStats(cur_iter, lr, queue_size=loader.queue_size())
+            stats.IterToc(span=w)
+            stats.LogIterStats(last_it, lrs[-1],
+                               queue_size=loader.queue_size())
 
-            if cfg.WSL.SAMPLE and cur_iter % cfg.WSL.SAMPLE_ITER == 0:
+            if cfg.WSL.SAMPLE and cur_iter % cfg.WSL.SAMPLE_ITER < w:
                 _vis_sample(spec, params, blobs[0], output_dir, cur_iter)
 
-            if ((cur_iter + 1) % snapshot_iters == 0 and
-                    cur_iter + 1 < max_iters):
+            if ((last_it + 1) % snapshot_iters < w and
+                    last_it + 1 < max_iters):
                 path = os.path.join(
-                    output_dir, 'model_iter{}.pkl'.format(cur_iter))
+                    output_dir, 'model_iter{}.pkl'.format(last_it))
                 _save(path, params, opt_state)
-                checkpoints[cur_iter] = path
+                checkpoints[last_it] = path
 
             if loader.coordinator.should_stop():
                 raise RuntimeError('roi_data_loader failed')
+            cur_iter += w
     finally:
         if profiling:
             jax.profiler.stop_trace()

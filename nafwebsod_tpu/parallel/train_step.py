@@ -67,6 +67,42 @@ def round_up(n, multiple):
     return ((n + multiple - 1) // multiple) * multiple
 
 
+def _step_body(spec, hp, mults, center_update_period, params, opt_state,
+               batch, lr, rngs):
+    """One data-parallel step (shared by the single-step and scan drivers)."""
+    def loss_fn(p):
+        totals, auxs = jax.vmap(
+            lambda b, r: detector.forward_train(spec, p, b, r)
+        )(batch, rngs)
+        # '__'-prefixed aux entries are cross-device SUM deltas (e.g. the
+        # center-loss accumulators, reference allreduce in
+        # cpg_utils.Center_loss_surgery); plain metrics are averaged.
+        deltas = {k: jnp.sum(v, axis=0)
+                  for k, v in auxs.items() if k.startswith('__')}
+        metrics = {k: jnp.mean(v)
+                   for k, v in auxs.items() if not k.startswith('__')}
+        return jnp.mean(totals), (metrics, deltas)
+
+    ((loss, (aux, deltas)), grads) = jax.value_and_grad(
+        loss_fn, has_aux=True)(params)
+    new_params, new_state = sgd.update(
+        params, grads, opt_state, lr, hp, mults)
+    if spec.center_loss:
+        accum = {'center_dcf': opt_state['center_dcf'],
+                 'center_ndcf': opt_state['center_ndcf']}
+        cf, accum = center_ops.center_update(
+            new_params['center_feature'],
+            accum,
+            {'center_dcf': deltas['__center_dcf'],
+             'center_ndcf': deltas['__center_ndcf']},
+            new_state['it'], spec.center_loss_top_k,
+            update=center_update_period)
+        new_params['center_feature'] = cf
+        new_state['center_dcf'] = accum['center_dcf']
+        new_state['center_ndcf'] = accum['center_ndcf']
+    return new_params, new_state, loss, aux
+
+
 def make_train_step(spec, hp, mults, mesh, donate=True,
                     center_update_period=128):
     """Build the jitted data-parallel train step.
@@ -80,37 +116,8 @@ def make_train_step(spec, hp, mults, mesh, donate=True,
     shard = NamedSharding(mesh, P('data'))
 
     def step(params, opt_state, batch, lr, rngs):
-        def loss_fn(p):
-            totals, auxs = jax.vmap(
-                lambda b, r: detector.forward_train(spec, p, b, r)
-            )(batch, rngs)
-            # '__'-prefixed aux entries are cross-device SUM deltas (e.g. the
-            # center-loss accumulators, reference allreduce in
-            # cpg_utils.Center_loss_surgery); plain metrics are averaged.
-            deltas = {k: jnp.sum(v, axis=0)
-                      for k, v in auxs.items() if k.startswith('__')}
-            metrics = {k: jnp.mean(v)
-                       for k, v in auxs.items() if not k.startswith('__')}
-            return jnp.mean(totals), (metrics, deltas)
-
-        ((loss, (aux, deltas)), grads) = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
-        new_params, new_state = sgd.update(
-            params, grads, opt_state, lr, hp, mults)
-        if spec.center_loss:
-            accum = {'center_dcf': opt_state['center_dcf'],
-                     'center_ndcf': opt_state['center_ndcf']}
-            cf, accum = center_ops.center_update(
-                new_params['center_feature'],
-                accum,
-                {'center_dcf': deltas['__center_dcf'],
-                 'center_ndcf': deltas['__center_ndcf']},
-                new_state['it'], spec.center_loss_top_k,
-                update=center_update_period)
-            new_params['center_feature'] = cf
-            new_state['center_dcf'] = accum['center_dcf']
-            new_state['center_ndcf'] = accum['center_ndcf']
-        return new_params, new_state, loss, aux
+        return _step_body(spec, hp, mults, center_update_period, params,
+                          opt_state, batch, lr, rngs)
 
     # a single sharding for the batch arg applies to every leaf (including
     # optional extras like 'cur_iter' for the C-MIL schedule)
@@ -120,6 +127,49 @@ def make_train_step(spec, hp, mults, mesh, donate=True,
         out_shardings=(repl, repl, repl, repl),
         donate_argnums=(0, 1) if donate else (),
     )
+
+
+def make_multi_train_step(spec, hp, mults, mesh, donate=True,
+                          center_update_period=128):
+    """K chained steps per device call via ``lax.scan`` (TPU.STEPS_PER_CALL).
+
+    Per-call host dispatch dominates on remote-attached TPUs (~170 ms/call
+    for the 550-leaf param pytree through this rig's tunnel vs ~26 ms of
+    device compute) and costs real time even on local hosts; scanning K
+    steps inside one program amortizes it Kx. The momentum-correction
+    factors are applied IN-GRAPH before each step so LR boundaries inside
+    the window behave exactly like the host-driven single-step path.
+
+    Returns ``multi(params, opt_state, batches, lrs, factors, rngs) ->
+    (params, opt_state, losses (K,), aux {name: (K,)})`` where every batch
+    leaf is stacked (K, n_dev, ...), ``lrs``/``factors`` are (K,), and
+    ``rngs`` is (K, n_dev, 2).
+    """
+    mults = sgd.freeze_mults(mults) if isinstance(mults, dict) else mults
+    repl = NamedSharding(mesh, P())
+    shard2 = NamedSharding(mesh, P(None, 'data'))
+
+    def multi(params, opt_state, batches, lrs, factors, rngs):
+        def one(carry, xs):
+            p, s = carry
+            batch, lr, factor, rng = xs
+            s = sgd.scale_momentum(s, factor)
+            p, s, loss, aux = _step_body(
+                spec, hp, mults, center_update_period, p, s, batch, lr, rng)
+            return (p, s), (loss, aux)
+
+        (p, s), (losses, auxs) = jax.lax.scan(
+            one, (params, opt_state), (batches, lrs, factors, rngs))
+        return p, s, losses, auxs
+
+    return jax.jit(
+        multi,
+        in_shardings=(repl, repl, shard2, repl, repl, shard2),
+        out_shardings=(repl, repl, repl, repl),
+        donate_argnums=(0, 1) if donate else (),
+    )
+
+
 
 
 def device_rngs(key, num_devices):

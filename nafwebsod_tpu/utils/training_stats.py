@@ -40,8 +40,17 @@ class TrainingStats(object):
     def IterTic(self):
         self.iter_timer.tic()
 
-    def IterToc(self):
-        return self.iter_timer.toc(average=False)
+    def IterToc(self, span=1):
+        """span > 1: the timed interval covered `span` iterations (a scan
+        window); record it as `span` calls of 1/span the duration so
+        average_time / ETA stay per-iteration."""
+        dt = self.iter_timer.toc(average=False)
+        if span > 1:
+            t = self.iter_timer
+            t.calls += span - 1
+            t.diff = dt / span
+            t.average_time = t.total_time / t.calls
+        return self.iter_timer.diff
 
     def UpdateIterStats(self, total_loss, aux):
         """total_loss: float; aux: dict of already device-averaged scalars."""
