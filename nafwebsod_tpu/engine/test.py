@@ -397,12 +397,85 @@ def im_detect_all(spec, params, im, box_proposals, obn_scores, timers=None):
     scores, boxes, cls_boxes = box_results_with_nms_and_limit(scores, boxes)
     timers['misc_bbox'].toc()
 
+    cls_segms = None
+    if getattr(spec, 'mask_on', False) and spec.mask_head != 'deeplab':
+        timers['im_detect_mask'].tic()
+        cls_segms = im_detect_mask(spec, params, im, cls_boxes)
+        timers['im_detect_mask'].toc()
+
     cls_keyps = None
     if getattr(spec, 'keypoints_on', False):
         timers['im_detect_keypoints'].tic()
         cls_keyps = im_detect_keypoints(spec, params, im, cls_boxes)
         timers['im_detect_keypoints'].toc()
-    return cls_boxes, None, cls_keyps
+    return cls_boxes, cls_segms, cls_keyps
+
+
+def _final_boxes(cls_boxes):
+    """Flatten per-class NMS survivors back to (R, 4) + per-class counts."""
+    num_classes = cfg.MODEL.NUM_CLASSES
+    per_cls = [np.asarray(cls_boxes[j]).reshape(-1, 5)
+               for j in range(1, num_classes)]
+    boxes = (np.vstack([d[:, :4] for d in per_cls])
+             if per_cls else np.zeros((0, 4), np.float32))
+    return boxes, [len(d) for d in per_cls]
+
+
+def segm_results(cls_boxes, masks, ref_boxes, im_h, im_w):
+    """Paste per-RoI soft masks into the image and RLE-encode
+    (test_wsl.py:segm_results — padded-by-1 resize to kill border
+    artifacts, THRESH_BINARIZE, COCO-compressed RLE from utils/segms)."""
+    import cv2
+
+    from nafwebsod_tpu.utils.segms import mask_to_rle
+
+    num_classes = cfg.MODEL.NUM_CLASSES
+    cls_segms = [[] for _ in range(num_classes)]
+    mask_ind = 0
+    m = masks.shape[1]
+    scale = (m + 2.0) / m
+    ref_boxes = box_utils.expand_boxes(ref_boxes, scale).astype(np.int32)
+    padded = np.zeros((m + 2, m + 2), np.float32)
+    for j in range(1, num_classes):
+        segms = []
+        for _ in range(len(np.asarray(cls_boxes[j]).reshape(-1, 5))):
+            cls_ch = j if cfg.MRCNN.CLS_SPECIFIC_MASK else 0
+            padded[1:-1, 1:-1] = masks[mask_ind, :, :, cls_ch]
+            box = ref_boxes[mask_ind]
+            w = max(box[2] - box[0] + 1, 1)
+            h = max(box[3] - box[1] + 1, 1)
+            mask = cv2.resize(padded, (w, h))
+            mask = (mask > cfg.MRCNN.THRESH_BINARIZE).astype(np.uint8)
+            im_mask = np.zeros((im_h, im_w), np.uint8)
+            x0, x1 = max(box[0], 0), min(box[2] + 1, im_w)
+            y0, y1 = max(box[1], 0), min(box[3] + 1, im_h)
+            if x1 > x0 and y1 > y0:
+                im_mask[y0:y1, x0:x1] = mask[(y0 - box[1]):(y1 - box[1]),
+                                             (x0 - box[0]):(x1 - box[0])]
+            segms.append(mask_to_rle(im_mask))
+            mask_ind += 1
+        cls_segms[j] = segms
+    return cls_segms
+
+
+def im_detect_mask(spec, params, im, cls_boxes):
+    """Run the mask head on the final detections; returns cls_segms (RLE
+    per detection, per class)."""
+    boxes, _ = _final_boxes(cls_boxes)
+    if len(boxes) == 0:
+        return [[] for _ in range(cfg.MODEL.NUM_CLASSES)]
+    im_blob, im_scale = prep_im_for_blob(
+        im, cfg.PIXEL_MEANS, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE,
+        cfg.PIXEL_STDS)
+    im_in = pad_image_to_bucket(im_blob, cfg.TPU.SIZE_BUCKET_MULTIPLE)
+    rois5 = np.hstack([np.zeros((len(boxes), 1), np.float32),
+                       boxes * im_scale]).astype(np.float32)
+    rois_p, _, valid = _pad_rois(rois5, np.ones((len(boxes), 1)),
+                                 cfg.TPU.ROI_PAD_MULTIPLE)
+    masks = np.asarray(detector.forward_masks(
+        spec, params, jnp.asarray(im_in[None]),
+        jnp.asarray(rois_p)))[:len(boxes)]
+    return segm_results(cls_boxes, masks, boxes, im.shape[0], im.shape[1])
 
 
 def heatmaps_to_keypoints(maps, rois):

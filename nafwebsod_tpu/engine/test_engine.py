@@ -46,11 +46,15 @@ def get_roidb_and_dataset(dataset_name, proposal_file, ind_range=None):
 
 def empty_results(num_classes, num_images):
     all_boxes = [[[] for _ in range(num_images)] for _ in range(num_classes)]
+    all_segms = None
+    if cfg.MODEL.MASK_ON:
+        all_segms = [[[] for _ in range(num_images)]
+                     for _ in range(num_classes)]
     all_keyps = None
     if cfg.MODEL.KEYPOINTS_ON:
         all_keyps = [[[] for _ in range(num_images)]
                      for _ in range(num_classes)]
-    return all_boxes, None, all_keyps
+    return all_boxes, all_segms, all_keyps
 
 
 def extend_results(index, all_res, im_res):
@@ -91,9 +95,11 @@ def test_net(weights_file, dataset_name, proposal_file, output_dir,
             box_proposals, obn_scores = None, None
 
         im = cv2.imread(entry['image'])
-        cls_boxes_i, _, cls_keyps_i = im_detect_all(
+        cls_boxes_i, cls_segms_i, cls_keyps_i = im_detect_all(
             spec, params, im, box_proposals, obn_scores, timers)
         extend_results(i, all_boxes, cls_boxes_i)
+        if all_segms is not None and cls_segms_i is not None:
+            extend_results(i, all_segms, cls_segms_i)
         if all_keyps is not None and cls_keyps_i is not None:
             extend_results(i, all_keyps, cls_keyps_i)
         if cfg.VIS:

@@ -869,6 +869,20 @@ def forward_test(spec: ModelSpec, params, image, rois, obn_scores,
 
 
 @partial(jax.jit, static_argnames=('spec',))
+def forward_masks(spec: ModelSpec, params, image, rois):
+    """Soft masks for given (final-detection) rois (test_wsl.py
+    im_detect_mask:411-470): fcn mask head + duplicated-bg-column sigmoid.
+    Returns (R, M, M, num_classes)."""
+    from nafwebsod_tpu.models import seg_head
+
+    feat, spatial_scale = body_forward(spec, params, image)
+    mask_logits = seg_head.mask_head_forward(
+        params, feat[0].astype(jnp.float32), rois, spatial_scale,
+        resolution=spec.mask_resolution, dilation=spec.mask_dilation)
+    return seg_head.mask_probs_test(mask_logits)
+
+
+@partial(jax.jit, static_argnames=('spec',))
 def forward_keypoints(spec: ModelSpec, params, image, rois):
     """Keypoint heatmaps for given (final-detection) rois
     (test.py im_detect_keypoints upstream). Returns (R, Hh, Wh, K)."""
