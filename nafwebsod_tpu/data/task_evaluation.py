@@ -33,8 +33,18 @@ def evaluate_boxes(json_dataset, all_boxes, output_dir, use_matlab=False):
 
 
 def evaluate_all(dataset, all_boxes, all_segms, all_keyps, output_dir):
-    results = {dataset.name: evaluate_boxes(dataset, all_boxes, output_dir)}
-    return results
+    res = evaluate_boxes(dataset, all_boxes, output_dir)
+    if all_segms is not None:
+        logger.info('Evaluating segmentations')
+        seg = coco_evaluator.evaluate_masks(
+            dataset, all_boxes, all_segms, output_dir)
+        res.update({'segm_' + k: v for k, v in seg.items()})
+    if all_keyps is not None:
+        logger.info('Evaluating keypoints')
+        kps = coco_evaluator.evaluate_keypoints(
+            dataset, all_boxes, all_keyps, output_dir)
+        res.update({'keypoints_' + k: v for k, v in kps.items()})
+    return {dataset.name: res}
 
 
 def check_expected_results(results, atol=0.005, rtol=0.1):

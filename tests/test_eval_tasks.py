@@ -1,0 +1,104 @@
+"""COCO segm (mask IoU) and keypoints (OKS) evaluation tasks."""
+
+import numpy as np
+import pytest
+
+from nafwebsod_tpu.data import coco_evaluator as ce
+from nafwebsod_tpu.utils import segms as segm_utils
+
+
+def _disk_mask(h, w, cy, cx, r):
+    yy, xx = np.mgrid[:h, :w]
+    return ((yy - cy) ** 2 + (xx - cx) ** 2 <= r * r).astype(np.uint8)
+
+
+def test_mask_iou_fn():
+    a = _disk_mask(40, 40, 20, 20, 8)
+    b = a.copy()
+    c = _disk_mask(40, 40, 10, 30, 5)
+    ious = ce._mask_iou_fn([a, c], [b], np.zeros(1, bool))
+    np.testing.assert_allclose(ious[0, 0], 1.0)
+    assert ious[1, 0] < 0.1
+
+
+def test_segm_eval_perfect_predictions():
+    gt_by, det_by = {}, {}
+    m1 = _disk_mask(50, 60, 25, 20, 10)
+    m2 = _disk_mask(50, 60, 30, 45, 7)
+    gt_by[(0, 1)] = {'boxes': [m1, m2],
+                     'areas': np.array([m1.sum(), m2.sum()], float),
+                     'ignore': np.zeros(2, bool),
+                     'crowd': np.zeros(2, bool)}
+    det_by[(0, 1)] = {'boxes': [m1.copy(), m2.copy()],
+                      'scores': np.array([0.9, 0.8]),
+                      'areas': np.array([m1.sum(), m2.sum()], float)}
+    res = ce.evaluate_bbox(gt_by, det_by, [1], [0], iou_fn=ce._mask_iou_fn)
+    np.testing.assert_allclose(res['AP'], 1.0)
+    np.testing.assert_allclose(res['AP50'], 1.0)
+
+
+def test_oks_eval_perfect_and_shifted():
+    k = 5
+    kps = np.zeros((k, 3), np.float32)
+    kps[:, 0] = np.linspace(10, 40, k)
+    kps[:, 1] = np.linspace(12, 36, k)
+    kps[:, 2] = 2
+    gt_by = {(0, 1): {
+        'boxes': [{'kps': kps, 'area': 30.0 * 24.0}],
+        'areas': np.array([30.0 * 24.0]),
+        'ignore': np.zeros(1, bool), 'crowd': np.zeros(1, bool)}}
+    det_exact = np.zeros((4, k), np.float32)
+    det_exact[0] = kps[:, 0]
+    det_exact[1] = kps[:, 1]
+    det_by = {(0, 1): {'boxes': [det_exact],
+                       'scores': np.array([0.9]),
+                       'areas': np.array([30.0 * 24.0])}}
+    res = ce.evaluate_bbox(gt_by, det_by, [1], [0],
+                           iou_fn=ce._oks_fn_factory(k))
+    np.testing.assert_allclose(res['AP'], 1.0)
+
+    det_far = det_exact.copy()
+    det_far[0] += 200.0  # way off: OKS ~ 0
+    det_by = {(0, 1): {'boxes': [det_far], 'scores': np.array([0.9]),
+                       'areas': np.array([30.0 * 24.0])}}
+    res = ce.evaluate_bbox(gt_by, det_by, [1], [0],
+                           iou_fn=ce._oks_fn_factory(k))
+    assert res['AP'] == 0.0
+
+
+def test_evaluate_masks_end_to_end(tmp_path):
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import fixtures
+    from nafwebsod_tpu.core.config import reset_cfg
+    from nafwebsod_tpu.data.json_dataset import JsonDataset
+    from nafwebsod_tpu.data import catalog
+
+    reset_cfg()
+    info = fixtures.make_coco_dataset(str(tmp_path), n_images=2)
+    catalog.register_dataset('segm_eval_fixture', info['image_dir'],
+                             info['ann_file'])
+    ds = JsonDataset('segm_eval_fixture')
+    roidb = ds.get_roidb(gt=True)
+    num_classes = len(ds.classes)
+
+    # predictions = the gt boxes with box-shaped masks, score 1
+    all_boxes = [[[] for _ in roidb] for _ in range(num_classes)]
+    all_segms = [[[] for _ in roidb] for _ in range(num_classes)]
+    for i, e in enumerate(roidb):
+        h, w = e['height'], e['width']
+        for cls in range(1, num_classes):
+            sel = np.where(e['gt_classes'] == cls)[0]
+            dets, rles = [], []
+            for ix in sel:
+                x1, y1, x2, y2 = e['boxes'][ix]
+                dets.append([x1, y1, x2, y2, 1.0])
+                m = np.zeros((h, w), np.uint8)
+                m[int(y1):int(y2) + 1, int(x1):int(x2) + 1] = 1
+                rles.append(segm_utils.mask_to_rle(m))
+            all_boxes[cls][i] = (np.asarray(dets, np.float32)
+                                 if dets else [])
+            all_segms[cls][i] = rles
+    res = ce.evaluate_masks(ds, all_boxes, all_segms, str(tmp_path))
+    assert res['AP50'] == pytest.approx(1.0)
