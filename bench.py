@@ -52,8 +52,9 @@ def main():
     else:  # CPU smoke mode so the bench stays runnable anywhere
         H, W, R, hidden, iters, warmup = 128, 128, 64, 64, 3, 1
 
-    spec = detector.ModelSpec(num_classes=21, compute_dtype='bfloat16',
-                              hidden_dim=hidden)
+    spec = detector.ModelSpec(
+        num_classes=21, compute_dtype='bfloat16', hidden_dim=hidden,
+        fused_noise_tower=os.environ.get('BENCH_FUSED', '0') == '1')
     params = detector.init_params(spec, jax.random.PRNGKey(0))
     hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005, iter_size=1)
     trainable = detector.trainable_param_names(spec, params)

@@ -380,6 +380,9 @@ __C.TPU.ROI_PAD_MULTIPLE = 256
 __C.TPU.SIZE_BUCKET_MULTIPLE = 64
 # Use the Pallas fused RoI pooling kernel when on TPU.
 __C.TPU.USE_PALLAS = True
+# Run the clean+noisy fc towers as one width-doubled GEMM pair (identical
+# math, fewer MXU launches; see ROADMAP perf lever 1).
+__C.TPU.FUSED_NOISE_TOWER = False
 # fc6/fc7 width (4096 in the reference; narrow for CPU tests only).
 __C.TPU.HEAD_HIDDEN_DIM = 4096
 # When set, capture a jax.profiler trace of iterations [10, 15) into this

@@ -62,6 +62,10 @@ _SUPPORTED_HEADS = {
     # supervised Fast R-CNN 2-MLP head (fast_rcnn_heads.py:100-126) — same
     # tower; outputs switch to cls_score/bbox_pred when spec.supervised
     'fast_rcnn_heads.add_roi_2mlp_head': 'vgg16_2fc',
+    # res5-stage conv head over pooled RoIs + global avg pool
+    # (ResNet.add_ResNet_roi_conv5_head, ResNet.py:143-170) — the C4
+    # Faster/Fast R-CNN box head
+    'ResNet.add_ResNet_roi_conv5_head': 'res5_head',
 }
 
 
@@ -193,6 +197,9 @@ class ModelSpec:
     # fc6/fc7 width; 4096 in the reference (wsl_heads.py:674-679). Tests use a
     # narrow tower to keep single-core CPU runtimes sane.
     hidden_dim: int = 4096
+    # run the clean+noisy towers as one width-doubled GEMM pair
+    # (TPU.FUSED_NOISE_TOWER; mathematically identical, fewer MXU launches)
+    fused_noise_tower: bool = False
 
     @property
     def body_out_dim(self):
@@ -279,9 +286,13 @@ def spec_from_cfg(cfg):
         mean_loss=cfg.WSL.MEAN_LOSS,
         min_entropy_loss=cfg.WSL.MIN_ENTROPY_LOSS,
         compute_dtype=cfg.TPU.COMPUTE_DTYPE,
+        fused_noise_tower=cfg.TPU.FUSED_NOISE_TOWER,
         # ResNet heads size their MLP from FAST_RCNN.MLP_HEAD_DIM
-        # (wsl_heads.py:867-872); VGG towers are 4096 (TPU.HEAD_HIDDEN_DIM)
-        hidden_dim=(cfg.FAST_RCNN.MLP_HEAD_DIM if 'ResNet' in head
+        # (wsl_heads.py:867-872); VGG towers are 4096 (TPU.HEAD_HIDDEN_DIM);
+        # the res5 conv head emits the res5 width (2048 / 512-shallow)
+        hidden_dim=((512 if '18' in body else 2048)
+                    if _SUPPORTED_HEADS.get(head) == 'res5_head'
+                    else cfg.FAST_RCNN.MLP_HEAD_DIM if 'ResNet' in head
                     else cfg.TPU.HEAD_HIDDEN_DIM),
         oicr=cfg.WSL.OICR,
         pcl=cfg.WSL.PCL,
@@ -413,7 +424,17 @@ def init_params(spec: ModelSpec, rng):
         return params
     roi_feat_dim = (spec.body_out_dim * spec.roi_resolution *
                     spec.roi_resolution)
-    if not spec.rfcn:
+    if spec.box_head == 'res5_head':
+        from nafwebsod_tpu.models import resnet
+        params.update(resnet.init_res5_head_params(
+            r2, _resnet_depth(spec.conv_body)))
+        if not spec.supervised:
+            # WSL over the res5 head: WSDDN output layers on the pooled dim
+            params.update({k: v for k, v in heads.init_head_params(
+                jax.random.fold_in(r2, 43), spec.num_classes,
+                roi_feat_dim=spec.hidden_dim, hidden=spec.hidden_dim,
+                webly=False).items() if k.startswith('fc8')})
+    elif not spec.rfcn:
         params.update(heads.init_head_params(
             r2, spec.num_classes, roi_feat_dim=roi_feat_dim,
             hidden=spec.hidden_dim,
@@ -724,6 +745,27 @@ def _fpn_head_tower(spec, params, levels, scales, rois, obn_scores, train,
     return heads._fc_tower(pooled, params, '', rng, train), None
 
 
+def _res5_tower(spec, params, feat, rois, obn_scores, spatial_scale):
+    """RoI transform + res5 stage + global avg pool — the C4 conv5 box head
+    (ResNet.add_ResNet_roi_conv5_head)."""
+    from nafwebsod_tpu.models import resnet
+    from nafwebsod_tpu.ops.roi_pool import (roi_align, roi_feature_boost,
+                                            roi_pool)
+
+    f = feat[0]
+    if spec.roi_xform_method == 'RoIAlign':
+        pooled = roi_align(f, rois, spec.roi_resolution, spec.roi_resolution,
+                           spatial_scale, max(spec.roi_sampling_ratio, 1))
+    else:
+        pooled = roi_pool(f, rois, spec.roi_resolution, spec.roi_resolution,
+                          spatial_scale)
+    pooled = roi_feature_boost(pooled, obn_scores)
+    if spec.freeze_conv_body:
+        pooled = jax.lax.stop_gradient(pooled)
+    return resnet.roi_res5_forward(params, pooled,
+                                   _resnet_depth(spec.conv_body))
+
+
 def _run_body_and_head(spec, params, image, rois, obn_scores, train, rng):
     if spec.is_fpn:
         levels, scales = body_forward_fpn(spec, params, image)
@@ -749,8 +791,13 @@ def _run_body_and_head(spec, params, image, rois, obn_scores, train, rng):
         return fc7s, None, feat
     if spec.box_head == 'vgg16_2fc_noise':
         (fc7_clean, fc7_noisy), _ = heads.vgg16_roi_2fc_noise_head(
-            params, feat, rois, obn_scores, spatial_scale, **kwargs)
+            params, feat, rois, obn_scores, spatial_scale,
+            fused=spec.fused_noise_tower, **kwargs)
         return fc7_clean, fc7_noisy, feat
+    if spec.box_head == 'res5_head':
+        fc7 = _res5_tower(spec, params, feat, rois, obn_scores,
+                          spatial_scale)
+        return fc7, None, feat
     fc7, _ = heads.vgg16_roi_2fc_head(
         params, feat, rois, obn_scores, spatial_scale, **kwargs)
     return fc7, None, feat
@@ -812,6 +859,9 @@ def forward_test(spec: ModelSpec, params, image, rois, obn_scores,
             if spec.is_fpn:
                 fc7, _ = _fpn_head_tower(spec, params, levels, scales,
                                          rois5, obn, False, None)
+            elif spec.box_head == 'res5_head':
+                fc7 = _res5_tower(spec, params, feat, rois5, obn,
+                                  spatial_scale)
             else:
                 fc7, _ = heads.vgg16_roi_2fc_head(
                     params, feat, rois5, obn, spatial_scale,
@@ -1094,6 +1144,9 @@ def forward_train(spec: ModelSpec, params, batch, rng):
             if spec.is_fpn:
                 fc7, _ = _fpn_head_tower(spec, params, levels, scales,
                                          srois, obn1, True, rng_head)
+            elif spec.box_head == 'res5_head':
+                fc7 = _res5_tower(spec, params, feat, srois, obn1,
+                                  spatial_scale)
             else:
                 fc7, _ = heads.vgg16_roi_2fc_head(
                     params, feat, srois, obn1, spatial_scale,

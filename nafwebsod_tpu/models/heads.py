@@ -157,16 +157,52 @@ def vgg16_roi_2fc_head(params, feat, rois, obn_scores, spatial_scale, *,
 
 def vgg16_roi_2fc_noise_head(params, feat, rois, obn_scores, spatial_scale, *,
                              method='RoIPoolF', resolution=7, sampling_ratio=2,
-                             freeze_body=True, train=False, rng=None):
+                             freeze_body=True, train=False, rng=None,
+                             fused=False):
     """Clean tower + noisy tower on the same boosted RoI features
-    (webly_heads.py:463-502)."""
+    (webly_heads.py:463-502).
+
+    ``fused=True`` runs both towers as one width-doubled GEMM pair
+    (fc6: (25088, 2H); fc7: batched (2, H, H)) — mathematically identical
+    (independent output columns), fewer/larger MXU launches; dropout masks
+    stay per-tower. MEASURED SLOWER on v5e (30.3 vs 39.6 img/s at flagship
+    shapes): the per-step concat of the 25088x8192 weight matrix costs more
+    HBM traffic than the launch savings recover — kept as a documented
+    negative result (ROADMAP perf lever 1), default off."""
     r1 = r2 = None
     if rng is not None:
         r1, r2 = jax.random.split(rng)
     roi_feat = roi_transform(feat[0], rois, obn_scores, spatial_scale,
                              method, resolution, sampling_ratio, freeze_body)
-    clean = _fc_tower(roi_feat, params, '', r1, train)
-    noisy = _fc_tower(roi_feat, params, '_[noisy]_', r2, train)
+    if not fused:
+        clean = _fc_tower(roi_feat, params, '', r1, train)
+        noisy = _fc_tower(roi_feat, params, '_[noisy]_', r2, train)
+        return (clean, noisy), roi_feat
+
+    hidden = params['fc6_b'].shape[0]
+    w6 = jnp.concatenate([params['fc6_w'], params['_[noisy]_fc6_w']],
+                         axis=1).astype(roi_feat.dtype)
+    b6 = jnp.concatenate([params['fc6_b'], params['_[noisy]_fc6_b']])
+    h = jax.nn.relu(jnp.dot(roi_feat, w6) + b6.astype(roi_feat.dtype))
+    hc, hn = h[:, :hidden], h[:, hidden:]
+    if train:
+        r1a = r1b = r2a = r2b = None
+        if r1 is not None:
+            r1a, r1b = jax.random.split(r1)
+            r2a, r2b = jax.random.split(r2)
+        hc = _dropout(hc, 0.5, r1a, train)
+        hn = _dropout(hn, 0.5, r2a, train)
+    # fc7 as one batched GEMM over the two towers
+    w7 = jnp.stack([params['fc7_w'], params['_[noisy]_fc7_w']]).astype(
+        roi_feat.dtype)
+    b7 = jnp.stack([params['fc7_b'], params['_[noisy]_fc7_b']])
+    x2 = jnp.stack([hc, hn])                          # (2, R, H)
+    y2 = jax.nn.relu(jnp.einsum('trh,tho->tro', x2, w7) +
+                     b7[:, None, :].astype(roi_feat.dtype))
+    clean, noisy = y2[0], y2[1]
+    if train:
+        clean = _dropout(clean, 0.5, r1b, train)
+        noisy = _dropout(noisy, 0.5, r2b, train)
     return (clean, noisy), roi_feat
 
 

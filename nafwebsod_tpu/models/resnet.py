@@ -172,6 +172,43 @@ def param_shapes(depth='resnet50', include_res5=False):
     return shapes
 
 
+def res5_head_param_shapes(depth='resnet50'):
+    """Shapes of the res5 stage alone — the RoI conv5 box head
+    (ResNet.add_ResNet_roi_conv5_head, ResNet.py:143-170: the res5 stage
+    applied to pooled RoI features, stride 2, then global average pool)."""
+    full = param_shapes(depth, include_res5=True)
+    return {k: v for k, v in full.items() if k.startswith('res5')}
+
+
+def init_res5_head_params(rng, depth='resnet50', dtype=jnp.float32):
+    shapes = res5_head_param_shapes(depth)
+    params = {}
+    keys = jax.random.split(rng, len(shapes))
+    for i, (name, shape) in enumerate(sorted(shapes.items())):
+        if name.endswith('_bn_s'):
+            params[name] = jnp.ones(shape, dtype)
+        elif name.endswith('_bn_b'):
+            params[name] = jnp.zeros(shape, dtype)
+        else:
+            fan_in = int(np.prod(shape[:-1]))
+            params[name] = np.sqrt(2.0 / fan_in) * jax.random.normal(
+                keys[i], shape, dtype)
+    return params
+
+
+def roi_res5_forward(params, pooled, depth='resnet50', dilation=1,
+                     stride_init=2, stride_1x1=True):
+    """Run the res5 stage over pooled RoI features (R, 14, 14, C_res4) and
+    global-average-pool to (R, 2048[/512])."""
+    shallow = depth == 'resnet18'
+    counts = BLOCK_COUNTS[depth]
+    if dilation > 1:
+        stride_init = 1
+    x = _stage(pooled, params, 'res5', counts[3], stride_init, dilation,
+               stride_1x1, shallow=shallow)
+    return jnp.mean(x, axis=(1, 2))
+
+
 def init_params(rng, depth='resnet50', include_res5=False,
                 dtype=jnp.float32):
     shapes = param_shapes(depth, include_res5)

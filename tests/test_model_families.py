@@ -139,3 +139,29 @@ def test_keypoint_rcnn_composition():
     maps = detector.forward_keypoints(
         spec, params, batch['image'], jnp.asarray(rois))
     assert np.asarray(maps).shape == (4, 14, 14, 4)
+
+
+def test_res5_head_faster_composition():
+    """C4 Faster R-CNN: conv4 body + res5-stage box head."""
+    spec = detector.ModelSpec(
+        num_classes=5, hidden_dim=512, supervised=True, faster_rcnn=True,
+        conv_body='resnet18_c4', box_head='res5_head', webly_on=False,
+        webly_entropy=False, dilation=1, freeze_conv_body=False,
+        roi_xform_method='RoIAlign', roi_resolution=7, rpn_stride=16,
+        rpn_sizes=(16, 32), rpn_pre_nms_top_n=30, rpn_post_nms_top_n=8,
+        rpn_test_pre_nms_top_n=30, rpn_test_post_nms_top_n=8,
+        frcnn_batch_size=8, compute_dtype='float32')
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    assert 'res5_0_branch2a_w' in params and 'fc6_w' not in params
+    assert params['cls_score_w'].shape == (512, 5)
+    batch = _gt_batch()
+    loss, aux = detector.forward_train(spec, params, batch,
+                                       jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    grads = jax.grad(lambda p: detector.forward_train(
+        spec, p, batch, jax.random.PRNGKey(1))[0])(params)
+    assert float(jnp.abs(grads['res5_0_branch2a_w']).sum()) > 0
+    out = detector.forward_test(
+        spec, params, batch['image'], None, None, None,
+        im_info=batch['im_info'])
+    assert np.asarray(out['scores']).shape == (8, 5)

@@ -62,3 +62,35 @@ class TestReferenceConfigs:
             'configs', 'flickr_voc', 'na_wsddn_V-16-C5_1x.yaml'))
         spec = detector.spec_from_cfg(cfg)
         assert spec.compute_dtype == 'bfloat16'
+
+
+def test_reference_supervised_configs_build_specs():
+    """The reference's e2e Faster R-CNN FPN and RetinaNet YAMLs produce
+    buildable specs unchanged (round-2 supervised family)."""
+    import os
+    import pytest
+    from nafwebsod_tpu.core import config as C
+    from nafwebsod_tpu.models import detector
+
+    cases = [
+        ('getting_started/tutorial_1gpu_e2e_faster_rcnn_R-50-FPN.yaml',
+         dict(faster_rcnn=True, conv_body='fpn_resnet50')),
+        ('12_2017_baselines/e2e_faster_rcnn_R-50-FPN_1x.yaml',
+         dict(faster_rcnn=True, conv_body='fpn_resnet50')),
+        ('12_2017_baselines/e2e_faster_rcnn_R-50-C4_2x.yaml',
+         dict(faster_rcnn=True, conv_body='resnet50_c4',
+              box_head='res5_head', hidden_dim=2048)),
+        ('12_2017_baselines/retinanet_R-50-FPN_1x.yaml',
+         dict(retinanet=True, conv_body='fpn_resnet50')),
+    ]
+    root = '/root/reference/configs'
+    for rel, expect in cases:
+        path = os.path.join(root, rel)
+        if not os.path.exists(path):
+            pytest.skip('reference configs unavailable')
+        C.reset_cfg()
+        C.merge_cfg_from_file(path)
+        spec = detector.spec_from_cfg(C.cfg)
+        for k, v in expect.items():
+            assert getattr(spec, k) == v, (rel, k, getattr(spec, k))
+    C.reset_cfg()
