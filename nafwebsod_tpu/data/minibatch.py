@@ -237,6 +237,28 @@ def get_minibatch(entry, rng=None, pad_rois_to=None, size_bucket=None,
             (blobs['rois'].shape[0], 1), np.float32)
         blobs['labels_oh'] = np.zeros((1, cfg.MODEL.NUM_CLASSES - 1),
                                       np.float32)
+        if cfg.MODEL.MASK_ON:
+            # supervised Mask R-CNN targets on the sampled fg rois
+            # (roi_data/mask_rcnn.py:37-110), padded to a fixed fg budget
+            from nafwebsod_tpu.data.mask_rcnn import add_mask_rcnn_blobs
+            m = cfg.MRCNN.RESOLUTION
+            max_fg = max(int(round(cfg.TRAIN.FG_FRACTION *
+                                   cfg.TRAIN.BATCH_SIZE_PER_IM)), 1)
+            valid = blobs['valid_mask']
+            boxes_orig = blobs['rois'][valid][:, 1:5] / im_scale
+            mask_rois, masks, _ = add_mask_rcnn_blobs(
+                boxes_orig, blobs['labels_int32'][valid],
+                entry.get('segms', []), entry['gt_classes'],
+                entry['is_crowd'].astype(bool), im_scale, M=m,
+                cls_specific=cfg.MRCNN.CLS_SPECIFIC_MASK,
+                num_classes=cfg.MODEL.NUM_CLASSES)
+            n = min(len(mask_rois), max_fg)
+            pad_rois = np.zeros((max_fg, 5), np.float32)
+            pad_masks = -np.ones((max_fg,) + masks.shape[1:], np.int32)
+            pad_rois[:n] = mask_rois[:n]
+            pad_masks[:n] = masks[:n]
+            blobs['mask_rois'] = pad_rois
+            blobs['masks_int32'] = pad_masks
     else:
         blobs = sample_rois(entry, im_scale, im_crop, cfg.MODEL.NUM_CLASSES,
                             cfg.TRAIN.BATCH_SIZE_PER_IM, pad_to=pad_rois_to)

@@ -109,6 +109,7 @@ class ModelSpec:
     mask_dim_reduced: int = 256
     mask_dilation: int = 2
     mask_loss_weight: float = 1.0
+    mask_cls_specific: bool = True
     # center loss (wsl_heads.py:230-276)
     center_loss: bool = False
     center_loss_number: int = 5
@@ -307,6 +308,7 @@ def spec_from_cfg(cfg):
         mask_dim_reduced=cfg.MRCNN.DIM_REDUCED,
         mask_dilation=cfg.MRCNN.DILATION,
         mask_loss_weight=cfg.MRCNN.WEIGHT_LOSS_MASK,
+        mask_cls_specific=cfg.MRCNN.CLS_SPECIFIC_MASK,
         cpg=cfg.WSL.CPG,
         csc=cfg.WSL.CSC,
         cpg_tau=cfg.WSL.CPG_TAU,
@@ -1205,10 +1207,31 @@ def forward_train(spec: ModelSpec, params, batch, rng):
     if spec.supervised:
         # Fast R-CNN supervised losses on precomputed-proposal blobs
         logits, bbox_pred = _fast_rcnn_outputs(spec, params, fc7_clean)
-        return _fast_rcnn_losses(
+        total, aux = _fast_rcnn_losses(
             spec, logits, bbox_pred, batch['labels_int32'],
             batch['bbox_targets'], batch['bbox_inside_weights'],
             batch['bbox_outside_weights'], valid)
+        if spec.mask_on and 'mask_rois' in batch:
+            # supervised Mask R-CNN loss on loader-sampled fg rois
+            # (mask_rcnn_heads.add_mask_rcnn_losses; padded rows carry -1
+            # ignore targets)
+            from nafwebsod_tpu.data.mask_rcnn import mask_rcnn_loss
+            from nafwebsod_tpu.models import seg_head
+            mask_logits = seg_head.mask_head_forward(
+                params, feat[0].astype(jnp.float32), batch['mask_rois'],
+                body_spatial_scale(spec), resolution=spec.mask_resolution,
+                dilation=spec.mask_dilation)
+            targets = batch['masks_int32']
+            if spec.mask_cls_specific:
+                # the loader expands to num_classes slots; the head emits
+                # C-1 foreground channels — drop the always-ignored bg slot
+                m2 = targets.shape[1] // spec.num_classes
+                targets = targets[:, m2:]
+            loss_mask = mask_rcnn_loss(mask_logits, targets,
+                                       loss_weight=spec.mask_loss_weight)
+            total = total + loss_mask
+            aux['loss_mask'] = loss_mask
+        return total, aux
     fc7_main = fc7_clean[0] if spec.is_context else fc7_clean
     if spec.cmil:
         lam = refine_ops.cmil_lambda(

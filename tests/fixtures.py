@@ -40,7 +40,9 @@ def make_coco_dataset(root, n_images=4, width=120, height=90, seed=0,
         annotations.append({
             'id': ann_id, 'image_id': i + 1, 'category_id': cls,
             'bbox': [x, y, bw, bh], 'area': bw * bh, 'iscrowd': 0,
-            'segmentation': [],
+            # box-shaped polygon so mask paths have real targets
+            'segmentation': [[x, y, x + bw - 1, y, x + bw - 1, y + bh - 1,
+                              x, y + bh - 1]],
         })
         ann_id += 1
         # proposals: gt-ish box + randoms (coords must stay inside the image)
