@@ -216,7 +216,8 @@ def get_minibatch(entry, rng=None, pad_rois_to=None, size_bucket=None,
     if size_bucket:
         im = pad_image_to_bucket(im, size_bucket)
     supervised_type = cfg.MODEL.TYPE in ('generalized_rcnn', 'rfcn')
-    if ((supervised_type and cfg.MODEL.FASTER_RCNN) or
+    rpn_only = cfg.MODEL.RPN_ONLY or cfg.MODEL.TYPE == 'rpn'
+    if ((supervised_type and cfg.MODEL.FASTER_RCNN) or rpn_only or
             cfg.MODEL.TYPE == 'retinanet'):
         # end-to-end paths (RPN-in-graph / RetinaNet): only image + gt
         # blobs. Dummy roi blobs keep the batch schema uniform.

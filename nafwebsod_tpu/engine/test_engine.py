@@ -73,6 +73,50 @@ def initialize_model_from_cfg(weights_file):
     return spec, params
 
 
+def generate_rpn_proposals(weights_file, dataset_name, output_dir,
+                           ind_range=None):
+    """RPN-only proposal generation (ref core/rpn_generator.py): run the
+    RPN over the dataset and write a proposal pkl consumable by
+    TRAIN/TEST.PROPOSAL_FILES ({'boxes', 'scores', 'ids'})."""
+    import jax.numpy as jnp
+
+    from nafwebsod_tpu.data.minibatch import (pad_image_to_bucket,
+                                              prep_im_for_blob)
+
+    roidb, dataset, start_ind, end_ind, total = get_roidb_and_dataset(
+        dataset_name, None, ind_range)
+    spec, params = initialize_model_from_cfg(weights_file)
+    boxes_all, scores_all, ids = [], [], []
+    for i, entry in enumerate(roidb):
+        im = cv2.imread(entry['image'])
+        im_blob, im_scale = prep_im_for_blob(
+            im, cfg.PIXEL_MEANS, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE,
+            cfg.PIXEL_STDS)
+        h, w = im_blob.shape[:2]
+        im_in = pad_image_to_bucket(im_blob, cfg.TPU.SIZE_BUCKET_MULTIPLE)
+        out = detector.forward_test(
+            spec, params, jnp.asarray(im_in[None]), None, None, None,
+            im_info=jnp.asarray(np.array([h, w, im_scale], np.float32)))
+        valid = np.asarray(out['proposal_valid'])
+        boxes = np.asarray(out['rois'])[valid][:, 1:5] / im_scale
+        boxes = np.clip(boxes, 0,
+                        [im.shape[1] - 1, im.shape[0] - 1,
+                         im.shape[1] - 1, im.shape[0] - 1])
+        boxes_all.append(boxes.astype(np.float32))
+        scores_all.append(
+            np.asarray(out['proposal_scores'])[valid].astype(np.float32))
+        ids.append(entry['id'])
+        if i % 10 == 0:
+            logger.info('rpn_generate: %d/%d', i + 1, len(roidb))
+    name = ('rpn_proposals.pkl' if ind_range is None else
+            'rpn_proposals_range_{}_{}.pkl'.format(*ind_range))
+    out_file = os.path.join(output_dir, name)
+    save_object(dict(boxes=boxes_all, scores=scores_all, ids=ids,
+                     cfg=_dump_cfg_str()), out_file)
+    logger.info('Wrote RPN proposals to: %s', os.path.abspath(out_file))
+    return boxes_all, scores_all, ids
+
+
 def test_net(weights_file, dataset_name, proposal_file, output_dir,
              ind_range=None, gpu_id=0):
     """Per-image detection loop over (a range of) the dataset
@@ -162,6 +206,9 @@ def merge_detection_ranges(output_dir, num_classes, total_num_images, ranges):
 def test_net_on_dataset(weights_file, dataset_name, proposal_file,
                         output_dir, multi_gpu=False):
     dataset = JsonDataset(dataset_name)
+    if cfg.MODEL.RPN_ONLY or cfg.MODEL.TYPE == 'rpn':
+        generate_rpn_proposals(weights_file, dataset_name, output_dir)
+        return {dataset_name: {'task': 'rpn_proposal_generation'}}
     test_timer = Timer()
     test_timer.tic()
     if multi_gpu:

@@ -129,6 +129,10 @@ class ModelSpec:
     # sampled on device (ops/rpn_device.py) instead of the reference's
     # host python ops
     faster_rcnn: bool = False
+    # RPN-only proposal-generation model (MODEL.TYPE 'rpn' / MODEL.RPN_ONLY,
+    # model_builder.py rpn type + core/rpn_generator.py): trains just the
+    # RPN; inference emits proposals for a proposal pkl
+    rpn_only: bool = False
     rpn_sizes: tuple = (64, 128, 256, 512)
     rpn_stride: int = 16
     rpn_aspect_ratios: tuple = (0.5, 1.0, 2.0)
@@ -249,6 +253,7 @@ def spec_from_cfg(cfg):
         raise NotImplementedError('CONV_BODY {} not implemented'.format(body))
     retinanet = cfg.MODEL.TYPE == 'retinanet'
     retinanet_wsl = (cfg.RETINANET.RETINANET_ON and not retinanet)
+    rpn_only = cfg.MODEL.RPN_ONLY or cfg.MODEL.TYPE == 'rpn'
     if retinanet or retinanet_wsl:
         assert _SUPPORTED_BODIES[body].startswith('fpn_'), \
             'RetinaNet needs an FPN conv body'
@@ -256,9 +261,10 @@ def spec_from_cfg(cfg):
             'supervised RETINANET.SOFTMAX head not supported (sigmoid only)'
         assert not cfg.RETINANET.SHARE_CLS_BBOX_TOWER, \
             'RETINANET.SHARE_CLS_BBOX_TOWER not supported'
-    elif cfg.MODEL.TYPE != 'rfcn' and head not in _SUPPORTED_HEADS:
+    elif (cfg.MODEL.TYPE != 'rfcn' and not rpn_only and
+          head not in _SUPPORTED_HEADS):
         raise NotImplementedError('ROI_BOX_HEAD {} not implemented'.format(head))
-    if retinanet or retinanet_wsl or cfg.MODEL.TYPE == 'rfcn':
+    if retinanet or retinanet_wsl or rpn_only or cfg.MODEL.TYPE == 'rfcn':
         head = 'fast_rcnn_heads.add_roi_2mlp_head'  # unused placeholder
     if cfg.MODEL.MASK_ON and _SUPPORTED_BODIES[body].startswith('fpn_'):
         raise NotImplementedError(
@@ -332,7 +338,8 @@ def spec_from_cfg(cfg):
             cfg.KRCNN.NORMALIZE_BY_VISIBLE_KEYPOINTS),
         cls_agnostic_bbox_reg=cfg.MODEL.CLS_AGNOSTIC_BBOX_REG,
         bbox_reg_weights=tuple(cfg.MODEL.BBOX_REG_WEIGHTS),
-        faster_rcnn=cfg.MODEL.FASTER_RCNN,
+        faster_rcnn=cfg.MODEL.FASTER_RCNN or rpn_only,
+        rpn_only=rpn_only,
         rpn_sizes=tuple(cfg.RPN.SIZES),
         rpn_stride=cfg.RPN.STRIDE,
         rpn_aspect_ratios=tuple(cfg.RPN.ASPECT_RATIOS),
@@ -426,7 +433,9 @@ def init_params(spec: ModelSpec, rng):
         return params
     roi_feat_dim = (spec.body_out_dim * spec.roi_resolution *
                     spec.roi_resolution)
-    if spec.box_head == 'res5_head':
+    if spec.rpn_only:
+        pass  # RPN params only (added in the faster_rcnn block below)
+    elif spec.box_head == 'res5_head':
         from nafwebsod_tpu.models import resnet
         params.update(resnet.init_res5_head_params(
             r2, _resnet_depth(spec.conv_body)))
@@ -853,6 +862,10 @@ def forward_test(spec: ModelSpec, params, image, rois, obn_scores,
                 min_size=spec.rpn_min_size)
         rois5 = jnp.concatenate(
             [jnp.zeros((props.shape[0], 1)), props], axis=1)
+        if spec.rpn_only:
+            # proposal-generation model: no box head (rpn_generator.py)
+            return {'rois': rois5, 'proposal_scores': pscores,
+                    'proposal_valid': pvalid}
         obn = jnp.ones((props.shape[0], 1), jnp.float32)
         if spec.rfcn:
             logits, bbox_pred = _box_outputs(spec, params, None, feat,
@@ -1115,6 +1128,8 @@ def forward_train(spec: ModelSpec, params, batch, rng):
             batch_size=spec.rpn_batch_size)
         losses = rpn_head.losses_flat(flat_logits, flat_deltas, lab, tgt,
                                       iw, ow)
+        if spec.rpn_only:
+            return sum(losses.values()), dict(losses)
         if spec.is_fpn:
             props, _, pvalid = _fpn_collect_proposals(
                 spec, rp['per_level'], im_info, train=True)
