@@ -106,6 +106,38 @@ __C.TEST.BBOX_AUG.AREA_TH_HI = 180 ** 2
 __C.TEST.BBOX_AUG.ASPECT_RATIOS = ()
 __C.TEST.BBOX_AUG.ASPECT_RATIO_H_FLIP = False
 
+# Test-time augmentation for masks / keypoints (reference config.py:341-403;
+# accepted for YAML compat — the aug sweeps themselves are not implemented,
+# asserted off in the engine)
+__C.TEST.MASK_AUG = AttrDict()
+__C.TEST.MASK_AUG.ENABLED = False
+__C.TEST.MASK_AUG.HEUR = 'SOFT_AVG'
+__C.TEST.MASK_AUG.H_FLIP = False
+__C.TEST.MASK_AUG.SCALES = ()
+__C.TEST.MASK_AUG.MAX_SIZE = 4000
+__C.TEST.MASK_AUG.SCALE_H_FLIP = False
+__C.TEST.MASK_AUG.SCALE_SIZE_DEP = False
+__C.TEST.MASK_AUG.AREA_TH = 180 ** 2
+__C.TEST.MASK_AUG.ASPECT_RATIOS = ()
+__C.TEST.MASK_AUG.ASPECT_RATIO_H_FLIP = False
+
+__C.TEST.KPS_AUG = AttrDict()
+__C.TEST.KPS_AUG.ENABLED = False
+__C.TEST.KPS_AUG.HEUR = 'HM_AVG'
+__C.TEST.KPS_AUG.H_FLIP = False
+__C.TEST.KPS_AUG.SCALES = ()
+__C.TEST.KPS_AUG.MAX_SIZE = 4000
+__C.TEST.KPS_AUG.SCALE_H_FLIP = False
+__C.TEST.KPS_AUG.SCALE_SIZE_DEP = False
+__C.TEST.KPS_AUG.AREA_TH = 180 ** 2
+__C.TEST.KPS_AUG.ASPECT_RATIOS = ()
+__C.TEST.KPS_AUG.ASPECT_RATIO_H_FLIP = False
+
+# kept for YAML compat (Caffe2-runtime specific; proposals are always
+# generated on-device here)
+__C.TEST.GENERATE_PROPOSALS_ON_GPU = False
+__C.TRAIN.GENERATE_PROPOSALS_ON_GPU = False
+
 # Soft NMS
 __C.TEST.SOFT_NMS = AttrDict()
 __C.TEST.SOFT_NMS.ENABLED = False

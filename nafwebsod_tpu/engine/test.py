@@ -461,6 +461,7 @@ def segm_results(cls_boxes, masks, ref_boxes, im_h, im_w):
 def im_detect_mask(spec, params, im, cls_boxes):
     """Run the mask head on the final detections; returns cls_segms (RLE
     per detection, per class)."""
+    assert not cfg.TEST.MASK_AUG.ENABLED, 'MASK_AUG sweep not implemented'
     boxes, _ = _final_boxes(cls_boxes)
     if len(boxes) == 0:
         return [[] for _ in range(cfg.MODEL.NUM_CLASSES)]
@@ -507,6 +508,7 @@ def im_detect_keypoints(spec, params, im, cls_boxes):
     """Run the keypoint head on the final detections of the person class
     (class 1, upstream convention). Returns cls_keyps: per-class list of
     (R, 4, K) arrays."""
+    assert not cfg.TEST.KPS_AUG.ENABLED, 'KPS_AUG sweep not implemented'
     num_classes = cfg.MODEL.NUM_CLASSES
     cls_keyps = [[] for _ in range(num_classes)]
     dets = cls_boxes[1]
