@@ -402,6 +402,10 @@ __C.EXPECTED_RESULTS_SIGMA_TOL = 4
 __C.EXPECTED_RESULTS_EMAIL = ''
 __C.DOWNLOAD_CACHE = '/tmp/detectron-download-cache'
 
+# Cluster-environment flag (reference config.py:1098-1101; YAML compat)
+__C.CLUSTER = AttrDict()
+__C.CLUSTER.ON_CLUSTER = False
+
 # TPU-specific knobs (new; no reference equivalent)
 __C.TPU = AttrDict()
 # Compute dtype for conv body / FC matmuls ('bfloat16' or 'float32').

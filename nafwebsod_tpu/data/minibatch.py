@@ -186,6 +186,22 @@ def gt_blobs(entry, im_scale, true_h, true_w, max_gt):
         'gt_valid': gt_valid,
         'im_info': np.array([true_h, true_w, im_scale], np.float32),
     }
+    if cfg.MODEL.MASK_ON and cfg.MODEL.FASTER_RCNN:
+        # fixed-grid gt mask rasterization for end-to-end Mask R-CNN: each
+        # gt's polygons rasterized ONCE wrt its own box; sampled rois
+        # resample on device (ops/seg.crop_and_resize_masks)
+        from nafwebsod_tpu.utils.segms import polys_to_mask_wrt_box
+        mg = cfg.MRCNN.RESOLUTION * 2
+        masks = np.zeros((max_gt, mg, mg), np.float32)
+        segs = entry.get('segms', [])
+        for j, ix in enumerate(gt_inds[:n]):
+            poly = segs[ix] if ix < len(segs) else []
+            if poly:
+                masks[j] = polys_to_mask_wrt_box(poly, entry['boxes'][ix],
+                                                 mg)
+            else:
+                masks[j] = 1.0  # box-shaped fallback
+        out['gt_masks'] = masks
     if cfg.MODEL.KEYPOINTS_ON:
         k = max(cfg.KRCNN.NUM_KEYPOINTS, 1)
         kps = np.zeros((max_gt, k, 3), np.float32)

@@ -63,6 +63,10 @@ def extend_with_flipped_entries(roidb, dataset):
             if k not in dont_copy:
                 flipped_entry[k] = v
         flipped_entry['boxes'] = boxes
+        if entry.get('segms'):
+            from nafwebsod_tpu.utils.segms import flip_segms
+            flipped_entry['segms'] = flip_segms(
+                entry['segms'], entry['height'], width)
         flipped_entry['flipped'] = True
         flipped_roidb.append(flipped_entry)
     roidb.extend(flipped_roidb)

@@ -66,6 +66,11 @@ _SUPPORTED_HEADS = {
     # (ResNet.add_ResNet_roi_conv5_head, ResNet.py:143-170) — the C4
     # Faster/Fast R-CNN box head
     'ResNet.add_ResNet_roi_conv5_head': 'res5_head',
+    # older alias used by the 12_2017 baseline configs
+    'head_builder.add_roi_2mlp_head': 'vgg16_2fc',
+    # X stacked convs + GN + 1 fc (fast_rcnn_heads.py:129-163; the
+    # 04_2018 GN baselines)
+    'fast_rcnn_heads.add_roi_Xconv1fc_gn_head': 'xconv1fc_gn',
 }
 
 
@@ -205,6 +210,9 @@ class ModelSpec:
     # run the clean+noisy towers as one width-doubled GEMM pair
     # (TPU.FUSED_NOISE_TOWER; mathematically identical, fewer MXU launches)
     fused_noise_tower: bool = False
+    # Xconv1fc GN head sizing (FAST_RCNN.CONV_HEAD_DIM / NUM_STACKED_CONVS)
+    conv_head_dim: int = 256
+    num_stacked_convs: int = 4
 
     @property
     def body_out_dim(self):
@@ -266,10 +274,11 @@ def spec_from_cfg(cfg):
         raise NotImplementedError('ROI_BOX_HEAD {} not implemented'.format(head))
     if retinanet or retinanet_wsl or rpn_only or cfg.MODEL.TYPE == 'rfcn':
         head = 'fast_rcnn_heads.add_roi_2mlp_head'  # unused placeholder
-    if cfg.MODEL.MASK_ON and _SUPPORTED_BODIES[body].startswith('fpn_'):
+    if (cfg.MODEL.MASK_ON and _SUPPORTED_BODIES[body].startswith('fpn_')
+            and cfg.MODEL.TYPE == 'generalized_wsl'):
         raise NotImplementedError(
-            'MASK_ON with an FPN body is not wired yet (single-scale mask '
-            'branch only)')
+            'WSL MASK_ON with an FPN body is not wired (the CPG/deeplab '
+            'branch is single-scale); supervised Mask R-CNN supports FPN')
     if cfg.WEBLY.MINING:
         # the reference's WEBLY.MINING switch calls webly_heads.
         # add_webly_mining which does not exist anywhere in the reference
@@ -299,8 +308,12 @@ def spec_from_cfg(cfg):
         # the res5 conv head emits the res5 width (2048 / 512-shallow)
         hidden_dim=((512 if '18' in body else 2048)
                     if _SUPPORTED_HEADS.get(head) == 'res5_head'
-                    else cfg.FAST_RCNN.MLP_HEAD_DIM if 'ResNet' in head
+                    else cfg.FAST_RCNN.MLP_HEAD_DIM
+                    if ('ResNet' in head or
+                        _SUPPORTED_HEADS.get(head) == 'xconv1fc_gn')
                     else cfg.TPU.HEAD_HIDDEN_DIM),
+        conv_head_dim=cfg.FAST_RCNN.CONV_HEAD_DIM,
+        num_stacked_convs=cfg.FAST_RCNN.NUM_STACKED_CONVS,
         oicr=cfg.WSL.OICR,
         pcl=cfg.WSL.PCL,
         cmil=cfg.WSL.CMIL,
@@ -435,6 +448,11 @@ def init_params(spec: ModelSpec, rng):
                     spec.roi_resolution)
     if spec.rpn_only:
         pass  # RPN params only (added in the faster_rcnn block below)
+    elif spec.box_head == 'xconv1fc_gn':
+        params.update(heads.init_xconv1fc_gn_params(
+            r2, spec.body_out_dim, resolution=spec.roi_resolution,
+            conv_dim=spec.conv_head_dim, num_convs=spec.num_stacked_convs,
+            mlp_dim=spec.hidden_dim))
     elif spec.box_head == 'res5_head':
         from nafwebsod_tpu.models import resnet
         params.update(resnet.init_res5_head_params(
@@ -745,7 +763,11 @@ def _fpn_head_tower(spec, params, levels, scales, rois, obn_scores, train,
         sampling_ratio=spec.roi_sampling_ratio,
         canonical_scale=spec.fpn_canonical_scale,
         canonical_level=spec.fpn_canonical_level,
-        freeze_body=spec.freeze_conv_body)
+        freeze_body=spec.freeze_conv_body,
+        flatten=spec.box_head != 'xconv1fc_gn')
+    if spec.box_head == 'xconv1fc_gn':
+        return heads.xconv1fc_gn_head(
+            params, pooled, num_convs=spec.num_stacked_convs), None
     if spec.box_head == 'vgg16_2fc_noise':
         r1 = r2 = None
         if rng is not None:
@@ -808,6 +830,14 @@ def _run_body_and_head(spec, params, image, rois, obn_scores, train, rng):
     if spec.box_head == 'res5_head':
         fc7 = _res5_tower(spec, params, feat, rois, obn_scores,
                           spatial_scale)
+        return fc7, None, feat
+    if spec.box_head == 'xconv1fc_gn':
+        pooled = heads.roi_transform(
+            feat[0], rois, obn_scores, spatial_scale,
+            spec.roi_xform_method, spec.roi_resolution,
+            spec.roi_sampling_ratio, spec.freeze_conv_body, flatten=False)
+        fc7 = heads.xconv1fc_gn_head(params, pooled,
+                                     num_convs=spec.num_stacked_convs)
         return fc7, None, feat
     fc7, _ = heads.vgg16_roi_2fc_head(
         params, feat, rois, obn_scores, spatial_scale, **kwargs)
@@ -877,6 +907,14 @@ def forward_test(spec: ModelSpec, params, image, rois, obn_scores,
             elif spec.box_head == 'res5_head':
                 fc7 = _res5_tower(spec, params, feat, rois5, obn,
                                   spatial_scale)
+            elif spec.box_head == 'xconv1fc_gn':
+                pooled = heads.roi_transform(
+                    feat[0], rois5, obn, spatial_scale,
+                    spec.roi_xform_method, spec.roi_resolution,
+                    spec.roi_sampling_ratio, spec.freeze_conv_body,
+                    flatten=False)
+                fc7 = heads.xconv1fc_gn_head(
+                    params, pooled, num_convs=spec.num_stacked_convs)
             else:
                 fc7, _ = heads.vgg16_roi_2fc_head(
                     params, feat, rois5, obn, spatial_scale,
@@ -933,6 +971,26 @@ def forward_test(spec: ModelSpec, params, image, rois, obn_scores,
     return {'scores': scores, 'rois_pred': out['rois_pred']}
 
 
+def _mask_pooled(spec, params, feat, rois):
+    """Pooled RoI features for the mask head: single-scale RoIAlign or the
+    FPN multilevel transform (``feat`` is the levels dict for FPN)."""
+    from nafwebsod_tpu.ops.roi_pool import roi_align
+
+    if spec.is_fpn:
+        from nafwebsod_tpu.models import fpn
+        scales = {k: 1.0 / (2 ** k) for k in feat}
+        ones = jnp.ones((rois.shape[0], 1), jnp.float32)
+        return fpn.multilevel_roi_pool(
+            feat, scales, rois, ones,
+            k_min=spec.fpn_roi_min_level, k_max=spec.fpn_roi_max_level,
+            method='RoIAlign', resolution=spec.mask_resolution,
+            sampling_ratio=2, canonical_scale=spec.fpn_canonical_scale,
+            canonical_level=spec.fpn_canonical_level, flatten=False)
+    return roi_align(feat[0].astype(jnp.float32), rois,
+                     spec.mask_resolution, spec.mask_resolution,
+                     body_spatial_scale(spec), 2)
+
+
 @partial(jax.jit, static_argnames=('spec',))
 def forward_masks(spec: ModelSpec, params, image, rois):
     """Soft masks for given (final-detection) rois (test_wsl.py
@@ -940,10 +998,14 @@ def forward_masks(spec: ModelSpec, params, image, rois):
     Returns (R, M, M, num_classes)."""
     from nafwebsod_tpu.models import seg_head
 
-    feat, spatial_scale = body_forward(spec, params, image)
-    mask_logits = seg_head.mask_head_forward(
-        params, feat[0].astype(jnp.float32), rois, spatial_scale,
-        resolution=spec.mask_resolution, dilation=spec.mask_dilation)
+    if spec.is_fpn:
+        levels, _ = body_forward_fpn(spec, params, image)
+        pooled = _mask_pooled(spec, params, levels, rois)
+    else:
+        feat, _ = body_forward(spec, params, image)
+        pooled = _mask_pooled(spec, params, feat, rois)
+    mask_logits = seg_head.mask_head_from_pooled(
+        params, pooled, dilation=spec.mask_dilation)
     return seg_head.mask_probs_test(mask_logits)
 
 
@@ -1164,6 +1226,14 @@ def forward_train(spec: ModelSpec, params, batch, rng):
             elif spec.box_head == 'res5_head':
                 fc7 = _res5_tower(spec, params, feat, srois, obn1,
                                   spatial_scale)
+            elif spec.box_head == 'xconv1fc_gn':
+                pooled = heads.roi_transform(
+                    feat[0], srois, obn1, spatial_scale,
+                    spec.roi_xform_method, spec.roi_resolution,
+                    spec.roi_sampling_ratio, spec.freeze_conv_body,
+                    flatten=False)
+                fc7 = heads.xconv1fc_gn_head(
+                    params, pooled, num_convs=spec.num_stacked_convs)
             else:
                 fc7, _ = heads.vgg16_roi_2fc_head(
                     params, feat, srois, obn1, spatial_scale,
@@ -1179,6 +1249,25 @@ def forward_train(spec: ModelSpec, params, batch, rng):
             blobs['bbox_outside_weights'], svalid.astype(jnp.float32))
         total = total + losses['loss_rpn_cls'] + losses['loss_rpn_bbox']
         aux.update(losses)
+        if spec.mask_on and 'gt_masks' in batch:
+            # end-to-end Mask R-CNN: device-resampled gt mask targets on
+            # the sampled rois (ops/seg.crop_and_resize_masks — the TPU
+            # replacement for per-roi host polygon rasterization)
+            from nafwebsod_tpu.models import seg_head
+            from nafwebsod_tpu.ops import seg as seg_ops
+            fg = (blobs['labels_int32'] > 0) & svalid.astype(bool)
+            ga = blobs['gt_assignment']
+            m_out = 2 * spec.mask_resolution
+            targets = seg_ops.crop_and_resize_masks(
+                batch['gt_masks'][ga], batch['gt_boxes'][ga], srois, m_out)
+            pooled = _mask_pooled(spec, params,
+                                  levels if spec.is_fpn else feat, srois)
+            mask_logits = seg_head.mask_head_from_pooled(
+                params, pooled, dilation=spec.mask_dilation)
+            loss_mask = spec.mask_loss_weight * seg_ops.e2e_mask_loss(
+                mask_logits, sg(targets), blobs['labels_int32'], fg)
+            total = total + loss_mask
+            aux['loss_mask'] = loss_mask
         if spec.keypoints_on:
             # keypoint head on the fg sampled rois
             # (keypoint_rcnn_heads.py:110-149; targets rasterized on device)
@@ -1232,10 +1321,9 @@ def forward_train(spec: ModelSpec, params, batch, rng):
             # ignore targets)
             from nafwebsod_tpu.data.mask_rcnn import mask_rcnn_loss
             from nafwebsod_tpu.models import seg_head
-            mask_logits = seg_head.mask_head_forward(
-                params, feat[0].astype(jnp.float32), batch['mask_rois'],
-                body_spatial_scale(spec), resolution=spec.mask_resolution,
-                dilation=spec.mask_dilation)
+            pooled = _mask_pooled(spec, params, feat, batch['mask_rois'])
+            mask_logits = seg_head.mask_head_from_pooled(
+                params, pooled, dilation=spec.mask_dilation)
             targets = batch['masks_int32']
             if spec.mask_cls_specific:
                 # the loader expands to num_classes slots; the head emits

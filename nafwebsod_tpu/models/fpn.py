@@ -115,7 +115,7 @@ def map_rois_to_fpn_levels_dev(rois_xyxy, k_min, k_max, canonical_scale=224,
 def multilevel_roi_pool(levels, scales, rois5, obn_scores, *, k_min, k_max,
                         method='RoIAlign', resolution=7, sampling_ratio=2,
                         canonical_scale=224, canonical_level=4,
-                        freeze_body=False):
+                        freeze_body=False, flatten=True):
     """FPN-aware RoIFeatureTransform (detector.py:268-331), TPU-first.
 
     The reference splits rois into per-level blobs on the host and
@@ -144,6 +144,8 @@ def multilevel_roi_pool(levels, scales, rois5, obn_scores, *, k_min, k_max,
     out = roi_feature_boost(out, obn_scores)
     if freeze_body:
         out = jax.lax.stop_gradient(out)
+    if not flatten:
+        return out
     r = out.shape[0]
     return jnp.transpose(out, (0, 3, 1, 2)).reshape(r, -1)
 

@@ -125,9 +125,11 @@ def _fc_tower(feat_flat, params, prefix, rng, train):
 
 
 def roi_transform(feat, rois, obn_scores, spatial_scale, method='RoIPoolF',
-                  resolution=7, sampling_ratio=2, freeze_body=True):
+                  resolution=7, sampling_ratio=2, freeze_body=True,
+                  flatten=True):
     """RoIPool/RoIAlign + RoIFeatureBoost + optional stop-gradient, flattened
-    to (R, resolution*resolution*C)."""
+    to (R, resolution*resolution*C) (``flatten=False``: keep the
+    (R, res, res, C) grid for conv heads)."""
     if method == 'RoIAlign':
         pooled = roi_align(feat, rois, resolution, resolution, spatial_scale,
                            sampling_ratio)
@@ -136,6 +138,8 @@ def roi_transform(feat, rois, obn_scores, spatial_scale, method='RoIPoolF',
     pooled = roi_feature_boost(pooled, obn_scores)
     if freeze_body:
         pooled = jax.lax.stop_gradient(pooled)
+    if not flatten:
+        return pooled
     r = pooled.shape[0]
     # Caffe2 flattens NCHW (C, H, W); we pool NHWC, so transpose to match the
     # fc6 weight ordering of the reference checkpoints: (C*H*W).
@@ -146,6 +150,55 @@ def roi_transform(feat, rois, obn_scores, spatial_scale, method='RoIPoolF',
 # --------------------------------------------------------------------------- #
 # Heads
 # --------------------------------------------------------------------------- #
+
+def init_xconv1fc_gn_params(rng, dim_in, resolution=7, conv_dim=256,
+                            num_convs=4, mlp_dim=1024, dtype=jnp.float32):
+    """X stacked 3x3 convs (no bias) + GroupNorm + 1 fc
+    (fast_rcnn_heads.add_roi_Xconv1fc_gn_head:129-163); blob names follow
+    the reference ('head_conv{i}_w' / '_gn_s' / '_gn_b', 'fc6')."""
+    params = {}
+    keys = jax.random.split(rng, num_convs + 1)
+    d = dim_in
+    for i in range(num_convs):
+        fan_in = 3 * 3 * d
+        params['head_conv{}_w'.format(i + 1)] = (
+            np.sqrt(2.0 / fan_in) *
+            jax.random.normal(keys[i], (3, 3, d, conv_dim), dtype))
+        params['head_conv{}_gn_s'.format(i + 1)] = jnp.ones((conv_dim,),
+                                                            dtype)
+        params['head_conv{}_gn_b'.format(i + 1)] = jnp.zeros((conv_dim,),
+                                                             dtype)
+        d = conv_dim
+    params['fc6_w'] = _xavier(keys[-1],
+                              (conv_dim * resolution * resolution, mlp_dim),
+                              dtype)
+    params['fc6_b'] = jnp.zeros((mlp_dim,), dtype)
+    return params
+
+
+def xconv1fc_gn_head(params, pooled, *, num_convs=4):
+    """pooled: (R, res, res, C) RoI grid. Returns (R, mlp_dim)."""
+    from nafwebsod_tpu.ops.norm import get_group_gn, group_norm
+
+    x = pooled
+    for i in range(num_convs):
+        w = params['head_conv{}_w'.format(i + 1)].astype(x.dtype)
+        x = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            preferred_element_type=x.dtype)
+        c = x.shape[-1]
+        x = group_norm(
+            x.astype(jnp.float32),
+            params['head_conv{}_gn_s'.format(i + 1)],
+            params['head_conv{}_gn_b'.format(i + 1)],
+            num_groups=get_group_gn(c, num_groups=min(32, c))).astype(
+                pooled.dtype)
+        x = jax.nn.relu(x)
+    r = x.shape[0]
+    flat = jnp.transpose(x, (0, 3, 1, 2)).reshape(r, -1)
+    return jax.nn.relu(_fc(flat, params, 'fc6'))
+
 
 def vgg16_roi_2fc_head(params, feat, rois, obn_scores, spatial_scale, *,
                        method='RoIPoolF', resolution=7, sampling_ratio=2,

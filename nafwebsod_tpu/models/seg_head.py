@@ -49,6 +49,13 @@ def mask_head_forward(params, feat, rois, spatial_scale, *, resolution=14,
                       max(sampling_ratio, 1))
     else:
         x = roi_pool(feat, rois, resolution, resolution, spatial_scale)
+    return mask_head_from_pooled(params, x, dilation=dilation,
+                                 num_convs=num_convs)
+
+
+def mask_head_from_pooled(params, x, *, dilation=2, num_convs=2):
+    """Conv/deconv/logit part of the mask head over pre-pooled RoI features
+    (FPN bodies pool via the multilevel transform first)."""
     x = x.astype(jnp.float32)
     for i in range(num_convs):
         w = params['_[mask]_fcn{}_w'.format(i + 1)]

@@ -116,6 +116,68 @@ def cpg_sw(cpg, mask_logits_up, loss_per_class, labels_oh, cls_prob,
                      jax.nn.sigmoid(mask_logits_up), cpg)
 
 
+def crop_and_resize_masks(masks, boxes, rois, out_size):
+    """Resample per-roi gt masks for end-to-end Mask R-CNN training.
+
+    TPU-first replacement for the reference's host-side per-roi polygon
+    rasterization (roi_data/mask_rcnn.py:polys_to_mask_wrt_box): gt masks
+    are rasterized ONCE per gt box on the host at a fixed grid; here each
+    sampled roi bilinearly resamples its assigned gt's mask into its own
+    window (points outside the gt box read 0). masks: (R, Mg, Mg) —
+    already gathered per roi; boxes: (R, 4) the gt boxes the masks were
+    rasterized against; rois: (R, 5). Returns (R, out, out) in [0, 1].
+    """
+    mg = masks.shape[-1]
+    gx1, gy1 = boxes[:, 0:1], boxes[:, 1:2]
+    gw = jnp.maximum(boxes[:, 2:3] - gx1, 1e-3)
+    gh = jnp.maximum(boxes[:, 3:4] - gy1, 1e-3)
+    steps = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) / out_size
+    # roi-window sample points in image coords
+    xs = rois[:, 1:2] + steps[None, :] * (rois[:, 3:4] - rois[:, 1:2])
+    ys = rois[:, 2:3] + steps[None, :] * (rois[:, 4:5] - rois[:, 2:3])
+    # map into gt-mask pixel coords
+    u = (xs - gx1) / gw * mg - 0.5                     # (R, out)
+    v = (ys - gy1) / gh * mg - 0.5
+
+    def sample_one(m, ui, vi):
+        u0 = jnp.floor(ui)
+        v0 = jnp.floor(vi)
+        fu = (ui - u0)[None, :]
+        fv = (vi - v0)[:, None]
+
+        def at(yy, xx):
+            ok = ((yy >= 0) & (yy < mg))[:, None] & \
+                 ((xx >= 0) & (xx < mg))[None, :]
+            val = m[jnp.clip(yy, 0, mg - 1)[:, None],
+                    jnp.clip(xx, 0, mg - 1)[None, :]]
+            return jnp.where(ok, val, 0.0)
+
+        u0i, v0i = u0.astype(jnp.int32), v0.astype(jnp.int32)
+        return ((1 - fv) * (1 - fu) * at(v0i, u0i) +
+                (1 - fv) * fu * at(v0i, u0i + 1) +
+                fv * (1 - fu) * at(v0i + 1, u0i) +
+                fv * fu * at(v0i + 1, u0i + 1))
+
+    return jax.vmap(sample_one)(masks.astype(jnp.float32), u, v)
+
+
+def e2e_mask_loss(mask_logits, targets, labels, fg_mask):
+    """End-to-end Mask R-CNN loss on device: per fg roi, sigmoid CE of its
+    class channel vs the resampled gt mask, normalized by the fg pixel
+    count (mask_rcnn_heads.add_mask_rcnn_losses semantics). mask_logits:
+    (R, M, M, C-1); targets: (R, M, M) in [0, 1]; labels: (R,) int;
+    fg_mask: (R,) bool."""
+    r, m, _, c = mask_logits.shape
+    ch = jnp.clip(labels - 1, 0, c - 1)
+    lg = jnp.take_along_axis(
+        mask_logits, ch[:, None, None, None], axis=3)[..., 0]  # (R, M, M)
+    t = (targets >= 0.5).astype(jnp.float32)
+    elem = (jnp.maximum(lg, 0) - lg * t +
+            jnp.log1p(jnp.exp(-jnp.abs(lg))))
+    w = fg_mask.astype(jnp.float32)[:, None, None]
+    return jnp.sum(elem * w) / jnp.maximum(jnp.sum(w) * m * m, 1.0)
+
+
 def _gaussian_blur(x, sigma, truncate=2.0):
     """Separable Gaussian blur over the last two axes. The kernel radius is
     clamped per axis so 'same' convolution never exceeds the signal length."""
