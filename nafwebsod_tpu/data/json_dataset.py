@@ -55,6 +55,20 @@ class JsonDataset:
         cats = self.COCO.loadCats(category_ids)
         self.keypoints = cats[0].get('keypoints') if cats else None
         self.num_keypoints = len(self.keypoints) if self.keypoints else 0
+        # left/right identity swap for horizontal flip
+        # (keypoint_utils.get_keypoints flip map)
+        self.keypoint_flip_map = np.arange(self.num_keypoints)
+        if self.keypoints:
+            name_to_idx = {n: i for i, n in enumerate(self.keypoints)}
+            for i, n in enumerate(self.keypoints):
+                if n.startswith('left_'):
+                    twin = 'right_' + n[len('left_'):]
+                elif n.startswith('right_'):
+                    twin = 'left_' + n[len('right_'):]
+                else:
+                    continue
+                if twin in name_to_idx:
+                    self.keypoint_flip_map[i] = name_to_idx[twin]
 
     # ------------------------------------------------------------------ #
 
@@ -101,6 +115,7 @@ class JsonDataset:
         if self.num_keypoints:
             entry['gt_keypoints'] = np.empty(
                 (0, self.num_keypoints, 3), dtype=np.float32)
+            entry['kp_flip_map'] = self.keypoint_flip_map
         for k in ('date_captured', 'url', 'license', 'file_name'):
             entry.pop(k, None)
 

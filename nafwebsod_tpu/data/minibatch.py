@@ -209,12 +209,14 @@ def gt_blobs(entry, im_scale, true_h, true_w, max_gt):
         if raw is not None and len(raw):
             raw = raw[gt_inds][:n].astype(np.float32).copy()
             if entry.get('flipped', False):
-                # roidb flip copies boxes only; mirror keypoint x here.
-                # DEVIATION: no left/right identity swap (the reference
-                # remaps e.g. left_eye<->right_eye via keypoint names)
+                # roidb flip copies boxes only; mirror keypoint x AND swap
+                # left/right identities (keypoint_utils.flip_keypoints)
                 vis = raw[:, :, 2] > 0
                 raw[:, :, 0] = np.where(
                     vis, entry['width'] - raw[:, :, 0] - 1, 0)
+                fm = entry.get('kp_flip_map')
+                if fm is not None and len(fm) == raw.shape[1]:
+                    raw = raw[:, np.asarray(fm)]
             raw[:, :, :2] *= im_scale
             kps[:n, :raw.shape[1]] = raw
         out['gt_keypoints'] = kps
