@@ -213,6 +213,11 @@ class ModelSpec:
     # Xconv1fc GN head sizing (FAST_RCNN.CONV_HEAD_DIM / NUM_STACKED_CONVS)
     conv_head_dim: int = 256
     num_stacked_convs: int = 4
+    # ResNeXt trunk (cfg.RESNETS.*): grouped 3x3 bottleneck convs when
+    # num_groups > 1 (X-101-32x8d etc.); stride placement per STRIDE_1X1
+    resnets_num_groups: int = 1
+    resnets_width_per_group: int = 64
+    resnets_stride_1x1: bool = True
 
     @property
     def body_out_dim(self):
@@ -314,6 +319,9 @@ def spec_from_cfg(cfg):
                     else cfg.TPU.HEAD_HIDDEN_DIM),
         conv_head_dim=cfg.FAST_RCNN.CONV_HEAD_DIM,
         num_stacked_convs=cfg.FAST_RCNN.NUM_STACKED_CONVS,
+        resnets_num_groups=cfg.RESNETS.NUM_GROUPS,
+        resnets_width_per_group=cfg.RESNETS.WIDTH_PER_GROUP,
+        resnets_stride_1x1=cfg.RESNETS.STRIDE_1X1,
         oicr=cfg.WSL.OICR,
         pcl=cfg.WSL.PCL,
         cmil=cfg.WSL.CMIL,
@@ -415,7 +423,10 @@ def init_params(spec: ModelSpec, rng):
     if spec.is_fpn:
         from nafwebsod_tpu.models import fpn, resnet
         depth = _resnet_depth(spec.conv_body)
-        params = resnet.init_params(r1, depth, include_res5=True)
+        params = resnet.init_params(
+            r1, depth, include_res5=True,
+            num_groups=spec.resnets_num_groups,
+            width_per_group=spec.resnets_width_per_group)
         dims = (resnet.SHALLOW_STAGE_DIMS if depth == 'resnet18'
                 else resnet.STAGE_DIMS)
         lo, hi = spec.fpn_level_range
@@ -426,8 +437,10 @@ def init_params(spec: ModelSpec, rng):
     elif spec.conv_body.startswith('resnet'):
         from nafwebsod_tpu.models import resnet
         depth = _resnet_depth(spec.conv_body)
-        params = resnet.init_params(r1, depth,
-                                    include_res5=spec.conv_body.endswith('c5'))
+        params = resnet.init_params(
+            r1, depth, include_res5=spec.conv_body.endswith('c5'),
+            num_groups=spec.resnets_num_groups,
+            width_per_group=spec.resnets_width_per_group)
     elif spec.conv_body == 'vgg_cnn_m_c5':
         from nafwebsod_tpu.models import vgg_cnn_m
         params = vgg_cnn_m.init_params(r1)
@@ -456,7 +469,9 @@ def init_params(spec: ModelSpec, rng):
     elif spec.box_head == 'res5_head':
         from nafwebsod_tpu.models import resnet
         params.update(resnet.init_res5_head_params(
-            r2, _resnet_depth(spec.conv_body)))
+            r2, _resnet_depth(spec.conv_body),
+            num_groups=spec.resnets_num_groups,
+            width_per_group=spec.resnets_width_per_group))
         if not spec.supervised:
             # WSL over the res5 head: WSDDN output layers on the pooled dim
             params.update({k: v for k, v in heads.init_head_params(
@@ -536,7 +551,9 @@ def _body_param_names(spec):
         depth = _resnet_depth(spec.conv_body)
         names = resnet.param_shapes(
             depth,
-            include_res5=spec.is_fpn or spec.conv_body.endswith('c5'))
+            include_res5=spec.is_fpn or spec.conv_body.endswith('c5'),
+            num_groups=spec.resnets_num_groups,
+            width_per_group=spec.resnets_width_per_group)
 
         def stage_of(name):
             if name.startswith('conv1') or name.startswith('res_conv1'):
@@ -582,7 +599,9 @@ def body_forward_fpn(spec, params, image):
     x = image.astype(dtype)
     depth = _resnet_depth(spec.conv_body)
     stages, _ = resnet.forward(params, x, depth, include_res5=True,
-                               freeze_at=spec.freeze_at, return_stages=True)
+                               freeze_at=spec.freeze_at, return_stages=True,
+                               stride_1x1=spec.resnets_stride_1x1,
+                               num_groups=spec.resnets_num_groups)
     lo, hi = spec.fpn_level_range
     return fpn.forward(params, stages, spec.fpn_dim, min_level=lo,
                        max_level=hi,
@@ -599,7 +618,9 @@ def body_forward(spec, params, image):
         feat, _, scale = resnet.forward(
             params, x, depth, include_res5=spec.conv_body.endswith('c5'),
             res5_dilation=spec.dilation if spec.dilation > 1 else 1,
-            freeze_at=spec.freeze_at)
+            freeze_at=spec.freeze_at,
+            stride_1x1=spec.resnets_stride_1x1,
+            num_groups=spec.resnets_num_groups)
         return feat, scale
     if spec.conv_body == 'vgg_cnn_m_c5':
         from nafwebsod_tpu.models import vgg_cnn_m
@@ -795,8 +816,10 @@ def _res5_tower(spec, params, feat, rois, obn_scores, spatial_scale):
     pooled = roi_feature_boost(pooled, obn_scores)
     if spec.freeze_conv_body:
         pooled = jax.lax.stop_gradient(pooled)
-    return resnet.roi_res5_forward(params, pooled,
-                                   _resnet_depth(spec.conv_body))
+    return resnet.roi_res5_forward(
+        params, pooled, _resnet_depth(spec.conv_body),
+        stride_1x1=spec.resnets_stride_1x1,
+        num_groups=spec.resnets_num_groups)
 
 
 def _run_body_and_head(spec, params, image, rois, obn_scores, train, rng):

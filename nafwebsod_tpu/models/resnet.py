@@ -25,7 +25,7 @@ STAGE_DIMS = (256, 512, 1024, 2048)
 SHALLOW_STAGE_DIMS = (64, 128, 256, 512)
 
 
-def _conv(x, w, stride=1, dilation=1, pad=None):
+def _conv(x, w, stride=1, dilation=1, pad=None, groups=1):
     kh = w.shape[0]
     if pad is None:
         pad = (kh - 1) // 2 * dilation
@@ -33,6 +33,7 @@ def _conv(x, w, stride=1, dilation=1, pad=None):
         x, w.astype(x.dtype), window_strides=(stride, stride),
         padding=((pad, pad), (pad, pad)), rhs_dilation=(dilation, dilation),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        feature_group_count=groups,
         preferred_element_type=x.dtype)
 
 
@@ -42,17 +43,18 @@ def _affine(x, params, name):
         name + '_b'].astype(x.dtype)
 
 
-def _conv_affine(x, params, prefix, stride=1, dilation=1):
-    x = _conv(x, params[prefix + '_w'], stride, dilation)
+def _conv_affine(x, params, prefix, stride=1, dilation=1, groups=1):
+    x = _conv(x, params[prefix + '_w'], stride, dilation, groups=groups)
     return _affine(x, params, prefix + '_bn')
 
 
 def _bottleneck(x, params, prefix, stride, dilation, stride_1x1=True,
-                has_shortcut=False):
+                has_shortcut=False, groups=1):
     s1, s3 = (stride, 1) if stride_1x1 else (1, stride)
     cur = jax.nn.relu(_conv_affine(x, params, prefix + '_branch2a', s1))
+    # ResNeXt grouped 3x3 (ResNet.py bottleneck_transformation group arg)
     cur = jax.nn.relu(_conv_affine(cur, params, prefix + '_branch2b', s3,
-                                   dilation))
+                                   dilation, groups=groups))
     cur = _conv_affine(cur, params, prefix + '_branch2c', 1)
     if has_shortcut:
         sc = _conv_affine(x, params, prefix + '_branch1', stride)
@@ -74,7 +76,7 @@ def _basic_block(x, params, prefix, stride, dilation, has_shortcut=False):
 
 
 def _stage(x, params, stage_prefix, n, stride_init, dilation, stride_1x1,
-           shallow=False):
+           shallow=False, groups=1):
     for i in range(n):
         prefix = '{}_{}'.format(stage_prefix, i)
         stride = stride_init if i == 0 else 1
@@ -85,13 +87,13 @@ def _stage(x, params, stage_prefix, n, stride_init, dilation, stride_1x1,
                              has_shortcut=prefix + '_branch1_w' in params)
         else:
             x = _bottleneck(x, params, prefix, stride, dilation, stride_1x1,
-                            has_shortcut=(i == 0))
+                            has_shortcut=(i == 0), groups=groups)
     return x
 
 
 def forward(params, x, depth='resnet50', include_res5=False,
             res5_dilation=1, stride_1x1=True, freeze_at=2,
-            return_stages=False):
+            return_stages=False, num_groups=1, width_per_group=64):
     """Run the ResNet body. x: (N, H, W, 3). Returns (features, out_dim,
     spatial_scale) following add_ResNet_convX_body (ResNet.py:91-127)."""
     dtype = x.dtype
@@ -114,7 +116,8 @@ def forward(params, x, depth='resnet50', include_res5=False,
         if si == 3 and res5_dilation == 2:
             stride_init = 1
         x = _stage(x, params, 'res{}'.format(si + 2), counts[si],
-                   stride_init, dilation, stride_1x1, shallow=shallow)
+                   stride_init, dilation, stride_1x1, shallow=shallow,
+                   groups=num_groups)
         if si + 2 == freeze_at:
             x = jax.lax.stop_gradient(x)
         stages.append(x)
@@ -125,7 +128,11 @@ def forward(params, x, depth='resnet50', include_res5=False,
     return x, dims[2], 1.0 / 16.0
 
 
-def param_shapes(depth='resnet50', include_res5=False):
+def param_shapes(depth='resnet50', include_res5=False, num_groups=1,
+                 width_per_group=64):
+    """num_groups > 1: ResNeXt trunk (ResNet.py:101,143 dim_bottleneck =
+    NUM_GROUPS * WIDTH_PER_GROUP, doubled per stage; branch2b is a grouped
+    conv with in-channels / groups per filter)."""
     shapes = {'conv1_w': (7, 7, 3, 64), 'res_conv1_bn_s': (64,),
               'res_conv1_bn_b': (64,)}
     counts = BLOCK_COUNTS[depth]
@@ -135,7 +142,10 @@ def param_shapes(depth='resnet50', include_res5=False):
     n_stages = 4 if include_res5 else 3
     for si in range(n_stages):
         dim_out = dims[si]
-        dim_inner = dim_out // 4
+        if num_groups > 1:
+            dim_inner = num_groups * width_per_group * (2 ** si)
+        else:
+            dim_inner = dim_out // 4
         for i in range(counts[si]):
             p = 'res{}_{}'.format(si + 2, i)
             if shallow:
@@ -157,7 +167,8 @@ def param_shapes(depth='resnet50', include_res5=False):
                 p + '_branch2a_w': (1, 1, dim_in, dim_inner),
                 p + '_branch2a_bn_s': (dim_inner,),
                 p + '_branch2a_bn_b': (dim_inner,),
-                p + '_branch2b_w': (3, 3, dim_inner, dim_inner),
+                p + '_branch2b_w': (3, 3, dim_inner // num_groups,
+                                    dim_inner),
                 p + '_branch2b_bn_s': (dim_inner,),
                 p + '_branch2b_bn_b': (dim_inner,),
                 p + '_branch2c_w': (1, 1, dim_inner, dim_out),
@@ -172,16 +183,19 @@ def param_shapes(depth='resnet50', include_res5=False):
     return shapes
 
 
-def res5_head_param_shapes(depth='resnet50'):
+def res5_head_param_shapes(depth='resnet50', num_groups=1,
+                           width_per_group=64):
     """Shapes of the res5 stage alone — the RoI conv5 box head
     (ResNet.add_ResNet_roi_conv5_head, ResNet.py:143-170: the res5 stage
     applied to pooled RoI features, stride 2, then global average pool)."""
-    full = param_shapes(depth, include_res5=True)
+    full = param_shapes(depth, include_res5=True, num_groups=num_groups,
+                        width_per_group=width_per_group)
     return {k: v for k, v in full.items() if k.startswith('res5')}
 
 
-def init_res5_head_params(rng, depth='resnet50', dtype=jnp.float32):
-    shapes = res5_head_param_shapes(depth)
+def init_res5_head_params(rng, depth='resnet50', num_groups=1,
+                          width_per_group=64, dtype=jnp.float32):
+    shapes = res5_head_param_shapes(depth, num_groups, width_per_group)
     params = {}
     keys = jax.random.split(rng, len(shapes))
     for i, (name, shape) in enumerate(sorted(shapes.items())):
@@ -197,7 +211,7 @@ def init_res5_head_params(rng, depth='resnet50', dtype=jnp.float32):
 
 
 def roi_res5_forward(params, pooled, depth='resnet50', dilation=1,
-                     stride_init=2, stride_1x1=True):
+                     stride_init=2, stride_1x1=True, num_groups=1):
     """Run the res5 stage over pooled RoI features (R, 14, 14, C_res4) and
     global-average-pool to (R, 2048[/512])."""
     shallow = depth == 'resnet18'
@@ -205,13 +219,13 @@ def roi_res5_forward(params, pooled, depth='resnet50', dilation=1,
     if dilation > 1:
         stride_init = 1
     x = _stage(pooled, params, 'res5', counts[3], stride_init, dilation,
-               stride_1x1, shallow=shallow)
+               stride_1x1, shallow=shallow, groups=num_groups)
     return jnp.mean(x, axis=(1, 2))
 
 
 def init_params(rng, depth='resnet50', include_res5=False,
-                dtype=jnp.float32):
-    shapes = param_shapes(depth, include_res5)
+                num_groups=1, width_per_group=64, dtype=jnp.float32):
+    shapes = param_shapes(depth, include_res5, num_groups, width_per_group)
     params = {}
     keys = jax.random.split(rng, len(shapes))
     for i, (name, shape) in enumerate(sorted(shapes.items())):

@@ -98,3 +98,39 @@ class TestResNetWSLModel:
         grads = jax.grad(lambda p: detector.forward_train(
             spec, p, batch, jax.random.PRNGKey(1))[0])(params)
         assert float(jnp.abs(grads['fc8c_w']).max()) > 0
+
+
+def test_resnext_grouped_bottleneck():
+    """Grouped 3x3 (ResNeXt) bottleneck: block-diagonal equivalence — the
+    grouped conv must equal per-group dense convs."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from nafwebsod_tpu.models import resnet
+
+    rng = np.random.RandomState(0)
+    g, cin_pg, cout = 4, 3, 12   # dim_inner 12, 4 groups
+    x = jnp.asarray(rng.randn(1, 6, 6, g * cin_pg), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, cin_pg, cout), jnp.float32)
+    y = resnet._conv(x, w, groups=g)
+    # per-group dense reference
+    outs = []
+    per_out = cout // g
+    for i in range(g):
+        xi = x[..., i * cin_pg:(i + 1) * cin_pg]
+        wi = w[..., i * per_out:(i + 1) * per_out]
+        outs.append(resnet._conv(xi, wi))
+    np.testing.assert_allclose(np.asarray(y),
+                               np.asarray(jnp.concatenate(outs, -1)),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_resnext_param_shapes():
+    from nafwebsod_tpu.models import resnet
+    s = resnet.param_shapes('resnet101', include_res5=True, num_groups=32,
+                            width_per_group=8)
+    # X-101-32x8d: dim_inner = 256/512/1024/2048; grouped branch2b filters
+    assert s['res2_0_branch2b_w'] == (3, 3, 8, 256)
+    assert s['res3_0_branch2b_w'] == (3, 3, 16, 512)
+    assert s['res5_0_branch2b_w'] == (3, 3, 64, 2048)
+    assert s['res5_0_branch2c_w'] == (1, 1, 2048, 2048)
