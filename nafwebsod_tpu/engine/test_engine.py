@@ -114,7 +114,48 @@ def generate_rpn_proposals(weights_file, dataset_name, output_dir,
     save_object(dict(boxes=boxes_all, scores=scores_all, ids=ids,
                      cfg=_dump_cfg_str()), out_file)
     logger.info('Wrote RPN proposals to: %s', os.path.abspath(out_file))
+    evaluate_proposal_recall(roidb, boxes_all)
     return boxes_all, scores_all, ids
+
+
+def evaluate_proposal_recall(roidb, boxes_all):
+    """Average recall of proposals vs gt with greedy one-to-one matching at
+    IoU .5:.05:.95 (json_dataset_evaluator.evaluate_box_proposals)."""
+    from nafwebsod_tpu.ops import boxes as box_utils
+
+    thresholds = np.arange(0.5, 0.95 + 1e-5, 0.05)
+    matched = np.zeros(len(thresholds))
+    total_gt = 0
+    for boxes, entry in zip(boxes_all, roidb):
+        gt_inds = np.where((entry['gt_classes'] > 0) &
+                           ~entry['is_crowd'].astype(bool))[0]
+        gt = entry['boxes'][gt_inds]
+        if not len(gt):
+            continue
+        total_gt += len(gt)
+        if not len(boxes):
+            continue
+        ov = box_utils.bbox_overlaps(gt.astype(np.float32),
+                                     np.asarray(boxes, np.float32))
+        # greedy: repeatedly take the best remaining (gt, proposal) pair
+        gt_best = np.zeros(len(gt))
+        o = ov.copy()
+        for _ in range(min(len(gt), o.shape[1])):
+            gi, pi = np.unravel_index(np.argmax(o), o.shape)
+            if o[gi, pi] <= 0:
+                break
+            gt_best[gi] = o[gi, pi]
+            o[gi, :] = -1
+            o[:, pi] = -1
+        for ti, t in enumerate(thresholds):
+            matched[ti] += (gt_best >= t).sum()
+    recalls = matched / max(total_gt, 1)
+    ar = float(recalls.mean())
+    logger.info('proposal AR@[.5:.95] = %.4f | recall@0.5 = %.4f | '
+                'recall@0.75 = %.4f (%d gts)', ar, recalls[0], recalls[5],
+                total_gt)
+    return {'AR': ar, 'recall@0.5': float(recalls[0]),
+            'recall@0.75': float(recalls[5])}
 
 
 def test_net(weights_file, dataset_name, proposal_file, output_dir,

@@ -280,10 +280,11 @@ def spec_from_cfg(cfg):
     if retinanet or retinanet_wsl or rpn_only or cfg.MODEL.TYPE == 'rfcn':
         head = 'fast_rcnn_heads.add_roi_2mlp_head'  # unused placeholder
     if (cfg.MODEL.MASK_ON and _SUPPORTED_BODIES[body].startswith('fpn_')
-            and cfg.MODEL.TYPE == 'generalized_wsl'):
+            and cfg.MODEL.TYPE == 'generalized_wsl'
+            and 'deeplab' in cfg.MRCNN.ROI_MASK_HEAD):
         raise NotImplementedError(
-            'WSL MASK_ON with an FPN body is not wired (the CPG/deeplab '
-            'branch is single-scale); supervised Mask R-CNN supports FPN')
+            'the WSL deeplab mask branch is single-scale (ASPP over conv5 '
+            'and CPG need one map) — use the fcn mask head with FPN bodies')
     if cfg.WEBLY.MINING:
         # the reference's WEBLY.MINING switch calls webly_heads.
         # add_webly_mining which does not exist anywhere in the reference
@@ -1483,10 +1484,9 @@ def forward_train(spec: ModelSpec, params, batch, rng):
         losses['mask_constraint_loss'] = dl['mask_constraint_loss']
     elif spec.mask_on:
         from nafwebsod_tpu.models import seg_head
-        spatial_scale = body_spatial_scale(spec)
-        mask_logits = seg_head.mask_head_forward(
-            params, feat[0].astype(jnp.float32), rois, spatial_scale,
-            resolution=spec.mask_resolution, dilation=spec.mask_dilation)
+        pooled = _mask_pooled(spec, params, feat, rois)
+        mask_logits = seg_head.mask_head_from_pooled(
+            params, pooled, dilation=spec.mask_dilation)
         losses['mask_loss_cls'] = spec.mask_loss_weight * seg_head.mask_losses(
             mask_logits, jax.lax.stop_gradient(out['rois_pred']), rois,
             labels_oh, valid)
