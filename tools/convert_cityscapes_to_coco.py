@@ -31,6 +31,9 @@ def poly_to_box(poly):
 
 
 def main():
+    if len(sys.argv) < 5 or sys.argv[1] in ('-h', '--help'):
+        print('usage: convert_cityscapes_to_coco.py <gt_dir> <img_dir> <split> <out.json>')
+        sys.exit(0 if '-h' in sys.argv or '--help' in sys.argv else 1)
     gt_dir, img_dir, split, out_json = sys.argv[1:5]
     cat_to_id = {n: i + 1 for i, n in enumerate(INSTANCE_CATEGORIES)}
     images, annotations = [], []

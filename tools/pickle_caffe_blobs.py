@@ -137,6 +137,9 @@ def parse_caffemodel(path):
 
 
 def main():
+    if len(sys.argv) != 3 or sys.argv[1] in ('-h', '--help'):
+        print('usage: pickle_caffe_blobs.py <model.caffemodel> <out.pkl>')
+        sys.exit(0 if '-h' in sys.argv or '--help' in sys.argv else 1)
     src, dst = sys.argv[1], sys.argv[2]
     layers = parse_caffemodel(src)
     blobs = {}

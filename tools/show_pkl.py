@@ -35,6 +35,9 @@ def describe(name, v, indent=0):
 
 
 if __name__ == '__main__':
+    if len(sys.argv) < 2 or sys.argv[1] in ('-h', '--help'):
+        print('usage: show_pkl.py <file.pkl> [...]')
+        sys.exit(0 if len(sys.argv) > 1 else 1)
     for path in sys.argv[1:]:
         print('==== {} ===='.format(path))
         describe(os.path.basename(path), load_object(path))
