@@ -322,8 +322,17 @@ def run_inference(weights_file, ind_range=None, multi_gpu_testing=False,
 
     results = result_getter()
     if check_expected_results and is_parent:
-        flat = {ds: {**r.get('ap', {}), 'mAP': r.get('mAP')}
-                if isinstance(r, dict) else r for ds, r in results.items()}
+        # flatten either evaluator's shape to {dataset: {metric: value}}:
+        # VOC gives {'ap': per-class, 'mAP', 'corloc', 'mean_corloc'},
+        # COCO gives {'AP', 'AP50', ...} (+ 'segm_*'/'keypoints_*' prefixes)
+        flat = {}
+        for ds, r in results.items():
+            if not isinstance(r, dict):
+                flat[ds] = r
+                continue
+            f = {k: v for k, v in r.items()
+                 if isinstance(v, (int, float, np.floating))}
+            flat[ds] = f
         task_evaluation.check_expected_results(
             flat, atol=cfg.EXPECTED_RESULTS_ATOL,
             rtol=cfg.EXPECTED_RESULTS_RTOL)

@@ -102,3 +102,18 @@ def test_evaluate_masks_end_to_end(tmp_path):
             all_segms[cls][i] = rles
     res = ce.evaluate_masks(ds, all_boxes, all_segms, str(tmp_path))
     assert res['AP50'] == pytest.approx(1.0)
+
+
+def test_check_expected_results_gate():
+    from nafwebsod_tpu.core.config import cfg, reset_cfg
+    from nafwebsod_tpu.data import task_evaluation
+
+    reset_cfg()
+    cfg.EXPECTED_RESULTS = [['ds', 'box', 'AP50', 0.5]]
+    assert task_evaluation.check_expected_results(
+        {'ds': {'AP50': 0.5}}, atol=0.005, rtol=0.1)
+    assert not task_evaluation.check_expected_results(
+        {'ds': {'AP50': 0.9}}, atol=0.005, rtol=0.1)
+    assert not task_evaluation.check_expected_results(
+        {'ds': {'AP': 0.5}}, atol=0.005, rtol=0.1)  # missing metric
+    reset_cfg()
