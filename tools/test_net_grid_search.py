@@ -6,6 +6,13 @@ Capability parity with ``tools/test_net_wsl_grid_search.py`` (reference
 :109-192): rebuilds the pre-NMS per-image (scores, boxes) cache from
 detections.pkl, sweeps the grid, and writes grid_search.csv in the output
 dir.
+
+PRECONDITION (same as the reference, :128-150): the cached detections must
+come from a WSL-style run where every class shares the same box rows —
+i.e. test with NMS effectively off (TEST.NMS 1.0), a tiny SCORE_THRESH and
+a huge DETECTIONS_PER_IM, no bbox regression. Detections cached after
+per-class NMS/regression cannot be reconstructed (the reference crashes on
+them; this port skips the mismatched classes).
 """
 
 import argparse
