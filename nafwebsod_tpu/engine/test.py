@@ -377,8 +377,11 @@ def im_detect_retinanet(spec, params, im, timers=None):
     return cls_boxes, None, None
 
 
-def im_detect_all(spec, params, im, box_proposals, obn_scores, timers=None):
-    """Full per-image detection pipeline (ref :29-89)."""
+def im_detect_all(spec, params, im, box_proposals, obn_scores, timers=None,
+                  kp_flip_map=None):
+    """Full per-image detection pipeline (ref :29-89). ``kp_flip_map`` is
+    the dataset's left/right keypoint-twin index array, used by the
+    KPS_AUG hflip sweep."""
     if timers is None:
         timers = defaultdict(Timer)
     if spec.retinanet or spec.retinanet_wsl:
@@ -406,7 +409,8 @@ def im_detect_all(spec, params, im, box_proposals, obn_scores, timers=None):
     cls_keyps = None
     if getattr(spec, 'keypoints_on', False):
         timers['im_detect_keypoints'].tic()
-        cls_keyps = im_detect_keypoints(spec, params, im, cls_boxes)
+        cls_keyps = im_detect_keypoints(spec, params, im, cls_boxes,
+                                        kp_flip_map)
         timers['im_detect_keypoints'].toc()
     return cls_boxes, cls_segms, cls_keyps
 
@@ -458,24 +462,108 @@ def segm_results(cls_boxes, masks, ref_boxes, im_h, im_w):
     return cls_segms
 
 
-def im_detect_mask(spec, params, im, cls_boxes):
-    """Run the mask head on the final detections; returns cls_segms (RLE
-    per detection, per class)."""
-    assert not cfg.TEST.MASK_AUG.ENABLED, 'MASK_AUG sweep not implemented'
-    boxes, _ = _final_boxes(cls_boxes)
-    if len(boxes) == 0:
-        return [[] for _ in range(cfg.MODEL.NUM_CLASSES)]
+def _mask_forward(spec, params, im, boxes, target_scale, target_max_size):
+    """Soft masks (R, M, M, C) for the given original-image boxes at one
+    image scale (ref test.py:im_detect_mask:373-413, NHWC here)."""
     im_blob, im_scale = prep_im_for_blob(
-        im, cfg.PIXEL_MEANS, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE,
-        cfg.PIXEL_STDS)
+        im, cfg.PIXEL_MEANS, target_scale, target_max_size, cfg.PIXEL_STDS)
     im_in = pad_image_to_bucket(im_blob, cfg.TPU.SIZE_BUCKET_MULTIPLE)
     rois5 = np.hstack([np.zeros((len(boxes), 1), np.float32),
                        boxes * im_scale]).astype(np.float32)
     rois_p, _, valid = _pad_rois(rois5, np.ones((len(boxes), 1)),
                                  cfg.TPU.ROI_PAD_MULTIPLE)
-    masks = np.asarray(detector.forward_masks(
+    return np.asarray(detector.forward_masks(
         spec, params, jnp.asarray(im_in[None]),
         jnp.asarray(rois_p)))[:len(boxes)]
+
+
+def im_detect_mask_hflip(spec, params, im, target_scale, target_max_size,
+                         boxes):
+    """Masks on the horizontally flipped image, inverted back
+    (ref test.py:489-504; width is axis 2 in our NHWC masks)."""
+    im_hf = im[:, ::-1, :]
+    boxes_hf = box_utils.flip_boxes(boxes, im.shape[1])
+    masks_hf = _mask_forward(spec, params, im_hf, boxes_hf,
+                             target_scale, target_max_size)
+    return masks_hf[:, :, ::-1, :]
+
+
+def im_detect_mask_scale(spec, params, im, target_scale, target_max_size,
+                         boxes, hflip=False):
+    """Masks at the given scale (ref test.py:506-517)."""
+    if hflip:
+        return im_detect_mask_hflip(
+            spec, params, im, target_scale, target_max_size, boxes)
+    return _mask_forward(spec, params, im, boxes,
+                         target_scale, target_max_size)
+
+
+def im_detect_mask_aspect_ratio(spec, params, im, aspect_ratio, boxes,
+                                hflip=False):
+    """Masks at a width-relative aspect ratio (ref test.py:520-537).
+    Masks are box-relative, so no inverse coordinate transform is needed."""
+    import cv2
+    im_ar = cv2.resize(im, None, fx=aspect_ratio, fy=1.0)
+    boxes_ar = box_utils.aspect_ratio(boxes, aspect_ratio)
+    if hflip:
+        return im_detect_mask_hflip(
+            spec, params, im_ar, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE, boxes_ar)
+    return _mask_forward(spec, params, im_ar, boxes_ar,
+                         cfg.TEST.SCALE, cfg.TEST.MAX_SIZE)
+
+
+def im_detect_mask_aug(spec, params, im, boxes):
+    """Mask detection with test-time augmentations (ref test.py:416-486):
+    identity first, then hflip / scales(+flip) / aspect ratios(+flip);
+    soft masks combined by TEST.MASK_AUG.HEUR."""
+    assert not cfg.TEST.MASK_AUG.SCALE_SIZE_DEP, \
+        'Size dependent scaling not implemented'
+    masks_ts = [_mask_forward(spec, params, im, boxes,
+                              cfg.TEST.SCALE, cfg.TEST.MAX_SIZE)]
+
+    if cfg.TEST.MASK_AUG.H_FLIP:
+        masks_ts.append(im_detect_mask_hflip(
+            spec, params, im, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE, boxes))
+
+    for scale in cfg.TEST.MASK_AUG.SCALES:
+        max_size = cfg.TEST.MASK_AUG.MAX_SIZE
+        masks_ts.append(im_detect_mask_scale(
+            spec, params, im, scale, max_size, boxes))
+        if cfg.TEST.MASK_AUG.SCALE_H_FLIP:
+            masks_ts.append(im_detect_mask_scale(
+                spec, params, im, scale, max_size, boxes, hflip=True))
+
+    for aspect_ratio in cfg.TEST.MASK_AUG.ASPECT_RATIOS:
+        masks_ts.append(im_detect_mask_aspect_ratio(
+            spec, params, im, aspect_ratio, boxes))
+        if cfg.TEST.MASK_AUG.ASPECT_RATIO_H_FLIP:
+            masks_ts.append(im_detect_mask_aspect_ratio(
+                spec, params, im, aspect_ratio, boxes, hflip=True))
+
+    heur = cfg.TEST.MASK_AUG.HEUR
+    if heur == 'SOFT_AVG':
+        return np.mean(masks_ts, axis=0)
+    if heur == 'SOFT_MAX':
+        return np.amax(masks_ts, axis=0)
+    if heur == 'LOGIT_AVG':
+        def logit(y):
+            return -1.0 * np.log((1.0 - y) / np.maximum(y, 1e-20))
+        logit_masks = np.mean([logit(y) for y in masks_ts], axis=0)
+        return 1.0 / (1.0 + np.exp(-logit_masks))
+    raise NotImplementedError('Heuristic {} not supported'.format(heur))
+
+
+def im_detect_mask(spec, params, im, cls_boxes):
+    """Run the mask head on the final detections; returns cls_segms (RLE
+    per detection, per class)."""
+    boxes, _ = _final_boxes(cls_boxes)
+    if len(boxes) == 0:
+        return [[] for _ in range(cfg.MODEL.NUM_CLASSES)]
+    if cfg.TEST.MASK_AUG.ENABLED:
+        masks = im_detect_mask_aug(spec, params, im, boxes)
+    else:
+        masks = _mask_forward(spec, params, im, boxes,
+                              cfg.TEST.SCALE, cfg.TEST.MAX_SIZE)
     return segm_results(cls_boxes, masks, boxes, im.shape[0], im.shape[1])
 
 
@@ -504,28 +592,159 @@ def heatmaps_to_keypoints(maps, rois):
     return out
 
 
-def im_detect_keypoints(spec, params, im, cls_boxes):
+def _keypoint_forward(spec, params, im, boxes, target_scale,
+                      target_max_size):
+    """Keypoint heatmap logits (R, Hh, Wh, K) for the given original-image
+    boxes at one image scale (ref test.py:im_detect_keypoints:540-578)."""
+    im_blob, im_scale = prep_im_for_blob(
+        im, cfg.PIXEL_MEANS, target_scale, target_max_size, cfg.PIXEL_STDS)
+    im_in = pad_image_to_bucket(im_blob, cfg.TPU.SIZE_BUCKET_MULTIPLE)
+    rois5 = np.hstack([np.zeros((len(boxes), 1), np.float32),
+                       boxes * im_scale]).astype(np.float32)
+    rois_p, _, valid = _pad_rois(rois5, np.ones((len(boxes), 1)),
+                                 cfg.TPU.ROI_PAD_MULTIPLE)
+    return np.asarray(detector.forward_keypoints(
+        spec, params, jnp.asarray(im_in[None]),
+        jnp.asarray(rois_p)))[:len(boxes)]
+
+
+def flip_heatmaps(heatmaps, kp_flip_map=None):
+    """Invert heatmaps predicted on a horizontally flipped image: mirror
+    the width axis and swap left/right keypoint channels
+    (utils/keypoints.py:flip_heatmaps; ours are NHWC with K last)."""
+    hm = heatmaps[:, :, ::-1, :]
+    if kp_flip_map is not None:
+        hm = hm[..., np.asarray(kp_flip_map)]
+    return hm
+
+
+def im_detect_keypoints_hflip(spec, params, im, target_scale,
+                              target_max_size, boxes, kp_flip_map=None):
+    """Keypoints on the horizontally flipped image, inverted back
+    (ref test.py:668-682)."""
+    im_hf = im[:, ::-1, :]
+    boxes_hf = box_utils.flip_boxes(boxes, im.shape[1])
+    heatmaps_hf = _keypoint_forward(spec, params, im_hf, boxes_hf,
+                                    target_scale, target_max_size)
+    return flip_heatmaps(heatmaps_hf, kp_flip_map)
+
+
+def im_detect_keypoints_scale(spec, params, im, target_scale,
+                              target_max_size, boxes, hflip=False,
+                              kp_flip_map=None):
+    """Keypoints at the given scale (ref test.py:685-696)."""
+    if hflip:
+        return im_detect_keypoints_hflip(
+            spec, params, im, target_scale, target_max_size, boxes,
+            kp_flip_map)
+    return _keypoint_forward(spec, params, im, boxes,
+                             target_scale, target_max_size)
+
+
+def im_detect_keypoints_aspect_ratio(spec, params, im, aspect_ratio, boxes,
+                                     hflip=False, kp_flip_map=None):
+    """Keypoints at a width-relative aspect ratio (ref test.py:699-718).
+    Heatmaps are box-relative, so no inverse transform is needed."""
+    import cv2
+    im_ar = cv2.resize(im, None, fx=aspect_ratio, fy=1.0)
+    boxes_ar = box_utils.aspect_ratio(boxes, aspect_ratio)
+    if hflip:
+        return im_detect_keypoints_hflip(
+            spec, params, im_ar, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE,
+            boxes_ar, kp_flip_map)
+    return _keypoint_forward(spec, params, im_ar, boxes_ar,
+                             cfg.TEST.SCALE, cfg.TEST.MAX_SIZE)
+
+
+def combine_heatmaps_size_dep(hms_ts, ds_ts, us_ts, boxes, heur_f):
+    """Size-dependent heatmap combination (ref test.py:721-746): small
+    objects ignore downscaled predictions, large objects ignore upscaled
+    ones."""
+    assert len(hms_ts) == len(ds_ts) == len(us_ts)
+    areas = box_utils.boxes_area(boxes)
+    sm_objs = areas < cfg.TEST.KPS_AUG.AREA_TH
+    l_objs = areas >= cfg.TEST.KPS_AUG.AREA_TH
+    hms_c = np.zeros_like(hms_ts[0])
+    for i in range(hms_c.shape[0]):
+        hms_to_combine = [
+            hms_t[i] for hms_t, ds_t, us_t in zip(hms_ts, ds_ts, us_ts)
+            if not (sm_objs[i] and ds_t) and not (l_objs[i] and us_t)]
+        hms_c[i] = heur_f(hms_to_combine)
+    return hms_c
+
+
+def im_detect_keypoints_aug(spec, params, im, boxes, kp_flip_map=None):
+    """Keypoint detection with test-time augmentations (ref
+    test.py:581-665): identity, hflip, scales(+flip, tagged up/down),
+    aspect ratios(+flip); logit heatmaps combined by TEST.KPS_AUG.HEUR,
+    optionally size-dependently."""
+    heatmaps_ts, ds_ts, us_ts = [], [], []
+
+    def add_heatmaps_t(heatmaps_t, ds_t=False, us_t=False):
+        heatmaps_ts.append(heatmaps_t)
+        ds_ts.append(ds_t)
+        us_ts.append(us_t)
+
+    add_heatmaps_t(_keypoint_forward(
+        spec, params, im, boxes, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE))
+
+    if cfg.TEST.KPS_AUG.H_FLIP:
+        add_heatmaps_t(im_detect_keypoints_hflip(
+            spec, params, im, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE, boxes,
+            kp_flip_map))
+
+    for scale in cfg.TEST.KPS_AUG.SCALES:
+        ds_scl = scale < cfg.TEST.SCALE
+        us_scl = scale > cfg.TEST.SCALE
+        add_heatmaps_t(im_detect_keypoints_scale(
+            spec, params, im, scale, cfg.TEST.KPS_AUG.MAX_SIZE, boxes),
+            ds_scl, us_scl)
+        if cfg.TEST.KPS_AUG.SCALE_H_FLIP:
+            add_heatmaps_t(im_detect_keypoints_scale(
+                spec, params, im, scale, cfg.TEST.KPS_AUG.MAX_SIZE, boxes,
+                hflip=True, kp_flip_map=kp_flip_map), ds_scl, us_scl)
+
+    for aspect_ratio in cfg.TEST.KPS_AUG.ASPECT_RATIOS:
+        add_heatmaps_t(im_detect_keypoints_aspect_ratio(
+            spec, params, im, aspect_ratio, boxes))
+        if cfg.TEST.KPS_AUG.ASPECT_RATIO_H_FLIP:
+            add_heatmaps_t(im_detect_keypoints_aspect_ratio(
+                spec, params, im, aspect_ratio, boxes, hflip=True,
+                kp_flip_map=kp_flip_map))
+
+    heur = cfg.TEST.KPS_AUG.HEUR
+    if heur == 'HM_AVG':
+        np_f = np.mean
+    elif heur == 'HM_MAX':
+        np_f = np.amax
+    else:
+        raise NotImplementedError(
+            'Heuristic {} not supported'.format(heur))
+
+    def heur_f(hms_ts):
+        return np_f(hms_ts, axis=0)
+
+    if cfg.TEST.KPS_AUG.SCALE_SIZE_DEP:
+        return combine_heatmaps_size_dep(
+            heatmaps_ts, ds_ts, us_ts, boxes, heur_f)
+    return heur_f(heatmaps_ts)
+
+
+def im_detect_keypoints(spec, params, im, cls_boxes, kp_flip_map=None):
     """Run the keypoint head on the final detections of the person class
     (class 1, upstream convention). Returns cls_keyps: per-class list of
     (R, 4, K) arrays."""
-    assert not cfg.TEST.KPS_AUG.ENABLED, 'KPS_AUG sweep not implemented'
     num_classes = cfg.MODEL.NUM_CLASSES
     cls_keyps = [[] for _ in range(num_classes)]
     dets = cls_boxes[1]
     if len(dets) == 0:
         cls_keyps[1] = np.zeros((0, 4, spec.num_keypoints), np.float32)
         return cls_keyps
-    im_blob, im_scale = prep_im_for_blob(
-        im, cfg.PIXEL_MEANS, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE,
-        cfg.PIXEL_STDS)
-    im_in = pad_image_to_bucket(im_blob, cfg.TPU.SIZE_BUCKET_MULTIPLE)
     boxes = np.asarray(dets)[:, :4]
-    rois5 = np.hstack([np.zeros((len(boxes), 1), np.float32),
-                       boxes * im_scale]).astype(np.float32)
-    pad_mult = cfg.TPU.ROI_PAD_MULTIPLE
-    rois_p, _, valid = _pad_rois(rois5, np.ones((len(boxes), 1)), pad_mult)
-    maps = np.asarray(detector.forward_keypoints(
-        spec, params, jnp.asarray(im_in[None]),
-        jnp.asarray(rois_p)))[:len(boxes)]
+    if cfg.TEST.KPS_AUG.ENABLED:
+        maps = im_detect_keypoints_aug(spec, params, im, boxes, kp_flip_map)
+    else:
+        maps = _keypoint_forward(spec, params, im, boxes,
+                                 cfg.TEST.SCALE, cfg.TEST.MAX_SIZE)
     cls_keyps[1] = heatmaps_to_keypoints(maps, boxes)
     return cls_keyps

@@ -181,7 +181,8 @@ def test_net(weights_file, dataset_name, proposal_file, output_dir,
 
         im = cv2.imread(entry['image'])
         cls_boxes_i, cls_segms_i, cls_keyps_i = im_detect_all(
-            spec, params, im, box_proposals, obn_scores, timers)
+            spec, params, im, box_proposals, obn_scores, timers,
+            kp_flip_map=entry.get('kp_flip_map'))
         extend_results(i, all_boxes, cls_boxes_i)
         if all_segms is not None and cls_segms_i is not None:
             extend_results(i, all_segms, cls_segms_i)
