@@ -190,13 +190,28 @@ def test_net(weights_file, dataset_name, proposal_file, output_dir,
             extend_results(i, all_keyps, cls_keyps_i)
         if cfg.VIS:
             # detection rendering during eval (ref test_engine_wsl.py:281-302)
-            from nafwebsod_tpu.utils.vis import vis_one_image
+            from nafwebsod_tpu.utils.vis import feat_map_vis, vis_one_image
             stem = os.path.splitext(os.path.basename(entry['image']))[0]
             vis_one_image(
                 im, cls_boxes_i, thresh=cfg.VIS_TH,
                 class_names=dataset.classes,
                 output_name=os.path.join(output_dir, 'vis',
                                          stem + '.png'))
+            try:
+                # conv5 channel-max feature rendering
+                # (ref test_engine_wsl_vis.py:315 feat_vis)
+                import jax.numpy as jnp
+                from nafwebsod_tpu.data.minibatch import prep_im_for_blob
+                im_blob, _ = prep_im_for_blob(
+                    im, cfg.PIXEL_MEANS, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE,
+                    cfg.PIXEL_STDS)
+                feat = detector.forward_body_feat(
+                    spec, params, jnp.asarray(im_blob[None]))
+                feat_map_vis(
+                    os.path.join(output_dir, 'vis', stem + '_feat.png'),
+                    im_blob, feat, pixel_means=cfg.PIXEL_MEANS)
+            except Exception:
+                logger.exception('feat_map_vis failed (non-fatal)')
         if i % 10 == 0:
             ave_total_time = np.sum(
                 [t.average_time for t in timers.values()])

@@ -276,6 +276,15 @@ def _vis_sample(spec, params, blobs, output_dir, cur_iter):
             vis.vis_training_entropy(
                 vis_dir, cur_iter, blobs['data'], blobs['rois'], inter,
                 cw, cwn, blobs['labels_oh'], pixel_means=cfg.PIXEL_MEANS)
+        if spec.cpg or spec.csc:
+            # CPG saliency dump (cpg_vis.vis_training via train_wsl.py:95)
+            maps, idx, keep = detector.forward_cpg_maps(
+                spec, params, jnp_asarray(blobs['data']),
+                jnp_asarray(blobs['rois']), jnp_asarray(blobs['obn_scores']),
+                jnp_asarray(blobs['valid_mask']),
+                jnp_asarray(blobs['labels_oh']))
+            vis.vis_training_cpg(vis_dir, cur_iter, blobs['data'], maps,
+                                 idx, keep, pixel_means=cfg.PIXEL_MEANS)
     except Exception:
         logger.exception('vis_training failed (non-fatal)')
 

@@ -1052,6 +1052,45 @@ def forward_keypoints(spec: ModelSpec, params, image, rois):
         num_convs=spec.keypoint_num_convs)
 
 
+@partial(jax.jit, static_argnames=('spec',))
+def forward_cpg_maps(spec: ModelSpec, params, image, rois, obn_scores,
+                     valid, labels_oh):
+    """CPG saliency maps for visualization (cpg_vis.py:save_cpg:135-152 —
+    the reference dumps the CPG blob every WSL.SAMPLE_ITER when CPG/CSC is
+    active). Recomputed off the hot path instead of exporting the maps from
+    the train step. Returns (maps (max_gt, H, W), class_idx, keep)."""
+    from dataclasses import replace as dc_replace
+
+    from nafwebsod_tpu.models import heads
+    from nafwebsod_tpu.ops import cpg as cpg_ops
+
+    unfrozen = dc_replace(spec, freeze_conv_body=False, freeze_at=0,
+                          csc=False, cpg=False, mask_on=False)
+
+    def cls_prob_fn(im):
+        f7, _, _ = _run_body_and_head(unfrozen, params, im, rois,
+                                      obn_scores, train=False, rng=None)
+        o = (heads.wsl_context_outputs(params, f7, valid)
+             if spec.is_context else heads.wsl_outputs(params, f7, valid))
+        return heads.cls_pred(o['rois_pred'])
+
+    cls_prob = jax.lax.stop_gradient(cls_prob_fn(image))
+    return cpg_ops.cpg_maps(cls_prob_fn, image, labels_oh, cls_prob,
+                            tau=spec.cpg_tau, max_gt=spec.max_gt_cpg)
+
+
+@partial(jax.jit, static_argnames=('spec',))
+def forward_body_feat(spec: ModelSpec, params, image):
+    """Conv-body feature map for visualization (feat_vis.py:feat_map_draw —
+    channel-max conv5 rendering). Returns (1, H, W, C) float32 (the finest
+    pyramid level for FPN bodies)."""
+    if spec.is_fpn:
+        levels, _ = body_forward_fpn(spec, params, image)
+        return levels[min(levels)].astype(jnp.float32)
+    feat, _ = body_forward(spec, params, image)
+    return feat.astype(jnp.float32)
+
+
 def _refinement_losses(spec, params, fc7, rois, out, cls_prob, labels_oh,
                        valid):
     """OICR / C-MIL / PCL refinement ladders (wsl_heads.py:456-607).

@@ -32,11 +32,19 @@ KMIN_SCORE = -1e20
 
 
 def select_gt_classes(labels_oh, max_gt):
-    """Indices of up to ``max_gt`` ground-truth classes (padded with -1)."""
+    """Indices of up to ``max_gt`` ground-truth classes (padded with -1).
+    ``max_gt`` is clamped to the number of foreground classes so datasets
+    with fewer than ``max_gt`` classes still compile (top_k needs
+    k <= axis size)."""
     gt = labels_oh[0] >= 0.5
     score = jnp.where(gt, 1.0, 0.0)
-    _, idx = jax.lax.top_k(score, max_gt)
+    k = min(max_gt, int(score.shape[0]))
+    _, idx = jax.lax.top_k(score, k)
+    if k < max_gt:
+        idx = jnp.pad(idx, (0, max_gt - k), constant_values=0)
     valid = gt[idx]
+    if k < max_gt:
+        valid = valid & (jnp.arange(max_gt) < k)
     return jnp.where(valid, idx, -1), valid
 
 

@@ -97,6 +97,58 @@ def vis_training(output_dir, cur_iter, image, rois, rois_pred, labels_oh,
             np.asarray(class_weights))
 
 
+def _demean_image(image, pixel_means=None):
+    im = np.asarray(image)
+    if im.ndim == 4:
+        im = im[0]
+    if pixel_means is not None:
+        im = im + pixel_means
+    return np.clip(im, 0, 255).astype(np.uint8)
+
+
+def vis_training_cpg(output_dir, cur_iter, image, cpg_maps, class_idx, keep,
+                     pixel_means=None):
+    """CPG saliency observability (cpg_vis.py:save_cpg:135-152): per active
+    gt class, the [0,1]-normalized saliency map jet-colored and blended over
+    the de-meaned input image."""
+    os.makedirs(output_dir, exist_ok=True)
+    im = _demean_image(image, pixel_means)
+    maps = np.asarray(cpg_maps)
+    class_idx = np.asarray(class_idx)
+    keep = np.asarray(keep)
+    for k in range(maps.shape[0]):
+        if not keep[k]:
+            continue
+        m = maps[k]
+        m = cv2.resize(m, (im.shape[1], im.shape[0]))
+        hm = cv2.applyColorMap(
+            (np.clip(m, 0, 1) * 255).astype(np.uint8), cv2.COLORMAP_JET)
+        blend = cv2.addWeighted(im, 0.5, hm, 0.5, 0)
+        cv2.imwrite(os.path.join(
+            output_dir,
+            'iter{}_class{}_cpg.png'.format(cur_iter, int(class_idx[k]))),
+            blend)
+
+
+def feat_map_vis(output_name, image, feat, pixel_means=None):
+    """Channel-max conv-feature rendering (feat_vis.py:feat_map_draw:19-32):
+    max over channels, [0,1]-normalize, jet colormap, blend over the image.
+    ``feat`` is (1, H, W, C) or (H, W, C)."""
+    os.makedirs(os.path.dirname(output_name) or '.', exist_ok=True)
+    im = _demean_image(image, pixel_means)
+    f = np.asarray(feat)
+    if f.ndim == 4:
+        f = f[0]
+    m = f.max(axis=-1)
+    if m.max() > m.min():
+        m = (m - m.min()) / (m.max() - m.min())
+    m = cv2.resize(m.astype(np.float32), (im.shape[1], im.shape[0]))
+    hm = cv2.applyColorMap((m * 255).astype(np.uint8), cv2.COLORMAP_JET)
+    blend = cv2.addWeighted(im, 0.5, hm, 0.5, 0)
+    cv2.imwrite(output_name, blend)
+    return blend
+
+
 def vis_training_entropy(output_dir, cur_iter, image, rois, entropy_inter,
                          class_weight, class_weight_noise, labels_oh,
                          pixel_means=None):
