@@ -63,6 +63,12 @@ def train_model(roidb=None, max_iters=None):
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
     rng, init_rng = jax.random.split(rng)
     params = detector.init_params(spec, init_rng)
+    if cfg.TPU.RNG_IMPL and cfg.TPU.RNG_IMPL != 'threefry2x32':
+        # per-step dropout-mask stream on the XLA RngBitGenerator fast path
+        # (TPU.RNG_IMPL; ~3 ms/step cheaper than threefry at flagship
+        # shapes). Param init above intentionally stays on threefry so
+        # initial weights are impl-independent.
+        rng = jax.random.key(cfg.RNG_SEED, impl=cfg.TPU.RNG_IMPL)
     momentum = None
     weights_file = resume_weights or cfg.TRAIN.WEIGHTS
     if weights_file:
