@@ -296,6 +296,22 @@ def multi_process_test_net_on_dataset(weights_file, dataset_name,
         dataset_name, proposal_file)
     num_workers = max(cfg.NUM_GPUS, 1)
 
+    # Device oversubscription guard: the reference pins one worker per GPU
+    # (CUDA_VISIBLE_DEVICES, subprocess.py:63-66). When more workers than
+    # accelerator devices would be spawned (e.g. a single remote-attached
+    # chip), pin the workers to CPU instead of letting them contend for
+    # the one device (env JAX_PLATFORMS alone does not override a pinned
+    # platform plugin — workers honor NAFWEBSOD_PLATFORM at startup).
+    from nafwebsod_tpu.utils import env as env_utils
+    worker_env = None
+    n_acc = env_utils.accelerator_device_count()
+    if num_workers > max(n_acc, 1) or (num_workers > 1 and n_acc == 1):
+        worker_env = {env_utils.PLATFORM_ENV_VAR: 'cpu'}
+        logger.warning(
+            '%d inference workers > %d accelerator device(s): pinning '
+            'workers to CPU via %s', num_workers, n_acc,
+            env_utils.PLATFORM_ENV_VAR)
+
     cfg_path = os.path.join(output_dir, 'multi_proc_test_cfg.yaml')
     with open(cfg_path, 'w') as f:
         f.write(_dump_cfg_str())
@@ -305,6 +321,7 @@ def multi_process_test_net_on_dataset(weights_file, dataset_name,
     binary = [sys.executable, tool, '--cfg', cfg_path]
     ranges = subprocess_utils.process_in_parallel(
         'detection', total, binary, output_dir, num_workers,
+        worker_env=worker_env,
         extra_opts=['TEST.WEIGHTS', weights_file])
     return merge_detection_ranges(
         output_dir, cfg.MODEL.NUM_CLASSES, total, ranges)
