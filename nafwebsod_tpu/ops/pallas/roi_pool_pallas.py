@@ -8,6 +8,17 @@ HBM traffic and ~67 ms of the 172 ms train step. This kernel instead keeps a
 Pallas pipeline skips re-fetching it), reducing HBM traffic to one feature
 read + the output write (~0.25 GB).
 
+Round-3 optimizations (all measured on v5e at the flagship shapes,
+13.7 ms -> 4.1 ms standalone / ~5.5 -> ~2.5 ms in the train step):
+  * pooling runs in the input dtype — bf16 features stay bf16 (same max
+    element selected; halves VMEM traffic);
+  * a predicated small-RoI fast path (`pl.when`): typical MCG/selective-
+    search proposals span a small fraction of the map, so bins run ~4x
+    smaller windows when the roi fits (rois up to ~256 px at 1/8 scale);
+    large rois take the original full-window path — both exact;
+  * CBLK 256 (fewer grid steps; the per-roi scalar math is duplicated
+    per channel block).
+
 Semantics match ``ops.roi_pool`` exactly (Caffe2 RoIPoolF): integer bin
 boundaries (computed on the host side of the kernel in exact integer math),
 max over the bin window, empty bins = 0. Gradients are not needed on the
@@ -52,7 +63,7 @@ def _bin_bounds(rois, pooled_h, pooled_w, spatial_scale, H, W):
 
 def _kernel(rois_ref, feat_ref, out_ref, rowmax_ref,
             *, pooled_h, pooled_w, mbh, mbw, H, W, clip_h, clip_w,
-            spatial_scale):
+            spatial_scale, mbh_s, mbwu_s, mbw_s):
     r = pl.program_id(1)
 
     def scaled(i):
@@ -64,45 +75,100 @@ def _kernel(rois_ref, feat_ref, out_ref, rowmax_ref,
     roi_h = jnp.maximum(y2 - y1 + 1, 1)
     roi_w = jnp.maximum(x2 - x1 + 1, 1)
 
-    # pass 1: per h-bin masked row max over the full width -> rowmax scratch
-    for ph in range(pooled_h):
+    def pass1(ph, h_window, w_base, w_window):
+        """Masked row-max of bin ph over (h_window, w_window) cells starting
+        at column w_base; writes rowmax_ref[ph, :w_window]."""
         a = jnp.clip((ph * roi_h) // pooled_h + y1, 0, clip_h)
         b = jnp.clip(((ph + 1) * roi_h + pooled_h - 1) // pooled_h + y1,
                      0, clip_h)
-        start = jnp.minimum(a, H - mbh)
-        rows = feat_ref[pl.ds(start, mbh), :, :]            # (MBH, W, CBLK)
-        y = start + jax.lax.broadcasted_iota(jnp.int32, (mbh, 1, 1), 0)
+        start = jnp.minimum(a, H - h_window)
+        rows = feat_ref[pl.ds(start, h_window),
+                        pl.ds(w_base, w_window), :]
+        y = start + jax.lax.broadcasted_iota(jnp.int32, (h_window, 1, 1), 0)
         mask = (y >= a) & (y < b)
         rows = jnp.where(mask, rows, NEG)
-        rowmax_ref[ph, :, :] = jnp.max(rows, axis=0)
+        rowmax_ref[ph, pl.ds(0, w_window), :] = jnp.max(rows, axis=0)
 
-    # pass 2: per w-bin masked col max -> (PH, CBLK) written per pw
-    for pw in range(pooled_w):
+    def pass2(pw, w_base, w_window):
+        """Masked col-max of bin pw from rowmax_ref columns relative to
+        w_base; writes out_ref[0, :, pw]. The dynamic column start is
+        8-aligned (Mosaic requires it for sublane slices); ``w_window``
+        must therefore exceed the max bin width by >= 7 columns — the
+        [c, d) mask discards the slack."""
         c = jnp.clip((pw * roi_w) // pooled_w + x1, 0, clip_w)
         d = jnp.clip(((pw + 1) * roi_w + pooled_w - 1) // pooled_w + x1,
                      0, clip_w)
-        start = jnp.minimum(c, W - mbw)
-        cols = rowmax_ref[:, pl.ds(start, mbw), :]          # (PH, MBW, CBLK)
-        x = start + jax.lax.broadcasted_iota(jnp.int32, (1, mbw, 1), 1)
+        # align LAST so Mosaic can statically prove 8-divisibility (it
+        # cannot track it through clip/min); the clip bound
+        # shape[1]-w_window is an 8-multiple, so aligning after the clip
+        # loses nothing at the boundary.
+        start = (jnp.clip(c - w_base, 0,
+                          rowmax_ref.shape[1] - w_window) // 8) * 8
+        cols = rowmax_ref[:, pl.ds(start, w_window), :]
+        x = w_base + start + jax.lax.broadcasted_iota(
+            jnp.int32, (1, w_window, 1), 1)
         mask = (x >= c) & (x < d)
         cols = jnp.where(mask, cols, NEG)
         val = jnp.max(cols, axis=1)                          # (PH, CBLK)
-        out_ref[0, :, pw, :] = jnp.where(val <= NEG / 2, 0.0, val)
+        # empty-bin test in f32: Mosaic lacks bf16 comparisons on v5e
+        empty = val.astype(jnp.float32) <= NEG / 2
+        out_ref[0, :, pw, :] = jnp.where(empty, 0.0, val)
+
+    def _full_path():
+        for ph in range(pooled_h):
+            pass1(ph, mbh, 0, rowmax_ref.shape[1])
+        for pw in range(pooled_w):
+            pass2(pw, 0, mbw)
+
+    # Small-RoI fast path: typical proposals (MCG/selective-search) span a
+    # small fraction of the feature map, but static shapes force the
+    # full-image worst-case window on every bin. Predicate on the actual
+    # roi size and run ~4x smaller windows when they suffice (the common
+    # case); big rois take the full-window path. Both paths are exact:
+    # pass2 may read scratch columns the small pass1 did not write, but the
+    # [c, d) mask discards them before the max.
+    use_small = (mbh_s < mbh and mbwu_s + mbw_s < W and mbh_s < H)
+    if not use_small:
+        _full_path()
+        return
+
+    # roi_w + 8 <= mbwu_s: the 8-aligned window base can sit up to 7
+    # columns left of x1 and must still cover x1 + roi_w (inclusive).
+    bin_rows = (roi_h + pooled_h - 1) // pooled_h + 1
+    small = (bin_rows <= mbh_s) & (roi_w + 8 <= mbwu_s)
+
+    @pl.when(small)
+    def _small_path():
+        # align LAST (Mosaic divisibility proof); W (= padded width) and
+        # mbwu_s are 8-multiples so the clip bounds stay aligned.
+        w_base = (jnp.clip(jnp.minimum(x1, W - mbwu_s),
+                           0, W - mbwu_s) // 8) * 8
+        for ph in range(pooled_h):
+            pass1(ph, mbh_s, w_base, mbwu_s)
+        for pw in range(pooled_w):
+            pass2(pw, w_base, mbw_s)
+
+    pl.when(jnp.logical_not(small))(_full_path)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=('pooled_h', 'pooled_w', 'spatial_scale', 'cblk'))
 def roi_pool_pallas(feat, rois, pooled_h=7, pooled_w=7, spatial_scale=0.125,
-                    cblk=128):
+                    cblk=256):
     """RoIPoolF forward on TPU. feat: (H, W, C) fp32/bf16; rois: (R, 5).
-    Returns (R, pooled_h, pooled_w, C) in fp32."""
+    Returns (R, pooled_h, pooled_w, C) in the feature dtype.
+
+    The kernel runs in the input dtype: bf16 features are pooled in bf16
+    (halves VMEM traffic). This is bit-identical to pooling in fp32 and
+    casting back — max() selects the same element either way."""
     H, W, C = feat.shape
     R = rois.shape[0]
-    feat = feat.astype(jnp.float32)
+    if feat.dtype not in (jnp.float32, jnp.bfloat16):
+        feat = feat.astype(jnp.float32)
 
     # pad W to a sublane multiple and C to the channel block
-    wpad = (-W) % 8
+    wpad = (-W) % (16 if feat.dtype == jnp.bfloat16 else 8)
     cpad = (-C) % cblk
     if wpad or cpad:
         feat = jnp.pad(feat, ((0, 0), (0, wpad), (0, cpad)),
@@ -114,9 +180,19 @@ def roi_pool_pallas(feat, rois, pooled_h=7, pooled_w=7, spatial_scale=0.125,
     mbh = min(mbh, Hp)
     mbw = min(mbw, Wp)
 
+    # pass-2 windows need bin width + 7 columns of 8-alignment slack
+    mbw_full = min(-(-(mbw + 7) // 8) * 8, Wp)
+
+    # small-roi fast-path windows: 8 rows/bin (rois up to ~7*pooled_h
+    # cells tall), a 40-column width union (rois up to 32 cells wide),
+    # 16 columns/bin (6 max + alignment slack). At 1/8 scale that covers
+    # proposals up to ~256 px — the vast majority of MCG/selective-search
+    # boxes.
     kernel = functools.partial(
-        _kernel, pooled_h=pooled_h, pooled_w=pooled_w, mbh=mbh, mbw=mbw,
-        H=Hp, W=Wp, clip_h=H, clip_w=W, spatial_scale=spatial_scale)
+        _kernel, pooled_h=pooled_h, pooled_w=pooled_w, mbh=mbh,
+        mbw=mbw_full, H=Hp, W=Wp, clip_h=H, clip_w=W,
+        spatial_scale=spatial_scale,
+        mbh_s=8, mbwu_s=40, mbw_s=16)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         # raw rois ride in SMEM; bin bounds are scalar math in-kernel
@@ -131,13 +207,13 @@ def roi_pool_pallas(feat, rois, pooled_h=7, pooled_w=7, spatial_scale=0.125,
         out_specs=pl.BlockSpec(
             (1, pooled_h, pooled_w, cblk), lambda cb, r, *_: (r, 0, 0, cb),
             memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((pooled_h, Wp, cblk), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((pooled_h, Wp, cblk), feat.dtype)],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((R, pooled_h, pooled_w, Cp),
-                                       jnp.float32),
+                                       feat.dtype),
     )(rois.T, feat)  # (5, R): SMEM pads the LAST dim to the lane
     # width, so (R, 5) would blow the 1MB SMEM budget at R=2048
 

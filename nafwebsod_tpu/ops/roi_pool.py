@@ -39,10 +39,25 @@ def roi_pool(feat, rois, pooled_h=7, pooled_w=7, spatial_scale=0.125,
     On TPU this dispatches to the Pallas kernel
     (``ops/pallas/roi_pool_pallas.py``, ~11x faster at the flagship shapes:
     152ms -> 14ms on v5e); gradients fall back to autodiff of the XLA
-    implementation (only needed when the conv body is not frozen)."""
+    implementation (only needed when the conv body is not frozen). On CPU
+    it prefers the native XLA custom call (native/roi_pool_ffi.cpp, with a
+    saved-argmax scatter backward), falling back to pure XLA when the
+    library is unavailable (NAFWEBSOD_NO_FFI disables it)."""
     if _on_tpu():
         return _roi_pool_tpu(feat, rois, pooled_h, pooled_w, spatial_scale)
+    if _ffi_ok():
+        return _roi_pool_ffi(feat, rois, pooled_h, pooled_w, spatial_scale)
     return roi_pool_xla(feat, rois, pooled_h, pooled_w, spatial_scale, chunk)
+
+
+def _ffi_ok():
+    try:
+        if jax.default_backend() != 'cpu':
+            return False
+        from nafwebsod_tpu.native import ffi
+        return ffi.roi_pool_registered()
+    except Exception:
+        return False
 
 
 def _on_tpu():
@@ -73,6 +88,55 @@ def _roi_pool_tpu_bwd(pooled_h, pooled_w, spatial_scale, res, g):
 
 
 _roi_pool_tpu.defvjp(_roi_pool_tpu_fwd, _roi_pool_tpu_bwd)
+
+
+def _roi_pool_ffi_raw(feat, rois, pooled_h, pooled_w, spatial_scale):
+    """CPU XLA custom call (native/roi_pool_ffi.cpp). Returns
+    (pooled (R,PH,PW,C) f32, argmax (R,PH,PW,C) i32 flat y*W+x, -1=empty)."""
+    import numpy as np
+    r = rois.shape[0]
+    c = feat.shape[2]
+    call = jax.ffi.ffi_call(
+        'nafwebsod_roi_pool_fwd',
+        (jax.ShapeDtypeStruct((r, pooled_h, pooled_w, c), jnp.float32),
+         jax.ShapeDtypeStruct((r, pooled_h, pooled_w, c), jnp.int32)))
+    return call(feat.astype(jnp.float32), rois.astype(jnp.float32),
+                pooled_h=np.int64(pooled_h), pooled_w=np.int64(pooled_w),
+                spatial_scale=np.float32(spatial_scale))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _roi_pool_ffi(feat, rois, pooled_h, pooled_w, spatial_scale):
+    out, _ = _roi_pool_ffi_raw(feat, rois, pooled_h, pooled_w, spatial_scale)
+    return out.astype(feat.dtype)
+
+
+def _roi_pool_ffi_fwd(feat, rois, pooled_h, pooled_w, spatial_scale):
+    out, am = _roi_pool_ffi_raw(feat, rois, pooled_h, pooled_w,
+                                spatial_scale)
+    # zero-size witness array carries feat's shape/dtype into the bwd
+    # (custom_vjp residuals must be JAX values)
+    witness = jnp.zeros(feat.shape[:2] + (0,), feat.dtype)
+    return out.astype(feat.dtype), (am, witness)
+
+
+def _roi_pool_ffi_bwd(pooled_h, pooled_w, spatial_scale, res, g):
+    # RoIPoolF backward: route each output cell's cotangent to its argmax
+    # feature cell (the saved-argmax scatter of the Caffe2 op).
+    am, witness = res
+    h, w = witness.shape[:2]
+    c = am.shape[-1]
+    fdtype = witness.dtype
+    valid = am >= 0
+    flat = jnp.where(valid, am, 0).reshape(-1)            # (R*PH*PW*C,)
+    cidx = jnp.broadcast_to(jnp.arange(c), am.shape).reshape(-1)
+    contrib = jnp.where(valid, g.astype(jnp.float32), 0.0).reshape(-1)
+    dflat = jnp.zeros((h * w, c), jnp.float32)
+    dflat = dflat.at[flat, cidx].add(contrib)
+    return dflat.reshape(h, w, c).astype(fdtype), None
+
+
+_roi_pool_ffi.defvjp(_roi_pool_ffi_fwd, _roi_pool_ffi_bwd)
 
 
 @partial(jax.jit, static_argnames=('pooled_h', 'pooled_w', 'spatial_scale', 'chunk'))
