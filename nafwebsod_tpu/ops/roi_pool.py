@@ -99,7 +99,10 @@ def _roi_pool_ffi_raw(feat, rois, pooled_h, pooled_w, spatial_scale):
     call = jax.ffi.ffi_call(
         'nafwebsod_roi_pool_fwd',
         (jax.ShapeDtypeStruct((r, pooled_h, pooled_w, c), jnp.float32),
-         jax.ShapeDtypeStruct((r, pooled_h, pooled_w, c), jnp.int32)))
+         jax.ShapeDtypeStruct((r, pooled_h, pooled_w, c), jnp.int32)),
+        # the C kernel is single-image; run batched calls one by one
+        # (eval_step vmaps forward_train over the stacked device batch)
+        vmap_method='sequential')
     return call(feat.astype(jnp.float32), rois.astype(jnp.float32),
                 pooled_h=np.int64(pooled_h), pooled_w=np.int64(pooled_w),
                 spatial_scale=np.float32(spatial_scale))
