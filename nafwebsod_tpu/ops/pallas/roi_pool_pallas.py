@@ -63,7 +63,7 @@ def _bin_bounds(rois, pooled_h, pooled_w, spatial_scale, H, W):
 
 def _kernel(rois_ref, feat_ref, out_ref, rowmax_ref,
             *, pooled_h, pooled_w, mbh, mbw, H, W, clip_h, clip_w,
-            spatial_scale, mbh_s, mbwu_s, mbw_s):
+            spatial_scale, mbh_s, mbwu_s, mbw_s, mbh_t, mbwu_t, mbw_t):
     r = pl.program_id(1)
 
     def scaled(i):
@@ -132,30 +132,39 @@ def _kernel(rois_ref, feat_ref, out_ref, rowmax_ref,
         _full_path()
         return
 
-    # roi_w + 8 <= mbwu_s: the 8-aligned window base can sit up to 7
+    def sized_path(h_window, w_union, w_window):
+        # align LAST (Mosaic divisibility proof); W (= padded width) and
+        # w_union are 8-multiples so the clip bounds stay aligned.
+        w_base = (jnp.clip(jnp.minimum(x1, W - w_union),
+                           0, W - w_union) // 8) * 8
+        for ph in range(pooled_h):
+            pass1(ph, h_window, w_base, w_union)
+        for pw in range(pooled_w):
+            pass2(pw, w_base, w_window)
+
+    # roi_w + 8 <= w_union: the 8-aligned window base can sit up to 7
     # columns left of x1 and must still cover x1 + roi_w (inclusive).
     bin_rows = (roi_h + pooled_h - 1) // pooled_h + 1
+    use_tiny = (mbh_t < mbh_s and mbwu_t + mbw_t < W and mbh_t < H)
+    tiny = (bin_rows <= mbh_t) & (roi_w + 8 <= mbwu_t) if use_tiny else False
     small = (bin_rows <= mbh_s) & (roi_w + 8 <= mbwu_s)
 
-    @pl.when(small)
-    def _small_path():
-        # align LAST (Mosaic divisibility proof); W (= padded width) and
-        # mbwu_s are 8-multiples so the clip bounds stay aligned.
-        w_base = (jnp.clip(jnp.minimum(x1, W - mbwu_s),
-                           0, W - mbwu_s) // 8) * 8
-        for ph in range(pooled_h):
-            pass1(ph, mbh_s, w_base, mbwu_s)
-        for pw in range(pooled_w):
-            pass2(pw, w_base, mbw_s)
+    if use_tiny:
+        pl.when(tiny)(lambda: sized_path(mbh_t, mbwu_t, mbw_t))
+        small = jnp.logical_not(tiny) & small
 
-    pl.when(jnp.logical_not(small))(_full_path)
+    pl.when(small)(lambda: sized_path(mbh_s, mbwu_s, mbw_s))
+    notsmall = jnp.logical_not(small)
+    if use_tiny:
+        notsmall = notsmall & jnp.logical_not(tiny)
+    pl.when(notsmall)(_full_path)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=('pooled_h', 'pooled_w', 'spatial_scale', 'cblk'))
 def roi_pool_pallas(feat, rois, pooled_h=7, pooled_w=7, spatial_scale=0.125,
-                    cblk=256):
+                    cblk=512):
     """RoIPoolF forward on TPU. feat: (H, W, C) fp32/bf16; rois: (R, 5).
     Returns (R, pooled_h, pooled_w, C) in the feature dtype.
 
@@ -166,6 +175,15 @@ def roi_pool_pallas(feat, rois, pooled_h=7, pooled_w=7, spatial_scale=0.125,
     R = rois.shape[0]
     if feat.dtype not in (jnp.float32, jnp.bfloat16):
         feat = feat.astype(jnp.float32)
+
+    # The (H, W, cblk) feature block stays VMEM-resident: shrink the
+    # channel block until it fits a conservative budget (large test-time
+    # augmentation images produce maps far bigger than the train-time
+    # 88x88). Also never pad tiny C up to a big block.
+    bytes_per = 2 if feat.dtype == jnp.bfloat16 else 4
+    cblk = min(cblk, max(-(-C // 128) * 128, 128))
+    while cblk > 128 and H * W * cblk * bytes_per > 64 * 1024 * 1024:
+        cblk //= 2
 
     # pad W to a sublane multiple and C to the channel block
     wpad = (-W) % (16 if feat.dtype == jnp.bfloat16 else 8)
@@ -188,11 +206,13 @@ def roi_pool_pallas(feat, rois, pooled_h=7, pooled_w=7, spatial_scale=0.125,
     # 16 columns/bin (6 max + alignment slack). At 1/8 scale that covers
     # proposals up to ~256 px — the vast majority of MCG/selective-search
     # boxes.
+    # tiny tier: rois up to ~128 px wide / ~168 px tall at 1/8 scale
     kernel = functools.partial(
         _kernel, pooled_h=pooled_h, pooled_w=pooled_w, mbh=mbh,
         mbw=mbw_full, H=Hp, W=Wp, clip_h=H, clip_w=W,
         spatial_scale=spatial_scale,
-        mbh_s=8, mbwu_s=40, mbw_s=16)
+        mbh_s=8, mbwu_s=40, mbw_s=16,
+        mbh_t=4, mbwu_t=24, mbw_t=16)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         # raw rois ride in SMEM; bin bounds are scalar math in-kernel

@@ -115,31 +115,40 @@ def _roi_pool_ffi(feat, rois, pooled_h, pooled_w, spatial_scale):
 
 
 def _roi_pool_ffi_fwd(feat, rois, pooled_h, pooled_w, spatial_scale):
-    out, am = _roi_pool_ffi_raw(feat, rois, pooled_h, pooled_w,
-                                spatial_scale)
-    # zero-size witness array carries feat's shape/dtype into the bwd
-    # (custom_vjp residuals must be JAX values)
-    witness = jnp.zeros(feat.shape[:2] + (0,), feat.dtype)
-    return out.astype(feat.dtype), (am, witness)
+    # Residuals are the primal inputs and the bwd differentiates the pure-
+    # XLA pool (like _roi_pool_tpu): keeping raw ffi_calls out of BOTH the
+    # fwd residual computation and the bwd keeps the op differentiable at
+    # higher orders (the CSC/CPG branches take grad-of-grad through the
+    # pool). argmax_scatter_grad below is the saved-argmax alternative,
+    # kept for direct use/tests.
+    return (_roi_pool_ffi(feat, rois, pooled_h, pooled_w, spatial_scale),
+            (feat, rois))
 
 
 def _roi_pool_ffi_bwd(pooled_h, pooled_w, spatial_scale, res, g):
-    # RoIPoolF backward: route each output cell's cotangent to its argmax
-    # feature cell (the saved-argmax scatter of the Caffe2 op).
-    am, witness = res
-    h, w = witness.shape[:2]
+    feat, rois = res
+    _, vjp = jax.vjp(
+        lambda f: roi_pool_xla(f, rois, pooled_h, pooled_w, spatial_scale),
+        feat)
+    return vjp(g.astype(jnp.float32))[0].astype(feat.dtype), None
+
+
+_roi_pool_ffi.defvjp(_roi_pool_ffi_fwd, _roi_pool_ffi_bwd)
+
+
+def argmax_scatter_grad(am, g, h, w):
+    """RoIPoolF saved-argmax backward: route each output cell's cotangent
+    to its argmax feature cell (the scatter the Caffe2 op performs). am:
+    (R, PH, PW, C) flat y*W+x indices (-1 = empty bin) from the FFI call;
+    g: matching cotangents. Returns (h, w, C) f32."""
     c = am.shape[-1]
-    fdtype = witness.dtype
     valid = am >= 0
     flat = jnp.where(valid, am, 0).reshape(-1)            # (R*PH*PW*C,)
     cidx = jnp.broadcast_to(jnp.arange(c), am.shape).reshape(-1)
     contrib = jnp.where(valid, g.astype(jnp.float32), 0.0).reshape(-1)
     dflat = jnp.zeros((h * w, c), jnp.float32)
     dflat = dflat.at[flat, cidx].add(contrib)
-    return dflat.reshape(h, w, c).astype(fdtype), None
-
-
-_roi_pool_ffi.defvjp(_roi_pool_ffi_fwd, _roi_pool_ffi_bwd)
+    return dflat.reshape(h, w, c)
 
 
 @partial(jax.jit, static_argnames=('pooled_h', 'pooled_w', 'spatial_scale', 'chunk'))

@@ -47,6 +47,35 @@ def test_ffi_backward_matches_xla():
 
 
 @ffi_ok
+def test_ffi_argmax_scatter_matches_xla_vjp():
+    """The C kernel's saved argmax reproduces the XLA pool's vjp scatter
+    (unique maxima with random floats -> identical routing)."""
+    feat, rois = _inputs(seed=5)
+    h, w = feat.shape[:2]
+    g = jnp.asarray(np.random.RandomState(6).randn(
+        rois.shape[0], 7, 7, feat.shape[2]).astype(np.float32))
+    _, am = rp._roi_pool_ffi_raw(feat, rois, 7, 7, 0.125)
+    d_scatter = rp.argmax_scatter_grad(am, g, h, w)
+    _, vjp_xla = jax.vjp(lambda f: rp.roi_pool_xla(f, rois, 7, 7, 0.125),
+                         feat)
+    np.testing.assert_allclose(np.asarray(d_scatter),
+                               np.asarray(vjp_xla(g)[0]),
+                               rtol=1e-6, atol=1e-6)
+
+
+@ffi_ok
+def test_ffi_grad_of_grad():
+    """The CSC/CPG branches differentiate twice through the pool."""
+    feat, rois = _inputs(seed=7, H=12, W=12, C=4, R=3)
+
+    def f(x):
+        return (rp._roi_pool_ffi(x * x, rois, 7, 7, 0.125) ** 2).sum()
+
+    gg = jax.grad(lambda x: jax.grad(f)(x).sum())(feat)
+    assert np.isfinite(np.asarray(gg)).all()
+
+
+@ffi_ok
 def test_ffi_empty_bins_and_degenerate_rois():
     feat, _ = _inputs(seed=3)
     # zero-area roi + roi entirely off-image (clipped windows -> empty bins)
