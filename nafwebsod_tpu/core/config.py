@@ -434,6 +434,12 @@ __C.TPU.STEPS_PER_CALL = 1
 # target machinery (padded with a validity mask; no reference equivalent —
 # the Caffe2 python ops used dynamic shapes on host).
 __C.TPU.MAX_GT_BOXES = 64
+# Shard the RoI axis over the mesh instead of data-parallel images: one
+# image per step, proposals split across devices, psum/all_gather
+# collectives for the RoI softmax / image score / entropy weights
+# (parallel/roi_shard.py — the scale-out for the R x 25088 tower axis
+# when RoI activations exceed per-chip HBM). Plain WSDDN/webly heads only.
+__C.TPU.ROI_SHARDING = False
 # PRNG impl for the per-step dropout-mask stream. 'rbg' rides the XLA
 # RngBitGenerator fast path (measured ~3 ms/step cheaper than
 # 'threefry2x32' on v5e at flagship shapes — 33M mask draws/step); the

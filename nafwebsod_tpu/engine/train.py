@@ -98,16 +98,33 @@ def train_model(roidb=None, max_iters=None):
         cf = np.asarray(params['center_feature'])
         opt_state['center_dcf'] = np.zeros_like(cf)
         opt_state['center_ndcf'] = np.zeros(cf.shape[:2], cf.dtype)
-    m = mesh_lib.make_mesh(num_devices)
-    step_fn = ts.make_train_step(
-        spec, hp, mults, m,
-        center_update_period=max(128 // num_devices, 1))
     steps_per_call = max(cfg.TPU.STEPS_PER_CALL, 1)
     multi_step_fn = None
-    if steps_per_call > 1:
-        multi_step_fn = ts.make_multi_train_step(
+    if cfg.TPU.ROI_SHARDING:
+        # RoI-dimension sharding (parallel/roi_shard.py): ONE image per
+        # step with its proposals split over the mesh — the memory/FLOP
+        # scale-out for the R x 25088 tower axis (SURVEY.md §5.7).
+        from nafwebsod_tpu.parallel import roi_shard
+        assert steps_per_call == 1, (
+            'TPU.ROI_SHARDING does not support TPU.STEPS_PER_CALL > 1')
+        roi_mesh = roi_shard.make_roi_mesh(num_devices)
+        num_devices = 1  # one logical image per step; devices hold rois
+        inner_step = roi_shard.make_roi_sharded_train_step(
+            spec, hp, mults, roi_mesh)
+
+        def step_fn(params, opt_state, batch, lr, rngs):
+            b = {k: batch[k][0] for k in ('image', 'rois', 'obn_scores',
+                                          'valid_mask', 'labels_oh')}
+            return inner_step(params, opt_state, b, lr, rngs[0])
+    else:
+        m = mesh_lib.make_mesh(num_devices)
+        step_fn = ts.make_train_step(
             spec, hp, mults, m,
             center_update_period=max(128 // num_devices, 1))
+        if steps_per_call > 1:
+            multi_step_fn = ts.make_multi_train_step(
+                spec, hp, mults, m,
+                center_update_period=max(128 // num_devices, 1))
 
     # ----- data -----
     if roidb is None:

@@ -1,0 +1,136 @@
+"""RoI-dimension sharding (parallel/roi_shard.py): the sharded forward and
+train step must match the unsharded detector.forward_train numerically on
+the virtual 8-device CPU mesh (SURVEY.md §2.3 / §5.7 — the proposal-axis
+'tensor parallel' analogue)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nafwebsod_tpu.models import detector
+from nafwebsod_tpu.parallel import roi_shard
+from nafwebsod_tpu.solver import sgd
+
+
+def _batch(num_classes, r=64, seed=0):
+    rng = np.random.RandomState(seed)
+    x1 = rng.uniform(0, 30, r)
+    y1 = rng.uniform(0, 30, r)
+    labels = np.zeros((1, num_classes - 1), np.float32)
+    labels[0, [0, 2]] = 1
+    return {
+        'image': jnp.asarray(rng.randn(1, 48, 48, 3).astype(np.float32)),
+        'rois': jnp.asarray(np.stack(
+            [np.zeros(r), x1, y1, x1 + rng.uniform(8, 17, r),
+             y1 + rng.uniform(8, 17, r)], 1).astype(np.float32)),
+        'obn_scores': jnp.asarray(rng.rand(r, 1).astype(np.float32) + 1),
+        'labels_oh': jnp.asarray(labels),
+        'valid_mask': jnp.asarray(np.arange(r) < r - 5),  # incl. padding
+    }
+
+
+def _specs():
+    yield detector.ModelSpec(num_classes=5, hidden_dim=16, webly_on=False,
+                             webly_entropy=False, box_head='vgg16_2fc',
+                             compute_dtype='float32')
+    yield detector.ModelSpec(num_classes=5, hidden_dim=16,
+                             compute_dtype='float32')  # webly + entropy
+
+
+@pytest.mark.parametrize('spec_idx', [0, 1])
+def test_sharded_forward_matches_unsharded(spec_idx):
+    spec = list(_specs())[spec_idx]
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    batch = _batch(spec.num_classes)
+
+    ref_loss, ref_aux = detector.forward_train(spec, params, batch, None)
+
+    mesh = roi_shard.make_roi_mesh(8)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(roi_shard.AXIS))
+
+    @jax.jit
+    def fwd(params, batch):
+        specs = {'image': P(), 'rois': P(roi_shard.AXIS),
+                 'obn_scores': P(roi_shard.AXIS),
+                 'valid_mask': P(roi_shard.AXIS), 'labels_oh': P()}
+        return jax.shard_map(
+            lambda p, b: roi_shard.forward_train_roi_sharded(spec, p, b,
+                                                             None),
+            mesh=mesh, in_specs=(P(), specs), out_specs=(P(), P()),
+            check_vma=False,
+        )(params, batch)
+
+    with mesh:
+        loss, aux = fwd(params, batch)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-5)
+    for k in ('loss_cls', 'accuracy_cls'):
+        np.testing.assert_allclose(float(aux[k]), float(ref_aux[k]),
+                                   rtol=2e-5, atol=1e-6)
+    if spec.is_webly:
+        np.testing.assert_allclose(float(aux['loss_cls_noise']),
+                                   float(ref_aux['loss_cls_noise']),
+                                   rtol=2e-5)
+
+
+def test_sharded_step_grads_match_unsharded():
+    spec = detector.ModelSpec(num_classes=5, hidden_dim=16,
+                              compute_dtype='float32')
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    batch = _batch(spec.num_classes, seed=3)
+
+    (_, _), ref_grads = jax.value_and_grad(
+        lambda p: detector.forward_train(spec, p, batch, None),
+        has_aux=True)(params)
+
+    hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005, iter_size=1)
+    trainable = detector.trainable_param_names(spec, params)
+    mults = sgd.param_multipliers(params, trainable)
+    opt_state = sgd.init_state(params, hp)
+    mesh = roi_shard.make_roi_mesh(8)
+    step = roi_shard.make_roi_sharded_train_step(spec, hp, mults, mesh)
+
+    p2, s2, loss, aux = step(params, opt_state, batch, np.float32(1e-3),
+                             None)
+    assert np.isfinite(float(loss))
+
+    # re-derive the sharded grads from the SGD update (momentum state holds
+    # v = mu*0 + lr*(g + wd*p) after one step) and compare the head weights
+    ref_upd, _ = sgd.update(params, ref_grads, opt_state, np.float32(1e-3),
+                            hp, sgd.freeze_mults(mults))
+    for k in ('fc8c_w', 'fc8d_w', 'fc6_w', 'noisy_fc8c_w'):
+        np.testing.assert_allclose(np.asarray(p2[k]),
+                                   np.asarray(ref_upd[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_sharded_step_learns():
+    spec = detector.ModelSpec(num_classes=5, hidden_dim=16,
+                              compute_dtype='float32')
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0, iter_size=1)
+    trainable = detector.trainable_param_names(spec, params)
+    mults = sgd.param_multipliers(params, trainable)
+    opt_state = sgd.init_state(params, hp)
+    mesh = roi_shard.make_roi_mesh(8)
+    step = roi_shard.make_roi_sharded_train_step(spec, hp, mults, mesh)
+    batch = _batch(spec.num_classes, seed=4)
+    rng = jax.random.PRNGKey(7)
+    losses = []
+    for i in range(6):
+        params, opt_state, loss, _ = step(params, opt_state, batch,
+                                          np.float32(5e-4),
+                                          jax.random.fold_in(rng, i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_sharded_rejects_unsupported_branches():
+    spec = detector.ModelSpec(num_classes=5, hidden_dim=16, csc=True,
+                              webly_on=False, box_head='vgg16_2fc')
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    with pytest.raises(NotImplementedError):
+        roi_shard.forward_train_roi_sharded(
+            spec, params, _batch(spec.num_classes), None)
