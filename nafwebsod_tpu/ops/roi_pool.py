@@ -43,6 +43,9 @@ def roi_pool(feat, rois, pooled_h=7, pooled_w=7, spatial_scale=0.125,
     it prefers the native XLA custom call (native/roi_pool_ffi.cpp, with a
     saved-argmax scatter backward), falling back to pure XLA when the
     library is unavailable (NAFWEBSOD_NO_FFI disables it)."""
+    if _FORCE_PORTABLE:
+        return roi_pool_xla(feat, rois, pooled_h, pooled_w, spatial_scale,
+                            chunk)
     if _on_tpu():
         return _roi_pool_tpu(feat, rois, pooled_h, pooled_w, spatial_scale)
     if _ffi_ok():
@@ -50,7 +53,25 @@ def roi_pool(feat, rois, pooled_h=7, pooled_w=7, spatial_scale=0.125,
     return roi_pool_xla(feat, rois, pooled_h, pooled_w, spatial_scale, chunk)
 
 
+_FORCE_PORTABLE = False
+
+
+def set_portable_ops(flag):
+    """Force the pure-XLA implementations (no FFI custom calls). Needed for
+    ``jax.export`` serialization: custom-call targets carry no forward
+    compatibility guarantee, so deploy artifacts must lower the portable
+    path (tools/export_model.py sets this)."""
+    global _FORCE_PORTABLE
+    if bool(flag) != _FORCE_PORTABLE:
+        # jitted callers (detector.forward_test, ...) may hold traces that
+        # captured the previous dispatch choice
+        jax.clear_caches()
+    _FORCE_PORTABLE = bool(flag)
+
+
 def _ffi_ok():
+    if _FORCE_PORTABLE:
+        return False
     try:
         if jax.default_backend() != 'cpu':
             return False

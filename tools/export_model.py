@@ -19,6 +19,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from nafwebsod_tpu.utils.env import apply_platform_override
+
+apply_platform_override()  # must run before any jax device query
+
 from nafwebsod_tpu.core.config import (assert_and_infer_cfg, cfg,
                                        merge_cfg_from_file,
                                        merge_cfg_from_list)
@@ -50,6 +54,11 @@ def main():
 
     from nafwebsod_tpu.engine.test_engine import initialize_model_from_cfg
     from nafwebsod_tpu.models import detector
+    from nafwebsod_tpu.ops import roi_pool as roi_pool_ops
+
+    # custom-call targets (Pallas tpu_custom_call, FFI CPU RoIPool) carry
+    # no serialization compatibility guarantee — lower the portable path
+    roi_pool_ops.set_portable_ops(True)
 
     spec, params = initialize_model_from_cfg(args.weights)
 

@@ -22,6 +22,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from nafwebsod_tpu.utils.env import apply_platform_override
+
+apply_platform_override()  # must run before any jax device query
+
 from nafwebsod_tpu.core.config import (assert_and_infer_cfg, cfg,
                                        merge_cfg_from_file,
                                        merge_cfg_from_list)
