@@ -226,6 +226,11 @@ __C.WSL.CONTEXT = False
 __C.WSL.CONTEXT_RATIO = 1.8
 __C.WSL.OICR = False
 __C.WSL.PCL = False
+# Run the PCL pseudo-labeling on device (lax.while_loop clique extraction
+# + masked KMeans) instead of the reference-faithful host callback; saves
+# refine_k host round-trips per step. Documented deviations: KMeans center
+# init and top-5 tie-breaking (ops/refine.py:pcl_targets_device).
+__C.WSL.PCL_DEVICE = False
 __C.WSL.CMIL = False
 __C.WSL.SIZE_EPOCH = 5000
 __C.WSL.MLP_HEAD_DIM = []

@@ -93,6 +93,7 @@ class ModelSpec:
     # refinement ladders (mutually exclusive, wsl_heads.py:443-452)
     oicr: bool = False
     pcl: bool = False
+    pcl_device: bool = False  # device PCL targets (WSL.PCL_DEVICE)
     cmil: bool = False
     # C-MIL continuation schedule (wsl_heads.py:96-101)
     size_epoch: int = 5000
@@ -325,6 +326,7 @@ def spec_from_cfg(cfg):
         resnets_stride_1x1=cfg.RESNETS.STRIDE_1X1,
         oicr=cfg.WSL.OICR,
         pcl=cfg.WSL.PCL,
+        pcl_device=cfg.WSL.PCL_DEVICE,
         cmil=cfg.WSL.CMIL,
         size_epoch=cfg.WSL.SIZE_EPOCH,
         max_iter=cfg.SOLVER.MAX_ITER,
@@ -1135,10 +1137,16 @@ def _refinement_losses(spec, params, fc7, rois, out, cls_prob, labels_oh,
                 jax.ShapeDtypeStruct((max_pc,), jnp.float32),  # img_cls_w
                 jax.ShapeDtypeStruct((c,), jnp.float32),       # im_labels_real
             )
-            targets = jax.pure_callback(
-                host_targets, shapes, sg(rois[:, 1:5]), prev, labels_oh,
-                sg(probs), valid if valid is not None else jnp.ones((r,)),
-                vmap_method='sequential')
+            vmask = valid if valid is not None else jnp.ones((r,), bool)
+            if spec.pcl_device:
+                # on-device pseudo-labeling (WSL.PCL_DEVICE): no host
+                # round-trip per refinement stage
+                targets = refine_ops.pcl_targets_device(
+                    sg(rois[:, 1:5]), prev, labels_oh, sg(probs), vmask)
+            else:
+                targets = jax.pure_callback(
+                    host_targets, shapes, sg(rois[:, 1:5]), prev, labels_oh,
+                    sg(probs), vmask, vmap_method='sequential')
             (lbl, clw, ga, pcl_l, pcl_p, pcl_c, img_w, im_real) = targets
             losses['loss_cls{}'.format(k)] = refine_ops.pcl_loss_full(
                 probs, lbl, clw, ga, pcl_l, pcl_p, pcl_c, img_w, im_real)

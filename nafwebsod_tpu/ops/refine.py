@@ -454,3 +454,174 @@ def _pclf_bwd(res, g):
 
 
 pcl_loss_full.defvjp(_pclf_fwd, _pclf_bwd)
+
+
+# --------------------------------------------------------------------------- #
+# Device-side PCL targets (no host callback)
+# --------------------------------------------------------------------------- #
+
+_BIG = jnp.float32(3.0e38)
+
+
+def _kmeans_top_mask_device(x, cand, iters=25):
+    """Top-scoring-cluster membership via fixed-iteration 1-D KMeans(3)
+    (pcl.py:_get_top_ranking_propoals semantics).
+
+    DEVIATION (documented in PARITY.md): centers initialize at the masked
+    (min, median, max) of the candidate scores instead of the host port's
+    MT19937 3-subset draw — data-dependent index draws do not exist on
+    device. For the separable score distributions PCL operates on, both
+    inits converge to the same top cluster (pinned by
+    tests/test_pcl_device.py); exact membership can differ on pathological
+    uniform score sets.
+    """
+    r = x.shape[0]
+    vmin = jnp.min(jnp.where(cand, x, _BIG))
+    vmax = jnp.max(jnp.where(cand, x, -_BIG))
+    n = jnp.sum(cand)
+    xs = jnp.sort(jnp.where(cand, x, _BIG))          # valid first, ascending
+    med = xs[jnp.maximum((n - 1) // 2, 0)]
+    centers0 = jnp.stack([vmin, med, vmax])
+
+    def body(c, _):
+        d = jnp.abs(x[:, None] - c[None, :])          # (R, 3)
+        a = jnp.argmin(d, axis=1)
+        onehot = (a[:, None] == jnp.arange(3)[None, :]) & cand[:, None]
+        cnt = jnp.sum(onehot, axis=0)
+        s = jnp.sum(jnp.where(onehot, x[:, None], 0.0), axis=0)
+        c_new = jnp.where(cnt > 0, s / jnp.maximum(cnt, 1), c)
+        return c_new, None
+
+    centers, _ = jax.lax.scan(body, centers0, None, length=iters)
+    high = jnp.argmax(centers)
+    a = jnp.argmin(jnp.abs(x[:, None] - centers[None, :]), axis=1)
+    top = (a == high) & cand
+    best = jnp.argmax(jnp.where(cand, x, -_BIG))
+    fallback = cand & (jnp.arange(r) == best)
+    return jnp.where(jnp.any(top), top, fallback)
+
+
+def _clique_centers_device(adj, top, scores, max_centers):
+    """Greedy clique extraction (pcl.py:_get_graph_centers inner loop):
+    repeatedly take the max-degree candidate (ties -> larger index, matching
+    np.argsort[::-1]), record the max score among its neighbors, remove the
+    clique; stop when <= 5 candidates remain after a removal (do-while:
+    always runs once). Returns (center_idx (max_centers,), center_score,
+    n_centers)."""
+    r = top.shape[0]
+    idx = jnp.arange(r)
+
+    def cond(carry):
+        act, k, _, _, first = carry
+        return jnp.any(act) & (k < max_centers) & (first | (jnp.sum(act) > 5))
+
+    def body(carry):
+        act, k, cidx, cscore, _ = carry
+        deg = jnp.sum(adj & act[None, :], axis=1)
+        key = deg * (r + 1) + idx                     # larger index wins ties
+        t = jnp.argmax(jnp.where(act, key, -1))
+        neigh = adj[t] & act
+        sc = jnp.max(jnp.where(neigh, scores, -_BIG))
+        cidx = cidx.at[k].set(t)
+        cscore = cscore.at[k].set(sc)
+        return act & ~neigh, k + 1, cidx, cscore, False
+
+    init = (top, jnp.int32(0), jnp.full((max_centers,), -1, jnp.int32),
+            jnp.full((max_centers,), -_BIG), jnp.bool_(True))
+    _, k, cidx, cscore, _ = jax.lax.while_loop(cond, body, init)
+    return cidx, cscore, k
+
+
+def pcl_targets_device(boxes, cls_prob, im_labels, cls_prob_new, valid,
+                       max_centers=64):
+    """Pure-device PCL pseudo-labeling (pcl.py:PCLOp.forward) — replaces
+    the per-stage host callback with lax.while_loop / masked jnp, the
+    compiler-friendly formulation of the reference's numpy graph algorithm.
+
+    boxes (R, 4); cls_prob (R, C) or (R, C+1); im_labels (1, C);
+    cls_prob_new (R, C+1); valid (R,) bool. Returns the same 8-tuple as the
+    padded host callback with max_pc = 5 * C gt slots laid out as
+    (class, rank) — slot indices differ from the host path's compacted
+    layout, but per-roi labels/weights and the PCLLoss value match.
+
+    Documented deviations vs the host port (PARITY.md): KMeans center init
+    (see _kmeans_top_mask_device) and first-index (not reversed-argsort)
+    tie-breaking in the top-5 center selection.
+    """
+    c = im_labels.shape[1]
+    r = boxes.shape[0]
+    if cls_prob.shape[1] != c:
+        cls_prob = cls_prob[:, 1:]
+    eps = 1e-9
+    cls_prob = jnp.clip(cls_prob, eps, 1 - eps)
+    cls_prob_new = jnp.clip(cls_prob_new, eps, 1 - eps)
+    valid = valid.astype(bool)
+
+    ov_all = box_ops_iou_device(boxes, boxes)
+    adj = ov_all > PCL_GRAPH_IOU_THRESHOLD
+
+    npc = PCL_MAX_PC_NUM
+    gt_box = jnp.zeros((c, npc, 4), jnp.float32)
+    gt_score = jnp.zeros((c, npc), jnp.float32)
+    gt_ok = jnp.zeros((c, npc), bool)
+    pool = valid
+
+    for i in range(c):                                # static class loop
+        gate = im_labels[0, i] == 1
+        cand = pool & gate
+        top = _kmeans_top_mask_device(cls_prob[:, i], cand)
+        cidx, cscore, k = _clique_centers_device(adj, top, cls_prob[:, i],
+                                                 max_centers)
+        # top-5 by score desc (host: reversed stable argsort)
+        sel_score, sel = jax.lax.top_k(cscore, npc)
+        sel_ok = (sel < k) & (sel_score > -_BIG / 2) & gate
+        chosen = jnp.where(sel_ok, cidx[sel], 0)
+        gt_box = gt_box.at[i].set(boxes[chosen])
+        gt_score = gt_score.at[i].set(jnp.where(sel_ok, sel_score, 0.0))
+        gt_ok = gt_ok.at[i].set(sel_ok)
+        # chosen centers leave the pool for subsequent classes
+        # (pcl.py: np.delete on boxes/cls_prob). scatter-add, not set:
+        # invalid slots alias index 0 and must not clear a real mark
+        taken = jnp.zeros((r,), jnp.int32).at[chosen].add(
+            sel_ok.astype(jnp.int32)) > 0
+        pool = pool & ~taken
+
+    g = c * npc
+    gt_box = gt_box.reshape(g, 4)
+    gt_score = gt_score.reshape(g)
+    gt_ok = gt_ok.reshape(g)
+    gt_cls = jnp.repeat(jnp.arange(1, c + 1), npc) * gt_ok
+
+    ov = box_ops_iou_device(boxes, gt_box)            # (R, G)
+    ov = jnp.where(gt_ok[None, :], ov, -1.0)
+    any_gt = jnp.any(gt_ok)
+    ga = jnp.argmax(ov, axis=1)
+    mo = jnp.max(ov, axis=1)
+    bg = (mo < PCL_FG_THRESH) | ~valid | ~any_gt
+    ig = (mo < PCL_BG_THRESH) | ~valid | ~any_gt
+    labels = jnp.where(bg, 0, gt_cls[ga]).astype(jnp.float32)
+    clw = jnp.where(ig, 0.0, gt_score[ga])
+    ga_f = jnp.where(bg, -1.0, ga.astype(jnp.float32))
+
+    fg = ~bg
+    onehot = (ga[:, None] == jnp.arange(g)[None, :]) & fg[:, None]
+    img_w = jnp.sum(jnp.where(onehot, clw[:, None], 0.0), axis=0)
+    pc_count = jnp.sum(onehot, axis=0).astype(jnp.float32)
+    probs_at = cls_prob_new[:, jnp.clip(gt_cls, 0, c)]  # (R, G)
+    pc_probs = jnp.where(
+        pc_count > 0,
+        jnp.sum(jnp.where(onehot, probs_at, 0.0), axis=0) /
+        jnp.maximum(pc_count, 1.0),
+        0.0)
+    pc_labels = gt_cls.astype(jnp.float32)            # 0 for empty slots
+    im_real = jnp.concatenate(
+        [jnp.ones((1,), jnp.float32), im_labels[0].astype(jnp.float32)])
+    return (labels, clw, ga_f, pc_labels, pc_probs, pc_count, img_w,
+            im_real)
+
+
+def box_ops_iou_device(a, b):
+    """Detectron +1 IoU on device (utils/cython_bbox.bbox_overlaps
+    semantics, same formula as native/box_ops.cpp)."""
+    from nafwebsod_tpu.ops.jbox import iou_matrix
+    return iou_matrix(a.astype(jnp.float32), b.astype(jnp.float32))
