@@ -260,6 +260,13 @@ class ModelSpec:
         return 0
 
 
+def _default_backend_is_tpu():
+    try:
+        return jax.default_backend() == 'tpu'
+    except Exception:
+        return False
+
+
 def spec_from_cfg(cfg):
     body = cfg.MODEL.CONV_BODY
     head = cfg.FAST_RCNN.ROI_BOX_HEAD
@@ -326,7 +333,11 @@ def spec_from_cfg(cfg):
         resnets_stride_1x1=cfg.RESNETS.STRIDE_1X1,
         oicr=cfg.WSL.OICR,
         pcl=cfg.WSL.PCL,
-        pcl_device=cfg.WSL.PCL_DEVICE,
+        # auto-enable the device pseudo-labeling on TPU backends: remote-
+        # attached runtimes (axon PJRT) implement no host callbacks at all,
+        # and even directly-attached hosts pay an RTT per refinement stage
+        pcl_device=bool(cfg.WSL.PCL_DEVICE or
+                        (cfg.WSL.PCL and _default_backend_is_tpu())),
         cmil=cfg.WSL.CMIL,
         size_epoch=cfg.WSL.SIZE_EPOCH,
         max_iter=cfg.SOLVER.MAX_ITER,
