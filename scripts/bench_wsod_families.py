@@ -1,9 +1,12 @@
-"""Measure the PCL configuration's train step: host-callback pseudo-
-labeling (reference-faithful) vs on-device (WSL.PCL_DEVICE).
+"""Device-side train-step times for every WSOD family at flagship shapes.
 
-The host path crosses to Python refine_k (=3) times per step via
-jax.pure_callback — through a remote-attached TPU each crossing is a full
-RTT. Usage: python scripts/bench_pcl.py [host|device ...]
+Variants: webly (the flagship noise-aware dual tower), wsl (plain WSDDN),
+oicr / cmil (RoILabel/RoIMerge refinement ladders), pcl_device (on-device
+pseudo-labeling), pcl_host (reference-faithful callback — UNIMPLEMENTED on
+remote-attached TPU runtimes like axon PJRT, kept to document that), and
+infer (the forward_test inference step).
+
+Usage: python scripts/bench_wsod_families.py [variant ...]
 """
 
 import os
@@ -33,7 +36,8 @@ K = 10
 
 
 def main():
-    want = sys.argv[1:] or ['host', 'device']
+    want = sys.argv[1:] or ['webly', 'wsl', 'oicr', 'cmil',
+                             'pcl_device', 'infer']
     on_tpu = any(d.platform == 'tpu' for d in jax.devices())
     H = W = 704 if on_tpu else 96
     R, hidden = (2048, 4096) if on_tpu else (32, 32)
@@ -45,11 +49,21 @@ def main():
           'valid_mask': valid, 'labels_oh': labels}], size_bucket=64)
     batch = {k: jnp.asarray(v[0]) for k, v in stacked.items()}
 
+    base = dict(num_classes=21, compute_dtype='bfloat16',
+                hidden_dim=hidden)
+    single = dict(webly_on=False, webly_entropy=False,
+                  box_head='vgg16_2fc')
+    variants = {
+        'webly': {},
+        'wsl': dict(single),
+        'oicr': dict(single, oicr=True),
+        'cmil': dict(single, cmil=True),
+        'pcl_device': dict(single, pcl=True, pcl_device=True),
+        'pcl_host': dict(single, pcl=True),
+        'infer': {},
+    }
     for variant in want:
-        spec = detector.ModelSpec(
-            num_classes=21, compute_dtype='bfloat16', hidden_dim=hidden,
-            webly_on=False, webly_entropy=False, box_head='vgg16_2fc',
-            pcl=True, pcl_device=(variant == 'device'))
+        spec = detector.ModelSpec(**base, **variants[variant])
         params = detector.init_params(spec, jax.random.PRNGKey(0))
         hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005,
                                 iter_size=1)
@@ -80,19 +94,41 @@ def main():
                                           jnp.arange(K))
             return p, s, losses
 
+        if variant == 'infer':
+            @jax.jit
+            def multi_infer(params, batch):
+                def one(carry, k):
+                    # batch['image'] is already rank 4 (1, H, W, 3)
+                    out = detector.forward_test(
+                        spec, params, batch['image'] * 0 + carry,
+                        batch['rois'], batch['obn_scores'],
+                        batch['valid_mask'])
+                    return jnp.mean(out['scores']), out['scores'][0, 0]
+                return jax.lax.scan(one, jnp.float32(0), jnp.arange(K))[1]
+
+            r0 = multi_infer(params, batch)
+            float(r0[-1])
+            t0 = time.perf_counter()
+            r0 = multi_infer(params, batch)
+            float(r0[-1])
+            dt = (time.perf_counter() - t0) / K
+            print('wsod[{:10s}]: {:7.2f} ms/step'.format(variant, dt * 1e3),
+                  flush=True)
+            continue
+
         rng = jax.random.key(2, impl='rbg')
         try:
             p, s, losses = multi_step(params, opt_state, batch, rng)
             float(losses[-1])
         except Exception as e:
-            print('pcl[{:6s}]: FAILED ({})'.format(
+            print('wsod[{:10s}]: FAILED ({})'.format(
                 variant, str(e).splitlines()[0][:100]), flush=True)
             continue
         t0 = time.perf_counter()
         p, s, losses = multi_step(p, s, batch, rng)
         float(losses[-1])
         dt = (time.perf_counter() - t0) / K
-        print('pcl[{:6s}]: {:7.2f} ms/step'.format(variant, dt * 1e3),
+        print('wsod[{:10s}]: {:7.2f} ms/step'.format(variant, dt * 1e3),
               flush=True)
 
 
