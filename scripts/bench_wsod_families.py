@@ -60,6 +60,12 @@ def main():
         'cmil': dict(single, cmil=True),
         'pcl_device': dict(single, pcl=True, pcl_device=True),
         'pcl_host': dict(single, pcl=True),
+        'context': dict(single, box_head='vgg16_context_2fc'),
+        'center': dict(single, center_loss=True),
+        'min_entropy': dict(single, min_entropy_loss=True),
+        'csc': dict(single, csc=True),
+        'seg': dict(single, mask_on=True, mask_head='fcn',
+                    mask_resolution=7, mask_dim_reduced=256),
         'infer': {},
     }
     for variant in want:
