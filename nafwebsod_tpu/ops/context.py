@@ -64,7 +64,51 @@ def roi_context(rois, im_h, im_w, context_ratio=1.8):
 def roi_loop_pool(feat, rois9, pooled_h=7, pooled_w=7, spatial_scale=0.125,
                   chunk=16):
     """Ring max pooling over 9-col rois. feat: (H, W, C); returns
-    (R, pooled_h, pooled_w, C)."""
+    (R, pooled_h, pooled_w, C).
+
+    On TPU this dispatches to the Pallas kernel
+    (ops/pallas/roi_loop_pool_pallas.py — the context head's two ring
+    pools cost ~170 ms/step in the XLA gather formulation); gradients fall
+    back to autodiff of the XLA implementation."""
+    from nafwebsod_tpu.ops import roi_pool as rp
+
+    if rp._on_tpu() and not rp._FORCE_PORTABLE:
+        return _roi_loop_pool_tpu(feat, rois9, pooled_h, pooled_w,
+                                  spatial_scale)
+    return roi_loop_pool_xla(feat, rois9, pooled_h, pooled_w, spatial_scale,
+                             chunk)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _roi_loop_pool_tpu(feat, rois9, pooled_h, pooled_w, spatial_scale):
+    from nafwebsod_tpu.ops.pallas.roi_loop_pool_pallas import (
+        roi_loop_pool_pallas)
+    return roi_loop_pool_pallas(feat, rois9, pooled_h, pooled_w,
+                                spatial_scale).astype(feat.dtype)
+
+
+def _roi_loop_pool_tpu_fwd(feat, rois9, pooled_h, pooled_w, spatial_scale):
+    return (_roi_loop_pool_tpu(feat, rois9, pooled_h, pooled_w,
+                               spatial_scale), (feat, rois9))
+
+
+def _roi_loop_pool_tpu_bwd(pooled_h, pooled_w, spatial_scale, res, g):
+    feat, rois9 = res
+    _, vjp = jax.vjp(
+        lambda f: roi_loop_pool_xla(f, rois9, pooled_h, pooled_w,
+                                    spatial_scale), feat)
+    return vjp(g)[0], None
+
+
+_roi_loop_pool_tpu.defvjp(_roi_loop_pool_tpu_fwd, _roi_loop_pool_tpu_bwd)
+
+
+@partial(jax.jit, static_argnames=('pooled_h', 'pooled_w', 'spatial_scale',
+                                   'chunk'))
+def roi_loop_pool_xla(feat, rois9, pooled_h=7, pooled_w=7,
+                      spatial_scale=0.125, chunk=16):
+    """Pure-XLA ring max pooling (gather formulation; the portable and
+    autodiff path)."""
     H, W, C = feat.shape
     mbh = int(math.ceil(H / pooled_h)) + 2
     mbw = int(math.ceil(W / pooled_w)) + 2
