@@ -1490,6 +1490,12 @@ def forward_train(spec: ModelSpec, params, batch, rng):
             active, compute_w,
             lambda _: jnp.ones((rois.shape[0], spec.num_classes - 1),
                                jnp.float32), None)
+        # the reference's CSCConstraint gradient treats W as CONSTANT
+        # (csc_constraint_op.cu backward propagates to rois_pred only);
+        # without this the training grad differentiates through the CPG
+        # jax.grad — wrong weighting gradient AND a second-order conv
+        # graph big enough to kill the TPU compile at flagship shapes
+        w = jax.lax.stop_gradient(w)
         from nafwebsod_tpu.ops.cpg import csc_constraint
         pos = heads.cls_pred(csc_constraint(out['rois_pred'], w, True))
         neg = heads.cls_pred(csc_constraint(out['rois_pred'], w, False))

@@ -94,9 +94,11 @@ def _roi_loop_pool_tpu_fwd(feat, rois9, pooled_h, pooled_w, spatial_scale):
 
 def _roi_loop_pool_tpu_bwd(pooled_h, pooled_w, spatial_scale, res, g):
     feat, rois9 = res
+    # checkpoint: see ops/roi_pool.py:_roi_pool_tpu_bwd — the gather
+    # residuals of all rois at once exceed HBM at flagship shapes
     _, vjp = jax.vjp(
-        lambda f: roi_loop_pool_xla(f, rois9, pooled_h, pooled_w,
-                                    spatial_scale), feat)
+        jax.checkpoint(lambda f: roi_loop_pool_xla(
+            f, rois9, pooled_h, pooled_w, spatial_scale)), feat)
     return vjp(g)[0], None
 
 
@@ -168,9 +170,10 @@ def roi_loop_pool_xla(feat, rois9, pooled_h=7, pooled_w=7,
 
     r = rois9.shape[0]
     if chunk <= 1:
-        return jax.lax.map(one_roi, rois9)
+        # checkpoint the map body (see ops/roi_pool.py:roi_pool_xla)
+        return jax.lax.map(jax.checkpoint(one_roi), rois9)
     pad = (-r) % chunk
     rois_p = jnp.pad(rois9, ((0, pad), (0, 0)))
     batched = rois_p.reshape(-1, chunk, 9)
-    out = jax.lax.map(jax.vmap(one_roi), batched)
+    out = jax.lax.map(jax.checkpoint(jax.vmap(one_roi)), batched)
     return out.reshape(-1, pooled_h, pooled_w, C)[:r]

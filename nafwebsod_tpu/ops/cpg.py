@@ -59,14 +59,17 @@ def cpg_maps(cls_prob_fn, image, labels_oh, cls_prob, tau=0.7, max_gt=4):
     idx, valid = select_gt_classes(labels_oh, max_gt)
     pred = cls_prob[0]
 
-    def one_class(c):
-        safe_c = jnp.maximum(c, 0)
-        g = jax.grad(lambda im: cls_prob_fn(im)[0, safe_c])(image)
-        # channel-max of |grad| over the image's channel axis (cpg_op.cu:58)
-        m = jnp.max(jnp.abs(g[0]), axis=-1)          # (H, W)
-        return m
-
-    maps = jax.lax.map(one_class, idx)               # (max_gt, H, W)
+    # ONE linearization + a vmapped VJP over per-class cotangent seeds:
+    # the forward runs once and the max_gt backward passes batch (the
+    # previous lax.map of jax.grad re-ran forward AND backward per class —
+    # 4x the work at the flagship CSC shapes)
+    out_shape = jax.eval_shape(cls_prob_fn, image)
+    _, vjp = jax.vjp(cls_prob_fn, image)
+    seeds = jax.nn.one_hot(jnp.maximum(idx, 0), out_shape.shape[1],
+                           dtype=out_shape.dtype)[:, None, :]  # (G, 1, C)
+    grads = jax.vmap(lambda s: vjp(s)[0])(seeds)     # (G, 1, H, W, 3)
+    # channel-max of |grad| over the image's channel axis (cpg_op.cu:58)
+    maps = jnp.max(jnp.abs(grads[:, 0]), axis=-1)    # (max_gt, H, W)
 
     # CPGScale: gate on pred >= tau; normalize to max 1; drop max in {0, 1}
     pred_sel = pred[jnp.maximum(idx, 0)]

@@ -102,8 +102,14 @@ def _roi_pool_tpu_fwd(feat, rois, pooled_h, pooled_w, spatial_scale):
 
 def _roi_pool_tpu_bwd(pooled_h, pooled_w, spatial_scale, res, g):
     feat, rois = res
+    # jax.checkpoint: without it the XLA pool's vjp stores the per-roi
+    # (PH, MBH, W, C) gather residuals for ALL 2048 rois at once — ~19 GB
+    # at flagship shapes (observed HBM OOM on the CSC image-gradient
+    # path); rematerializing recomputes them chunk-by-chunk in the
+    # backward scan instead.
     _, vjp = jax.vjp(
-        lambda f: roi_pool_xla(f, rois, pooled_h, pooled_w, spatial_scale),
+        jax.checkpoint(lambda f: roi_pool_xla(
+            f, rois, pooled_h, pooled_w, spatial_scale)),
         feat)
     return vjp(g)[0], None
 
@@ -222,12 +228,16 @@ def roi_pool_xla(feat, rois, pooled_h=7, pooled_w=7, spatial_scale=0.125, chunk=
         return jnp.where(jnp.isfinite(out), out, 0.0)           # empty bins -> 0
 
     r = rois.shape[0]
+    # checkpoint the MAP BODY: without it the vjp stacks every chunk's
+    # (PH, MBH, W, C) gather residuals across the whole map (~19 GB at
+    # flagship shapes — HBM OOM on image-gradient paths like CSC);
+    # rematerializing confines the backward to one chunk at a time
     if chunk <= 1:
-        return jax.lax.map(one_roi, rois)
+        return jax.lax.map(jax.checkpoint(one_roi), rois)
     pad = (-r) % chunk
     rois_p = jnp.pad(rois, ((0, pad), (0, 0)))
     batched = rois_p.reshape(-1, chunk, 5)
-    out = jax.lax.map(jax.vmap(one_roi), batched)
+    out = jax.lax.map(jax.checkpoint(jax.vmap(one_roi)), batched)
     return out.reshape(-1, pooled_h, pooled_w, C)[:r]
 
 
