@@ -1464,12 +1464,19 @@ def forward_train(spec: ModelSpec, params, batch, rng):
 
         unfrozen = dc_replace(spec, freeze_conv_body=False, freeze_at=0,
                               csc=False, cpg=False)
+        # CSC weights are constants (see the stop_gradient on w below), so
+        # the whole CPG computation must be opaque to the outer training
+        # grad: stop-gradient the params it closes over, otherwise the
+        # outer JVP traces the inner vjp's backward — which contains the
+        # Pallas pool-backward kernel (no JVP rule) — and dies.
+        params_sg = jax.tree.map(jax.lax.stop_gradient, params)
 
         def cls_prob_fn(im):
-            f7, _, _ = _run_body_and_head(unfrozen, params, im, rois, obn,
-                                          train=False, rng=None)
-            o = (heads.wsl_context_outputs(params, f7, valid)
-                 if spec.is_context else heads.wsl_outputs(params, f7, valid))
+            f7, _, _ = _run_body_and_head(unfrozen, params_sg, im, rois,
+                                          obn, train=False, rng=None)
+            o = (heads.wsl_context_outputs(params_sg, f7, valid)
+                 if spec.is_context
+                 else heads.wsl_outputs(params_sg, f7, valid))
             return heads.cls_pred(o['rois_pred'])
 
         active = batch.get('cur_iter', jnp.zeros(())) < spec.csc_max_iter
@@ -1519,12 +1526,15 @@ def forward_train(spec: ModelSpec, params, batch, rng):
 
         unfrozen = dc_replace(spec, freeze_conv_body=False, freeze_at=0,
                               csc=False, cpg=False, mask_on=False)
+        # opaque to the outer grad (CPG maps are stop-gradient'd below;
+        # see the CSC branch for why the params must be sg'd here)
+        params_sg = jax.tree.map(jax.lax.stop_gradient, params)
 
         def cls_prob_fn(im):
-            f7, _, _ = _run_body_and_head(unfrozen, params, im, rois, obn,
-                                          train=False, rng=None)
+            f7, _, _ = _run_body_and_head(unfrozen, params_sg, im, rois,
+                                          obn, train=False, rng=None)
             f7m = f7[0] if spec.is_context else f7
-            o = heads.wsl_outputs(params, f7m, valid)
+            o = heads.wsl_outputs(params_sg, f7m, valid)
             return heads.cls_pred(o['rois_pred'])
 
         maps, idx, keep = cpg_ops.cpg_maps(

@@ -240,3 +240,179 @@ def roi_pool_pallas(feat, rois, pooled_h=7, pooled_w=7, spatial_scale=0.125,
     if cpad:
         out = out[..., :C]
     return out
+
+
+# --------------------------------------------------------------------------- #
+# Backward: argmax scatter (RoIPoolF gradient)
+# --------------------------------------------------------------------------- #
+
+def _bwd_kernel(rois_ref, feat_ref, g_ref, out_ref,
+                *, pooled_h, pooled_w, H, W, clip_h, clip_w, spatial_scale,
+                n_rois, mbh_s, mbwu_s):
+    """Accumulate each output cell's cotangent into its bin's max feature
+    cell (roi_pool_f gradient). The (H, W, CBLK) accumulator block is
+    VMEM-resident across the whole RoI axis (index map constant in r):
+    zeroed at r == 0, accumulated into per roi.
+
+    Tie semantics: the cotangent is routed to the FIRST max cell in
+    row-major window order (the CUDA op's argmax scan order). The XLA
+    autodiff fallback splits ties evenly instead — identical on real conv
+    features (exact float ties are measure-zero)."""
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    def scaled(i):
+        v = rois_ref[i, r] * spatial_scale
+        return jnp.floor(jnp.abs(v) + 0.5).astype(jnp.int32) * jnp.where(
+            v < 0, -1, 1)
+
+    x1, y1, x2, y2 = scaled(1), scaled(2), scaled(3), scaled(4)
+    roi_h = jnp.maximum(y2 - y1 + 1, 1)
+    roi_w = jnp.maximum(x2 - x1 + 1, 1)
+
+    # Unlike the forward (whose pass 1 shares a full-width rowmax across
+    # bins), the scatter only ever touches one bin's own window: (mbh_s,
+    # mbw_s) cells after alignment slack — tiny temporaries regardless of
+    # roi size. fori_loops keep Mosaic's stack to one bin's worth.
+    h_window, w_window = mbh_s, mbwu_s
+    gall = g_ref[0].astype(jnp.float32)                # (PH, PW, CBLK)
+    phi = jax.lax.broadcasted_iota(jnp.int32, (pooled_h, 1, 1), 0)
+    pwi = jax.lax.broadcasted_iota(jnp.int32, (1, pooled_w, 1), 1)
+
+    def ph_body(ph, _):
+        a = jnp.clip((ph * roi_h) // pooled_h + y1, 0, clip_h)
+        b = jnp.clip(((ph + 1) * roi_h + pooled_h - 1) // pooled_h + y1,
+                     0, clip_h)
+        hstart = jnp.minimum(a, H - h_window)
+
+        def pw_body(pw, _):
+            c = jnp.clip((pw * roi_w) // pooled_w + x1, 0, clip_w)
+            d = jnp.clip(((pw + 1) * roi_w + pooled_w - 1) // pooled_w + x1,
+                         0, clip_w)
+            wstart = (jnp.clip(c, 0, W - w_window) // 8) * 8
+            rows = feat_ref[pl.ds(hstart, h_window),
+                            pl.ds(wstart, w_window), :].astype(jnp.float32)
+            y = hstart + jax.lax.broadcasted_iota(
+                jnp.int32, (h_window, 1, 1), 0)
+            x = wstart + jax.lax.broadcasted_iota(
+                jnp.int32, (1, w_window, 1), 1)
+            mask = (y >= a) & (y < b) & (x >= c) & (x < d)
+            m = jnp.max(jnp.where(mask, rows, NEG), axis=(0, 1))  # (CBLK,)
+            is_max = (rows >= m[None, None, :]) & mask
+            # first max in row-major order, via a max-reduction over
+            # negated linear indices (Pallas TPU has no cumsum lowering)
+            lin = (y * W + x).astype(jnp.int32)
+            best = jnp.max(jnp.where(is_max, -lin, -(1 << 30)),
+                           axis=(0, 1))                # (CBLK,)
+            # dynamic (ph, pw) select via masked reduction (no dynamic
+            # sublane indexing); empty bins (m == NEG) excluded
+            gbin = jnp.sum(
+                jnp.where((phi == ph) & (pwi == pw), gall, 0.0),
+                axis=(0, 1))
+            ok = m > NEG / 2                           # (CBLK,)
+            take = (is_max & (lin == -best[None, None, :]) &
+                    ok[None, None, :])
+            cur = out_ref[pl.ds(hstart, h_window),
+                          pl.ds(wstart, w_window), :]
+            out_ref[pl.ds(hstart, h_window), pl.ds(wstart, w_window), :] = (
+                cur + jnp.where(take, gbin[None, None, :], 0.0))
+            return 0
+
+        jax.lax.fori_loop(0, pooled_w, pw_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, pooled_h, ph_body, 0)
+
+
+def roi_pool_pallas_bwd(feat, rois, g, pooled_h=7, pooled_w=7,
+                        spatial_scale=0.125):
+    """RoIPoolF backward on TPU: dfeat (H, W, C) f32 from cotangents g
+    (R, PH, PW, C). Under vmap (the CSC path batches per-class cotangent
+    seeds) the batch maps SEQUENTIALLY — auto-batching would multiply the
+    VMEM-resident feature+accumulator blocks past the scoped limit."""
+    return _bwd_vmap_wrapped(pooled_h, pooled_w, spatial_scale)(
+        feat, rois, g)
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_vmap_wrapped(pooled_h, pooled_w, spatial_scale):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def f(feat, rois, g):
+        return _roi_pool_pallas_bwd_impl(feat, rois, g, pooled_h, pooled_w,
+                                         spatial_scale)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, feat, rois, g):
+        fb, rb, gb = in_batched
+
+        def one(i):
+            return f(feat[i] if fb else feat,
+                     rois[i] if rb else rois,
+                     g[i] if gb else g)
+
+        return jax.lax.map(one, jnp.arange(axis_size)), True
+
+    return f
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('pooled_h', 'pooled_w', 'spatial_scale', 'cblk'))
+def _roi_pool_pallas_bwd_impl(feat, rois, g, pooled_h=7, pooled_w=7,
+                              spatial_scale=0.125, cblk=256):
+    H, W, C = feat.shape
+    R = rois.shape[0]
+    feat = feat.astype(jnp.float32)
+    g = g.astype(jnp.float32)
+
+    bytes_per = 4
+    cblk = min(cblk, max(-(-C // 128) * 128, 128))
+    # feature + accumulator blocks both resident, in f32, and the scoped
+    # VMEM stack limit is 16 MB — budget well under it
+    while cblk > 128 and 2 * H * W * cblk * bytes_per > 12 * 1024 * 1024:
+        cblk //= 2
+
+    wpad = (-W) % 8
+    cpad = (-C) % cblk
+    if wpad or cpad:
+        feat = jnp.pad(feat, ((0, 0), (0, wpad), (0, cpad)),
+                       constant_values=NEG)
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, cpad)))
+    Hp, Wp, Cp = feat.shape
+
+    # per-BIN windows: tall enough for the largest bin (ceil(H/PH)+1 rows)
+    # and wide enough for the largest bin plus 7 columns of 8-alignment
+    # slack — small regardless of roi size
+    mbh = min(int(math.ceil(H / pooled_h)) + 2, Hp)
+    mbw = min(int(math.ceil(W / pooled_w)) + 2, Wp)
+    mbw = min(-(-(mbw + 7) // 8) * 8, Wp)
+
+    kernel = functools.partial(
+        _bwd_kernel, pooled_h=pooled_h, pooled_w=pooled_w, H=Hp, W=Wp,
+        clip_h=H, clip_w=W, spatial_scale=spatial_scale, n_rois=R,
+        mbh_s=mbh, mbwu_s=mbw)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Cp // cblk, R),
+        in_specs=[
+            pl.BlockSpec((Hp, Wp, cblk), lambda cb, r, *_: (0, 0, cb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pooled_h, pooled_w, cblk),
+                         lambda cb, r, *_: (r, 0, 0, cb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Hp, Wp, cblk), lambda cb, r, *_: (0, 0, cb),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Hp, Wp, Cp), jnp.float32),
+    )(rois.T, feat, g)
+    return out[:H, :W, :C]

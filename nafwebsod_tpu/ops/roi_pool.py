@@ -21,6 +21,7 @@ masks; they simply pool a valid region and are ignored downstream.
 """
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -102,6 +103,16 @@ def _roi_pool_tpu_fwd(feat, rois, pooled_h, pooled_w, spatial_scale):
 
 def _roi_pool_tpu_bwd(pooled_h, pooled_w, spatial_scale, res, g):
     feat, rois = res
+    if os.environ.get('NAFWEBSOD_POOL_BWD') != 'xla':
+        # Pallas argmax-scatter backward (roi_pool_pallas_bwd): routes each
+        # cotangent to the first max cell of its bin, VMEM-resident
+        # accumulator. The XLA fallback below splits exact-tie gradients
+        # evenly instead — identical on real conv features.
+        from nafwebsod_tpu.ops.pallas.roi_pool_pallas import (
+            roi_pool_pallas_bwd)
+        d = roi_pool_pallas_bwd(feat, rois, g, pooled_h, pooled_w,
+                                spatial_scale)
+        return d.astype(feat.dtype), None
     # jax.checkpoint: without it the XLA pool's vjp stores the per-roi
     # (PH, MBH, W, C) gather residuals for ALL 2048 rois at once — ~19 GB
     # at flagship shapes (observed HBM OOM on the CSC image-gradient
