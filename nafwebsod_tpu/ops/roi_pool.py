@@ -252,12 +252,54 @@ def roi_pool_xla(feat, rois, pooled_h=7, pooled_w=7, spatial_scale=0.125, chunk=
     return out.reshape(-1, pooled_h, pooled_w, C)[:r]
 
 
-@partial(jax.jit, static_argnames=('pooled_h', 'pooled_w', 'spatial_scale',
-                                   'sampling_ratio'))
 def roi_align(feat, rois, pooled_h=7, pooled_w=7, spatial_scale=0.125,
               sampling_ratio=2):
     """Detectron RoIAlign (legacy, non-aligned offsets) with a static
-    sampling grid. Returns (R, pooled_h, pooled_w, C)."""
+    sampling grid. Returns (R, pooled_h, pooled_w, C).
+
+    On TPU this dispatches to the separable-bilinear-GEMM Pallas kernel
+    (ops/pallas/roi_align_pallas.py — two MXU matmuls per roi against a
+    VMEM-resident feature block instead of 4-corner gathers); gradients
+    fall back to autodiff of the XLA implementation."""
+    if not _FORCE_PORTABLE and _on_tpu():
+        return _roi_align_tpu(feat, rois, pooled_h, pooled_w,
+                              spatial_scale, sampling_ratio)
+    return roi_align_xla(feat, rois, pooled_h, pooled_w, spatial_scale,
+                         sampling_ratio)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _roi_align_tpu(feat, rois, pooled_h, pooled_w, spatial_scale,
+                   sampling_ratio):
+    from nafwebsod_tpu.ops.pallas.roi_align_pallas import roi_align_pallas
+    return roi_align_pallas(feat, rois, pooled_h, pooled_w, spatial_scale,
+                            sampling_ratio).astype(feat.dtype)
+
+
+def _roi_align_tpu_fwd(feat, rois, pooled_h, pooled_w, spatial_scale,
+                       sampling_ratio):
+    return (_roi_align_tpu(feat, rois, pooled_h, pooled_w, spatial_scale,
+                           sampling_ratio), (feat, rois))
+
+
+def _roi_align_tpu_bwd(pooled_h, pooled_w, spatial_scale, sampling_ratio,
+                       res, g):
+    feat, rois = res
+    _, vjp = jax.vjp(
+        lambda f: roi_align_xla(f, rois, pooled_h, pooled_w, spatial_scale,
+                                sampling_ratio), feat)
+    return vjp(g.astype(jnp.float32))[0].astype(feat.dtype), None
+
+
+_roi_align_tpu.defvjp(_roi_align_tpu_fwd, _roi_align_tpu_bwd)
+
+
+@partial(jax.jit, static_argnames=('pooled_h', 'pooled_w', 'spatial_scale',
+                                   'sampling_ratio'))
+def roi_align_xla(feat, rois, pooled_h=7, pooled_w=7, spatial_scale=0.125,
+                  sampling_ratio=2):
+    """Pure-XLA RoIAlign (4-corner gathers; the portable and autodiff
+    path)."""
     assert sampling_ratio > 0, 'static TPU path requires a fixed sampling grid'
     H, W, C = feat.shape
     sr = sampling_ratio
