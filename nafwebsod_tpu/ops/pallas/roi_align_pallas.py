@@ -135,6 +135,10 @@ def roi_align_pallas(feat, rois, pooled_h=7, pooled_w=7,
     cblk = min(cblk, max(-(-C // 128) * 128, 128))
     while cblk > 128 and H * W * cblk * 4 > 6 * 1024 * 1024:
         cblk //= 2
+    if H * W * cblk * 4 > 6 * 1024 * 1024:
+        from nafwebsod_tpu.ops.roi_pool import roi_align_xla
+        return roi_align_xla(feat, rois, pooled_h, pooled_w, spatial_scale,
+                             sampling_ratio)
     wpad = (-W) % 8
     cpad = (-C) % cblk
     if wpad or cpad:

@@ -120,8 +120,15 @@ def roi_loop_pool_pallas(feat, rois9, pooled_h=7, pooled_w=7,
 
     bytes_per = 2 if feat.dtype == jnp.bfloat16 else 4
     cblk = min(cblk, max(-(-C // 128) * 128, 128))
-    while cblk > 128 and H * W * cblk * bytes_per > 64 * 1024 * 1024:
+    # the scoped VMEM stack limit is 16 MB: block + scratch + temporaries
+    # must fit (an FPN level-2 map at 704px is 176x176 — budget for it)
+    while cblk > 128 and H * W * cblk * bytes_per > 10 * 1024 * 1024:
         cblk //= 2
+    if H * W * cblk * bytes_per > 12 * 1024 * 1024:
+        # even one 128-lane block cannot fit; fall back to XLA
+        from nafwebsod_tpu.ops.context import roi_loop_pool_xla
+        return roi_loop_pool_xla(feat, rois9, pooled_h, pooled_w,
+                                 spatial_scale)
 
     wpad = (-W) % (16 if feat.dtype == jnp.bfloat16 else 8)
     cpad = (-C) % cblk

@@ -115,10 +115,43 @@ def _kernel(rois_ref, feat_ref, out_ref, rowmax_ref,
         out_ref[0, :, pw, :] = jnp.where(empty, 0.0, val)
 
     def _full_path():
-        for ph in range(pooled_h):
-            pass1(ph, mbh, 0, rowmax_ref.shape[1])
-        for pw in range(pooled_w):
-            pass2(pw, 0, mbw)
+        # fori + per-bin windows + a tiny (PH, PW, CBLK) accumulator
+        # carry: unrolled full-width passes blow Mosaic's 16 MB VMEM
+        # stack on large maps (FPN level 2 at 704px is 176x176)
+        phi = jax.lax.broadcasted_iota(jnp.int32, (pooled_h, 1, 1), 0)
+        pwi = jax.lax.broadcasted_iota(jnp.int32, (1, pooled_w, 1), 1)
+
+        def ph_body(ph, acc):
+            a = jnp.clip((ph * roi_h) // pooled_h + y1, 0, clip_h)
+            b = jnp.clip(((ph + 1) * roi_h + pooled_h - 1) // pooled_h + y1,
+                         0, clip_h)
+            hstart = jnp.minimum(a, H - mbh)
+
+            def pw_body(pw, acc):
+                c = jnp.clip((pw * roi_w) // pooled_w + x1, 0, clip_w)
+                d = jnp.clip(((pw + 1) * roi_w + pooled_w - 1) // pooled_w
+                             + x1, 0, clip_w)
+                wstart = (jnp.clip(c, 0, W - mbw) // 8) * 8
+                win = feat_ref[pl.ds(hstart, mbh), pl.ds(wstart, mbw), :]
+                y = hstart + jax.lax.broadcasted_iota(
+                    jnp.int32, (mbh, 1, 1), 0)
+                x = wstart + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, mbw, 1), 1)
+                mask = (y >= a) & (y < b) & (x >= c) & (x < d)
+                m = jnp.max(jnp.where(mask, win, NEG),
+                            axis=(0, 1)).astype(jnp.float32)
+                val = jnp.where(m <= NEG / 2, 0.0, m)
+                sel = (phi == ph) & (pwi == pw)
+                return jnp.where(sel, val[None, None, :], acc)
+
+            return jax.lax.fori_loop(0, pooled_w, pw_body, acc)
+
+        # f32 accumulator: an i1-select against bf16 hits a Mosaic
+        # relayout bug ("Invalid relayout ... vector<...xi1>")
+        acc0 = jnp.zeros((pooled_h, pooled_w, feat_ref.shape[-1]),
+                         jnp.float32)
+        out_ref[0, :, :, :] = jax.lax.fori_loop(
+            0, pooled_h, ph_body, acc0).astype(out_ref.dtype)
 
     # Small-RoI fast path: typical proposals (MCG/selective-search) span a
     # small fraction of the feature map, but static shapes force the
@@ -182,8 +215,15 @@ def roi_pool_pallas(feat, rois, pooled_h=7, pooled_w=7, spatial_scale=0.125,
     # 88x88). Also never pad tiny C up to a big block.
     bytes_per = 2 if feat.dtype == jnp.bfloat16 else 4
     cblk = min(cblk, max(-(-C // 128) * 128, 128))
-    while cblk > 128 and H * W * cblk * bytes_per > 64 * 1024 * 1024:
+    # the scoped VMEM stack limit is 16 MB: block + scratch + temporaries
+    # must fit (an FPN level-2 map at 704px is 176x176 — budget for it)
+    while cblk > 128 and H * W * cblk * bytes_per > 10 * 1024 * 1024:
         cblk //= 2
+    if H * W * cblk * bytes_per > 12 * 1024 * 1024:
+        # even a single 128-lane block cannot fit (f32 maps > ~170px at
+        # 128 channels): fall back to the XLA formulation
+        from nafwebsod_tpu.ops.roi_pool import roi_pool_xla
+        return roi_pool_xla(feat, rois, pooled_h, pooled_w, spatial_scale)
 
     # pad W to a sublane multiple and C to the channel block
     wpad = (-W) % (16 if feat.dtype == jnp.bfloat16 else 8)
