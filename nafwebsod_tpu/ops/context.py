@@ -125,13 +125,16 @@ def roi_loop_pool_xla(feat, rois9, pooled_h=7, pooled_w=7,
 
         ph = jnp.arange(pooled_h, dtype=jnp.int32)
         pw = jnp.arange(pooled_w, dtype=jnp.int32)
-        # float bin boundaries like the CUDA op (floor/ceil of float division)
-        bh = roi_h.astype(jnp.float32) / pooled_h
-        bw = roi_w.astype(jnp.float32) / pooled_w
-        hstart = jnp.clip(jnp.floor(ph * bh).astype(jnp.int32) + y1, 0, H)
-        hend = jnp.clip(jnp.ceil((ph + 1) * bh).astype(jnp.int32) + y1, 0, H)
-        wstart = jnp.clip(jnp.floor(pw * bw).astype(jnp.int32) + x1, 0, W)
-        wend = jnp.clip(jnp.ceil((pw + 1) * bw).astype(jnp.int32) + x1, 0, W)
+        # exact integer bin boundaries (the CUDA op uses float32 floor/ceil,
+        # which is platform-unstable at exact multiples: XLA's
+        # excess-precision fusion can ceil(7 * (9/7)) to 10 on CPU while
+        # strict f32 gives 9 — the same one-cell misround the RoIPoolF
+        # docstring describes; the integer form is the mathematical
+        # definition and deterministic everywhere)
+        hstart = jnp.clip((ph * roi_h) // pooled_h + y1, 0, H)
+        hend = jnp.clip(-((-(ph + 1) * roi_h) // pooled_h) + y1, 0, H)
+        wstart = jnp.clip((pw * roi_w) // pooled_w + x1, 0, W)
+        wend = jnp.clip(-((-(pw + 1) * roi_w) // pooled_w) + x1, 0, W)
 
         dy = jnp.arange(mbh)
         ys = hstart[:, None] + dy[None, :]                    # (PH, MBH)

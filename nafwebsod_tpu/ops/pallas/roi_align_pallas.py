@@ -122,9 +122,10 @@ def _kernel(rois_ref, feat_ref, out_ref,
 @functools.partial(
     jax.jit,
     static_argnames=('pooled_h', 'pooled_w', 'spatial_scale',
-                     'sampling_ratio', 'cblk'))
+                     'sampling_ratio', 'cblk', 'interpret'))
 def roi_align_pallas(feat, rois, pooled_h=7, pooled_w=7,
-                     spatial_scale=0.125, sampling_ratio=2, cblk=256):
+                     spatial_scale=0.125, sampling_ratio=2, cblk=256,
+                     interpret=False):
     """RoIAlign forward on TPU via separable bilinear GEMMs. feat:
     (H, W, C); rois: (R, 5). Returns (R, PH, PW, C) f32."""
     H, W, C = feat.shape
@@ -166,6 +167,7 @@ def roi_align_pallas(feat, rois, pooled_h=7, pooled_w=7,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((R, pooled_h, pooled_w, Cp),
                                        jnp.float32),
+        interpret=interpret,
     )(rois.T, feat)
     if cpad:
         out = out[..., :C]

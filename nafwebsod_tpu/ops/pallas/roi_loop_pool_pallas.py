@@ -41,12 +41,11 @@ def _kernel(rois_ref, feat_ref, out_ref, rmall_ref, rmout_ref,
     ix1, iy1, ix2, iy2 = scaled(5), scaled(6), scaled(7), scaled(8)
     roi_h = jnp.maximum(y2 - y1 + 1, 1)
     roi_w = jnp.maximum(x2 - x1 + 1, 1)
-    bh = roi_h.astype(jnp.float32) / pooled_h
-    bw = roi_w.astype(jnp.float32) / pooled_w
 
     def pass1(ph, h_window, w_base, w_window):
-        a = jnp.clip(jnp.floor(ph * bh).astype(jnp.int32) + y1, 0, clip_h)
-        b = jnp.clip(jnp.ceil((ph + 1) * bh).astype(jnp.int32) + y1,
+        # integer-exact bins (see ops/context.py:roi_loop_pool_xla)
+        a = jnp.clip((ph * roi_h) // pooled_h + y1, 0, clip_h)
+        b = jnp.clip(((ph + 1) * roi_h + pooled_h - 1) // pooled_h + y1,
                      0, clip_h)
         start = jnp.minimum(a, H - h_window)
         rows = feat_ref[pl.ds(start, h_window),
@@ -60,8 +59,8 @@ def _kernel(rois_ref, feat_ref, out_ref, rmall_ref, rmout_ref,
             jnp.where(out_row, rows, NEG), axis=0)
 
     def pass2(pw, w_base, w_window):
-        c = jnp.clip(jnp.floor(pw * bw).astype(jnp.int32) + x1, 0, clip_w)
-        d = jnp.clip(jnp.ceil((pw + 1) * bw).astype(jnp.int32) + x1,
+        c = jnp.clip((pw * roi_w) // pooled_w + x1, 0, clip_w)
+        d = jnp.clip(((pw + 1) * roi_w + pooled_w - 1) // pooled_w + x1,
                      0, clip_w)
         # align LAST for Mosaic's divisibility proof; clip bound is an
         # 8-multiple (see roi_pool_pallas.py)
@@ -108,9 +107,10 @@ def _kernel(rois_ref, feat_ref, out_ref, rmall_ref, rmout_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=('pooled_h', 'pooled_w', 'spatial_scale', 'cblk'))
+    static_argnames=('pooled_h', 'pooled_w', 'spatial_scale', 'cblk',
+                     'interpret'))
 def roi_loop_pool_pallas(feat, rois9, pooled_h=7, pooled_w=7,
-                         spatial_scale=0.125, cblk=512):
+                         spatial_scale=0.125, cblk=512, interpret=False):
     """RoILoopPool forward on TPU. feat: (H, W, C); rois9: (R, 9).
     Returns (R, pooled_h, pooled_w, C) in the feature dtype."""
     H, W, C = feat.shape
@@ -167,6 +167,7 @@ def roi_loop_pool_pallas(feat, rois9, pooled_h=7, pooled_w=7,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((R, pooled_h, pooled_w, Cp),
                                        feat.dtype),
+        interpret=interpret,
     )(rois9.T, feat)  # (9, R) in SMEM (last dim padded to lanes)
 
     if cpad:

@@ -195,9 +195,10 @@ def _kernel(rois_ref, feat_ref, out_ref, rowmax_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=('pooled_h', 'pooled_w', 'spatial_scale', 'cblk'))
+    static_argnames=('pooled_h', 'pooled_w', 'spatial_scale', 'cblk',
+                     'interpret'))
 def roi_pool_pallas(feat, rois, pooled_h=7, pooled_w=7, spatial_scale=0.125,
-                    cblk=512):
+                    cblk=512, interpret=False):
     """RoIPoolF forward on TPU. feat: (H, W, C) fp32/bf16; rois: (R, 5).
     Returns (R, pooled_h, pooled_w, C) in the feature dtype.
 
@@ -274,6 +275,7 @@ def roi_pool_pallas(feat, rois, pooled_h=7, pooled_w=7, spatial_scale=0.125,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((R, pooled_h, pooled_w, Cp),
                                        feat.dtype),
+        interpret=interpret,
     )(rois.T, feat)  # (5, R): SMEM pads the LAST dim to the lane
     # width, so (R, 5) would blow the 1MB SMEM budget at R=2048
 
