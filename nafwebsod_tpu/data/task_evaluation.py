@@ -26,6 +26,15 @@ def _use_voc_evaluator(dataset_name):
 
 def evaluate_boxes(json_dataset, all_boxes, output_dir, use_matlab=False):
     logger.info('Evaluating detections')
+    if use_matlab:
+        # The reference shells out to VOCdevkit-matlab-wrapper/
+        # (voc_dataset_evaluator.py:98-140); no MATLAB runtime exists in
+        # this framework's environments, so fail loudly instead of
+        # silently evaluating with the python protocol.
+        raise NotImplementedError(
+            'use_matlab=True requested but the MATLAB VOCdevkit wrapper is '
+            'not supported in the TPU rebuild; use the python evaluator '
+            '(voc_eval 11-point AP parity-tested in tests/test_eval_tasks.py)')
     if _use_voc_evaluator(json_dataset.name):
         return voc_dataset_evaluator.evaluate_boxes(
             json_dataset, all_boxes, output_dir)

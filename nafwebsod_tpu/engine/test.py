@@ -175,109 +175,169 @@ def im_detect_bbox_aspect_ratio(spec, params, im, aspect_ratio,
     return scores_ar, boxes_inv
 
 
+def _bbox_aug_variants(aug):
+    """Enumerate the configured test-time-augmentation sweep as
+    (kind, argument, hflip) tuples, identity last (matching the reference
+    sweep order, test_wsl.py:181-245)."""
+    plan = []
+    if aug.H_FLIP:
+        plan.append(('scale', (cfg.TEST.SCALE, cfg.TEST.MAX_SIZE), True))
+    for s in aug.SCALES:
+        plan.append(('scale', (s, aug.MAX_SIZE), False))
+        if aug.SCALE_H_FLIP:
+            plan.append(('scale', (s, aug.MAX_SIZE), True))
+    for ar in aug.ASPECT_RATIOS:
+        plan.append(('aspect', ar, False))
+        if aug.ASPECT_RATIO_H_FLIP:
+            plan.append(('aspect', ar, True))
+    plan.append(('scale', (cfg.TEST.SCALE, cfg.TEST.MAX_SIZE), False))
+    return plan
+
+
 def im_detect_bbox_aug(spec, params, im, box_proposals=None, obn_scores=None):
-    """Test-time augmentation sweep (ref :181-283)."""
-    assert not cfg.TEST.BBOX_AUG.SCALE_SIZE_DEP
-    score_heur = cfg.TEST.BBOX_AUG.SCORE_HEUR
-    coord_heur = cfg.TEST.BBOX_AUG.COORD_HEUR
-    assert not (score_heur == 'UNION') ^ (coord_heur == 'UNION'), \
+    """Multi-transform detection sweep with score/coord combination
+    heuristics (protocol of test_wsl.py:181-283)."""
+    aug = cfg.TEST.BBOX_AUG
+    assert not aug.SCALE_SIZE_DEP, 'size-dependent scale sweep unsupported'
+    assert (aug.SCORE_HEUR == 'UNION') == (aug.COORD_HEUR == 'UNION'), \
         'UNION must be used for both score and coord heuristics'
 
-    scores_ts, boxes_ts = [], []
+    preds = []
+    im_scale = None
+    for kind, arg, hflip in _bbox_aug_variants(aug):
+        if kind == 'scale' and not hflip and arg == (cfg.TEST.SCALE,
+                                                     cfg.TEST.MAX_SIZE):
+            s, b, im_scale = im_detect_bbox(
+                spec, params, im, arg[0], arg[1],
+                boxes=box_proposals, obn_scores=obn_scores)
+            preds.append((s, b))
+        elif kind == 'scale':
+            preds.append(im_detect_bbox_scale(
+                spec, params, im, arg[0], arg[1], box_proposals, obn_scores,
+                hflip=hflip))
+        else:
+            preds.append(im_detect_bbox_aspect_ratio(
+                spec, params, im, arg, box_proposals, obn_scores,
+                hflip=hflip))
+    identity_scores, identity_boxes = preds[-1]
 
-    def add_preds_t(scores_t, boxes_t):
-        scores_ts.append(scores_t)
-        boxes_ts.append(boxes_t)
+    combine = {
+        'ID': lambda stack, ident: ident,
+        'AVG': lambda stack, ident: np.mean(stack, axis=0),
+        'UNION': lambda stack, ident: np.vstack(stack),
+    }
+    try:
+        scores_c = combine[aug.SCORE_HEUR]([p[0] for p in preds],
+                                           identity_scores)
+        boxes_c = combine[aug.COORD_HEUR]([p[1] for p in preds],
+                                          identity_boxes)
+    except KeyError as heur:
+        raise NotImplementedError('BBOX_AUG heuristic {}'.format(heur))
+    return scores_c, boxes_c, im_scale
 
-    if cfg.TEST.BBOX_AUG.H_FLIP:
-        add_preds_t(*im_detect_bbox_hflip(
-            spec, params, im, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE,
-            box_proposals=box_proposals, obn_scores=obn_scores)[:2])
 
-    for scale in cfg.TEST.BBOX_AUG.SCALES:
-        max_size = cfg.TEST.BBOX_AUG.MAX_SIZE
-        add_preds_t(*im_detect_bbox_scale(
-            spec, params, im, scale, max_size, box_proposals, obn_scores))
-        if cfg.TEST.BBOX_AUG.SCALE_H_FLIP:
-            add_preds_t(*im_detect_bbox_scale(
-                spec, params, im, scale, max_size, box_proposals, obn_scores,
-                hflip=True))
+def _gate_class(all_scores, all_boxes, j):
+    """(R,5) candidate dets of class j above TEST.SCORE_THRESH."""
+    sel = all_scores[:, j] > cfg.TEST.SCORE_THRESH
+    return np.concatenate(
+        [all_boxes[sel, 4 * j:4 * j + 4],
+         all_scores[sel, j:j + 1]], axis=1).astype(np.float32)
 
-    for aspect_ratio in cfg.TEST.BBOX_AUG.ASPECT_RATIOS:
-        add_preds_t(*im_detect_bbox_aspect_ratio(
-            spec, params, im, aspect_ratio, box_proposals, obn_scores))
-        if cfg.TEST.BBOX_AUG.ASPECT_RATIO_H_FLIP:
-            add_preds_t(*im_detect_bbox_aspect_ratio(
-                spec, params, im, aspect_ratio, box_proposals, obn_scores,
-                hflip=True))
 
-    scores_i, boxes_i, im_scale_i = im_detect_bbox(
-        spec, params, im, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE,
-        boxes=box_proposals, obn_scores=obn_scores)
-    add_preds_t(scores_i, boxes_i)
+def _suppress_on_device(all_scores, all_boxes):
+    """Run the class-batched greedy-NMS kernel over every foreground class
+    at once (ops/jbox.multiclass_nms_limit) and unpack to per-class det
+    arrays. The RoI axis is padded to TPU.ROI_PAD_MULTIPLE so XLA compiles
+    a bounded program set; thresholds are traced, so grid-search sweeps
+    reuse one program."""
+    from nafwebsod_tpu.ops import jbox
 
-    if score_heur == 'ID':
-        scores_c = scores_i
-    elif score_heur == 'AVG':
-        scores_c = np.mean(scores_ts, axis=0)
-    elif score_heur == 'UNION':
-        scores_c = np.vstack(scores_ts)
-    else:
-        raise NotImplementedError(score_heur)
+    num_classes = all_scores.shape[1]
+    r = all_scores.shape[0]
+    mult = max(int(cfg.TPU.ROI_PAD_MULTIPLE), 1)
+    cap = max(mult, int(np.ceil(r / mult) * mult))
 
-    if coord_heur == 'ID':
-        boxes_c = boxes_i
-    elif coord_heur == 'AVG':
-        boxes_c = np.mean(boxes_ts, axis=0)
-    elif coord_heur == 'UNION':
-        boxes_c = np.vstack(boxes_ts)
-    else:
-        raise NotImplementedError(coord_heur)
+    sc = np.full((cap, num_classes), -np.inf, np.float32)
+    sc[:r] = all_scores
+    bx = np.zeros((cap, num_classes, 4), np.float32)
+    bx[:r] = all_boxes.reshape(r, num_classes, 4)
 
-    return scores_c, boxes_c, im_scale_i
+    limit = int(cfg.TEST.DETECTIONS_PER_IM)
+    per_class_cap = min(cap, limit if limit > 0 else cap)
+    idx, vals, keep = jbox.multiclass_nms_limit(
+        jnp.asarray(bx.transpose(1, 0, 2)[1:]),      # (C-1, cap, 4)
+        jnp.asarray(sc.T[1:]),                       # (C-1, cap)
+        jnp.float32(cfg.TEST.NMS),
+        jnp.float32(cfg.TEST.SCORE_THRESH),
+        max_keep=per_class_cap,
+        # voting re-scores survivors, so the cross-class cap must wait for
+        # the host voting pass in that configuration
+        limit=0 if cfg.TEST.BBOX_VOTE.ENABLED else limit)
+    idx, vals, keep = np.asarray(idx), np.asarray(vals), np.asarray(keep)
+
+    dets = {}
+    for j in range(1, num_classes):
+        rows = idx[j - 1][keep[j - 1]]
+        dets[j] = np.concatenate(
+            [bx[rows, j], vals[j - 1][keep[j - 1]][:, None]],
+            axis=1).astype(np.float32)
+    return dets
+
+
+def _cap_total_detections(dets, limit):
+    """Apply the cross-class DETECTIONS_PER_IM cap: threshold at the
+    limit-th best score, keeping ties (the reference cap's semantics)."""
+    pool = np.concatenate([d[:, 4] for d in dets.values()])
+    if limit <= 0 or pool.size <= limit:
+        return dets
+    cut = np.partition(pool, -limit)[-limit]
+    return {j: d[d[:, 4] >= cut] for j, d in dets.items()}
 
 
 def box_results_with_nms_and_limit(scores, boxes):
-    """Per-class threshold -> NMS/soft-NMS -> voting -> per-image top-K
-    (ref :803-870). Returns (scores_flat, boxes_flat, cls_boxes)."""
+    """Collapse per-proposal class scores into the final per-image
+    detections: per-class score gate -> (soft-)NMS -> optional box voting
+    -> cross-class DETECTIONS_PER_IM cap.
+
+    Reproduces the eval protocol of ``detectron/core/test_wsl.py:803-870``
+    with a device-first formulation: the default hard-NMS route runs all
+    classes through one jitted class-batched kernel; soft-NMS (a
+    sequentially re-scoring variant) stays on host via the native C++
+    kernel. Returns (scores_flat, boxes_flat, cls_boxes) where cls_boxes
+    is the legacy per-class list (index 0 = background, empty).
+
+    scores: (R, num_classes); boxes: (R, 4 * num_classes).
+    """
     num_classes = cfg.MODEL.NUM_CLASSES
-    cls_boxes = [[] for _ in range(num_classes)]
-    for j in range(1, num_classes):
-        inds = np.where(scores[:, j] > cfg.TEST.SCORE_THRESH)[0]
-        scores_j = scores[inds, j]
-        boxes_j = boxes[inds, j * 4:(j + 1) * 4]
-        dets_j = np.hstack((boxes_j, scores_j[:, np.newaxis])).astype(
-            np.float32, copy=False)
-        if cfg.TEST.SOFT_NMS.ENABLED:
-            nms_dets, _ = box_utils.soft_nms(
-                dets_j,
-                sigma=cfg.TEST.SOFT_NMS.SIGMA,
-                overlap_thresh=cfg.TEST.NMS,
-                score_thresh=0.0001,
-                method=cfg.TEST.SOFT_NMS.METHOD)
-        else:
-            keep = box_utils.nms(dets_j, cfg.TEST.NMS)
-            nms_dets = dets_j[keep, :]
-        if cfg.TEST.BBOX_VOTE.ENABLED:
-            nms_dets = box_utils.box_voting(
-                nms_dets, dets_j, cfg.TEST.BBOX_VOTE.VOTE_TH,
-                scoring_method=cfg.TEST.BBOX_VOTE.SCORING_METHOD,
-                beta=cfg.TEST.BBOX_VOTE.SCORING_METHOD_BETA)
-        cls_boxes[j] = nms_dets
+    soft = cfg.TEST.SOFT_NMS.ENABLED
 
-    if cfg.TEST.DETECTIONS_PER_IM > 0:
-        image_scores = np.hstack(
-            [cls_boxes[j][:, -1] for j in range(1, num_classes)])
-        if len(image_scores) > cfg.TEST.DETECTIONS_PER_IM:
-            image_thresh = np.sort(image_scores)[-cfg.TEST.DETECTIONS_PER_IM]
-            for j in range(1, num_classes):
-                keep = np.where(cls_boxes[j][:, -1] >= image_thresh)[0]
-                cls_boxes[j] = cls_boxes[j][keep, :]
+    if soft or scores.shape[0] == 0:
+        dets = {}
+        for j in range(1, num_classes):
+            cand = _gate_class(scores, boxes, j)
+            if soft:
+                dets[j], _ = box_utils.soft_nms(
+                    cand, sigma=cfg.TEST.SOFT_NMS.SIGMA,
+                    overlap_thresh=cfg.TEST.NMS, score_thresh=0.0001,
+                    method=cfg.TEST.SOFT_NMS.METHOD)
+            else:
+                dets[j] = cand[box_utils.nms(cand, cfg.TEST.NMS)]
+    else:
+        dets = _suppress_on_device(scores, boxes)
 
-    im_results = np.vstack([cls_boxes[j] for j in range(1, num_classes)])
-    boxes_out = im_results[:, :-1]
-    scores_out = im_results[:, -1]
-    return scores_out, boxes_out, cls_boxes
+    if cfg.TEST.BBOX_VOTE.ENABLED:
+        dets = {j: box_utils.box_voting(
+                    d, _gate_class(scores, boxes, j),
+                    cfg.TEST.BBOX_VOTE.VOTE_TH,
+                    scoring_method=cfg.TEST.BBOX_VOTE.SCORING_METHOD,
+                    beta=cfg.TEST.BBOX_VOTE.SCORING_METHOD_BETA)
+                for j, d in dets.items()}
+
+    dets = _cap_total_detections(dets, int(cfg.TEST.DETECTIONS_PER_IM))
+
+    merged = np.concatenate([dets[j] for j in range(1, num_classes)], axis=0)
+    cls_boxes = [[]] + [dets[j] for j in range(1, num_classes)]
+    return merged[:, 4], merged[:, :4], cls_boxes
 
 
 def im_detect_retinanet(spec, params, im, timers=None):
@@ -568,25 +628,43 @@ def im_detect_mask(spec, params, im, cls_boxes):
 
 
 def heatmaps_to_keypoints(maps, rois):
-    """Extract (x, y, logit, prob) per keypoint from per-RoI heatmaps
-    (utils/keypoints.py:heatmaps_to_keypoints semantics: heatmap resized to
-    the roi with cv2 cubic, argmax per keypoint). maps: (R, Hh, Wh, K);
-    rois: (R, 4) original-image coords. Returns (R, 4, K)."""
+    """Extract (x, y, logit, prob) per keypoint from per-RoI heatmaps,
+    matching ``utils/keypoints.py:heatmaps_to_keypoints:103-160``: each
+    heatmap is cubic-resized to the roi extent — floored at
+    ``KRCNN.INFERENCE_MIN_SIZE`` when set — the per-keypoint argmax cell is
+    mapped back to image coordinates through the width/height correction
+    factors (roi extent / resized-map extent; the Heckbert +0.5 center
+    convention), and the probability is the spatial softmax at that cell.
+    maps: (R, Hh, Wh, K) NHWC; rois: (R, 4) original-image coords.
+    Returns (R, 4, K)."""
     import cv2
     r, hh, wh, k = maps.shape
+    min_size = cfg.KRCNN.INFERENCE_MIN_SIZE
     out = np.zeros((r, 4, k), np.float32)
     for i in range(r):
         x1, y1, x2, y2 = rois[i]
-        w = max(int(np.ceil(x2 - x1)), 1)
-        h = max(int(np.ceil(y2 - y1)), 1)
+        roi_w = np.maximum(x2 - x1, 1)
+        roi_h = np.maximum(y2 - y1, 1)
+        w = int(np.ceil(roi_w))
+        h = int(np.ceil(roi_h))
+        if min_size > 0:
+            w = max(w, int(min_size))
+            h = max(h, int(min_size))
+        # corrections map resized-map cells back to true roi extent
+        # (identity unless the min-size floor engaged / ceil rounded)
+        corr_x = roi_w / w
+        corr_y = roi_h / h
         m = cv2.resize(maps[i], (w, h), interpolation=cv2.INTER_CUBIC)
         m = m.reshape(h * w, k) if m.ndim == 3 else m.reshape(h * w, 1)
         pos = np.argmax(m, axis=0)
         ys, xs = pos // w, pos % w
         logits = m[pos, np.arange(k)]
-        probs = np.exp(logits) / np.sum(np.exp(m), axis=0)
-        out[i, 0] = x1 + xs + 0.5
-        out[i, 1] = y1 + ys + 0.5
+        # spatial softmax per keypoint channel (keypoints.py:scores_to_probs)
+        stable = m - m.max(axis=0, keepdims=True)
+        probs = np.exp(stable[pos, np.arange(k)]) / np.sum(np.exp(stable),
+                                                           axis=0)
+        out[i, 0] = x1 + (xs + 0.5) * corr_x
+        out[i, 1] = y1 + (ys + 0.5) * corr_y
         out[i, 2] = logits
         out[i, 3] = probs
     return out

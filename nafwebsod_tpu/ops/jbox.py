@@ -71,6 +71,77 @@ def nms(boxes, scores, iou_threshold, max_output=None):
     return keep_mask, order
 
 
+@partial(jax.jit, static_argnames=('max_keep', 'limit'))
+def multiclass_nms_limit(boxes, scores, iou_threshold, score_threshold,
+                         max_keep, limit):
+    """Class-batched greedy NMS + cross-class detection cap, fully on device.
+
+    One jitted program replaces the reference's per-class host loop
+    (``detectron/core/test_wsl.py:803-870`` protocol): every foreground class
+    runs its score gate and greedy suppression in lockstep, then a single
+    ``top_k`` applies the DETECTIONS_PER_IM threshold-with-ties cap across
+    classes.
+
+    Args:
+      boxes:  (C, R, 4) per-class xyxy boxes (tile the shared proposals for
+              models without bbox regression).
+      scores: (C, R) per-class scores; padded rows must carry ``-inf``.
+      iou_threshold / score_threshold: traced scalars (a grid-search sweep
+              over them reuses one compiled program).
+      max_keep: static per-class survivor capacity. Each greedy iteration
+              keeps exactly one box per class, so ``max_keep`` iterations
+              bound the loop; any box beyond per-class rank ``max_keep``
+              can only re-enter the global top-``limit`` on an exact score
+              tie (deviation noted in PARITY.md).
+      limit:  static cross-class cap (cfg.TEST.DETECTIONS_PER_IM; 0 = off).
+
+    Returns (keep_idx (C, max_keep) int32 into the R axis, keep_scores
+    (C, max_keep) f32, keep (C, max_keep) bool). Survivors are emitted in
+    score-descending order per class; dead slots have idx -1 / score -inf.
+    """
+    c, r = scores.shape
+    gated = jnp.where(scores > score_threshold, scores, -jnp.inf)
+    cls_idx = jnp.arange(c)
+
+    def step(i, state):
+        alive, kidx, kscore = state
+        best = jnp.argmax(alive, axis=1)                       # (C,)
+        best_score = alive[cls_idx, best]
+        found = jnp.isfinite(best_score)
+        winner = boxes[cls_idx, best][:, None, :]              # (C, 1, 4)
+        # IoU row of each class winner vs that class's boxes (+1 areas);
+        # the winner removes itself via its unit self-overlap.
+        iw = (jnp.minimum(winner[..., 2], boxes[..., 2]) -
+              jnp.maximum(winner[..., 0], boxes[..., 0]) + 1.0)
+        ih = (jnp.minimum(winner[..., 3], boxes[..., 3]) -
+              jnp.maximum(winner[..., 1], boxes[..., 1]) + 1.0)
+        inter = jnp.maximum(iw, 0.0) * jnp.maximum(ih, 0.0)
+        area_w = ((winner[..., 2] - winner[..., 0] + 1.0) *
+                  (winner[..., 3] - winner[..., 1] + 1.0))
+        area_b = ((boxes[..., 2] - boxes[..., 0] + 1.0) *
+                  (boxes[..., 3] - boxes[..., 1] + 1.0))
+        ov = inter / (area_w + area_b - inter)
+        dead = (ov >= iou_threshold) & found[:, None]
+        alive = jnp.where(dead, -jnp.inf, alive)
+        kidx = kidx.at[:, i].set(jnp.where(found, best, -1))
+        kscore = kscore.at[:, i].set(best_score)
+        return alive, kidx, kscore
+
+    _, keep_idx, keep_scores = jax.lax.fori_loop(
+        0, max_keep, step,
+        (gated,
+         jnp.full((c, max_keep), -1, jnp.int32),
+         jnp.full((c, max_keep), -jnp.inf, jnp.float32)))
+
+    keep = jnp.isfinite(keep_scores)
+    if limit > 0 and c * max_keep > limit:
+        # kth-largest survivor score == the reference's image_thresh; the
+        # >= comparison keeps ties exactly as the host protocol does.
+        kth = jax.lax.top_k(keep_scores.reshape(-1), limit)[0][limit - 1]
+        keep = keep & (keep_scores >= kth)
+    return keep_idx, keep_scores, keep
+
+
 def clip_boxes(boxes, height, width):
     """Clip (…,4) xyxy boxes to [0, dim-1]."""
     x1 = jnp.clip(boxes[..., 0], 0.0, width - 1.0)

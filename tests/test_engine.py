@@ -50,6 +50,86 @@ class TestNmsAndLimit:
         assert cls_boxes[1].shape[0] == 3
         assert cls_boxes[1][0, 4] == pytest.approx(0.9)
 
+    def _random_dets(self, seed, r=60, c=5):
+        rng = np.random.RandomState(seed)
+        x1 = rng.uniform(0, 200, (r, 1)).astype(np.float32)
+        y1 = rng.uniform(0, 200, (r, 1)).astype(np.float32)
+        w = rng.uniform(5, 80, (r, 1)).astype(np.float32)
+        h = rng.uniform(5, 80, (r, 1)).astype(np.float32)
+        b1 = np.hstack([x1, y1, x1 + w, y1 + h])
+        boxes = np.tile(b1, (1, c))
+        # distinct scores: the device argmax and the host argsort break
+        # float ties differently (documented in PARITY.md)
+        scores = rng.permutation(r * c).reshape(r, c).astype(np.float32)
+        scores /= scores.max() + 1.0
+        return scores, boxes
+
+    def _host_reference(self, scores, boxes):
+        """Independent host evaluation of the same protocol via the
+        per-class native/numpy NMS, for pinning the device kernel."""
+        from nafwebsod_tpu.ops import boxes as box_utils
+        num_classes = cfg.MODEL.NUM_CLASSES
+        dets = {}
+        for j in range(1, num_classes):
+            sel = scores[:, j] > cfg.TEST.SCORE_THRESH
+            d = np.hstack([boxes[sel, 4 * j:4 * j + 4],
+                           scores[sel, j:j + 1]]).astype(np.float32)
+            dets[j] = d[box_utils.nms(d, cfg.TEST.NMS)]
+        pool = np.concatenate([d[:, 4] for d in dets.values()])
+        limit = cfg.TEST.DETECTIONS_PER_IM
+        if limit > 0 and pool.size > limit:
+            cut = np.partition(pool, -limit)[-limit]
+            dets = {j: d[d[:, 4] >= cut] for j, d in dets.items()}
+        return dets
+
+    def test_device_path_matches_host_protocol(self):
+        self._setup_cfg()
+        cfg.MODEL.NUM_CLASSES = 5
+        cfg.TEST.DETECTIONS_PER_IM = 12
+        cfg.TPU.ROI_PAD_MULTIPLE = 16
+        for seed in range(4):
+            scores, boxes = self._random_dets(seed)
+            _, _, cls_boxes = box_results_with_nms_and_limit(scores, boxes)
+            want = self._host_reference(scores, boxes)
+            for j in range(1, cfg.MODEL.NUM_CLASSES):
+                got = np.asarray(cls_boxes[j]).reshape(-1, 5)
+                np.testing.assert_allclose(got, want[j], rtol=1e-6,
+                                           err_msg='class %d seed %d'
+                                                   % (j, seed))
+
+    def test_device_path_no_limit(self):
+        self._setup_cfg()
+        cfg.MODEL.NUM_CLASSES = 5
+        cfg.TEST.DETECTIONS_PER_IM = 0
+        cfg.TPU.ROI_PAD_MULTIPLE = 16
+        scores, boxes = self._random_dets(7)
+        _, _, cls_boxes = box_results_with_nms_and_limit(scores, boxes)
+        want = self._host_reference(scores, boxes)
+        for j in range(1, cfg.MODEL.NUM_CLASSES):
+            got = np.asarray(cls_boxes[j]).reshape(-1, 5)
+            np.testing.assert_allclose(got, want[j], rtol=1e-6)
+
+    def test_voting_path(self):
+        self._setup_cfg()
+        cfg.MODEL.NUM_CLASSES = 3
+        cfg.TEST.BBOX_VOTE.ENABLED = True
+        cfg.TEST.BBOX_VOTE.VOTE_TH = 0.7
+        scores, boxes = self._random_dets(3, r=30, c=3)
+        _, out_boxes, cls_boxes = box_results_with_nms_and_limit(
+            scores, boxes)
+        assert out_boxes.shape[1] == 4
+        assert sum(len(np.asarray(cls_boxes[j]).reshape(-1, 5))
+                   for j in range(1, 3)) <= cfg.TEST.DETECTIONS_PER_IM + 30
+
+    def test_soft_nms_path(self):
+        self._setup_cfg()
+        cfg.MODEL.NUM_CLASSES = 3
+        cfg.TEST.SOFT_NMS.ENABLED = True
+        scores, boxes = self._random_dets(5, r=30, c=3)
+        out_scores, out_boxes, cls_boxes = box_results_with_nms_and_limit(
+            scores, boxes)
+        assert out_scores.ndim == 1 and out_boxes.shape[1] == 4
+
 
 @pytest.mark.slow
 class TestEndToEndInference:

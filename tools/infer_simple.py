@@ -66,11 +66,13 @@ def main():
     assert_and_infer_cfg()
     os.makedirs(args.output_dir, exist_ok=True)
 
+    from nafwebsod_tpu.data.dummy_datasets import classes_for_num
     from nafwebsod_tpu.engine import test as infer
     from nafwebsod_tpu.engine.test_engine import initialize_model_from_cfg
     from nafwebsod_tpu.utils.vis import vis_one_image
 
     spec, params = initialize_model_from_cfg(args.weights)
+    class_names = classes_for_num(cfg.MODEL.NUM_CLASSES)
 
     if os.path.isdir(args.im_or_folder):
         im_list = sorted(glob.glob(os.path.join(
@@ -97,7 +99,8 @@ def main():
 
         cls_boxes, _, _ = infer.im_detect_all(spec, params, im, boxes, scores)
         out_name = os.path.join(args.output_dir, stem + '_det.jpg')
-        vis_one_image(im, cls_boxes, thresh=args.thresh, output_name=out_name)
+        vis_one_image(im, cls_boxes, thresh=args.thresh,
+                      class_names=class_names, output_name=out_name)
         logger.info('Wrote %s', out_name)
 
 
