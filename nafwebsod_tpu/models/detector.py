@@ -107,10 +107,16 @@ class ModelSpec:
     csc_fg_threshold: float = 0.1
     # bounded per-image gt-class capacity for CPG backward passes
     max_gt_cpg: int = 4
-    # weakly-supervised mask branch (MODEL.MASK_ON, wsl_seg_heads.py);
-    # mask_head 'fcn' or 'deeplab' (MRCNN.ROI_MASK_HEAD)
+    # mask branch (MODEL.MASK_ON): mask_head selects the architecture from
+    # MRCNN.ROI_MASK_HEAD — 'fcn' = v1upXconvs(_gn) conv tower with
+    # mask_num_convs/mask_gn (mask_rcnn_heads.py:112-230 and the WSL
+    # wsl_seg_heads.py:514-691 equivalents), 'v0up'/'v0upshare' = res5
+    # stage + deconv (mask_rcnn_heads.py:238-300; v0upshare reads the box
+    # head's res5 weights), 'deeplab' = the WSL ASPP/CRF branch
     mask_on: bool = False
     mask_head: str = 'fcn'
+    mask_num_convs: int = 2
+    mask_gn: bool = False
     mask_resolution: int = 14
     mask_dim_reduced: int = 256
     mask_dilation: int = 2
@@ -343,8 +349,7 @@ def spec_from_cfg(cfg):
         max_iter=cfg.SOLVER.MAX_ITER,
         context_ratio=cfg.WSL.CONTEXT_RATIO,
         mask_on=cfg.MODEL.MASK_ON,
-        mask_head=('deeplab' if 'deeplab' in cfg.MRCNN.ROI_MASK_HEAD
-                   else 'fcn'),
+        **_mask_head_fields(cfg.MRCNN.ROI_MASK_HEAD, cfg.MODEL.MASK_ON),
         mask_resolution=cfg.MRCNN.ROI_XFORM_RESOLUTION,
         mask_dim_reduced=cfg.MRCNN.DIM_REDUCED,
         mask_dilation=cfg.MRCNN.DILATION,
@@ -430,6 +435,36 @@ def _resnet_depth(conv_body):
         if d in conv_body:
             return 'resnet' + d
     return 'resnet50'
+
+
+# MRCNN.ROI_MASK_HEAD function names -> (mask_head, num_convs, gn). Both the
+# supervised registry (mask_rcnn_heads.py:112-300) and the WSL twins
+# (wsl_seg_heads.py:514-752); unlisted names raise rather than silently
+# building a different architecture.
+_MASK_HEAD_VARIANTS = {
+    'mask_rcnn_fcn_head': ('fcn', 2, False),
+    'mask_rcnn_fcn_head_v1up': ('fcn', 2, False),
+    'mask_rcnn_fcn_head_v1up4convs': ('fcn', 4, False),
+    'mask_rcnn_fcn_head_v1up4convs_gn': ('fcn', 4, True),
+    'mask_rcnn_fcn_head_v0up': ('v0up', 0, False),
+    'mask_rcnn_fcn_head_v0upshare': ('v0upshare', 0, False),
+}
+
+
+def _mask_head_fields(roi_mask_head, mask_on):
+    """Resolve MRCNN.ROI_MASK_HEAD to ModelSpec mask-architecture fields."""
+    if not mask_on or not roi_mask_head:
+        return dict(mask_head='fcn', mask_num_convs=2, mask_gn=False)
+    name = roi_mask_head.rsplit('.', 1)[-1]
+    if 'deeplab' in name:
+        return dict(mask_head='deeplab', mask_num_convs=2, mask_gn=False)
+    if name not in _MASK_HEAD_VARIANTS:
+        raise NotImplementedError(
+            'MRCNN.ROI_MASK_HEAD {!r} is not implemented (supported: '
+            '{} and the deeplab heads)'.format(
+                roi_mask_head, sorted(_MASK_HEAD_VARIANTS)))
+    head, num_convs, gn = _MASK_HEAD_VARIANTS[name]
+    return dict(mask_head=head, mask_num_convs=num_convs, mask_gn=gn)
 
 
 def init_params(spec: ModelSpec, rng):
@@ -550,11 +585,38 @@ def init_params(spec: ModelSpec, rng):
             params.update(seg_head.init_deeplab_head_params(
                 jax.random.fold_in(r2, 13), spec.num_classes,
                 dim_in=spec.body_out_dim))
+        elif spec.mask_head in ('v0up', 'v0upshare'):
+            if spec.mask_head == 'v0upshare':
+                # weight sharing with the conv5 box head
+                # (mask_rcnn_heads.py:238-263) requires that head to exist
+                assert spec.box_head == 'res5_head', \
+                    'v0upshare shares res5 with the box head — use the ' \
+                    'ResNet.add_ResNet_roi_conv5_head box head'
+            params.update(seg_head.init_mask_v0up_params(
+                jax.random.fold_in(r2, 13), spec.num_classes,
+                dim_reduced=spec.mask_dim_reduced,
+                depth=_resnet_depth(spec.conv_body),
+                share_res5=spec.mask_head == 'v0upshare',
+                num_groups=spec.resnets_num_groups,
+                width_per_group=spec.resnets_width_per_group))
         else:
             params.update(seg_head.init_mask_head_params(
                 jax.random.fold_in(r2, 13), spec.num_classes,
-                dim_in=spec.body_out_dim, dim_inner=spec.mask_dim_reduced))
+                dim_in=spec.body_out_dim, dim_inner=spec.mask_dim_reduced,
+                num_convs=spec.mask_num_convs, gn=spec.mask_gn))
     return params
+
+
+def _apply_mask_head(spec: ModelSpec, params, pooled):
+    """Run the configured mask-head architecture over pooled mask-RoI
+    features (dispatch on the ModelSpec fields derived from
+    MRCNN.ROI_MASK_HEAD)."""
+    from nafwebsod_tpu.models import seg_head
+    return seg_head.mask_head_from_pooled(
+        params, pooled, dilation=spec.mask_dilation,
+        num_convs=spec.mask_num_convs, gn=spec.mask_gn,
+        variant=spec.mask_head, depth=_resnet_depth(spec.conv_body),
+        num_groups=spec.resnets_num_groups)
 
 
 def _body_param_names(spec):
@@ -1041,8 +1103,7 @@ def forward_masks(spec: ModelSpec, params, image, rois):
     else:
         feat, _ = body_forward(spec, params, image)
         pooled = _mask_pooled(spec, params, feat, rois)
-    mask_logits = seg_head.mask_head_from_pooled(
-        params, pooled, dilation=spec.mask_dilation)
+    mask_logits = _apply_mask_head(spec, params, pooled)
     return seg_head.mask_probs_test(mask_logits)
 
 
@@ -1344,8 +1405,7 @@ def forward_train(spec: ModelSpec, params, batch, rng):
                 batch['gt_masks'][ga], batch['gt_boxes'][ga], srois, m_out)
             pooled = _mask_pooled(spec, params,
                                   levels if spec.is_fpn else feat, srois)
-            mask_logits = seg_head.mask_head_from_pooled(
-                params, pooled, dilation=spec.mask_dilation)
+            mask_logits = _apply_mask_head(spec, params, pooled)
             loss_mask = spec.mask_loss_weight * seg_ops.e2e_mask_loss(
                 mask_logits, sg(targets), blobs['labels_int32'], fg)
             total = total + loss_mask
@@ -1404,8 +1464,7 @@ def forward_train(spec: ModelSpec, params, batch, rng):
             from nafwebsod_tpu.data.mask_rcnn import mask_rcnn_loss
             from nafwebsod_tpu.models import seg_head
             pooled = _mask_pooled(spec, params, feat, batch['mask_rois'])
-            mask_logits = seg_head.mask_head_from_pooled(
-                params, pooled, dilation=spec.mask_dilation)
+            mask_logits = _apply_mask_head(spec, params, pooled)
             targets = batch['masks_int32']
             if spec.mask_cls_specific:
                 # the loader expands to num_classes slots; the head emits
@@ -1559,8 +1618,7 @@ def forward_train(spec: ModelSpec, params, batch, rng):
     elif spec.mask_on:
         from nafwebsod_tpu.models import seg_head
         pooled = _mask_pooled(spec, params, feat, rois)
-        mask_logits = seg_head.mask_head_from_pooled(
-            params, pooled, dilation=spec.mask_dilation)
+        mask_logits = _apply_mask_head(spec, params, pooled)
         losses['mask_loss_cls'] = spec.mask_loss_weight * seg_head.mask_losses(
             mask_logits, jax.lax.stop_gradient(out['rois_pred']), rois,
             labels_oh, valid)

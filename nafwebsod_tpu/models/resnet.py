@@ -210,16 +210,26 @@ def init_res5_head_params(rng, depth='resnet50', num_groups=1,
     return params
 
 
-def roi_res5_forward(params, pooled, depth='resnet50', dilation=1,
-                     stride_init=2, stride_1x1=True, num_groups=1):
-    """Run the res5 stage over pooled RoI features (R, 14, 14, C_res4) and
-    global-average-pool to (R, 2048[/512])."""
+def roi_res5_spatial_forward(params, pooled, depth='resnet50', dilation=1,
+                             stride_init=2, stride_1x1=True, num_groups=1):
+    """res5 stage over pooled RoI features, keeping the spatial map —
+    the mask-head building block (mask_rcnn_heads.py:
+    add_ResNet_roi_conv5_head_for_masks:303-330, stride_init =
+    RESOLUTION/7). Returns (R, res/stride, res/stride, 2048[/512])."""
     shallow = depth == 'resnet18'
     counts = BLOCK_COUNTS[depth]
     if dilation > 1:
         stride_init = 1
-    x = _stage(pooled, params, 'res5', counts[3], stride_init, dilation,
-               stride_1x1, shallow=shallow, groups=num_groups)
+    return _stage(pooled, params, 'res5', counts[3], stride_init, dilation,
+                  stride_1x1, shallow=shallow, groups=num_groups)
+
+
+def roi_res5_forward(params, pooled, depth='resnet50', dilation=1,
+                     stride_init=2, stride_1x1=True, num_groups=1):
+    """Run the res5 stage over pooled RoI features (R, 14, 14, C_res4) and
+    global-average-pool to (R, 2048[/512])."""
+    x = roi_res5_spatial_forward(params, pooled, depth, dilation,
+                                 stride_init, stride_1x1, num_groups)
     return jnp.mean(x, axis=(1, 2))
 
 

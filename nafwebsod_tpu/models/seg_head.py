@@ -19,15 +19,23 @@ from nafwebsod_tpu.ops.seg import (mask_utility,
 
 
 def init_mask_head_params(rng, num_classes, dim_in=512, dim_inner=256,
-                          num_convs=2, dtype=jnp.float32):
+                          num_convs=2, gn=False, dtype=jnp.float32):
+    """v1upXconvs(_gn) tower params (mask_rcnn_heads.py:137-230). The GN
+    variant follows the reference's ConvGN: bias-free conv + per-channel
+    group-norm scale/bias, and the bracket-free ``_mask_fcnK`` blob prefix
+    (vs ``_[mask]_fcnK`` without GN) so pkl checkpoints interchange."""
     params = {}
     keys = jax.random.split(rng, num_convs + 2)
     d = dim_in
     for i in range(num_convs):
-        params['_[mask]_fcn{}_w'.format(i + 1)] = (
+        prefix = ('_mask_fcn{}' if gn else '_[mask]_fcn{}').format(i + 1)
+        params[prefix + '_w'] = (
             0.001 * jax.random.normal(keys[i], (3, 3, d, dim_inner), dtype))
-        params['_[mask]_fcn{}_b'.format(i + 1)] = jnp.zeros((dim_inner,),
-                                                            dtype)
+        if gn:
+            params[prefix + '_gn_s'] = jnp.ones((dim_inner,), dtype)
+            params[prefix + '_gn_b'] = jnp.zeros((dim_inner,), dtype)
+        else:
+            params[prefix + '_b'] = jnp.zeros((dim_inner,), dtype)
         d = dim_inner
     # ConvTranspose 2x2 stride 2 (HWIO for conv_transpose)
     params['conv5_mask_w'] = 0.001 * jax.random.normal(
@@ -35,6 +43,32 @@ def init_mask_head_params(rng, num_classes, dim_in=512, dim_inner=256,
     params['conv5_mask_b'] = jnp.zeros((dim_inner,), dtype)
     params['mask_fcn_logits_w'] = 0.001 * jax.random.normal(
         keys[-1], (1, 1, dim_inner, num_classes - 1), dtype)
+    params['mask_fcn_logits_b'] = jnp.zeros((num_classes - 1,), dtype)
+    return params
+
+
+def init_mask_v0up_params(rng, num_classes, dim_reduced=256,
+                          depth='resnet50', share_res5=False, num_groups=1,
+                          width_per_group=64, dtype=jnp.float32):
+    """v0up(share) head params (mask_rcnn_heads.py:238-300): a ResNet res5
+    stage over the pooled mask RoIs (params ``_[mask]_res5_*`` — or shared
+    with the box head's ``res5_*`` for v0upshare, where none are created
+    here), then deconv 2048->DIM_REDUCED + 1x1 logits."""
+    from nafwebsod_tpu.models import resnet
+
+    params = {}
+    k1, k2, k3 = jax.random.split(rng, 3)
+    dim_conv5 = 512 if depth == 'resnet18' else 2048
+    if not share_res5:
+        res5 = resnet.init_res5_head_params(
+            k1, depth=depth, num_groups=num_groups,
+            width_per_group=width_per_group, dtype=dtype)
+        params.update({'_[mask]_' + name: v for name, v in res5.items()})
+    params['conv5_mask_w'] = 0.001 * jax.random.normal(
+        k2, (2, 2, dim_conv5, dim_reduced), dtype)
+    params['conv5_mask_b'] = jnp.zeros((dim_reduced,), dtype)
+    params['mask_fcn_logits_w'] = 0.001 * jax.random.normal(
+        k3, (1, 1, dim_reduced, num_classes - 1), dtype)
     params['mask_fcn_logits_b'] = jnp.zeros((num_classes - 1,), dtype)
     return params
 
@@ -53,18 +87,45 @@ def mask_head_forward(params, feat, rois, spatial_scale, *, resolution=14,
                                  num_convs=num_convs)
 
 
-def mask_head_from_pooled(params, x, *, dilation=2, num_convs=2):
+def mask_head_from_pooled(params, x, *, dilation=2, num_convs=2, gn=False,
+                          variant='fcn', depth='resnet50', num_groups=1):
     """Conv/deconv/logit part of the mask head over pre-pooled RoI features
-    (FPN bodies pool via the multilevel transform first)."""
+    (FPN bodies pool via the multilevel transform first).
+
+    ``variant`` selects the reference architecture
+    (mask_rcnn_heads.py:112-300): 'fcn' = v1upXconvs(_gn) with
+    ``num_convs``/``gn``; 'v0up'/'v0upshare' = ResNet res5 stage + deconv
+    (v0upshare reads the box head's shared ``res5_*`` params)."""
     x = x.astype(jnp.float32)
-    for i in range(num_convs):
-        w = params['_[mask]_fcn{}_w'.format(i + 1)]
-        x = jax.lax.conv_general_dilated(
-            x, w, window_strides=(1, 1),
-            padding=((dilation, dilation), (dilation, dilation)),
-            rhs_dilation=(dilation, dilation),
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-        x = jax.nn.relu(x + params['_[mask]_fcn{}_b'.format(i + 1)])
+    if variant in ('v0up', 'v0upshare'):
+        from nafwebsod_tpu.models import resnet
+        prefix = 'res5' if variant == 'v0upshare' else '_[mask]_res5'
+        stage_params = {k[len('_[mask]_'):] if variant == 'v0up' else k: v
+                        for k, v in params.items()
+                        if k.startswith(prefix)}
+        # stride_init = RESOLUTION/7 (mask_rcnn_heads.py:319): pooled at
+        # 14 -> res5 downsamples to 7 before the 2x deconv
+        x = resnet.roi_res5_spatial_forward(
+            stage_params, x, depth=depth,
+            stride_init=max(x.shape[1] // 7, 1), num_groups=num_groups)
+    else:
+        for i in range(num_convs):
+            prefix = ('_mask_fcn{}' if gn else '_[mask]_fcn{}').format(i + 1)
+            x = jax.lax.conv_general_dilated(
+                x, params[prefix + '_w'], window_strides=(1, 1),
+                padding=((dilation, dilation), (dilation, dilation)),
+                rhs_dilation=(dilation, dilation),
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            if gn:
+                from nafwebsod_tpu.ops.norm import get_group_gn, group_norm
+                c = x.shape[-1]
+                x = group_norm(x, params[prefix + '_gn_s'],
+                               params[prefix + '_gn_b'],
+                               num_groups=get_group_gn(
+                                   c, num_groups=min(32, c)))
+                x = jax.nn.relu(x)
+            else:
+                x = jax.nn.relu(x + params[prefix + '_b'])
     # 2x upsample deconv
     x = jax.lax.conv_transpose(
         x, params['conv5_mask_w'], strides=(2, 2), padding='VALID',

@@ -142,3 +142,91 @@ def test_every_reference_config_builds_a_spec():
             bad.append((os.path.basename(p), str(e)[:70]))
     C.reset_cfg()
     assert not bad, bad
+
+
+class TestMaskHeadVariants:
+    """MRCNN.ROI_MASK_HEAD strings must build the architecture their names
+    promise (mask_rcnn_heads.py:112-300) — or raise."""
+
+    def _fields(self, name):
+        return detector._mask_head_fields('mask_rcnn_heads.' + name, True)
+
+    def test_variant_registry(self):
+        f = self._fields('mask_rcnn_fcn_head_v1up4convs')
+        assert f == dict(mask_head='fcn', mask_num_convs=4, mask_gn=False)
+        f = self._fields('mask_rcnn_fcn_head_v1up4convs_gn')
+        assert f == dict(mask_head='fcn', mask_num_convs=4, mask_gn=True)
+        f = self._fields('mask_rcnn_fcn_head_v1up')
+        assert f == dict(mask_head='fcn', mask_num_convs=2, mask_gn=False)
+        assert self._fields('mask_rcnn_fcn_head_v0up')['mask_head'] == 'v0up'
+        assert (self._fields('mask_rcnn_fcn_head_v0upshare')['mask_head']
+                == 'v0upshare')
+        wsl = detector._mask_head_fields(
+            'wsl_seg_heads.mask_rcnn_fcn_head', True)
+        assert wsl == dict(mask_head='fcn', mask_num_convs=2, mask_gn=False)
+        assert detector._mask_head_fields(
+            'wsl_seg_heads.deeplab_vgg16_head', True)['mask_head'] == 'deeplab'
+
+    def test_unknown_head_raises(self):
+        with pytest.raises(NotImplementedError):
+            detector._mask_head_fields('mask_rcnn_heads.fancy_new_head', True)
+
+    def _spec(self, **kw):
+        base = dict(
+            num_classes=5, hidden_dim=16, supervised=True, mask_on=True,
+            mask_resolution=14, mask_dim_reduced=8,
+            conv_body='resnet18_c4', box_head='res5_head', webly_on=False,
+            webly_entropy=False, dilation=1, freeze_conv_body=False,
+            roi_xform_method='RoIAlign', roi_resolution=14,
+            compute_dtype='float32')
+        base.update(kw)
+        return detector.ModelSpec(**base)
+
+    def test_v1up4convs_gn_params_and_forward(self):
+        spec = self._spec(mask_head='fcn', mask_num_convs=4, mask_gn=True)
+        params = detector.init_params(spec, jax.random.PRNGKey(0))
+        for i in range(1, 5):
+            assert '_mask_fcn%d_w' % i in params
+            assert '_mask_fcn%d_gn_s' % i in params
+            assert '_mask_fcn%d_b' % i not in params  # ConvGN is bias-free
+        assert '_mask_fcn5_w' not in params
+        pooled = jnp.asarray(np.random.RandomState(0).randn(
+            3, 14, 14, 256).astype(np.float32))
+        out = detector._apply_mask_head(spec, params, pooled)
+        assert out.shape == (3, 28, 28, 4)
+
+    def test_v1up_conv_count(self):
+        spec = self._spec(mask_head='fcn', mask_num_convs=2, mask_gn=False)
+        params = detector.init_params(spec, jax.random.PRNGKey(0))
+        assert '_[mask]_fcn2_w' in params and '_[mask]_fcn3_w' not in params
+
+    def test_v0up_params_and_forward(self):
+        spec = self._spec(mask_head='v0up')
+        params = detector.init_params(spec, jax.random.PRNGKey(0))
+        assert '_[mask]_res5_0_branch2a_w' in params
+        # deconv from the res5 width (512 for the shallow trunk)
+        assert params['conv5_mask_w'].shape == (2, 2, 512, 8)
+        pooled = jnp.asarray(np.random.RandomState(1).randn(
+            3, 14, 14, 256).astype(np.float32))
+        out = detector._apply_mask_head(spec, params, pooled)
+        # res5 stride 2: 14 -> 7, deconv 2x: -> 14
+        assert out.shape == (3, 14, 14, 4)
+
+    def test_v0upshare_shares_box_res5(self):
+        spec = self._spec(mask_head='v0upshare')
+        params = detector.init_params(spec, jax.random.PRNGKey(0))
+        assert not any(k.startswith('_[mask]_res5') for k in params)
+        assert 'res5_0_branch2a_w' in params  # the box head's
+        pooled = jnp.asarray(np.random.RandomState(2).randn(
+            3, 14, 14, 256).astype(np.float32))
+        out = detector._apply_mask_head(spec, params, pooled)
+        assert out.shape == (3, 14, 14, 4)
+        # gradient through the shared stage reaches the box-head weights
+        g = jax.grad(lambda p: jnp.sum(
+            detector._apply_mask_head(spec, p, pooled) ** 2))(params)
+        assert float(jnp.abs(g['res5_0_branch2a_w']).sum()) > 0
+
+    def test_v0upshare_requires_res5_box_head(self):
+        spec = self._spec(mask_head='v0upshare', box_head='vgg16_2fc')
+        with pytest.raises(AssertionError):
+            detector.init_params(spec, jax.random.PRNGKey(0))
