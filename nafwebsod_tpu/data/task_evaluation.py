@@ -41,12 +41,23 @@ def evaluate_boxes(json_dataset, all_boxes, output_dir, use_matlab=False):
     return coco_evaluator.evaluate_boxes(json_dataset, all_boxes, output_dir)
 
 
+def _use_cityscapes_evaluator(dataset_name):
+    """Route segm eval to the cityscapes instance protocol
+    (ref task_evaluation.py:278-280)."""
+    return 'cityscapes_' in dataset_name
+
+
 def evaluate_all(dataset, all_boxes, all_segms, all_keyps, output_dir):
     res = evaluate_boxes(dataset, all_boxes, output_dir)
     if all_segms is not None:
         logger.info('Evaluating segmentations')
-        seg = coco_evaluator.evaluate_masks(
-            dataset, all_boxes, all_segms, output_dir)
+        if _use_cityscapes_evaluator(dataset.name):
+            from nafwebsod_tpu.data import cityscapes_evaluator
+            seg = cityscapes_evaluator.evaluate_masks(
+                dataset, all_boxes, all_segms, output_dir)
+        else:
+            seg = coco_evaluator.evaluate_masks(
+                dataset, all_boxes, all_segms, output_dir)
         res.update({'segm_' + k: v for k, v in seg.items()})
     if all_keyps is not None:
         logger.info('Evaluating keypoints')

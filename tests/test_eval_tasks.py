@@ -117,3 +117,58 @@ def test_check_expected_results_gate():
     assert not task_evaluation.check_expected_results(
         {'ds': {'AP': 0.5}}, atol=0.005, rtol=0.1)  # missing metric
     reset_cfg()
+
+
+def test_cityscapes_evaluator_end_to_end(tmp_path):
+    """Perfect predictions on a cityscapes-named fixture: AP ~= 1.0 plus a
+    well-formed cityscapesscripts submission layout."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import fixtures
+    from nafwebsod_tpu.core.config import reset_cfg
+    from nafwebsod_tpu.data.json_dataset import JsonDataset
+    from nafwebsod_tpu.data import catalog, task_evaluation
+    from nafwebsod_tpu.data import cityscapes_evaluator
+
+    reset_cfg()
+    info = fixtures.make_coco_dataset(str(tmp_path), n_images=2)
+    name = 'cityscapes_fine_instanceonly_seg_fixture'
+    catalog.register_dataset(name, info['image_dir'], info['ann_file'])
+    assert task_evaluation._use_cityscapes_evaluator(name)
+    ds = JsonDataset(name)
+    roidb = ds.get_roidb(gt=True)
+    num_classes = len(ds.classes)
+
+    all_boxes = [[[] for _ in roidb] for _ in range(num_classes)]
+    all_segms = [[[] for _ in roidb] for _ in range(num_classes)]
+    for i, e in enumerate(roidb):
+        h, w = e['height'], e['width']
+        for cls in range(1, num_classes):
+            sel = np.where(e['gt_classes'] == cls)[0]
+            dets, rles = [], []
+            for ix in sel:
+                x1, y1, x2, y2 = e['boxes'][ix]
+                dets.append([x1, y1, x2, y2, 0.9])
+                m = np.zeros((h, w), np.uint8)
+                m[int(y1):int(y2) + 1, int(x1):int(x2) + 1] = 1
+                rles.append(segm_utils.mask_to_rle(m))
+            all_boxes[cls][i] = (np.asarray(dets, np.float32)
+                                 if dets else [])
+            all_segms[cls][i] = rles
+
+    out = str(tmp_path / 'eval_out')
+    os.makedirs(out, exist_ok=True)
+    res = cityscapes_evaluator.evaluate_masks(ds, all_boxes, all_segms, out,
+                                              use_salt=False)
+    assert res['AP50'] == pytest.approx(1.0)
+    assert res['AP'] == pytest.approx(1.0)
+
+    # submission layout: one pred.txt per image + per-instance pngs
+    sub = os.path.join(out, 'cityscapes_submission')
+    txts = sorted(f for f in os.listdir(sub) if f.endswith('pred.txt'))
+    assert len(txts) == 2
+    with open(os.path.join(sub, txts[0])) as f:
+        row = f.readline().split()
+    assert len(row) == 3 and row[0].startswith('results/')
+    assert os.path.exists(os.path.join(sub, row[0]))

@@ -148,3 +148,139 @@ class TestConvertPklToCoco:
         ann = data['annotations'][0]
         assert ann['bbox'] == [1.0, 2.0, 30.0, 39.0]
         assert ann['score'] == pytest.approx(0.9)
+
+
+class TestCheckpointSurgeryTools:
+    def _save_pkl(self, path, blobs, wrap=True):
+        from nafwebsod_tpu.utils.io import save_object
+        save_object({'blobs': blobs} if wrap else blobs, str(path))
+
+    def test_delete_momentum(self, tmp_path):
+        from delete_momentum import strip_momentum
+        blobs = {'fc6_w': np.ones((2, 2)), 'fc6_w_momentum': np.ones((2, 2)),
+                 'fc6_b': np.zeros((2,))}
+        out = strip_momentum(blobs)
+        assert set(out) == {'fc6_w', 'fc6_b'}
+
+    def test_merge_conv_and_bn_folds_affine(self):
+        from merge_conv_and_bn import fold_bn
+        rng = np.random.RandomState(0)
+        w = rng.randn(4, 3, 3, 3).astype(np.float32)   # OIHW
+        s = rng.rand(4).astype(np.float32) + 0.5
+        b = rng.randn(4).astype(np.float32)
+        blobs = {'res2_0_branch2a_w': w, 'res2_0_branch2a_bn_s': s,
+                 'res2_0_branch2a_bn_b': b, 'fc_w': np.ones((2, 2))}
+        out = fold_bn(blobs)
+        assert 'res2_0_branch2a_bn_s' not in out
+        # conv output x*w then *s  ==  x*(w*s) for every output channel
+        np.testing.assert_allclose(out['res2_0_branch2a_w'],
+                                   w * s[:, None, None, None], rtol=1e-6)
+        np.testing.assert_allclose(out['res2_0_branch2a_b'], b)  # 0*s + b
+        assert 'fc_w' in out
+
+    def test_merge_conv_and_bn_stem_special_case(self):
+        from merge_conv_and_bn import fold_bn
+        blobs = {'conv1_w': np.ones((2, 3, 7, 7), np.float32),
+                 'res_conv1_bn_s': np.full((2,), 2.0, np.float32),
+                 'res_conv1_bn_b': np.ones((2,), np.float32)}
+        out = fold_bn(blobs)
+        np.testing.assert_allclose(out['conv1_w'], 2.0)
+        np.testing.assert_allclose(out['conv1_b'], 1.0)
+
+    def test_diff_net_stats(self):
+        from diff_net import compare
+        a = {'fc_w': np.ones((4, 4), np.float32)}
+        b = {'fc_w': np.ones((4, 4), np.float32) * 2.0}
+        (name, stats), = list(compare(a, b))
+        assert name == 'fc_w'
+        assert stats['mean_abs_diff'] == pytest.approx(1.0)
+        assert stats['normF'] == pytest.approx(4.0)
+
+    def test_combine_deeplab(self):
+        from combine_deeplab_and_original_vgg16 import combine
+        original = {'conv1_w': np.ones((2,)), 'fc8c_w': np.ones((2,))}
+        deeplab = {'conv1_w': np.ones((2,)), 'fc6_1_w': np.zeros((3,)),
+                   'mask_fc8_1_w': np.ones((2,))}
+        out = combine(original, deeplab)
+        assert set(out) == {'conv1_w', 'fc6_1_w'}
+
+    def test_convert_coco_model_to_cityscapes(self):
+        from convert_coco_model_to_cityscapes import (NUM_COCO_CLS,
+                                                      remap_class_blob)
+        rng = np.random.RandomState(0)
+        cls_w = rng.randn(NUM_COCO_CLS, 8).astype(np.float32)
+        out = remap_class_blob(cls_w, 'cityscapes_to_coco')
+        assert out.shape == (9, 8)
+        # cityscapes person (id 3) seeds from coco person (id 1)
+        np.testing.assert_array_equal(out[3], cls_w[1])
+        bbox_w = rng.randn(4 * NUM_COCO_CLS, 8).astype(np.float32)
+        out4 = remap_class_blob(bbox_w, 'cityscapes_to_coco')
+        assert out4.shape == (36, 8)
+        np.testing.assert_array_equal(
+            out4.reshape(9, 4, 8)[3], bbox_w.reshape(81, 4, 8)[1])
+
+    def test_distort_voc_json(self):
+        import random
+        from distort_voc_json import distort
+        ds = {
+            'categories': [{'id': i} for i in range(1, 5)],
+            'images': [{'id': 1}, {'id': 2}],
+            'annotations': [
+                {'image_id': 1, 'category_id': 1},
+                {'image_id': 1, 'category_id': 2},
+                {'image_id': 2, 'category_id': 3},
+            ],
+        }
+        rng = random.Random(0)
+        out = distort(ds, p1=0.0, p2=1.0, rng=rng)
+        # p2=1: every image keeps exactly one annotation
+        assert len(out['annotations']) == 2
+        ids = [a['image_id'] for a in out['annotations']]
+        assert sorted(ids) == [1, 2]
+
+    def test_generate_testdev_filter(self):
+        from generate_testdev_from_test import filter_testdev
+        dets = [{'image_id': 1, 'score': 0.5}, {'image_id': 9, 'score': 0.1}]
+        assert filter_testdev(dets, [9]) == [dets[1]]
+
+    def test_densenet_converter_folds_bn(self, tmp_path):
+        from pickle_caffe_blobs_densenet import (convert,
+                                                 parse_caffemodel_typed)
+        w = np.ones((2, 3, 1, 1), np.float32)
+        mean = np.array([1.0, 2.0], np.float32)
+        var = np.array([0.25, 1.0], np.float32)
+        s = np.array([2.0, 3.0], np.float32)
+        b = np.array([0.5, -0.5], np.float32)
+
+        def layer(name, ltype, blobs):
+            msg = _ld(1, name.encode()) + _ld(2, ltype.encode())
+            for blob in blobs:
+                msg += _ld(7, _blob_proto(blob))
+            return _ld(100, msg)
+
+        net = (layer('conv1', 'Convolution', [w]) +
+               layer('conv1_bn', 'BatchNorm',
+                     [mean, var, np.array([1.0], np.float32)]) +
+               layer('conv1_scale', 'Scale', [s, b]))
+        path = tmp_path / 'dense.caffemodel'
+        path.write_bytes(net)
+        layers = parse_caffemodel_typed(str(path))
+        assert [l[1] for l in layers] == ['Convolution', 'BatchNorm', 'Scale']
+
+        out = convert(layers)
+        np.testing.assert_array_equal(out['conv1_b'], 0.0)  # zero-filled
+        std = np.sqrt(var + 1e-5)
+        np.testing.assert_allclose(out['conv1_bn_s'], s / std, rtol=1e-6)
+        np.testing.assert_allclose(out['conv1_bn_b'], b - mean * s / std,
+                                   rtol=1e-6)
+
+        kept = convert(layers, keep_bn=True)
+        np.testing.assert_allclose(kept['conv1_bn_rm'], mean)
+        np.testing.assert_allclose(kept['conv1_bn_riv'], var)
+
+    def test_delete_nolog_exp_dry_run(self, tmp_path):
+        from delete_nolog_exp import kept_ids
+        logs = tmp_path / '_logs'
+        logs.mkdir()
+        (logs / 'exp1 something.log').write_text('x')
+        assert kept_ids(str(logs)) == {'exp1'}
