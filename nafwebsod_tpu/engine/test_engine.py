@@ -193,8 +193,8 @@ def test_net(weights_file, dataset_name, proposal_file, output_dir,
             from nafwebsod_tpu.utils.vis import feat_map_vis, vis_one_image
             stem = os.path.splitext(os.path.basename(entry['image']))[0]
             vis_one_image(
-                im, cls_boxes_i, thresh=cfg.VIS_TH,
-                class_names=dataset.classes,
+                im, cls_boxes_i, segms=cls_segms_i, keypoints=cls_keyps_i,
+                thresh=cfg.VIS_TH, class_names=dataset.classes,
                 output_name=os.path.join(output_dir, 'vis',
                                          stem + '.png'))
             try:

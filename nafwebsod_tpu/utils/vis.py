@@ -26,26 +26,81 @@ def distinct_color(idx):
     return tuple(int(v) for v in cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)[0, 0])
 
 
-def vis_one_image(im, cls_boxes, thresh=0.5, class_names=None,
-                  output_name=None):
-    """Render per-class detections (vis.py:vis_one_image). cls_boxes is the
-    per-class list of (N, 5) [x1 y1 x2 y2 score] arrays. Returns the drawn
-    image; writes ``output_name`` when given."""
+# COCO 17-keypoint skeleton (pairs of keypoint indices in the standard
+# nose/eyes/ears/shoulders/elbows/wrists/hips/knees/ankles ordering), the
+# connection set the reference derives in vis.py:kp_connections:47-65.
+COCO_KP_SKELETON = (
+    (1, 3), (2, 4), (0, 1), (0, 2),          # face
+    (5, 7), (7, 9), (6, 8), (8, 10),         # arms
+    (11, 13), (13, 15), (12, 14), (14, 16),  # legs
+    (5, 6), (11, 12), (5, 11), (6, 12),      # torso
+)
+
+
+def vis_mask(im, mask, color, alpha=0.4, border=True):
+    """Alpha-blend a binary mask over the image and trace its contour
+    (vis.py:vis_mask:97-118 semantics)."""
+    out = im.astype(np.float32)
+    idx = mask.astype(bool)
+    out[idx] = (1.0 - alpha) * out[idx] + alpha * np.float32(color)
+    out = out.astype(np.uint8)
+    if border:
+        contours, _ = cv2.findContours(
+            mask.astype(np.uint8), cv2.RETR_EXTERNAL,
+            cv2.CHAIN_APPROX_SIMPLE)[-2:]
+        cv2.drawContours(out, contours, -1, color, 1, cv2.LINE_AA)
+    return out
+
+
+def vis_keypoints(im, kps, kp_thresh=2.0, skeleton=None):
+    """Draw one instance's keypoints + skeleton (vis.py:vis_keypoints
+    protocol: joints above the logit threshold get dots; both-visible
+    skeleton edges get lines). ``kps``: (4, K) rows (x, y, logit, prob)."""
+    out = im.copy()
+    k = kps.shape[1]
+    if skeleton is None and k == 17:
+        skeleton = COCO_KP_SKELETON
+    vis_j = kps[2] > kp_thresh
+    for a, b in (skeleton or ()):
+        if a < k and b < k and vis_j[a] and vis_j[b]:
+            cv2.line(out, (int(kps[0, a]), int(kps[1, a])),
+                     (int(kps[0, b]), int(kps[1, b])),
+                     distinct_color(7 + a), 2, cv2.LINE_AA)
+    for j in range(k):
+        if vis_j[j]:
+            cv2.circle(out, (int(kps[0, j]), int(kps[1, j])), 3,
+                       distinct_color(j), -1, cv2.LINE_AA)
+    return out
+
+
+def vis_one_image(im, cls_boxes, segms=None, keypoints=None, thresh=0.5,
+                  kp_thresh=2.0, class_names=None, output_name=None):
+    """Render per-class detections with optional instance masks and
+    keypoints (vis.py:vis_one_image protocol). cls_boxes is the per-class
+    list of (N, 5) [x1 y1 x2 y2 score] arrays; ``segms`` the matching
+    per-class RLE lists; ``keypoints`` the per-class (N, 4, K) arrays.
+    Returns the drawn image; writes ``output_name`` when given."""
     out = im.copy()
     for c, dets in enumerate(cls_boxes):
         if c == 0 or dets is None or len(dets) == 0:
             continue
-        for det in dets:
+        for k, det in enumerate(dets):
             score = float(det[4])
             if score < thresh:
                 continue
             x1, y1, x2, y2 = [int(v) for v in det[:4]]
             color = distinct_color(c)
+            if segms is not None and len(segms[c]) > k:
+                from nafwebsod_tpu.utils.segms import rle_to_mask
+                out = vis_mask(out, rle_to_mask(segms[c][k]), color)
             cv2.rectangle(out, (x1, y1), (x2, y2), color, 2)
             name = class_names[c] if class_names else str(c)
             label = '{} {:.2f}'.format(name, score)
             cv2.putText(out, label, (x1, max(y1 - 4, 10)),
                         cv2.FONT_HERSHEY_SIMPLEX, 0.45, color, 1)
+            if keypoints is not None and len(keypoints[c]) > k:
+                out = vis_keypoints(out, np.asarray(keypoints[c][k]),
+                                    kp_thresh)
     if output_name:
         os.makedirs(os.path.dirname(output_name) or '.', exist_ok=True)
         cv2.imwrite(output_name, out)

@@ -70,3 +70,35 @@ def test_forward_body_feat_and_feat_map_vis(tmp_path):
                              pixel_means=np.zeros((1, 1, 3)))
     assert os.path.exists(name)
     assert blend.shape == (48, 48, 3)
+
+
+def test_vis_one_image_with_masks_and_keypoints(tmp_path):
+    """Mask blending + contour and keypoint/skeleton rendering
+    (reference vis.py vis_one_image segms/keypoints scope)."""
+    from nafwebsod_tpu.utils import vis
+    from nafwebsod_tpu.utils.segms import mask_to_rle
+
+    im = np.full((60, 80, 3), 120, np.uint8)
+    cls_boxes = [[], np.array([[10, 10, 40, 40, 0.9]], np.float32)]
+    m = np.zeros((60, 80), np.uint8)
+    m[12:38, 12:38] = 1
+    segms = [[], [mask_to_rle(m)]]
+    kps = np.zeros((1, 4, 17), np.float32)
+    kps[0, 0] = np.linspace(12, 38, 17)   # x
+    kps[0, 1] = np.linspace(12, 38, 17)   # y
+    kps[0, 2] = 5.0                       # logits above kp_thresh
+    out = vis.vis_one_image(im, cls_boxes, segms=segms,
+                            keypoints=[[], kps],
+                            thresh=0.5,
+                            output_name=str(tmp_path / 'det.png'))
+    assert (tmp_path / 'det.png').exists()
+    # the blended mask must have changed pixels inside the mask region
+    assert np.abs(out[20, 20].astype(int) - 120).sum() > 0
+
+
+def test_vis_keypoints_below_thresh_draws_nothing():
+    from nafwebsod_tpu.utils import vis
+    im = np.zeros((30, 30, 3), np.uint8)
+    kps = np.zeros((4, 17), np.float32)  # logits 0 < thresh 2
+    out = vis.vis_keypoints(im, kps)
+    assert out.sum() == 0
