@@ -1,0 +1,192 @@
+"""Cross-framework numeric parity: the numpy oracle (tests/oracle_numpy.py,
+transcribed from the reference Caffe2 sources) vs the JAX model, driven by
+ONE pkl checkpoint through the public weights API.
+
+Tolerance ladder (SURVEY.md §7 "hard parts"):
+  * checkpoint round-trip: bit-exact
+  * conv body: <= 2e-4 abs (conv algorithms reassociate fp32)
+  * RoIPoolF + RoIFeatureBoost on identical features: exact
+  * fc towers on identical features: <= 1e-4 rel (a 25088-term fp32 dot
+    carries ~sqrt(N)*eps ~ 2e-5 summation-order noise; measured 7e-5)
+  * end-to-end per-roi class scores: <= 1e-4
+"""
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import oracle_numpy as oracle
+from nafwebsod_tpu.models import detector, heads
+from nafwebsod_tpu.ops import roi_pool as rp
+from nafwebsod_tpu.utils import checkpoint
+
+HIDDEN = 48
+NUM_CLASSES = 5
+
+
+@pytest.fixture(scope='module')
+def bundle(tmp_path_factory):
+    """One spec + params that went through a pkl save/load round trip, plus
+    the raw pkl blobs (reference layouts) for the oracle."""
+    spec = detector.ModelSpec(
+        num_classes=NUM_CLASSES, hidden_dim=HIDDEN, webly_on=True,
+        webly_entropy=True, dilation=2, freeze_conv_body=True,
+        roi_xform_method='RoIPoolF', roi_resolution=7,
+        compute_dtype='float32')
+    params0 = detector.init_params(spec, jax.random.PRNGKey(7))
+    path = str(tmp_path_factory.mktemp('oracle') / 'weights.pkl')
+    checkpoint.save_params_to_weights_file(path, params0)
+    template = {k: np.zeros_like(np.asarray(v)) for k, v in params0.items()}
+    params, _, unmatched = checkpoint.initialize_params_from_weights_file(
+        template, path)
+    assert not unmatched
+    # round-trip bit-exactness — the layout translation inverts exactly
+    for k in params0:
+        np.testing.assert_array_equal(np.asarray(params0[k]),
+                                      np.asarray(params[k]), err_msg=k)
+    blobs, _ = checkpoint.load_weights_pkl(path)
+
+    rng = np.random.RandomState(3)
+    im = rng.randn(1, 40, 56, 3).astype(np.float32) * 40.0   # NHWC
+    rois = np.array([
+        [0, 0, 0, 55, 39],      # full image
+        [0, 8, 8, 31, 31],
+        [0, 3.7, 5.2, 44.9, 20.1],  # off-grid coords
+        [0, 30, 20, 33, 23],    # small
+        [0, 10, 10, 10, 10],    # degenerate point
+        [0, 40, 28, 55, 39],    # corner
+    ], np.float32)
+    obn = (rng.rand(len(rois), 1).astype(np.float32) + 1.0)
+    return dict(spec=spec, params=params, blobs=blobs, im=im, rois=rois,
+                obn=obn)
+
+
+@pytest.fixture(scope='module')
+def oracle_stages(bundle):
+    return oracle.forward_test(
+        bundle['blobs'], bundle['im'].transpose(0, 3, 1, 2),
+        bundle['rois'], bundle['obn'], resolution=7, dilation=2, webly=True)
+
+
+def test_conv_body_parity(bundle, oracle_stages):
+    feat, scale = detector.body_forward(bundle['spec'], bundle['params'],
+                                        jnp.asarray(bundle['im']))
+    assert scale == pytest.approx(0.125)
+    ours = np.asarray(feat).transpose(0, 3, 1, 2)   # NHWC -> NCHW
+    ref = oracle_stages['conv5']
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_roi_pool_exact_on_identical_features(bundle, oracle_stages):
+    # feed the ORACLE's conv features to our pool: max pooling + the boost
+    # multiply must be bit-exact (Caffe2 RoIPoolF semantics)
+    ref_feat = oracle_stages['conv5']                  # (1, C, h, w)
+    feat_hwc = jnp.asarray(ref_feat[0].transpose(1, 2, 0))
+    pooled = rp.roi_pool(feat_hwc, jnp.asarray(bundle['rois']),
+                         7, 7, 0.125)
+    pooled = np.asarray(pooled) * bundle['obn'].reshape(-1, 1, 1, 1)
+    ref = oracle_stages['roi_feat'].transpose(0, 2, 3, 1)  # -> RHWC
+    np.testing.assert_array_equal(pooled, ref)
+
+
+def test_fc_towers_parity(bundle, oracle_stages):
+    # run our head towers on the ORACLE's conv features
+    ref_feat = oracle_stages['conv5']
+    feat_nhwc = jnp.asarray(ref_feat.transpose(0, 2, 3, 1))
+    (fc7_clean, fc7_noisy), _ = heads.vgg16_roi_2fc_noise_head(
+        bundle['params'], feat_nhwc, jnp.asarray(bundle['rois']),
+        jnp.asarray(bundle['obn']), 0.125, method='RoIPoolF', resolution=7,
+        train=False)
+    np.testing.assert_allclose(np.asarray(fc7_clean),
+                               oracle_stages['fc7'], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fc7_noisy),
+                               oracle_stages['fc7_noisy'], rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_end_to_end_scores_parity(bundle, oracle_stages):
+    out = detector.forward_test(
+        bundle['spec'], bundle['params'], jnp.asarray(bundle['im']),
+        jnp.asarray(bundle['rois']), jnp.asarray(bundle['obn']),
+        jnp.ones((len(bundle['rois']),), bool))
+    scores = np.asarray(out['scores']).reshape(len(bundle['rois']), -1)
+    ref = oracle_stages['cls_prob_roi']
+    assert scores.shape == ref.shape
+    np.testing.assert_allclose(scores, ref, atol=1e-4)
+    # image-level class score (the MIL sum the losses train against)
+    np.testing.assert_allclose(scores[:, 1:].sum(axis=0),
+                               oracle_stages['cls_prob_img'][0], atol=1e-4)
+
+
+@pytest.mark.slow
+def test_expected_results_gate_on_synthetic_training(tmp_path):
+    """EXPECTED_RESULTS as a convergence-regression gate: train N iters on
+    the deterministic synthetic fixture (single-thread loader, fixed
+    seeds), evaluate, and require the recorded mAP band to PASS while a
+    shifted expectation FAILS — the runtime mAP-gate mechanism the
+    reference drives via cfg (config.py:1077-1088,
+    test_engine_wsl.py:114-120)."""
+    import fixtures
+    from nafwebsod_tpu.core.config import cfg, reset_cfg
+    from nafwebsod_tpu.data import catalog, task_evaluation
+    from nafwebsod_tpu.engine import test_engine, train as train_engine
+
+    reset_cfg()
+    info = fixtures.make_coco_dataset(str(tmp_path), n_images=4,
+                                      width=96, height=64, n_props=16)
+    catalog.register_dataset('oracle_gate_train', info['image_dir'],
+                             info['ann_file'])
+    catalog.register_dataset('oracle_gate_test', info['image_dir'],
+                             info['ann_file'])
+
+    cfg.MODEL.NUM_CLASSES = len(fixtures.CLASSES) + 1
+    cfg.MODEL.TYPE = 'generalized_wsl'
+    cfg.MODEL.CONV_BODY = 'VGG16.add_VGG16_conv5_body_origin'
+    cfg.FAST_RCNN.ROI_BOX_HEAD = 'webly_heads.add_VGG16_roi_2fc_noise_head'
+    cfg.WSL.DILATION = 2
+    cfg.WEBLY.WEBLY_ON = True
+    cfg.TRAIN.DATASETS = ('oracle_gate_train',)
+    cfg.TRAIN.PROPOSAL_FILES = (info['prop_file'],)
+    cfg.TRAIN.SCALES = (64,)
+    cfg.TRAIN.MAX_SIZE = 120
+    cfg.TRAIN.BATCH_SIZE_PER_IM = 16
+    cfg.TRAIN.SNAPSHOT_ITERS = 100
+    cfg.TRAIN.USE_FLIPPED = False
+    cfg.TEST.DATASETS = ('oracle_gate_test',)
+    cfg.TEST.PROPOSAL_FILES = (info['prop_file'],)
+    cfg.TEST.SCALE = 64
+    cfg.TEST.MAX_SIZE = 120
+    cfg.TEST.SCORE_THRESH = 1e-9
+    cfg.TEST.DETECTIONS_PER_IM = 10
+    cfg.TEST.PROPOSAL_LIMIT = 16
+    cfg.SOLVER.MAX_ITER = 4
+    cfg.SOLVER.BASE_LR = 1e-6
+    cfg.TPU.HEAD_HIDDEN_DIM = 32
+    cfg.TPU.ROI_PAD_MULTIPLE = 16
+    cfg.TPU.SIZE_BUCKET_MULTIPLE = 32
+    cfg.DATA_LOADER.NUM_THREADS = 1     # deterministic batch order
+    cfg.RNG_SEED = 3
+    cfg.OUTPUT_DIR = str(tmp_path / 'out')
+
+    ckpts, _losses = train_engine.train_model()
+    assert 'final' in ckpts
+    cfg.TEST.WEIGHTS = ckpts['final']
+    results = test_engine.run_inference(cfg.TEST.WEIGHTS)
+    val = results['oracle_gate_test']['AP50']
+    assert np.isfinite(val)
+
+    # the gate passes on the produced value and fails when shifted
+    cfg.EXPECTED_RESULTS = [['oracle_gate_test', 'box', 'AP50', float(val)]]
+    assert task_evaluation.check_expected_results(
+        results, atol=cfg.EXPECTED_RESULTS_ATOL, rtol=0.1)
+    cfg.EXPECTED_RESULTS = [['oracle_gate_test', 'box', 'AP50',
+                             float(val) + 0.5]]
+    assert not task_evaluation.check_expected_results(
+        results, atol=cfg.EXPECTED_RESULTS_ATOL, rtol=0.1)
