@@ -68,8 +68,20 @@ def round_up(n, multiple):
 
 
 def _step_body(spec, hp, mults, center_update_period, params, opt_state,
-               batch, lr, rngs):
-    """One data-parallel step (shared by the single-step and scan drivers)."""
+               batch, lr, rngs, mesh=None):
+    """One data-parallel step (shared by the single-step and scan drivers).
+
+    With ``mesh`` given, the gradient all-reduce is FUSED: per-device
+    gradients are computed under ``shard_map``, raveled into one flat f32
+    vector, and reduced with a single ``psum`` — one collective instead of
+    one per parameter leaf (~550 for the flagship model). The reference's
+    NCCL path reduces per-blob (optimizer_wsl.py:52-72); one fused
+    all-reduce is the ICI-native layout. Without ``mesh`` the reduction is
+    left to XLA's sharding propagation (original formulation)."""
+    if mesh is not None:
+        return _step_body_fused(spec, hp, mults, center_update_period,
+                                params, opt_state, batch, lr, rngs, mesh)
+
     def loss_fn(p):
         totals, auxs = jax.vmap(
             lambda b, r: detector.forward_train(spec, p, b, r)
@@ -103,13 +115,77 @@ def _step_body(spec, hp, mults, center_update_period, params, opt_state,
     return new_params, new_state, loss, aux
 
 
+def _step_body_fused(spec, hp, mults, center_update_period, params,
+                     opt_state, batch, lr, rngs, mesh):
+    """Fused-allreduce variant: local grads under shard_map, ONE psum over
+    the raveled gradient vector, then the (replicated) solver update."""
+    from jax.flatten_util import ravel_pytree
+    try:
+        from jax import shard_map as _sm
+
+        def shard_map(f, **kw):
+            return _sm(f, check_vma=False, **kw)
+    except ImportError:  # older jax spells it differently
+        from jax.experimental.shard_map import shard_map as _sme
+
+        def shard_map(f, **kw):
+            return _sme(f, check_rep=False, **kw)
+
+    n_total = jax.tree_util.tree_leaves(batch)[0].shape[0]
+    _, unravel = ravel_pytree(params)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P('data'), P('data')), out_specs=P())
+    def local_grads(p, b, r):
+        def loss_fn(pp):
+            totals, auxs = jax.vmap(
+                lambda bb, rr: detector.forward_train(spec, pp, bb, rr)
+            )(b, r)
+            deltas = {k: jnp.sum(v, axis=0)
+                      for k, v in auxs.items() if k.startswith('__')}
+            metrics = {k: jnp.sum(v) / n_total
+                       for k, v in auxs.items() if not k.startswith('__')}
+            # local sum / global count == this shard's share of the mean
+            return jnp.sum(totals) / n_total, (metrics, deltas)
+
+        ((loss, (aux, deltas)), grads) = jax.value_and_grad(
+            loss_fn, has_aux=True)(p)
+        flat = ravel_pytree(grads)[0]
+        flat = jax.lax.psum(flat, 'data')          # THE all-reduce
+        loss = jax.lax.psum(loss, 'data')
+        aux = jax.tree.map(lambda v: jax.lax.psum(v, 'data'), aux)
+        deltas = jax.tree.map(lambda v: jax.lax.psum(v, 'data'), deltas)
+        return flat, loss, aux, deltas
+
+    flat, loss, aux, deltas = local_grads(params, batch, rngs)
+    grads = unravel(flat)
+    new_params, new_state = sgd.update(
+        params, grads, opt_state, lr, hp, mults)
+    if spec.center_loss:
+        accum = {'center_dcf': opt_state['center_dcf'],
+                 'center_ndcf': opt_state['center_ndcf']}
+        cf, accum = center_ops.center_update(
+            new_params['center_feature'],
+            accum,
+            {'center_dcf': deltas['__center_dcf'],
+             'center_ndcf': deltas['__center_ndcf']},
+            new_state['it'], spec.center_loss_top_k,
+            update=center_update_period)
+        new_params['center_feature'] = cf
+        new_state['center_dcf'] = accum['center_dcf']
+        new_state['center_ndcf'] = accum['center_ndcf']
+    return new_params, new_state, loss, aux
+
+
 def make_train_step(spec, hp, mults, mesh, donate=True,
-                    center_update_period=128):
+                    center_update_period=128, fused_grads=True):
     """Build the jitted data-parallel train step.
 
     Returns ``step(params, opt_state, batch, lr, rngs) ->
     (params, opt_state, loss, aux)`` with params/opt_state replicated over
     ``mesh`` and ``batch``/``rngs`` sharded on the leading axis.
+    ``fused_grads`` reduces the whole gradient pytree with one psum
+    (see _step_body_fused); False leaves per-leaf reduction to XLA.
     """
     mults = sgd.freeze_mults(mults) if isinstance(mults, dict) else mults
     repl = NamedSharding(mesh, P())
@@ -117,7 +193,8 @@ def make_train_step(spec, hp, mults, mesh, donate=True,
 
     def step(params, opt_state, batch, lr, rngs):
         return _step_body(spec, hp, mults, center_update_period, params,
-                          opt_state, batch, lr, rngs)
+                          opt_state, batch, lr, rngs,
+                          mesh=mesh if fused_grads else None)
 
     # a single sharding for the batch arg applies to every leaf (including
     # optional extras like 'cur_iter' for the C-MIL schedule)
@@ -130,7 +207,7 @@ def make_train_step(spec, hp, mults, mesh, donate=True,
 
 
 def make_multi_train_step(spec, hp, mults, mesh, donate=True,
-                          center_update_period=128):
+                          center_update_period=128, fused_grads=True):
     """K chained steps per device call via ``lax.scan`` (TPU.STEPS_PER_CALL).
 
     Per-call host dispatch dominates on remote-attached TPUs (~170 ms/call
@@ -155,7 +232,8 @@ def make_multi_train_step(spec, hp, mults, mesh, donate=True,
             batch, lr, factor, rng = xs
             s = sgd.scale_momentum(s, factor)
             p, s, loss, aux = _step_body(
-                spec, hp, mults, center_update_period, p, s, batch, lr, rng)
+                spec, hp, mults, center_update_period, p, s, batch, lr, rng,
+                mesh=mesh if fused_grads else None)
             return (p, s), (loss, aux)
 
         (p, s), (losses, auxs) = jax.lax.scan(

@@ -269,3 +269,70 @@ class TestLadderIntegration:
             spec, p, batch, jax.random.PRNGKey(1))[0])(params)
         assert float(jnp.abs(grads['cls_score1_w']).max()) > 0
         assert float(jnp.abs(grads['cls_score3_w']).max()) > 0
+
+
+class TestMergeAssignSequentialParity:
+    def _sequential_merge(self, obn, iou, lam, top_k=200, window=40):
+        """Direct numpy transcription of the reference greedy clique loop
+        (roi_merge_op.cc:67-135) for pinning the vectorized fixpoint
+        formulation in refine._merge_assign."""
+        r = len(obn)
+        order = np.argsort(-obn, kind='stable')
+        ids = np.full(r, -1, np.int64)
+        cur = 0
+        p = min(top_k, r)
+        for t in range(p):
+            n = order[t]
+            if ids[n] != -1:
+                continue
+            ids[n] = cur
+            end = min(t + window, p)
+            for tt in range(t, end):
+                i = order[tt]
+                if ids[i] != -1:
+                    continue
+                ok = True
+                for ttt in range(t, end):
+                    j = order[ttt]
+                    if ids[j] != cur:
+                        continue
+                    if iou[i, j] < lam:
+                        ok = False
+                        break
+                if ok:
+                    ids[i] = cur
+            cur += 1
+        for n in range(r):
+            if ids[n] == -1:
+                ids[n] = cur
+                cur += 1
+        return ids
+
+    @pytest.mark.parametrize('seed,r,lam', [
+        (0, 30, 0.3), (1, 64, 0.5), (2, 120, 0.2), (3, 50, 0.7),
+        (4, 256, 0.4),
+    ])
+    def test_matches_reference_loop(self, seed, r, lam):
+        rng = np.random.RandomState(seed)
+        rois = _rand_rois(rng, r)
+        obn = rng.rand(r).astype(np.float32)
+        iou = np.asarray(roi_iou(jnp.asarray(rois)))
+        want = self._sequential_merge(obn, iou, lam, top_k=40, window=8)
+        got, counts = refine._merge_assign(
+            jnp.asarray(obn), jnp.asarray(iou), jnp.float32(lam),
+            jnp.ones((r,), bool), top_k=40, window=8)
+        np.testing.assert_array_equal(np.asarray(got), want)
+        want_counts = np.bincount(want, minlength=r)
+        np.testing.assert_array_equal(np.asarray(counts), want_counts)
+
+    def test_matches_reference_loop_default_window(self):
+        rng = np.random.RandomState(9)
+        r = 300
+        rois = _rand_rois(rng, r)
+        obn = rng.rand(r).astype(np.float32)
+        iou = np.asarray(roi_iou(jnp.asarray(rois)))
+        want = self._sequential_merge(obn, iou, 0.4)
+        got, _ = refine._merge_assign(
+            jnp.asarray(obn), jnp.asarray(iou), jnp.float32(0.4),
+            jnp.ones((r,), bool))
+        np.testing.assert_array_equal(np.asarray(got), want)
