@@ -290,11 +290,17 @@ def roi_pool_pallas(feat, rois, pooled_h=7, pooled_w=7, spatial_scale=0.125,
 
 def _bwd_kernel(rois_ref, feat_ref, g_ref, out_ref,
                 *, pooled_h, pooled_w, H, W, clip_h, clip_w, spatial_scale,
-                n_rois, mbh_s, mbwu_s):
+                n_rois, mbh_s, mbwu_s, tier_hs=(), tier_ws=()):
     """Accumulate each output cell's cotangent into its bin's max feature
     cell (roi_pool_f gradient). The (H, W, CBLK) accumulator block is
     VMEM-resident across the whole RoI axis (index map constant in r):
     zeroed at r == 0, accumulated into per roi.
+
+    Like the forward, the per-bin windows are TIERED on the actual roi
+    size (``tier_hs``/``tier_ws``, ascending): typical proposals span a
+    few cells per bin, so the common case runs ~3-6x smaller read/RMW
+    slices than the worst-case (mbh_s, mbwu_s) window; every tier is
+    exact via the [a,b) x [c,d) masks.
 
     Tie semantics: the cotangent is routed to the FIRST max cell in
     row-major window order (the CUDA op's argmax scan order). The XLA
@@ -315,78 +321,95 @@ def _bwd_kernel(rois_ref, feat_ref, g_ref, out_ref,
     roi_h = jnp.maximum(y2 - y1 + 1, 1)
     roi_w = jnp.maximum(x2 - x1 + 1, 1)
 
-    # Unlike the forward (whose pass 1 shares a full-width rowmax across
-    # bins), the scatter only ever touches one bin's own window: (mbh_s,
-    # mbw_s) cells after alignment slack — tiny temporaries regardless of
-    # roi size. fori_loops keep Mosaic's stack to one bin's worth.
-    h_window, w_window = mbh_s, mbwu_s
     gall = g_ref[0].astype(jnp.float32)                # (PH, PW, CBLK)
     phi = jax.lax.broadcasted_iota(jnp.int32, (pooled_h, 1, 1), 0)
     pwi = jax.lax.broadcasted_iota(jnp.int32, (1, pooled_w, 1), 1)
 
-    def ph_body(ph, _):
-        a = jnp.clip((ph * roi_h) // pooled_h + y1, 0, clip_h)
-        b = jnp.clip(((ph + 1) * roi_h + pooled_h - 1) // pooled_h + y1,
-                     0, clip_h)
-        hstart = jnp.minimum(a, H - h_window)
+    def scatter_path(h_window, w_window):
+        def ph_body(ph, _):
+            a = jnp.clip((ph * roi_h) // pooled_h + y1, 0, clip_h)
+            b = jnp.clip(((ph + 1) * roi_h + pooled_h - 1) // pooled_h + y1,
+                         0, clip_h)
+            hstart = jnp.minimum(a, H - h_window)
 
-        def pw_body(pw, _):
-            c = jnp.clip((pw * roi_w) // pooled_w + x1, 0, clip_w)
-            d = jnp.clip(((pw + 1) * roi_w + pooled_w - 1) // pooled_w + x1,
-                         0, clip_w)
-            wstart = (jnp.clip(c, 0, W - w_window) // 8) * 8
-            rows = feat_ref[pl.ds(hstart, h_window),
-                            pl.ds(wstart, w_window), :].astype(jnp.float32)
-            y = hstart + jax.lax.broadcasted_iota(
-                jnp.int32, (h_window, 1, 1), 0)
-            x = wstart + jax.lax.broadcasted_iota(
-                jnp.int32, (1, w_window, 1), 1)
-            mask = (y >= a) & (y < b) & (x >= c) & (x < d)
-            m = jnp.max(jnp.where(mask, rows, NEG), axis=(0, 1))  # (CBLK,)
-            is_max = (rows >= m[None, None, :]) & mask
-            # first max in row-major order, via a max-reduction over
-            # negated linear indices (Pallas TPU has no cumsum lowering)
-            lin = (y * W + x).astype(jnp.int32)
-            best = jnp.max(jnp.where(is_max, -lin, -(1 << 30)),
-                           axis=(0, 1))                # (CBLK,)
-            # dynamic (ph, pw) select via masked reduction (no dynamic
-            # sublane indexing); empty bins (m == NEG) excluded
-            gbin = jnp.sum(
-                jnp.where((phi == ph) & (pwi == pw), gall, 0.0),
-                axis=(0, 1))
-            ok = m > NEG / 2                           # (CBLK,)
-            take = (is_max & (lin == -best[None, None, :]) &
-                    ok[None, None, :])
-            cur = out_ref[pl.ds(hstart, h_window),
-                          pl.ds(wstart, w_window), :]
-            out_ref[pl.ds(hstart, h_window), pl.ds(wstart, w_window), :] = (
-                cur + jnp.where(take, gbin[None, None, :], 0.0))
+            def pw_body(pw, _):
+                c = jnp.clip((pw * roi_w) // pooled_w + x1, 0, clip_w)
+                d = jnp.clip(((pw + 1) * roi_w + pooled_w - 1) // pooled_w
+                             + x1, 0, clip_w)
+                wstart = (jnp.clip(c, 0, W - w_window) // 8) * 8
+                rows = feat_ref[pl.ds(hstart, h_window),
+                                pl.ds(wstart, w_window), :].astype(
+                                    jnp.float32)
+                y = hstart + jax.lax.broadcasted_iota(
+                    jnp.int32, (h_window, 1, 1), 0)
+                x = wstart + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, w_window, 1), 1)
+                mask = (y >= a) & (y < b) & (x >= c) & (x < d)
+                m = jnp.max(jnp.where(mask, rows, NEG), axis=(0, 1))
+                is_max = (rows >= m[None, None, :]) & mask
+                # first max in row-major order, via a max-reduction over
+                # negated linear indices (Pallas TPU has no cumsum
+                # lowering)
+                lin = (y * W + x).astype(jnp.int32)
+                best = jnp.max(jnp.where(is_max, -lin, -(1 << 30)),
+                               axis=(0, 1))            # (CBLK,)
+                # dynamic (ph, pw) select via masked reduction (no dynamic
+                # sublane indexing); empty bins (m == NEG) excluded
+                gbin = jnp.sum(
+                    jnp.where((phi == ph) & (pwi == pw), gall, 0.0),
+                    axis=(0, 1))
+                ok = m > NEG / 2                       # (CBLK,)
+                take = (is_max & (lin == -best[None, None, :]) &
+                        ok[None, None, :])
+                cur = out_ref[pl.ds(hstart, h_window),
+                              pl.ds(wstart, w_window), :]
+                out_ref[pl.ds(hstart, h_window),
+                        pl.ds(wstart, w_window), :] = (
+                    cur + jnp.where(take, gbin[None, None, :], 0.0))
+                return 0
+
+            jax.lax.fori_loop(0, pooled_w, pw_body, 0)
             return 0
 
-        jax.lax.fori_loop(0, pooled_w, pw_body, 0)
-        return 0
+        jax.lax.fori_loop(0, pooled_h, ph_body, 0)
 
-    jax.lax.fori_loop(0, pooled_h, ph_body, 0)
+    # tier dispatch on the actual bin extents (ascending window sizes)
+    bin_rows = (roi_h + pooled_h - 1) // pooled_h + 1
+    bin_cols = (roi_w + pooled_w - 1) // pooled_w + 1
+    tiers = [(th, tw) for th, tw in zip(tier_hs, tier_ws)
+             if th < mbh_s and th < H and tw < mbwu_s and tw <= W]
+    taken = None
+    for th, tw in tiers:
+        fits = (bin_rows <= th) & (bin_cols + 7 <= tw)
+        this = fits if taken is None else fits & jnp.logical_not(taken)
+        pl.when(this)(lambda th=th, tw=tw: scatter_path(th, tw))
+        taken = fits if taken is None else (taken | fits)
+    if taken is None:
+        scatter_path(mbh_s, mbwu_s)
+    else:
+        pl.when(jnp.logical_not(taken))(
+            lambda: scatter_path(mbh_s, mbwu_s))
 
 
 def roi_pool_pallas_bwd(feat, rois, g, pooled_h=7, pooled_w=7,
-                        spatial_scale=0.125):
+                        spatial_scale=0.125, interpret=False):
     """RoIPoolF backward on TPU: dfeat (H, W, C) f32 from cotangents g
     (R, PH, PW, C). Under vmap (the CSC path batches per-class cotangent
     seeds) the batch maps SEQUENTIALLY — auto-batching would multiply the
     VMEM-resident feature+accumulator blocks past the scoped limit."""
-    return _bwd_vmap_wrapped(pooled_h, pooled_w, spatial_scale)(
-        feat, rois, g)
+    return _bwd_vmap_wrapped(pooled_h, pooled_w, spatial_scale,
+                             interpret)(feat, rois, g)
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_vmap_wrapped(pooled_h, pooled_w, spatial_scale):
+def _bwd_vmap_wrapped(pooled_h, pooled_w, spatial_scale, interpret=False):
     from jax.custom_batching import custom_vmap
 
     @custom_vmap
     def f(feat, rois, g):
         return _roi_pool_pallas_bwd_impl(feat, rois, g, pooled_h, pooled_w,
-                                         spatial_scale)
+                                         spatial_scale,
+                                         interpret=interpret)
 
     @f.def_vmap
     def _rule(axis_size, in_batched, feat, rois, g):
@@ -404,9 +427,11 @@ def _bwd_vmap_wrapped(pooled_h, pooled_w, spatial_scale):
 
 @functools.partial(
     jax.jit,
-    static_argnames=('pooled_h', 'pooled_w', 'spatial_scale', 'cblk'))
+    static_argnames=('pooled_h', 'pooled_w', 'spatial_scale', 'cblk',
+                     'interpret'))
 def _roi_pool_pallas_bwd_impl(feat, rois, g, pooled_h=7, pooled_w=7,
-                              spatial_scale=0.125, cblk=256):
+                              spatial_scale=0.125, cblk=256,
+                              interpret=False):
     H, W, C = feat.shape
     R = rois.shape[0]
     feat = feat.astype(jnp.float32)
@@ -437,7 +462,10 @@ def _roi_pool_pallas_bwd_impl(feat, rois, g, pooled_h=7, pooled_w=7,
     kernel = functools.partial(
         _bwd_kernel, pooled_h=pooled_h, pooled_w=pooled_w, H=Hp, W=Wp,
         clip_h=H, clip_w=W, spatial_scale=spatial_scale, n_rois=R,
-        mbh_s=mbh, mbwu_s=mbw)
+        mbh_s=mbh, mbwu_s=mbw,
+        # small-roi tiers (ascending): bins up to 3 rows / 9 cols (rois to
+        # ~112x448 px at 1/8 scale) run 4x16 windows; up to 7 rows, 8x16
+        tier_hs=(4, 8), tier_ws=(16, 16))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -456,5 +484,6 @@ def _roi_pool_pallas_bwd_impl(feat, rois, g, pooled_h=7, pooled_w=7,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Hp, Wp, Cp), jnp.float32),
+        interpret=interpret,
     )(rois.T, feat, g)
     return out[:H, :W, :C]

@@ -4,6 +4,7 @@ Bit-exactness on real TPU hardware is additionally checked by
 scripts/check_roi_pool_parity.py / check_roi_loop_pool_parity.py."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from nafwebsod_tpu.ops.context import roi_context, roi_loop_pool_xla
@@ -52,3 +53,60 @@ def test_roi_align_interpret_matches_xla():
         ref = roi_align_xla(feat, rois, res, res, 0.125, 2)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_bwd_kernel_tiers_match_xla_grad():
+    """Tiered argmax-scatter backward (interpret mode) vs the XLA autodiff
+    gradient of roi_pool_xla — exact on tie-free features, across roi
+    sizes that exercise every tier (tiny 4x16, small 8x16, full)."""
+    from nafwebsod_tpu.ops.pallas.roi_pool_pallas import roi_pool_pallas_bwd
+    from nafwebsod_tpu.ops.roi_pool import roi_pool_xla
+
+    rng = np.random.RandomState(0)
+    H = W = 40
+    C = 8
+    # tie-free features: a permutation of distinct values
+    feat = rng.permutation(H * W * C).astype(np.float32).reshape(H, W, C)
+    rois = np.array([
+        [0, 0, 0, 8 * W - 1, 8 * H - 1],    # full map -> full path
+        [0, 16, 16, 100, 100],              # ~11 cells  -> tiny tier
+        [0, 8, 8, 300, 130],                # ~37x16     -> small tier
+        [0, 24, 24, 280, 290],              # ~33 tall   -> full path
+        [0, 40, 40, 44, 44],                # degenerate point
+    ], np.float32)
+    g = rng.randn(len(rois), 7, 7, C).astype(np.float32)
+
+    def pooled_sum(f):
+        return jnp.sum(roi_pool_xla(f, jnp.asarray(rois), 7, 7, 0.125)
+                       * jnp.asarray(g))
+
+    want = np.asarray(jax.grad(pooled_sum)(jnp.asarray(feat)))
+    got = np.asarray(roi_pool_pallas_bwd(
+        jnp.asarray(feat), jnp.asarray(rois), jnp.asarray(g), 7, 7, 0.125,
+        interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_bwd_kernel_batched_seeds_interpret():
+    """The custom_vmap seed batching (CSC's per-class cotangents) in
+    interpret mode."""
+    from nafwebsod_tpu.ops.pallas.roi_pool_pallas import roi_pool_pallas_bwd
+    from nafwebsod_tpu.ops.roi_pool import roi_pool_xla
+
+    rng = np.random.RandomState(1)
+    H = W = 24
+    C = 8
+    feat = rng.permutation(H * W * C).astype(np.float32).reshape(H, W, C)
+    rois = np.array([[0, 8, 8, 100, 80], [0, 0, 0, 50, 60]], np.float32)
+    gs = rng.randn(3, len(rois), 7, 7, C).astype(np.float32)
+
+    got = np.asarray(jax.vmap(
+        lambda gg: roi_pool_pallas_bwd(
+            jnp.asarray(feat), jnp.asarray(rois), gg, 7, 7, 0.125,
+            interpret=True))(jnp.asarray(gs)))
+    for k in range(3):
+        def pooled_sum(f):
+            return jnp.sum(roi_pool_xla(f, jnp.asarray(rois), 7, 7, 0.125)
+                           * jnp.asarray(gs[k]))
+        want = np.asarray(jax.grad(pooled_sum)(jnp.asarray(feat)))
+        np.testing.assert_allclose(got[k], want, rtol=1e-5, atol=1e-5)
