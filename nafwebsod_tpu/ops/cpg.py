@@ -67,6 +67,13 @@ def cpg_maps(cls_prob_fn, image, labels_oh, cls_prob, tau=0.7, max_gt=4):
     _, vjp = jax.vjp(cls_prob_fn, image)
     seeds = jax.nn.one_hot(jnp.maximum(idx, 0), out_shape.shape[1],
                            dtype=out_shape.dtype)[:, None, :]  # (G, 1, C)
+    # the reference's CPG op only runs the nested backward for classes
+    # with label AND pred >= tau (cpg_op.cu:149-166); zero the other
+    # seeds — their maps are discarded by `keep` below anyway, and the
+    # Pallas pool backward skips zero-cotangent rois entirely, so padded
+    # / low-confidence classes stop costing full backward passes
+    active = valid & (cls_prob[0][jnp.maximum(idx, 0)] >= tau)
+    seeds = seeds * active[:, None, None].astype(seeds.dtype)
     grads = jax.vmap(lambda s: vjp(s)[0])(seeds)     # (G, 1, H, W, 3)
     # channel-max of |grad| over the image's channel axis (cpg_op.cu:58)
     maps = jnp.max(jnp.abs(grads[:, 0]), axis=-1)    # (max_gt, H, W)

@@ -321,7 +321,8 @@ def _bwd_kernel(rois_ref, feat_ref, g_ref, out_ref,
     roi_h = jnp.maximum(y2 - y1 + 1, 1)
     roi_w = jnp.maximum(x2 - x1 + 1, 1)
 
-    gall = g_ref[0].astype(jnp.float32)                # (PH, PW, CBLK)
+    n_seeds = g_ref.shape[0]
+    gall = g_ref[:, 0].astype(jnp.float32)             # (G, PH, PW, CBLK)
     phi = jax.lax.broadcasted_iota(jnp.int32, (pooled_h, 1, 1), 0)
     pwi = jax.lax.broadcasted_iota(jnp.int32, (1, pooled_w, 1), 1)
 
@@ -355,23 +356,31 @@ def _bwd_kernel(rois_ref, feat_ref, g_ref, out_ref,
                                axis=(0, 1))            # (CBLK,)
                 # dynamic (ph, pw) select via masked reduction (no dynamic
                 # sublane indexing); empty bins (m == NEG) excluded
-                gbin = jnp.sum(
-                    jnp.where((phi == ph) & (pwi == pw), gall, 0.0),
-                    axis=(0, 1))
                 ok = m > NEG / 2                       # (CBLK,)
                 take = (is_max & (lin == -best[None, None, :]) &
                         ok[None, None, :])
-                cur = out_ref[pl.ds(hstart, h_window),
-                              pl.ds(wstart, w_window), :]
-                out_ref[pl.ds(hstart, h_window),
-                        pl.ds(wstart, w_window), :] = (
-                    cur + jnp.where(take, gbin[None, None, :], 0.0))
+                # the argmax routing (take) is SHARED across the seed
+                # batch — only the scattered value differs per seed
+                binsel = (phi == ph) & (pwi == pw)
+                for gi in range(n_seeds):
+                    gbin = jnp.sum(jnp.where(binsel, gall[gi], 0.0),
+                                   axis=(0, 1))
+                    cur = out_ref[gi, pl.ds(hstart, h_window),
+                                  pl.ds(wstart, w_window), :]
+                    out_ref[gi, pl.ds(hstart, h_window),
+                            pl.ds(wstart, w_window), :] = (
+                        cur + jnp.where(take, gbin[None, None, :], 0.0))
                 return 0
 
             jax.lax.fori_loop(0, pooled_w, pw_body, 0)
             return 0
 
         jax.lax.fori_loop(0, pooled_h, ph_body, 0)
+
+    # zero-cotangent early exit: CPG/CSC seed batches carry all-zero
+    # cotangents for padded / pred-below-tau classes (cpg_op.cu:149-166
+    # skips those classes outright) — their scatter contributes nothing
+    live = jnp.any(gall != 0.0)
 
     # tier dispatch on the actual bin extents (ascending window sizes)
     bin_rows = (roi_h + pooled_h - 1) // pooled_h + 1
@@ -382,21 +391,22 @@ def _bwd_kernel(rois_ref, feat_ref, g_ref, out_ref,
     for th, tw in tiers:
         fits = (bin_rows <= th) & (bin_cols + 7 <= tw)
         this = fits if taken is None else fits & jnp.logical_not(taken)
-        pl.when(this)(lambda th=th, tw=tw: scatter_path(th, tw))
+        pl.when(this & live)(lambda th=th, tw=tw: scatter_path(th, tw))
         taken = fits if taken is None else (taken | fits)
     if taken is None:
-        scatter_path(mbh_s, mbwu_s)
+        pl.when(live)(lambda: scatter_path(mbh_s, mbwu_s))
     else:
-        pl.when(jnp.logical_not(taken))(
+        pl.when(jnp.logical_not(taken) & live)(
             lambda: scatter_path(mbh_s, mbwu_s))
 
 
 def roi_pool_pallas_bwd(feat, rois, g, pooled_h=7, pooled_w=7,
                         spatial_scale=0.125, interpret=False):
     """RoIPoolF backward on TPU: dfeat (H, W, C) f32 from cotangents g
-    (R, PH, PW, C). Under vmap (the CSC path batches per-class cotangent
-    seeds) the batch maps SEQUENTIALLY — auto-batching would multiply the
-    VMEM-resident feature+accumulator blocks past the scoped limit."""
+    (R, PH, PW, C). Under vmap over the cotangents (the CSC path batches
+    per-class seeds) the whole seed batch runs as ONE kernel launch that
+    shares the per-bin argmax pass across seeds (G accumulator blocks in
+    VMEM, narrower cblk); batches over feat/rois map sequentially."""
     return _bwd_vmap_wrapped(pooled_h, pooled_w, spatial_scale,
                              interpret)(feat, rois, g)
 
@@ -407,13 +417,19 @@ def _bwd_vmap_wrapped(pooled_h, pooled_w, spatial_scale, interpret=False):
 
     @custom_vmap
     def f(feat, rois, g):
-        return _roi_pool_pallas_bwd_impl(feat, rois, g, pooled_h, pooled_w,
-                                         spatial_scale,
-                                         interpret=interpret)
+        return _roi_pool_pallas_bwd_impl(feat, rois, g[None], pooled_h,
+                                         pooled_w, spatial_scale,
+                                         interpret=interpret)[0]
 
     @f.def_vmap
     def _rule(axis_size, in_batched, feat, rois, g):
         fb, rb, gb = in_batched
+        if gb and not fb and not rb:
+            # seed batch (the CSC per-class cotangents): ONE kernel
+            # launch sharing the per-bin argmax pass across seeds
+            return _roi_pool_pallas_bwd_impl(
+                feat, rois, g, pooled_h, pooled_w, spatial_scale,
+                interpret=interpret), True
 
         def one(i):
             return f(feat[i] if fb else feat,
@@ -432,16 +448,21 @@ def _bwd_vmap_wrapped(pooled_h, pooled_w, spatial_scale, interpret=False):
 def _roi_pool_pallas_bwd_impl(feat, rois, g, pooled_h=7, pooled_w=7,
                               spatial_scale=0.125, cblk=256,
                               interpret=False):
+    # g: (G, R, PH, PW, C) seed-batched cotangents -> (G, H, W, C). The
+    # seed batch (CSC per-class CPG seeds) shares one argmax pass; VMEM
+    # holds G accumulator blocks, so cblk shrinks with G.
     H, W, C = feat.shape
+    G = g.shape[0]
     R = rois.shape[0]
     feat = feat.astype(jnp.float32)
     g = g.astype(jnp.float32)
 
     bytes_per = 4
     cblk = min(cblk, max(-(-C // 128) * 128, 128))
-    # feature + accumulator blocks both resident, in f32, and the scoped
-    # VMEM stack limit is 16 MB — budget well under it
-    while cblk > 128 and 2 * H * W * cblk * bytes_per > 12 * 1024 * 1024:
+    # feature + G accumulator blocks resident in f32; the scoped VMEM
+    # stack limit is 16 MB — budget well under it
+    while (cblk > 64 and
+           (1 + G) * H * W * cblk * bytes_per > 11 * 1024 * 1024):
         cblk //= 2
 
     wpad = (-W) % 8
@@ -449,7 +470,7 @@ def _roi_pool_pallas_bwd_impl(feat, rois, g, pooled_h=7, pooled_w=7,
     if wpad or cpad:
         feat = jnp.pad(feat, ((0, 0), (0, wpad), (0, cpad)),
                        constant_values=NEG)
-        g = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, cpad)))
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, 0), (0, cpad)))
     Hp, Wp, Cp = feat.shape
 
     # per-BIN windows: tall enough for the largest bin (ceil(H/PH)+1 rows)
@@ -473,17 +494,18 @@ def _roi_pool_pallas_bwd_impl(feat, rois, g, pooled_h=7, pooled_w=7,
         in_specs=[
             pl.BlockSpec((Hp, Wp, cblk), lambda cb, r, *_: (0, 0, cb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, pooled_h, pooled_w, cblk),
-                         lambda cb, r, *_: (r, 0, 0, cb),
+            pl.BlockSpec((G, 1, pooled_h, pooled_w, cblk),
+                         lambda cb, r, *_: (0, r, 0, 0, cb),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((Hp, Wp, cblk), lambda cb, r, *_: (0, 0, cb),
+        out_specs=pl.BlockSpec((G, Hp, Wp, cblk),
+                               lambda cb, r, *_: (0, 0, 0, cb),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Hp, Wp, Cp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((G, Hp, Wp, Cp), jnp.float32),
         interpret=interpret,
     )(rois.T, feat, g)
-    return out[:H, :W, :C]
+    return out[:, :H, :W, :C]

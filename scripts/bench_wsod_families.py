@@ -63,7 +63,10 @@ def main():
         'context': dict(single, box_head='vgg16_context_2fc'),
         'center': dict(single, center_loss=True),
         'min_entropy': dict(single, min_entropy_loss=True),
-        'csc': dict(single, csc=True),
+        # cpg_tau=0 keeps every gt-class CPG seed active (random-init preds
+        # never pass the real 0.7 gate after the cpg_op.cu:149-166 parity
+        # seed-gating) — this measures the all-seeds worst case
+        'csc': dict(single, csc=True, cpg_tau=0.0),
         'seg': dict(single, mask_on=True, mask_head='fcn',
                     mask_resolution=7, mask_dim_reduced=256),
         'infer': {},

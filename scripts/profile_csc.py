@@ -35,10 +35,13 @@ def main():
     on_tpu = any(d.platform == 'tpu' for d in jax.devices())
     H = W = 704 if on_tpu else 128
     R, hidden = (2048, 4096) if on_tpu else (64, 64)
+    # cpg_tau=0: keep every gt-class seed ACTIVE — random-init preds never
+    # reach the real 0.7 gate, and the seed-gating (cpg_op.cu:149-166
+    # parity) would otherwise zero all cotangents and measure nothing
     spec = detector.ModelSpec(num_classes=21, compute_dtype='bfloat16',
                               hidden_dim=hidden, webly_on=False,
                               webly_entropy=False, box_head='vgg16_2fc',
-                              csc=True)
+                              csc=True, cpg_tau=0.0)
     params = detector.init_params(spec, jax.random.PRNGKey(0))
     hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005, iter_size=1)
     mults = sgd.freeze_mults(sgd.param_multipliers(
