@@ -312,6 +312,9 @@ def box_results_with_nms_and_limit(scores, boxes):
     num_classes = cfg.MODEL.NUM_CLASSES
     soft = cfg.TEST.SOFT_NMS.ENABLED
     host = bool(os.environ.get('NAFWEBSOD_HOST_NMS'))  # A/B escape hatch
+    # no cross-class cap -> the device loop would need R iterations per
+    # class; the uncapped configuration stays on the host native kernel
+    host = host or int(cfg.TEST.DETECTIONS_PER_IM) <= 0
 
     if soft or host or scores.shape[0] == 0:
         dets = {}

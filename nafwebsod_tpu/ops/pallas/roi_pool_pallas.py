@@ -449,8 +449,9 @@ def _roi_pool_pallas_bwd_impl(feat, rois, g, pooled_h=7, pooled_w=7,
                               spatial_scale=0.125, cblk=256,
                               interpret=False):
     # g: (G, R, PH, PW, C) seed-batched cotangents -> (G, H, W, C). The
-    # seed batch (CSC per-class CPG seeds) shares one argmax pass; VMEM
-    # holds G accumulator blocks, so cblk shrinks with G.
+    # seed batch (CSC per-class CPG seeds) shares one argmax pass per
+    # launch; the channel block cannot shrink below 128 lanes (Mosaic),
+    # so big seed batches split into VMEM-sized chunks instead.
     H, W, C = feat.shape
     G = g.shape[0]
     R = rois.shape[0]
@@ -459,11 +460,39 @@ def _roi_pool_pallas_bwd_impl(feat, rois, g, pooled_h=7, pooled_w=7,
 
     bytes_per = 4
     cblk = min(cblk, max(-(-C // 128) * 128, 128))
-    # feature + G accumulator blocks resident in f32; the scoped VMEM
-    # stack limit is 16 MB — budget well under it
-    while (cblk > 64 and
-           (1 + G) * H * W * cblk * bytes_per > 11 * 1024 * 1024):
+    # feature + G accumulator blocks resident in f32 within the 16 MB
+    # scoped VMEM limit. Mosaic double-buffers the output blocks even with
+    # a constant index map (measured: G=2 at 88x88x128 OOMs at 22.5 MB),
+    # so the accumulators count TWICE; last-dim blocks must stay 128-lane
+    # multiples. At flagship conv5 maps this limits chunks to one seed —
+    # the argmax-sharing pays off on smaller maps only.
+    budget = 13 * 1024 * 1024
+    while (cblk > 128 and
+           (1 + 2 * G) * H * W * cblk * bytes_per > budget):
         cblk //= 2
+    block = H * W * cblk * bytes_per
+    g_max = max((budget - block) // (2 * block), 1)
+    if G > g_max:
+        # seed-chunked launches: argmax sharing within each chunk
+        parts = [
+            _roi_pool_pallas_bwd_impl(
+                feat, rois, g[i:i + g_max], pooled_h, pooled_w,
+                spatial_scale, cblk, interpret=interpret)
+            for i in range(0, G, g_max)]
+        return jnp.concatenate(parts, axis=0)
+    if 3 * block + 1024 * 1024 > 16 * 1024 * 1024:
+        # feature + a double-buffered single accumulator cannot fit at 128
+        # lanes (f32 maps beyond ~96 cells): XLA autodiff fallback, like
+        # the forward's
+        from nafwebsod_tpu.ops.roi_pool import roi_pool_xla
+
+        def pooled(f, gg):
+            return jnp.vdot(
+                roi_pool_xla(f, rois, pooled_h, pooled_w, spatial_scale),
+                gg)
+
+        return jax.vmap(
+            lambda gg: jax.grad(pooled)(feat[:H, :W, :C], gg))(g)
 
     wpad = (-W) % 8
     cpad = (-C) % cblk

@@ -65,14 +65,22 @@ def main():
         'min_entropy': dict(single, min_entropy_loss=True),
         # cpg_tau=0 keeps every gt-class CPG seed active (random-init preds
         # never pass the real 0.7 gate after the cpg_op.cu:149-166 parity
-        # seed-gating) — this measures the all-seeds worst case
+        # seed-gating) — 'csc' measures the all-4-seeds worst case;
+        # 'csc2' the typical 2-gt-class regime (seed early-exit active)
         'csc': dict(single, csc=True, cpg_tau=0.0),
+        'csc2': dict(single, csc=True, cpg_tau=0.0),
         'seg': dict(single, mask_on=True, mask_head='fcn',
                     mask_resolution=7, mask_dim_reduced=256),
         'infer': {},
     }
+    full_batch = batch
     for variant in want:
         spec = detector.ModelSpec(**base, **variants[variant])
+        batch = full_batch
+        if variant == 'csc2':
+            two = np.zeros((1, 20), np.float32)
+            two[0, [3, 11]] = 1.0
+            batch = dict(full_batch, labels_oh=jnp.asarray(two))
         params = detector.init_params(spec, jax.random.PRNGKey(0))
         hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005,
                                 iter_size=1)
