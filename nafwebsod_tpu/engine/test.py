@@ -18,9 +18,12 @@ padding im_list_to_blob applies when batching).
 """
 
 import logging
+import os
 from collections import defaultdict
+from functools import partial
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from nafwebsod_tpu.core.config import cfg
@@ -308,7 +311,6 @@ def box_results_with_nms_and_limit(scores, boxes):
 
     scores: (R, num_classes); boxes: (R, 4 * num_classes).
     """
-    import os
     num_classes = cfg.MODEL.NUM_CLASSES
     soft = cfg.TEST.SOFT_NMS.ENABLED
     host = bool(os.environ.get('NAFWEBSOD_HOST_NMS'))  # A/B escape hatch
@@ -343,6 +345,82 @@ def box_results_with_nms_and_limit(scores, boxes):
     merged = np.concatenate([dets[j] for j in range(1, num_classes)], axis=0)
     cls_boxes = [[]] + [dets[j] for j in range(1, num_classes)]
     return merged[:, 4], merged[:, :4], cls_boxes
+
+
+@partial(jax.jit, static_argnames=('spec', 'max_keep', 'limit'))
+def _fused_detect_call(spec, params, im_in, rois_p, obn_p, valid,
+                       orig_boxes_p, max_keep, limit):
+    """ONE device program: forward_test + the class-batched NMS-and-limit
+    kernel. On remote-attached TPUs each device call costs a full host
+    round-trip (~170 ms through this rig's tunnel), so fusing the two
+    halves of per-image inference halves the dispatch bill; on local hosts
+    it simply removes a host sync between forward and NMS."""
+    from nafwebsod_tpu.ops import jbox
+
+    out = detector.forward_test(spec, params, im_in, rois_p, obn_p, valid)
+    scores = out['scores'].reshape(rois_p.shape[0], -1)
+    gated = jnp.where(valid[:, None], scores.astype(jnp.float32), -jnp.inf)
+    c = gated.shape[1]
+    boxes_c = jnp.broadcast_to(orig_boxes_p[None],
+                               (c - 1,) + orig_boxes_p.shape)
+    return jbox.multiclass_nms_limit(
+        boxes_c, gated.T[1:], jnp.float32(cfg.TEST.NMS),
+        jnp.float32(cfg.TEST.SCORE_THRESH), max_keep=max_keep, limit=limit)
+
+
+def im_detect_fused(spec, params, im, boxes, obn_scores):
+    """Single-call per-image detection for the plain eval protocol (no
+    TTA, no soft-NMS, no box voting): blob prep + DEDUP_BOXES hashing on
+    host, then one jitted forward+NMS program, then detection assembly.
+    The inv_index expansion of im_detect_bbox is unnecessary here:
+    duplicates carry identical boxes and scores, so greedy NMS on the
+    unique set yields the same detections as NMS on the expanded set."""
+    im_blob, im_scale = prep_im_for_blob(
+        im, cfg.PIXEL_MEANS, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE,
+        cfg.PIXEL_STDS)
+    rois5 = np.hstack([np.zeros((boxes.shape[0], 1), np.float32),
+                       (boxes * im_scale).astype(np.float32)])
+    obn = np.add(obn_scores, 1.0).astype(np.float32).reshape(-1, 1)
+    if cfg.DEDUP_BOXES > 0:
+        # duplicates must leave the forward too: they would inflate the
+        # RoI-softmax denominator the reference computes on unique rois
+        v = np.array([1, 1e3, 1e6, 1e9, 1e12])
+        hashes = np.round(rois5 * cfg.DEDUP_BOXES).dot(v)
+        _, index = np.unique(hashes, return_index=True)
+        rois5, obn, boxes = rois5[index], obn[index], boxes[index]
+    rois_p, obn_p, valid = _pad_rois(rois5, obn, cfg.TPU.ROI_PAD_MULTIPLE)
+    im_in = pad_image_to_bucket(im_blob, cfg.TPU.SIZE_BUCKET_MULTIPLE)
+
+    orig_p = np.zeros((rois_p.shape[0], 4), np.float32)
+    orig_p[:len(boxes)] = boxes
+
+    limit = int(cfg.TEST.DETECTIONS_PER_IM)
+    idx, vals, keep = _fused_detect_call(
+        spec, params, jnp.asarray(im_in[None]), jnp.asarray(rois_p),
+        jnp.asarray(obn_p), jnp.asarray(valid), jnp.asarray(orig_p),
+        max_keep=min(limit, rois_p.shape[0]), limit=limit)
+    idx, vals, keep = np.asarray(idx), np.asarray(vals), np.asarray(keep)
+
+    num_classes = cfg.MODEL.NUM_CLASSES
+    cls_boxes = [[]]
+    for j in range(1, num_classes):
+        rows = idx[j - 1][keep[j - 1]]
+        cls_boxes.append(np.concatenate(
+            [orig_p[rows], vals[j - 1][keep[j - 1]][:, None]],
+            axis=1).astype(np.float32))
+    return cls_boxes
+
+
+def _can_fuse_detect(spec):
+    return (not cfg.TEST.BBOX_AUG.ENABLED and not cfg.TEST.SOFT_NMS.ENABLED
+            and not cfg.TEST.BBOX_VOTE.ENABLED
+            and int(cfg.TEST.DETECTIONS_PER_IM) > 0
+            # supervised heads decode bbox_pred deltas on host (TEST.
+            # BBOX_REG defaults True but WSL specs emit no bbox_pred)
+            and not getattr(spec, 'supervised', False)
+            and not os.environ.get('NAFWEBSOD_HOST_NMS')
+            and not os.environ.get('NAFWEBSOD_NO_FUSED_DETECT')
+            and not getattr(spec, 'faster_rcnn', False))
 
 
 def im_detect_retinanet(spec, params, im, timers=None):
@@ -451,6 +529,24 @@ def im_detect_all(spec, params, im, box_proposals, obn_scores, timers=None,
         timers = defaultdict(Timer)
     if spec.retinanet or spec.retinanet_wsl:
         return im_detect_retinanet(spec, params, im, timers)
+    if box_proposals is not None and _can_fuse_detect(spec):
+        # plain protocol: forward + device NMS in ONE program
+        timers['im_detect_bbox'].tic()
+        cls_boxes = im_detect_fused(spec, params, im, box_proposals,
+                                    obn_scores)
+        timers['im_detect_bbox'].toc()
+        cls_segms = None
+        if getattr(spec, 'mask_on', False) and spec.mask_head != 'deeplab':
+            timers['im_detect_mask'].tic()
+            cls_segms = im_detect_mask(spec, params, im, cls_boxes)
+            timers['im_detect_mask'].toc()
+        cls_keyps = None
+        if getattr(spec, 'keypoints_on', False):
+            timers['im_detect_keypoints'].tic()
+            cls_keyps = im_detect_keypoints(spec, params, im, cls_boxes,
+                                            kp_flip_map)
+            timers['im_detect_keypoints'].toc()
+        return cls_boxes, cls_segms, cls_keyps
     timers['im_detect_bbox'].tic()
     if cfg.TEST.BBOX_AUG.ENABLED:
         scores, boxes, im_scale = im_detect_bbox_aug(

@@ -195,3 +195,72 @@ class TestEndToEndInference:
         dets = load_object(det_file)
         assert 'all_boxes' in dets and 'cfg' in dets
         assert len(dets['all_boxes']) == cfg.MODEL.NUM_CLASSES
+
+
+class TestFusedDetect:
+    """im_detect_fused (ONE device program: forward + class-batched NMS)
+    must produce the same detections as the two-call im_detect_bbox ->
+    box_results_with_nms_and_limit path."""
+
+    def _setup(self, tmp_path=None):
+        from nafwebsod_tpu.models import detector
+        import jax
+        cfg.MODEL.NUM_CLASSES = 5
+        cfg.TEST.SCALE = 64
+        cfg.TEST.MAX_SIZE = 120
+        cfg.TEST.SCORE_THRESH = 1e-9
+        cfg.TEST.NMS = 0.5
+        cfg.TEST.DETECTIONS_PER_IM = 10
+        cfg.TPU.ROI_PAD_MULTIPLE = 16
+        cfg.TPU.SIZE_BUCKET_MULTIPLE = 32
+        spec = detector.ModelSpec(
+            num_classes=5, hidden_dim=16, webly_on=True, webly_entropy=True,
+            dilation=2, compute_dtype='float32')
+        params = detector.init_params(spec, jax.random.PRNGKey(0))
+        # spread the classifier logits: random tiny-init params give
+        # near-uniform softmaxes whose float-tie NMS ordering is the one
+        # documented tie-break deviation — real checkpoints are tie-free
+        for k in ('fc8c_w', 'fc8d_w', 'noisy_fc8c_w', 'noisy_fc8d_w'):
+            params[k] = params[k] * 30.0
+        rng = np.random.RandomState(0)
+        # small-signal pixels around the mean keep the random-init towers
+        # relu-alive: saturated inputs zero fc7 for most rois and produce
+        # EXACT score ties (uniform softmax), which NMS tie-order resolves
+        # differently per path (the documented deviation)
+        im = np.clip(cfg.PIXEL_MEANS.reshape(1, 1, 3) +
+                     rng.randn(60, 80, 3) * 8, 0, 255).astype(np.uint8)
+        boxes = rng.uniform(0, 50, (24, 4)).astype(np.float32)
+        boxes[:, 2:] = np.minimum(boxes[:, :2] + 6 +
+                                  rng.uniform(0, 25, (24, 2)), 79)
+        boxes[:, 3] = np.minimum(boxes[:, 3], 59)
+        # inject exact duplicates to exercise the dedup path
+        boxes[5] = boxes[0]
+        boxes[6] = boxes[1]
+        obn = rng.rand(24, 1).astype(np.float32)
+        obn[5] = obn[0]
+        obn[6] = obn[1]
+        return spec, params, im, boxes, obn
+
+    def test_fused_matches_two_call_path(self):
+        from nafwebsod_tpu.engine import test as infer
+        spec, params, im, boxes, obn = self._setup()
+        assert infer._can_fuse_detect(spec)
+        fused = infer.im_detect_fused(spec, params, im, boxes, obn)
+        scores, pred_boxes, _ = infer.im_detect_bbox(
+            spec, params, im, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE,
+            boxes=boxes, obn_scores=obn)
+        _, _, want = infer.box_results_with_nms_and_limit(scores, pred_boxes)
+        for j in range(1, cfg.MODEL.NUM_CLASSES):
+            got_j = np.asarray(fused[j]).reshape(-1, 5)
+            want_j = np.asarray(want[j]).reshape(-1, 5)
+            # identical detection sets (sort rows for tie-order stability)
+            got_j = got_j[np.lexsort(got_j.T)]
+            want_j = want_j[np.lexsort(want_j.T)]
+            np.testing.assert_allclose(got_j, want_j, rtol=1e-5, atol=1e-5,
+                                       err_msg='class %d' % j)
+
+    def test_gate_disables_on_aug(self):
+        from nafwebsod_tpu.engine import test as infer
+        spec, _, _, _, _ = self._setup()
+        cfg.TEST.BBOX_AUG.ENABLED = True
+        assert not infer._can_fuse_detect(spec)
