@@ -445,6 +445,11 @@ __C.TPU.MAX_GT_BOXES = 64
 # (parallel/roi_shard.py — the scale-out for the R x 25088 tower axis
 # when RoI activations exceed per-chip HBM). Plain WSDDN/webly heads only.
 __C.TPU.ROI_SHARDING = False
+# Images per device call at eval time (plain protocol only: precomputed
+# proposals, no TTA/soft-NMS/voting/mask/keypoints/vis). A scan-of-B
+# fused forward+NMS program amortizes the per-call dispatch round-trip
+# Bx — dominant on remote-attached TPUs (~170 ms/call on the dev rig).
+__C.TPU.INFER_BATCH = 1
 # PRNG impl for the per-step dropout-mask stream. 'rbg' rides the XLA
 # RngBitGenerator fast path (measured ~3 ms/step cheaper than
 # 'threefry2x32' on v5e at flagship shapes — 33M mask draws/step); the

@@ -347,14 +347,11 @@ def box_results_with_nms_and_limit(scores, boxes):
     return merged[:, 4], merged[:, :4], cls_boxes
 
 
-@partial(jax.jit, static_argnames=('spec', 'max_keep', 'limit'))
-def _fused_detect_call(spec, params, im_in, rois_p, obn_p, valid,
-                       orig_boxes_p, max_keep, limit):
-    """ONE device program: forward_test + the class-batched NMS-and-limit
-    kernel. On remote-attached TPUs each device call costs a full host
-    round-trip (~170 ms through this rig's tunnel), so fusing the two
-    halves of per-image inference halves the dispatch bill; on local hosts
-    it simply removes a host sync between forward and NMS."""
+def _fused_detect_core(spec, params, im_in, rois_p, obn_p, valid,
+                       orig_boxes_p, nms_t, score_t, max_keep, limit):
+    """forward_test + the class-batched NMS-and-limit kernel, traced as
+    one program (shared by the single-image jit and the scan-of-B batch
+    driver)."""
     from nafwebsod_tpu.ops import jbox
 
     out = detector.forward_test(spec, params, im_in, rois_p, obn_p, valid)
@@ -364,8 +361,70 @@ def _fused_detect_call(spec, params, im_in, rois_p, obn_p, valid,
     boxes_c = jnp.broadcast_to(orig_boxes_p[None],
                                (c - 1,) + orig_boxes_p.shape)
     return jbox.multiclass_nms_limit(
-        boxes_c, gated.T[1:], jnp.float32(cfg.TEST.NMS),
-        jnp.float32(cfg.TEST.SCORE_THRESH), max_keep=max_keep, limit=limit)
+        boxes_c, gated.T[1:], nms_t, score_t, max_keep=max_keep,
+        limit=limit)
+
+
+@partial(jax.jit, static_argnames=('spec', 'max_keep', 'limit'))
+def _fused_detect_call(spec, params, im_in, rois_p, obn_p, valid,
+                       orig_boxes_p, max_keep, limit):
+    """ONE device program: forward_test + the class-batched NMS-and-limit
+    kernel. On remote-attached TPUs each device call costs a full host
+    round-trip (~170 ms through this rig's tunnel), so fusing the two
+    halves of per-image inference halves the dispatch bill; on local hosts
+    it simply removes a host sync between forward and NMS."""
+    return _fused_detect_core(
+        spec, params, im_in, rois_p, obn_p, valid, orig_boxes_p,
+        jnp.float32(cfg.TEST.NMS), jnp.float32(cfg.TEST.SCORE_THRESH),
+        max_keep, limit)
+
+
+@partial(jax.jit, static_argnames=('spec', 'max_keep', 'limit'))
+def _fused_detect_scan(spec, params, ims, rois, obns, valids, origs,
+                       nms_t, score_t, max_keep, limit):
+    """B images per device call: lax.scan of the fused core over the
+    stacked chunk. One dispatch amortizes the per-call round-trip Bx
+    (scan, not vmap: per-image programs keep the Pallas pool's VMEM
+    residency pattern unchanged)."""
+    def one(carry, xs):
+        im, r, o, v, ob = xs
+        return carry, _fused_detect_core(
+            spec, params, im[None], r, o, v, ob, nms_t, score_t,
+            max_keep, limit)
+
+    _, outs = jax.lax.scan(one, jnp.int32(0),
+                           (ims, rois, obns, valids, origs))
+    return outs
+
+
+def _fused_host_prep(im, boxes, obn_scores):
+    """Blob prep + DEDUP_BOXES hashing for the fused path. The duplicates
+    must leave the forward too: they would inflate the RoI-softmax
+    denominator the reference computes on unique rois. Returns
+    (im_blob, rois5, obn, unique_boxes)."""
+    im_blob, im_scale = prep_im_for_blob(
+        im, cfg.PIXEL_MEANS, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE,
+        cfg.PIXEL_STDS)
+    rois5 = np.hstack([np.zeros((boxes.shape[0], 1), np.float32),
+                       (boxes * im_scale).astype(np.float32)])
+    obn = np.add(obn_scores, 1.0).astype(np.float32).reshape(-1, 1)
+    if cfg.DEDUP_BOXES > 0:
+        v = np.array([1, 1e3, 1e6, 1e9, 1e12])
+        hashes = np.round(rois5 * cfg.DEDUP_BOXES).dot(v)
+        _, index = np.unique(hashes, return_index=True)
+        rois5, obn, boxes = rois5[index], obn[index], boxes[index]
+    return im_blob, rois5, obn, boxes
+
+
+def _assemble_cls_boxes(orig_p, idx, vals, keep):
+    """(C-1, K) NMS-kernel outputs -> the legacy per-class det list."""
+    cls_boxes = [[]]
+    for j in range(1, cfg.MODEL.NUM_CLASSES):
+        rows = idx[j - 1][keep[j - 1]]
+        cls_boxes.append(np.concatenate(
+            [orig_p[rows], vals[j - 1][keep[j - 1]][:, None]],
+            axis=1).astype(np.float32))
+    return cls_boxes
 
 
 def im_detect_fused(spec, params, im, boxes, obn_scores):
@@ -375,19 +434,7 @@ def im_detect_fused(spec, params, im, boxes, obn_scores):
     The inv_index expansion of im_detect_bbox is unnecessary here:
     duplicates carry identical boxes and scores, so greedy NMS on the
     unique set yields the same detections as NMS on the expanded set."""
-    im_blob, im_scale = prep_im_for_blob(
-        im, cfg.PIXEL_MEANS, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE,
-        cfg.PIXEL_STDS)
-    rois5 = np.hstack([np.zeros((boxes.shape[0], 1), np.float32),
-                       (boxes * im_scale).astype(np.float32)])
-    obn = np.add(obn_scores, 1.0).astype(np.float32).reshape(-1, 1)
-    if cfg.DEDUP_BOXES > 0:
-        # duplicates must leave the forward too: they would inflate the
-        # RoI-softmax denominator the reference computes on unique rois
-        v = np.array([1, 1e3, 1e6, 1e9, 1e12])
-        hashes = np.round(rois5 * cfg.DEDUP_BOXES).dot(v)
-        _, index = np.unique(hashes, return_index=True)
-        rois5, obn, boxes = rois5[index], obn[index], boxes[index]
+    im_blob, rois5, obn, boxes = _fused_host_prep(im, boxes, obn_scores)
     rois_p, obn_p, valid = _pad_rois(rois5, obn, cfg.TPU.ROI_PAD_MULTIPLE)
     im_in = pad_image_to_bucket(im_blob, cfg.TPU.SIZE_BUCKET_MULTIPLE)
 
@@ -399,16 +446,50 @@ def im_detect_fused(spec, params, im, boxes, obn_scores):
         spec, params, jnp.asarray(im_in[None]), jnp.asarray(rois_p),
         jnp.asarray(obn_p), jnp.asarray(valid), jnp.asarray(orig_p),
         max_keep=min(limit, rois_p.shape[0]), limit=limit)
-    idx, vals, keep = np.asarray(idx), np.asarray(vals), np.asarray(keep)
+    return _assemble_cls_boxes(orig_p, np.asarray(idx), np.asarray(vals),
+                               np.asarray(keep))
 
-    num_classes = cfg.MODEL.NUM_CLASSES
-    cls_boxes = [[]]
-    for j in range(1, num_classes):
-        rows = idx[j - 1][keep[j - 1]]
-        cls_boxes.append(np.concatenate(
-            [orig_p[rows], vals[j - 1][keep[j - 1]][:, None]],
-            axis=1).astype(np.float32))
-    return cls_boxes
+
+def im_detect_fused_batch(spec, params, ims, boxes_list, obn_list):
+    """Chunk-of-B fused detection: per-image host prep, the chunk padded
+    to one image bucket and one roi cap, then ONE scan-of-B device call.
+    Amortizes the per-call dispatch round-trip Bx (TPU.INFER_BATCH).
+    Returns a list of per-image cls_boxes."""
+    preps = [_fused_host_prep(im, b, o)
+             for im, b, o in zip(ims, boxes_list, obn_list)]
+    bucket = cfg.TPU.SIZE_BUCKET_MULTIPLE
+    hmax = max(p[0].shape[0] for p in preps)
+    wmax = max(p[0].shape[1] for p in preps)
+    if bucket > 1:
+        hmax = int(np.ceil(hmax / bucket) * bucket)
+        wmax = int(np.ceil(wmax / bucket) * bucket)
+    mult = max(int(cfg.TPU.ROI_PAD_MULTIPLE), 1)
+    rmax = max(p[1].shape[0] for p in preps)
+    rcap = max(mult, int(np.ceil(rmax / mult) * mult))
+
+    b = len(preps)
+    ims_p = np.zeros((b, hmax, wmax, 3), np.float32)
+    rois_p = np.zeros((b, rcap, 5), np.float32)
+    obn_p = np.zeros((b, rcap, 1), np.float32)
+    valid = np.zeros((b, rcap), bool)
+    orig_p = np.zeros((b, rcap, 4), np.float32)
+    for i, (blob, rois5, obn, boxes_u) in enumerate(preps):
+        ims_p[i, :blob.shape[0], :blob.shape[1]] = blob
+        n = rois5.shape[0]
+        rois_p[i, :n] = rois5
+        obn_p[i, :n] = obn
+        valid[i, :n] = True
+        orig_p[i, :n] = boxes_u
+
+    limit = int(cfg.TEST.DETECTIONS_PER_IM)
+    idx, vals, keep = _fused_detect_scan(
+        spec, params, jnp.asarray(ims_p), jnp.asarray(rois_p),
+        jnp.asarray(obn_p), jnp.asarray(valid), jnp.asarray(orig_p),
+        jnp.float32(cfg.TEST.NMS), jnp.float32(cfg.TEST.SCORE_THRESH),
+        max_keep=min(limit, rcap), limit=limit)
+    idx, vals, keep = np.asarray(idx), np.asarray(vals), np.asarray(keep)
+    return [_assemble_cls_boxes(orig_p[i], idx[i], vals[i], keep[i])
+            for i in range(b)]
 
 
 def _can_fuse_detect(spec):

@@ -169,6 +169,57 @@ def test_net(weights_file, dataset_name, proposal_file, output_dir,
     num_classes = cfg.MODEL.NUM_CLASSES
     all_boxes, all_segms, all_keyps = empty_results(num_classes, num_images)
     timers = defaultdict(Timer)
+
+    from nafwebsod_tpu.engine.test import (_can_fuse_detect,
+                                           im_detect_fused_batch)
+    infer_batch = max(int(cfg.TPU.INFER_BATCH), 1)
+    if (infer_batch > 1 and cfg.TEST.PRECOMPUTED_PROPOSALS
+            and _can_fuse_detect(spec) and not spec.mask_on
+            and not spec.keypoints_on and not spec.retinanet
+            and not spec.retinanet_wsl and not cfg.VIS):
+        # chunk-of-B fused path: one scan-of-B device call per chunk
+        pend_idx, pend_ims, pend_boxes, pend_obn = [], [], [], []
+
+        def flush():
+            if not pend_idx:
+                return
+            timers['im_detect_bbox'].tic()
+            results = im_detect_fused_batch(spec, params, pend_ims,
+                                            pend_boxes, pend_obn)
+            timers['im_detect_bbox'].toc()
+            for i2, cls_boxes_i in zip(pend_idx, results):
+                extend_results(i2, all_boxes, cls_boxes_i)
+            del pend_idx[:], pend_ims[:], pend_boxes[:], pend_obn[:]
+
+        for i, entry in enumerate(roidb):
+            box_proposals = entry['boxes'][entry['gt_classes'] == 0]
+            obn_scores = entry['obn_scores'][entry['gt_classes'] == 0]
+            if len(box_proposals) == 0:
+                continue
+            pend_idx.append(i)
+            pend_ims.append(cv2.imread(entry['image']))
+            pend_boxes.append(box_proposals)
+            pend_obn.append(obn_scores)
+            if len(pend_idx) == infer_batch:
+                flush()
+                if (i // infer_batch) % 4 == 0:
+                    logger.info(
+                        'im_detect[batch %d]: range [%d, %d] of %d: %d/%d '
+                        '(det %.3fs/chunk)', infer_batch, start_ind + 1,
+                        end_ind, total_num_images, start_ind + i + 1,
+                        start_ind + num_images,
+                        timers['im_detect_bbox'].average_time)
+        flush()
+        cfg_yaml = _dump_cfg_str()
+        det_name = ('detection_range_{}_{}.pkl'.format(*ind_range)
+                    if ind_range is not None else 'detections.pkl')
+        det_file = os.path.join(output_dir, det_name)
+        save_object(
+            dict(all_boxes=all_boxes, all_segms=all_segms,
+                 all_keyps=all_keyps, cfg=cfg_yaml), det_file)
+        logger.info('Wrote detections to: %s', os.path.abspath(det_file))
+        return all_boxes, all_segms, all_keyps
+
     for i, entry in enumerate(roidb):
         if cfg.TEST.PRECOMPUTED_PROPOSALS:
             # skip gt rois: use only proposal boxes (ref :226-234)

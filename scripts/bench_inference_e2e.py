@@ -7,7 +7,8 @@ host, the jitted forward, the device class-batched NMS kernel (or the host
 native path with NAFWEBSOD_HOST_NMS=1 for A/B), detection assembly, and
 the detections.pkl write at the end.
 
-Usage: python scripts/bench_inference_e2e.py [n_images] [R]
+Usage: python scripts/bench_inference_e2e.py [n_images] [R] [batch]
+(batch > 1 measures the scan-of-B chunked path, TPU.INFER_BATCH)
 """
 
 import os
@@ -35,6 +36,7 @@ from nafwebsod_tpu.models import detector  # noqa: E402
 def main():
     n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     r = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     on_tpu = any(d.platform == 'tpu' for d in jax.devices())
     side = 704 if on_tpu else 96
     hidden = 4096 if on_tpu else 32
@@ -70,15 +72,31 @@ def main():
     all_boxes = [[[] for _ in range(n_images)] for _ in range(num_classes)]
 
     # warm both image-shape buckets + the NMS program
-    for im in ims:
-        infer.im_detect_all(spec, params, im, boxes, obn)
+    if batch > 1:
+        infer.im_detect_fused_batch(
+            spec, params, [ims[i % len(ims)] for i in range(batch)],
+            [boxes] * batch, [obn] * batch)
+    else:
+        for im in ims:
+            infer.im_detect_all(spec, params, im, boxes, obn)
 
     t0 = time.perf_counter()
-    for i in range(n_images):
-        cls_boxes, _, _ = infer.im_detect_all(
-            spec, params, ims[i % len(ims)], boxes, obn)
-        for j in range(1, num_classes):
-            all_boxes[j][i] = cls_boxes[j]
+    if batch > 1:
+        for i0 in range(0, n_images, batch):
+            chunk = [ims[i % len(ims)]
+                     for i in range(i0, min(i0 + batch, n_images))]
+            res = infer.im_detect_fused_batch(
+                spec, params, chunk, [boxes] * len(chunk),
+                [obn] * len(chunk))
+            for k, cls_boxes in enumerate(res):
+                for j in range(1, num_classes):
+                    all_boxes[j][i0 + k] = cls_boxes[j]
+    else:
+        for i in range(n_images):
+            cls_boxes, _, _ = infer.im_detect_all(
+                spec, params, ims[i % len(ims)], boxes, obn)
+            for j in range(1, num_classes):
+                all_boxes[j][i] = cls_boxes[j]
     out = '/tmp/bench_e2e_detections.pkl'
     with open(out, 'wb') as f:
         pickle.dump({'all_boxes': all_boxes, 'cfg': ''}, f,
@@ -86,9 +104,9 @@ def main():
     dt = time.perf_counter() - t0
     n_dets = sum(len(all_boxes[j][0]) for j in range(1, num_classes))
     print('e2e inference: {:.1f} ms/image = {:.2f} images/sec '
-          '({} images, {} rois, {} dets/im0, device_nms={})'.format(
-              dt / n_images * 1e3, n_images / dt, n_images, r, n_dets,
-              not os.environ.get('NAFWEBSOD_HOST_NMS')))
+          '({} images, {} rois, batch {}, {} dets/im0, device_nms={})'
+          .format(dt / n_images * 1e3, n_images / dt, n_images, r, batch,
+                  n_dets, not os.environ.get('NAFWEBSOD_HOST_NMS')))
 
 
 if __name__ == '__main__':

@@ -264,3 +264,33 @@ class TestFusedDetect:
         spec, _, _, _, _ = self._setup()
         cfg.TEST.BBOX_AUG.ENABLED = True
         assert not infer._can_fuse_detect(spec)
+
+    def test_batch_matches_per_image(self):
+        from nafwebsod_tpu.engine import test as infer
+        spec, params, im, boxes, obn = self._setup()
+        rng = np.random.RandomState(7)
+        ims, bxs, obns = [], [], []
+        for k in range(3):
+            im_k = np.clip(cfg.PIXEL_MEANS.reshape(1, 1, 3) +
+                           rng.randn(50 + 6 * k, 70 + 4 * k, 3) * 8,
+                           0, 255).astype(np.uint8)
+            h, w = im_k.shape[:2]
+            b = rng.uniform(0, 40, (10 + 4 * k, 4)).astype(np.float32)
+            b[:, 2:] = np.minimum(b[:, :2] + 5 +
+                                  rng.uniform(0, 20, (len(b), 2)),
+                                  [w - 1, h - 1])
+            ims.append(im_k)
+            bxs.append(b)
+            obns.append(rng.rand(len(b), 1).astype(np.float32))
+        batched = infer.im_detect_fused_batch(spec, params, ims, bxs, obns)
+        for k in range(3):
+            single = infer.im_detect_fused(spec, params, ims[k], bxs[k],
+                                           obns[k])
+            for j in range(1, cfg.MODEL.NUM_CLASSES):
+                got = np.asarray(batched[k][j]).reshape(-1, 5)
+                want = np.asarray(single[j]).reshape(-1, 5)
+                got = got[np.lexsort(got.T)]
+                want = want[np.lexsort(want.T)]
+                np.testing.assert_allclose(
+                    got, want, rtol=2e-5, atol=2e-5,
+                    err_msg='image %d class %d' % (k, j))
