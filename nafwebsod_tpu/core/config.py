@@ -450,6 +450,12 @@ __C.TPU.ROI_SHARDING = False
 # fused forward+NMS program amortizes the per-call dispatch round-trip
 # Bx — dominant on remote-attached TPUs (~170 ms/call on the dev rig).
 __C.TPU.INFER_BATCH = 1
+# Resize + normalize images INSIDE the jitted program (ops/image.py):
+# the host ships raw uint8 pixels (4x smaller than the f32 resized blob)
+# and skips cv2.resize. -1 = auto (on when the default backend is TPU),
+# 0 = force host prep, 1 = force device prep. Deviation from the
+# reference host pipeline is ~2e-3 pixel units (PARITY.md).
+__C.TPU.DEVICE_IMAGE_PREP = -1
 # PRNG impl for the per-step dropout-mask stream. 'rbg' rides the XLA
 # RngBitGenerator fast path (measured ~3 ms/step cheaper than
 # 'threefry2x32' on v5e at flagship shapes — 33M mask draws/step); the

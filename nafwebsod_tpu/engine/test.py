@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from nafwebsod_tpu.core.config import cfg
 from nafwebsod_tpu.data.minibatch import prep_im_for_blob, pad_image_to_bucket
 from nafwebsod_tpu.models import detector
+from nafwebsod_tpu.ops import image as image_ops
 from nafwebsod_tpu.ops import boxes as box_utils
 from nafwebsod_tpu.utils.timer import Timer
 
@@ -397,14 +398,11 @@ def _fused_detect_scan(spec, params, ims, rois, obns, valids, origs,
     return outs
 
 
-def _fused_host_prep(im, boxes, obn_scores):
-    """Blob prep + DEDUP_BOXES hashing for the fused path. The duplicates
+def _dedup_scaled_rois(boxes, obn_scores, im_scale):
+    """Scale + DEDUP_BOXES hashing for the fused paths. The duplicates
     must leave the forward too: they would inflate the RoI-softmax
     denominator the reference computes on unique rois. Returns
-    (im_blob, rois5, obn, unique_boxes)."""
-    im_blob, im_scale = prep_im_for_blob(
-        im, cfg.PIXEL_MEANS, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE,
-        cfg.PIXEL_STDS)
+    (rois5, obn, unique_boxes)."""
     rois5 = np.hstack([np.zeros((boxes.shape[0], 1), np.float32),
                        (boxes * im_scale).astype(np.float32)])
     obn = np.add(obn_scores, 1.0).astype(np.float32).reshape(-1, 1)
@@ -413,7 +411,91 @@ def _fused_host_prep(im, boxes, obn_scores):
         hashes = np.round(rois5 * cfg.DEDUP_BOXES).dot(v)
         _, index = np.unique(hashes, return_index=True)
         rois5, obn, boxes = rois5[index], obn[index], boxes[index]
+    return rois5, obn, boxes
+
+
+def _fused_host_prep(im, boxes, obn_scores):
+    """Blob prep (resize + normalize on host) + roi dedup. Returns
+    (im_blob, rois5, obn, unique_boxes)."""
+    im_blob, im_scale = prep_im_for_blob(
+        im, cfg.PIXEL_MEANS, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE,
+        cfg.PIXEL_STDS)
+    rois5, obn, boxes = _dedup_scaled_rois(boxes, obn_scores, im_scale)
     return im_blob, rois5, obn, boxes
+
+
+def _device_prep_enabled():
+    """Device-side image prep (ops/image.py): raw uint8 crosses the link,
+    resize + normalize run inside the jitted program. Auto on TPU
+    backends (the f32 blob transfer and cv2.resize dominate per-image
+    eval cost there); NAFWEBSOD_HOST_PREP=1 forces the host path for
+    A/B."""
+    if os.environ.get('NAFWEBSOD_HOST_PREP'):
+        return False
+    v = int(cfg.TPU.DEVICE_IMAGE_PREP)
+    if v < 0:
+        return detector._default_backend_is_tpu()
+    return bool(v)
+
+
+def _snap(v, multiple):
+    if multiple <= 1:
+        return int(v)
+    return int(np.ceil(v / multiple) * multiple)
+
+
+def _raw_host_prep(im, boxes, obn_scores):
+    """Host half of the device-prep path: scale arithmetic + roi dedup
+    only; pixels stay uint8. Returns (im, im_scale, (vh, vw), rois5,
+    obn, unique_boxes) with (vh, vw) the resized valid extent."""
+    h, w = im.shape[:2]
+    im_scale = image_ops.compute_im_scale(
+        h, w, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE)
+    rois5, obn, boxes = _dedup_scaled_rois(boxes, obn_scores, im_scale)
+    return (im, im_scale, image_ops.scaled_size(h, w, im_scale),
+            rois5, obn, boxes)
+
+
+def _fused_detect_core_raw(spec, params, raw, scale, vh, vw, means, stds,
+                           rois_p, obn_p, valid, orig_p, nms_t, score_t,
+                           out_hw, max_keep, limit):
+    """Device image prep (resize + normalize, ops/image.py) fused in
+    front of forward_test + NMS: the whole per-image pipeline past the
+    uint8 pixels is ONE device program."""
+    im = image_ops.device_prep(raw, scale, vh, vw, out_hw, means, stds)
+    return _fused_detect_core(spec, params, im[None], rois_p, obn_p,
+                              valid, orig_p, nms_t, score_t, max_keep,
+                              limit)
+
+
+@partial(jax.jit, static_argnames=('spec', 'out_hw', 'max_keep', 'limit'))
+def _fused_detect_call_raw(spec, params, raw, scale, vh, vw, means, stds,
+                           rois_p, obn_p, valid, orig_p, out_hw, max_keep,
+                           limit):
+    return _fused_detect_core_raw(
+        spec, params, raw, scale, vh, vw, means, stds, rois_p, obn_p,
+        valid, orig_p, jnp.float32(cfg.TEST.NMS),
+        jnp.float32(cfg.TEST.SCORE_THRESH), out_hw, max_keep, limit)
+
+
+@partial(jax.jit, static_argnames=('spec', 'out_hw', 'max_keep', 'limit'))
+def _fused_detect_scan_raw(spec, params, raws, scales, vhs, vws, means,
+                           stds, rois, obns, valids, origs, nms_t, score_t,
+                           out_hw, max_keep, limit):
+    """Scan-of-B with in-graph image prep: per-image dynamic scale under
+    one static raw/out canvas pair (scale_and_translate takes the scale
+    as a traced operand, so one compile covers the whole dataset when
+    the caller caps the canvases from the roidb)."""
+    def one(carry, xs):
+        raw, s, vh, vw, r, o, v, ob = xs
+        return carry, _fused_detect_core_raw(
+            spec, params, raw, s, vh, vw, means, stds, r, o, v, ob,
+            nms_t, score_t, out_hw, max_keep, limit)
+
+    _, outs = jax.lax.scan(one, jnp.int32(0),
+                           (raws, scales, vhs, vws, rois, obns, valids,
+                            origs))
+    return outs
 
 
 def _assemble_cls_boxes(orig_p, idx, vals, keep):
@@ -434,6 +516,8 @@ def im_detect_fused(spec, params, im, boxes, obn_scores):
     The inv_index expansion of im_detect_bbox is unnecessary here:
     duplicates carry identical boxes and scores, so greedy NMS on the
     unique set yields the same detections as NMS on the expanded set."""
+    if _device_prep_enabled():
+        return _im_detect_fused_raw(spec, params, im, boxes, obn_scores)
     im_blob, rois5, obn, boxes = _fused_host_prep(im, boxes, obn_scores)
     rois_p, obn_p, valid = _pad_rois(rois5, obn, cfg.TPU.ROI_PAD_MULTIPLE)
     im_in = pad_image_to_bucket(im_blob, cfg.TPU.SIZE_BUCKET_MULTIPLE)
@@ -450,11 +534,97 @@ def im_detect_fused(spec, params, im, boxes, obn_scores):
                                np.asarray(keep))
 
 
-def im_detect_fused_batch(spec, params, ims, boxes_list, obn_list):
+def _im_detect_fused_raw(spec, params, im, boxes, obn_scores):
+    """im_detect_fused with device-side image prep: only the raw uint8
+    canvas and the (tiny) roi arrays cross the host->device link."""
+    im, im_scale, (vh, vw), rois5, obn, boxes_u = _raw_host_prep(
+        im, boxes, obn_scores)
+    bucket = cfg.TPU.SIZE_BUCKET_MULTIPLE
+    raw = image_ops.raw_canvas(
+        im, _snap(im.shape[0] + image_ops.EDGE_PAD, bucket),
+        _snap(im.shape[1] + image_ops.EDGE_PAD, bucket))
+    out_hw = (_snap(vh, bucket), _snap(vw, bucket))
+    rois_p, obn_p, valid = _pad_rois(rois5, obn, cfg.TPU.ROI_PAD_MULTIPLE)
+    orig_p = np.zeros((rois_p.shape[0], 4), np.float32)
+    orig_p[:len(boxes_u)] = boxes_u
+
+    limit = int(cfg.TEST.DETECTIONS_PER_IM)
+    idx, vals, keep = _fused_detect_call_raw(
+        spec, params, jnp.asarray(raw), jnp.float32(im_scale),
+        jnp.int32(vh), jnp.int32(vw),
+        jnp.asarray(cfg.PIXEL_MEANS.reshape(-1), jnp.float32),
+        jnp.asarray(cfg.PIXEL_STDS.reshape(-1), jnp.float32),
+        jnp.asarray(rois_p), jnp.asarray(obn_p), jnp.asarray(valid),
+        jnp.asarray(orig_p), out_hw=out_hw,
+        max_keep=min(limit, rois_p.shape[0]), limit=limit)
+    return _assemble_cls_boxes(orig_p, np.asarray(idx), np.asarray(vals),
+                               np.asarray(keep))
+
+
+def _im_detect_fused_batch_raw(spec, params, ims, boxes_list, obn_list,
+                               raw_cap=None, out_cap=None):
+    """Chunk-of-B fused detection with device-side image prep. raw_cap /
+    out_cap pin the uint8 and resized canvases to dataset-wide maxima so
+    ONE compile covers every chunk (test_engine derives them from the
+    roidb); when None they fall back to per-chunk maxima."""
+    preps = [_raw_host_prep(im, b, o)
+             for im, b, o in zip(ims, boxes_list, obn_list)]
+    bucket = cfg.TPU.SIZE_BUCKET_MULTIPLE
+    if raw_cap is None:
+        raw_cap = (
+            _snap(max(p[0].shape[0] for p in preps) + image_ops.EDGE_PAD,
+                  bucket),
+            _snap(max(p[0].shape[1] for p in preps) + image_ops.EDGE_PAD,
+                  bucket))
+    if out_cap is None:
+        out_cap = (_snap(max(p[2][0] for p in preps), bucket),
+                   _snap(max(p[2][1] for p in preps), bucket))
+    mult = max(int(cfg.TPU.ROI_PAD_MULTIPLE), 1)
+    rmax = max(p[3].shape[0] for p in preps)
+    rcap = max(mult, int(np.ceil(rmax / mult) * mult))
+
+    b = len(preps)
+    raws = np.zeros((b,) + raw_cap + (3,), np.uint8)
+    scales = np.zeros((b,), np.float32)
+    vhs = np.zeros((b,), np.int32)
+    vws = np.zeros((b,), np.int32)
+    rois_p = np.zeros((b, rcap, 5), np.float32)
+    obn_p = np.zeros((b, rcap, 1), np.float32)
+    valid = np.zeros((b, rcap), bool)
+    orig_p = np.zeros((b, rcap, 4), np.float32)
+    for i, (im, s, (vh, vw), rois5, obn, boxes_u) in enumerate(preps):
+        raws[i] = image_ops.raw_canvas(im, *raw_cap)
+        scales[i], vhs[i], vws[i] = s, vh, vw
+        n = rois5.shape[0]
+        rois_p[i, :n] = rois5
+        obn_p[i, :n] = obn
+        valid[i, :n] = True
+        orig_p[i, :n] = boxes_u
+
+    limit = int(cfg.TEST.DETECTIONS_PER_IM)
+    idx, vals, keep = _fused_detect_scan_raw(
+        spec, params, jnp.asarray(raws), jnp.asarray(scales),
+        jnp.asarray(vhs), jnp.asarray(vws),
+        jnp.asarray(cfg.PIXEL_MEANS.reshape(-1), jnp.float32),
+        jnp.asarray(cfg.PIXEL_STDS.reshape(-1), jnp.float32),
+        jnp.asarray(rois_p), jnp.asarray(obn_p), jnp.asarray(valid),
+        jnp.asarray(orig_p), jnp.float32(cfg.TEST.NMS),
+        jnp.float32(cfg.TEST.SCORE_THRESH), out_hw=out_cap,
+        max_keep=min(limit, rcap), limit=limit)
+    idx, vals, keep = np.asarray(idx), np.asarray(vals), np.asarray(keep)
+    return [_assemble_cls_boxes(orig_p[i], idx[i], vals[i], keep[i])
+            for i in range(b)]
+
+
+def im_detect_fused_batch(spec, params, ims, boxes_list, obn_list,
+                          raw_cap=None, out_cap=None):
     """Chunk-of-B fused detection: per-image host prep, the chunk padded
     to one image bucket and one roi cap, then ONE scan-of-B device call.
     Amortizes the per-call dispatch round-trip Bx (TPU.INFER_BATCH).
     Returns a list of per-image cls_boxes."""
+    if _device_prep_enabled():
+        return _im_detect_fused_batch_raw(spec, params, ims, boxes_list,
+                                          obn_list, raw_cap, out_cap)
     preps = [_fused_host_prep(im, b, o)
              for im, b, o in zip(ims, boxes_list, obn_list)]
     bucket = cfg.TPU.SIZE_BUCKET_MULTIPLE

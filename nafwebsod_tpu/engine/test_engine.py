@@ -177,7 +177,28 @@ def test_net(weights_file, dataset_name, proposal_file, output_dir,
             and _can_fuse_detect(spec) and not spec.mask_on
             and not spec.keypoints_on and not spec.retinanet
             and not spec.retinanet_wsl and not cfg.VIS):
-        # chunk-of-B fused path: one scan-of-B device call per chunk
+        # chunk-of-B fused path: one scan-of-B device call per chunk.
+        # With device image prep the raw/resized canvases are pinned to
+        # dataset-wide maxima (from the roidb dims) so the whole eval
+        # runs on ONE compiled program.
+        from nafwebsod_tpu.engine.test import _device_prep_enabled, _snap
+        raw_cap = out_cap = None
+        if _device_prep_enabled():
+            from nafwebsod_tpu.ops import image as image_ops
+            bucket = cfg.TPU.SIZE_BUCKET_MULTIPLE
+            raw_cap = (
+                _snap(max(e['height'] for e in roidb) + image_ops.EDGE_PAD,
+                      bucket),
+                _snap(max(e['width'] for e in roidb) + image_ops.EDGE_PAD,
+                      bucket))
+            vdims = [image_ops.scaled_size(
+                e['height'], e['width'],
+                image_ops.compute_im_scale(e['height'], e['width'],
+                                           cfg.TEST.SCALE,
+                                           cfg.TEST.MAX_SIZE))
+                     for e in roidb]
+            out_cap = (_snap(max(v[0] for v in vdims), bucket),
+                       _snap(max(v[1] for v in vdims), bucket))
         pend_idx, pend_ims, pend_boxes, pend_obn = [], [], [], []
 
         def flush():
@@ -185,7 +206,9 @@ def test_net(weights_file, dataset_name, proposal_file, output_dir,
                 return
             timers['im_detect_bbox'].tic()
             results = im_detect_fused_batch(spec, params, pend_ims,
-                                            pend_boxes, pend_obn)
+                                            pend_boxes, pend_obn,
+                                            raw_cap=raw_cap,
+                                            out_cap=out_cap)
             timers['im_detect_bbox'].toc()
             for i2, cls_boxes_i in zip(pend_idx, results):
                 extend_results(i2, all_boxes, cls_boxes_i)
