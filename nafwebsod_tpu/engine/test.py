@@ -561,12 +561,15 @@ def _im_detect_fused_raw(spec, params, im, boxes, obn_scores):
                                np.asarray(keep))
 
 
-def _im_detect_fused_batch_raw(spec, params, ims, boxes_list, obn_list,
-                               raw_cap=None, out_cap=None):
+def _im_detect_fused_batch_raw_dispatch(spec, params, ims, boxes_list,
+                                        obn_list, raw_cap=None,
+                                        out_cap=None):
     """Chunk-of-B fused detection with device-side image prep. raw_cap /
     out_cap pin the uint8 and resized canvases to dataset-wide maxima so
     ONE compile covers every chunk (test_engine derives them from the
-    roidb); when None they fall back to per-chunk maxima."""
+    roidb); when None they fall back to per-chunk maxima. Returns a
+    handle for im_detect_fused_batch_harvest WITHOUT blocking on the
+    device (async dispatch)."""
     preps = [_raw_host_prep(im, b, o)
              for im, b, o in zip(ims, boxes_list, obn_list)]
     bucket = cfg.TPU.SIZE_BUCKET_MULTIPLE
@@ -611,6 +614,28 @@ def _im_detect_fused_batch_raw(spec, params, ims, boxes_list, obn_list,
         jnp.asarray(orig_p), jnp.float32(cfg.TEST.NMS),
         jnp.float32(cfg.TEST.SCORE_THRESH), out_hw=out_cap,
         max_keep=min(limit, rcap), limit=limit)
+    return (idx, vals, keep), orig_p, b
+
+
+def im_detect_fused_batch_dispatch(spec, params, ims, boxes_list,
+                                   obn_list, raw_cap=None, out_cap=None):
+    """Host-prep the chunk and ENQUEUE its device program without
+    blocking (JAX async dispatch): the returned handle resolves in
+    im_detect_fused_batch_harvest. Lets the eval loop overlap the next
+    chunk's host prep + input transfer with this chunk's device compute
+    (double-buffering; the reference's loader-thread analogue for the
+    eval direction)."""
+    if _device_prep_enabled():
+        return _im_detect_fused_batch_raw_dispatch(
+            spec, params, ims, boxes_list, obn_list, raw_cap, out_cap)
+    return _im_detect_fused_batch_host_dispatch(spec, params, ims,
+                                                boxes_list, obn_list)
+
+
+def im_detect_fused_batch_harvest(handle):
+    """Block on a dispatched chunk's device outputs and assemble the
+    per-image cls_boxes lists."""
+    (idx, vals, keep), orig_p, b = handle
     idx, vals, keep = np.asarray(idx), np.asarray(vals), np.asarray(keep)
     return [_assemble_cls_boxes(orig_p[i], idx[i], vals[i], keep[i])
             for i in range(b)]
@@ -622,9 +647,12 @@ def im_detect_fused_batch(spec, params, ims, boxes_list, obn_list,
     to one image bucket and one roi cap, then ONE scan-of-B device call.
     Amortizes the per-call dispatch round-trip Bx (TPU.INFER_BATCH).
     Returns a list of per-image cls_boxes."""
-    if _device_prep_enabled():
-        return _im_detect_fused_batch_raw(spec, params, ims, boxes_list,
-                                          obn_list, raw_cap, out_cap)
+    return im_detect_fused_batch_harvest(im_detect_fused_batch_dispatch(
+        spec, params, ims, boxes_list, obn_list, raw_cap, out_cap))
+
+
+def _im_detect_fused_batch_host_dispatch(spec, params, ims, boxes_list,
+                                         obn_list):
     preps = [_fused_host_prep(im, b, o)
              for im, b, o in zip(ims, boxes_list, obn_list)]
     bucket = cfg.TPU.SIZE_BUCKET_MULTIPLE
@@ -657,9 +685,7 @@ def im_detect_fused_batch(spec, params, ims, boxes_list, obn_list,
         jnp.asarray(obn_p), jnp.asarray(valid), jnp.asarray(orig_p),
         jnp.float32(cfg.TEST.NMS), jnp.float32(cfg.TEST.SCORE_THRESH),
         max_keep=min(limit, rcap), limit=limit)
-    idx, vals, keep = np.asarray(idx), np.asarray(vals), np.asarray(keep)
-    return [_assemble_cls_boxes(orig_p[i], idx[i], vals[i], keep[i])
-            for i in range(b)]
+    return (idx, vals, keep), orig_p, b
 
 
 def _can_fuse_detect(spec):

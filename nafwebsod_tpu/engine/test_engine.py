@@ -170,8 +170,7 @@ def test_net(weights_file, dataset_name, proposal_file, output_dir,
     all_boxes, all_segms, all_keyps = empty_results(num_classes, num_images)
     timers = defaultdict(Timer)
 
-    from nafwebsod_tpu.engine.test import (_can_fuse_detect,
-                                           im_detect_fused_batch)
+    from nafwebsod_tpu.engine.test import _can_fuse_detect
     infer_batch = max(int(cfg.TPU.INFER_BATCH), 1)
     if (infer_batch > 1 and cfg.TEST.PRECOMPUTED_PROPOSALS
             and _can_fuse_detect(spec) and not spec.mask_on
@@ -199,20 +198,33 @@ def test_net(weights_file, dataset_name, proposal_file, output_dir,
                      for e in roidb]
             out_cap = (_snap(max(v[0] for v in vdims), bucket),
                        _snap(max(v[1] for v in vdims), bucket))
+        from nafwebsod_tpu.engine.test import (
+            im_detect_fused_batch_dispatch, im_detect_fused_batch_harvest)
         pend_idx, pend_ims, pend_boxes, pend_obn = [], [], [], []
+        # double-buffer: harvest chunk k only after chunk k+1 is
+        # dispatched, so the next chunk's host prep + input transfer
+        # overlap the current chunk's device compute (async dispatch)
+        inflight = []
 
-        def flush():
-            if not pend_idx:
-                return
-            timers['im_detect_bbox'].tic()
-            results = im_detect_fused_batch(spec, params, pend_ims,
-                                            pend_boxes, pend_obn,
-                                            raw_cap=raw_cap,
-                                            out_cap=out_cap)
-            timers['im_detect_bbox'].toc()
-            for i2, cls_boxes_i in zip(pend_idx, results):
+        def harvest(handle, idx_list):
+            results = im_detect_fused_batch_harvest(handle)
+            for i2, cls_boxes_i in zip(idx_list, results):
                 extend_results(i2, all_boxes, cls_boxes_i)
-            del pend_idx[:], pend_ims[:], pend_boxes[:], pend_obn[:]
+
+        def flush(final=False):
+            if pend_idx:
+                timers['im_detect_bbox'].tic()
+                handle = im_detect_fused_batch_dispatch(
+                    spec, params, pend_ims, pend_boxes, pend_obn,
+                    raw_cap=raw_cap, out_cap=out_cap)
+                inflight.append((handle, list(pend_idx)))
+                timers['im_detect_bbox'].toc()
+                del pend_idx[:], pend_ims[:], pend_boxes[:], pend_obn[:]
+            while len(inflight) > (0 if final else 1):
+                timers['im_detect_bbox'].tic()
+                handle, idx_list = inflight.pop(0)
+                harvest(handle, idx_list)
+                timers['im_detect_bbox'].toc()
 
         for i, entry in enumerate(roidb):
             box_proposals = entry['boxes'][entry['gt_classes'] == 0]
@@ -232,7 +244,7 @@ def test_net(weights_file, dataset_name, proposal_file, output_dir,
                         end_ind, total_num_images, start_ind + i + 1,
                         start_ind + num_images,
                         timers['im_detect_bbox'].average_time)
-        flush()
+        flush(final=True)
         cfg_yaml = _dump_cfg_str()
         det_name = ('detection_range_{}_{}.pkl'.format(*ind_range)
                     if ind_range is not None else 'detections.pkl')

@@ -82,15 +82,28 @@ def main():
 
     t0 = time.perf_counter()
     if batch > 1:
+        # double-buffered like engine/test_engine.test_net: dispatch
+        # chunk i+1 before harvesting chunk i so host prep + transfer
+        # overlap device compute
+        inflight = []
+
+        def harvest():
+            handle, idx0 = inflight.pop(0)
+            for k, cls_boxes in enumerate(
+                    infer.im_detect_fused_batch_harvest(handle)):
+                for j in range(1, num_classes):
+                    all_boxes[j][idx0 + k] = cls_boxes[j]
+
         for i0 in range(0, n_images, batch):
             chunk = [ims[i % len(ims)]
                      for i in range(i0, min(i0 + batch, n_images))]
-            res = infer.im_detect_fused_batch(
+            inflight.append((infer.im_detect_fused_batch_dispatch(
                 spec, params, chunk, [boxes] * len(chunk),
-                [obn] * len(chunk))
-            for k, cls_boxes in enumerate(res):
-                for j in range(1, num_classes):
-                    all_boxes[j][i0 + k] = cls_boxes[j]
+                [obn] * len(chunk)), i0))
+            while len(inflight) > 1:
+                harvest()
+        while inflight:
+            harvest()
     else:
         for i in range(n_images):
             cls_boxes, _, _ = infer.im_detect_all(

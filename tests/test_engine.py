@@ -196,6 +196,82 @@ class TestEndToEndInference:
         assert 'all_boxes' in dets and 'cfg' in dets
         assert len(dets['all_boxes']) == cfg.MODEL.NUM_CLASSES
 
+    def test_batched_loop_chunking_invariant(self, tmp_path, monkeypatch):
+        """The chunk-of-B double-buffered test_net loop (TPU.INFER_BATCH,
+        dispatch/harvest pipelining, partial final chunk) must write the
+        same detections regardless of chunk size: INFER_BATCH=3 vs 2 over
+        5 images exercises different chunk compositions, partial final
+        chunks, and the in-flight handle/index bookkeeping, while the
+        dataset-wide canvas caps keep the compiled program (and thus the
+        numerics) identical. Host-vs-device-prep numeric parity is
+        covered separately in tests/test_image_prep.py."""
+        import jax
+        monkeypatch.delenv('NAFWEBSOD_HOST_PREP', raising=False)
+        info = fixtures.make_coco_dataset(str(tmp_path), n_images=5,
+                                          width=96, height=64, n_props=12)
+        # small-signal pixels around the mean keep the random-init
+        # towers relu-alive and the softmax scores tie-free (saturated
+        # inputs give EXACT score ties whose NMS order differs between
+        # numerically-distinct paths — see TestFusedDetect._setup)
+        import cv2
+        rng = np.random.RandomState(3)
+        for fn in sorted(os.listdir(info['image_dir'])):
+            cv2.imwrite(os.path.join(info['image_dir'], fn),
+                        np.clip(cfg.PIXEL_MEANS.reshape(1, 1, 3) +
+                                rng.randn(64, 96, 3) * 8,
+                                0, 255).astype(np.uint8))
+        catalog.register_dataset('synth_batch', info['image_dir'],
+                                 info['ann_file'])
+        cfg.MODEL.NUM_CLASSES = len(fixtures.CLASSES) + 1
+        cfg.MODEL.CONV_BODY = 'VGG16.add_VGG16_conv5_body_origin'
+        cfg.MODEL.TYPE = 'generalized_wsl'
+        cfg.FAST_RCNN.ROI_BOX_HEAD = \
+            'webly_heads.add_VGG16_roi_2fc_noise_head'
+        cfg.FAST_RCNN.ROI_XFORM_RESOLUTION = 7
+        cfg.WSL.DILATION = 2
+        cfg.WEBLY.WEBLY_ON = True
+        cfg.TEST.SCALE = 64
+        cfg.TEST.MAX_SIZE = 120
+        cfg.TEST.SCORE_THRESH = 1e-9
+        cfg.TEST.NMS = 0.5
+        cfg.TEST.DETECTIONS_PER_IM = 10
+        cfg.TEST.PROPOSAL_LIMIT = 100
+        cfg.TPU.ROI_PAD_MULTIPLE = 16
+        cfg.TPU.SIZE_BUCKET_MULTIPLE = 32
+
+        from nafwebsod_tpu.engine import test_engine
+        from nafwebsod_tpu.models import detector
+        from nafwebsod_tpu.utils import checkpoint as ckpt
+        # random-init params give near-uniform softmax scores whose
+        # float ties flip NMS decisions across numerically-different
+        # paths; spread the classifier logits (as TestFusedDetect does)
+        spec = detector.spec_from_cfg(cfg)
+        params = detector.init_params(spec, jax.random.PRNGKey(0))
+        for k in ('fc8c_w', 'fc8d_w', 'noisy_fc8c_w', 'noisy_fc8d_w'):
+            params[k] = params[k] * 30.0
+        wts = str(tmp_path / 'weights.pkl')
+        ckpt.save_params_to_weights_file(wts, params)
+        outs = {}
+        for label, batch in [('b3', 3), ('b2', 2)]:
+            cfg.TPU.INFER_BATCH = batch
+            cfg.TPU.DEVICE_IMAGE_PREP = 1
+            out_dir = str(tmp_path / ('out_' + label))
+            os.makedirs(out_dir, exist_ok=True)
+            try:
+                outs[label] = test_engine.test_net(
+                    wts, 'synth_batch', info['prop_file'], out_dir)[0]
+            finally:
+                cfg.TPU.INFER_BATCH = 1
+                cfg.TPU.DEVICE_IMAGE_PREP = -1
+        for j in range(1, cfg.MODEL.NUM_CLASSES):
+            for i in range(5):
+                got = np.asarray(outs['b3'][j][i]).reshape(-1, 5)
+                want = np.asarray(outs['b2'][j][i]).reshape(-1, 5)
+                assert got.shape == want.shape, (j, i)
+                np.testing.assert_allclose(
+                    got, want, rtol=1e-5, atol=1e-6,
+                    err_msg='class %d image %d' % (j, i))
+
 
 class TestFusedDetect:
     """im_detect_fused (ONE device program: forward + class-batched NMS)
