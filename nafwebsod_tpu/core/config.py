@@ -449,7 +449,11 @@ __C.TPU.ROI_SHARDING = False
 # proposals, no TTA/soft-NMS/voting/mask/keypoints/vis). A scan-of-B
 # fused forward+NMS program amortizes the per-call dispatch round-trip
 # Bx — dominant on remote-attached TPUs (~170 ms/call on the dev rig).
-__C.TPU.INFER_BATCH = 1
+# -1 = auto: 16 when the default backend is TPU (the measured sweet spot
+# of the double-buffered dispatch sweep — batch 32 regresses because the
+# chunk's host prep stops hiding under device compute; BASELINE.md), 1
+# elsewhere. Explicit values are honored as given.
+__C.TPU.INFER_BATCH = -1
 # Resize + normalize images INSIDE the jitted program (ops/image.py):
 # the host ships raw uint8 pixels (4x smaller than the f32 resized blob)
 # and skips cv2.resize. -1 = auto (on when the default backend is TPU),

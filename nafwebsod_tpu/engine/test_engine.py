@@ -8,6 +8,7 @@ import os
 from collections import defaultdict
 
 import cv2
+import jax
 import numpy as np
 
 from nafwebsod_tpu.core.config import cfg, get_output_dir
@@ -171,7 +172,10 @@ def test_net(weights_file, dataset_name, proposal_file, output_dir,
     timers = defaultdict(Timer)
 
     from nafwebsod_tpu.engine.test import _can_fuse_detect
-    infer_batch = max(int(cfg.TPU.INFER_BATCH), 1)
+    infer_batch = int(cfg.TPU.INFER_BATCH)
+    if infer_batch < 0:  # auto: measured sweet spot on TPU (BASELINE.md)
+        infer_batch = 16 if jax.default_backend() != 'cpu' else 1
+    infer_batch = max(infer_batch, 1)
     if (infer_batch > 1 and cfg.TEST.PRECOMPUTED_PROPOSALS
             and _can_fuse_detect(spec) and not spec.mask_on
             and not spec.keypoints_on and not spec.retinanet
