@@ -208,3 +208,140 @@ def forward_test(blobs, im, rois, obn_scores, resolution=7, dilation=2,
     # image-level score (wsl_heads.py:213-227)
     stages['cls_prob_img'] = rois_pred.sum(axis=0, keepdims=True)
     return stages
+
+
+# --------------------------------------------------------------------------
+# Training-loss path (webly_heads.add_webly_losses)
+# --------------------------------------------------------------------------
+
+def roi_iou(rois):
+    """N x N IoU matrix of (batch_idx, x1, y1, x2, y2) rois.
+
+    Transcribed from ``detectron/ops/roi_iou_op.cu:27-62``: coordinates are
+    TRUNCATED to int, extents use the VOC +1 convention, and the diagonal is
+    set to exactly 1.0 before any arithmetic."""
+    n = rois.shape[0]
+    c = rois[:, 1:5].astype(np.int64)           # int casts in the kernel
+    x1, y1, x2, y2 = c[:, 0], c[:, 1], c[:, 2], c[:, 3]
+    ix1 = np.maximum(x1[:, None], x1[None, :]).astype(np.float32)
+    iy1 = np.maximum(y1[:, None], y1[None, :]).astype(np.float32)
+    ix2 = np.minimum(x2[:, None], x2[None, :]).astype(np.float32)
+    iy2 = np.minimum(y2[:, None], y2[None, :]).astype(np.float32)
+    w = np.maximum(ix2 - ix1 + 1.0, 0.0)
+    h = np.maximum(iy2 - iy1 + 1.0, 0.0)
+    inters = w * h
+    area = ((x2 - x1 + 1.0) * (y2 - y1 + 1.0)).astype(np.float32)
+    uni = area[:, None] + area[None, :] - inters
+    j = (inters / uni).astype(np.float32)
+    j[np.arange(n), np.arange(n)] = 1.0
+    return j
+
+
+def spatial_entropy_weight(rois_pred, cls_prob, rois, labels_oh):
+    """The noise-aware class weighting graph, transcribed op-for-op from the
+    live branch of ``webly_heads.add_spatial_entropy_weight``
+    (webly_heads.py:265-391):
+
+        J = RoIIoU(rois); E = ReplaceNaN(-p log p); D = LeakyRelu(J @ E)
+        hatE = E * (E / D); hatE_sum = sum_rois hatE          (1, C)
+        norm = clip(hatE_sum / (y * (log N - log y)), 0, 1)   (y = cls_prob)
+        class_weight_noise = norm * (1 - labels_oh)
+        class_weight = 1 - class_weight_noise
+
+    Returns (class_weight, class_weight_noise, stages dict). Caffe2's
+    LeakyRelu default alpha is 0.01; ReplaceNaN maps NaN -> 0 (0 * log 0)."""
+    stages = {}
+    j = roi_iou(rois)
+    stages['J'] = j
+    with np.errstate(divide='ignore', invalid='ignore'):
+        e = -(rois_pred * np.log(rois_pred))
+    e = np.where(np.isnan(e), 0.0, e).astype(np.float32)
+    stages['E'] = e
+    d = j @ e
+    d = np.where(d >= 0, d, 0.01 * d)            # LeakyRelu(alpha=0.01)
+    with np.errstate(divide='ignore', invalid='ignore'):
+        hat_e = e * (e / d)
+    stages['hatE'] = hat_e
+    hat_e_sum = hat_e.sum(axis=0, keepdims=True)
+    n_float = np.float32(rois_pred.shape[0])
+    with np.errstate(divide='ignore', invalid='ignore'):
+        y_norm = (np.log(n_float) - np.log(cls_prob)) * cls_prob
+        norm = hat_e_sum / y_norm
+    stages['y_logN__logy'] = y_norm
+    norm = np.clip(norm, 0.0, 1.0)
+    stages['hatE_sum_norm'] = norm
+    class_weight_noise = (norm * (1.0 - labels_oh)).astype(np.float32)
+    class_weight = (1.0 - class_weight_noise).astype(np.float32)
+    return class_weight, class_weight_noise, stages
+
+
+def cross_entropy_with_logits(x, l, w=None, is_mean=False):
+    """Binary CE on *probabilities* (despite the name), transcribed from
+    ``detectron/ops/cross_entropy_wsl_op.cc:8-46`` (weighted variant
+    :89-132): probs clamped at kLOG_THRESHOLD=1e-20 before log, summed over
+    all elements, / C when is_mean, / N. AveragedLoss on the scalar output
+    (webly_heads.py:176-178) is the identity."""
+    x = np.asarray(x, np.float32)
+    n, c = x.shape
+    norm = float(c) if is_mean else 1.0
+    prob = np.maximum(x, 1e-20)
+    one_prob = np.maximum(1.0 - x, 1e-20)
+    elem = -(l * np.log(prob) + (1.0 - l) * np.log(one_prob))
+    if w is not None:
+        elem = elem * w
+    return np.float32(elem.sum() / norm / n)
+
+
+def cross_entropy_with_logits_grad(x, l, w=None, dy=1.0, is_mean=False):
+    """Analytic dLoss/dX, transcribed from the reference gradient kernels
+    (``cross_entropy_wsl_op.cc:49-88`` plain, :135-180 weighted): per-element
+    grad clamped at kDIFF_THRESHOLD=1e4 BEFORE the weight multiply and the
+    1/N scale."""
+    x = np.asarray(x, np.float32)
+    n, c = x.shape
+    norm = float(c) if is_mean else 1.0
+    prob = np.maximum(x, 1e-20)
+    one_prob = np.maximum(1.0 - x, 1e-20)
+    grad = dy * (-l / prob + (1.0 - l) / one_prob) / norm
+    grad = np.minimum(grad, 1e4)
+    if w is not None:
+        grad = grad * w
+    return (grad / n).astype(np.float32)
+
+
+def forward_train(blobs, im, rois, obn_scores, labels_oh, resolution=7,
+                  dilation=2, is_mean=False):
+    """Reference TRAINING graph for the webly model on one image: the
+    forward stages plus the noise-aware loss path
+    (``webly_heads.add_webly_losses:123-197`` with WEBLY.ENTROPY on and no
+    CPG/CSC). Dropout (train-time fc6/fc7) is omitted — it is a random
+    mask, so parity is checked against the JAX path with masks disabled.
+
+    Returns the forward stages dict extended with: cls_prob / cls_prob_noise
+    (image scores), class_weight(_noise), loss_cls, loss_cls_noise, and the
+    analytic d loss_cls / d cls_prob gradients."""
+    stages = forward_test(blobs, im, rois, obn_scores,
+                          resolution=resolution, dilation=dilation,
+                          webly=True)
+    # train-time image scores: plain ReduceSum over RoIs, NO bg column
+    # (wsl_heads.add_cls_pred:213-227)
+    cls_prob = stages['rois_pred'].sum(axis=0, keepdims=True)
+    cls_prob_noise = stages['rois_pred_noise'].sum(axis=0, keepdims=True)
+    stages['cls_prob'] = cls_prob
+    stages['cls_prob_noise'] = cls_prob_noise
+
+    cw, cwn, went = spatial_entropy_weight(
+        stages['rois_pred'], cls_prob, rois, labels_oh)
+    stages.update(went)
+    stages['class_weight'] = cw
+    stages['class_weight_noise'] = cwn
+
+    stages['loss_cls'] = cross_entropy_with_logits(
+        cls_prob, labels_oh, w=cw, is_mean=is_mean)
+    stages['loss_cls_noise'] = cross_entropy_with_logits(
+        cls_prob_noise, labels_oh, w=cwn, is_mean=is_mean)
+    stages['d_loss_d_cls_prob'] = cross_entropy_with_logits_grad(
+        cls_prob, labels_oh, w=cw, is_mean=is_mean)
+    stages['d_loss_d_cls_prob_noise'] = cross_entropy_with_logits_grad(
+        cls_prob_noise, labels_oh, w=cwn, is_mean=is_mean)
+    return stages

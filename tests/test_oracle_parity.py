@@ -190,3 +190,84 @@ def test_expected_results_gate_on_synthetic_training(tmp_path):
                              float(val) + 0.5]]
     assert not task_evaluation.check_expected_results(
         results, atol=cfg.EXPECTED_RESULTS_ATOL, rtol=0.1)
+
+
+# --------------------------------------------------------------------------
+# Training-loss path: spatial-entropy weights + noise-aware CE + gradients
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope='module')
+def train_oracle_stages(bundle):
+    rng = np.random.RandomState(11)
+    labels = (rng.rand(1, NUM_CLASSES - 1) < 0.5).astype(np.float32)
+    labels[0, 0] = 1.0                      # at least one gt class
+    stages = oracle.forward_train(
+        bundle['blobs'], bundle['im'].transpose(0, 3, 1, 2),
+        bundle['rois'], bundle['obn'], labels, resolution=7, dilation=2,
+        is_mean=True)                       # bundle spec has mean_loss=True
+    return labels, stages
+
+
+def test_entropy_weight_parity(bundle, train_oracle_stages):
+    """ops/entropy.spatial_entropy_weights vs the op-for-op transcription of
+    webly_heads.add_spatial_entropy_weight:265-391 on identical inputs."""
+    from nafwebsod_tpu.ops.entropy import spatial_entropy_weights
+    labels, st = train_oracle_stages
+    cw, cwn = spatial_entropy_weights(
+        jnp.asarray(st['rois_pred']), jnp.asarray(st['cls_prob']),
+        jnp.asarray(bundle['rois']), jnp.asarray(labels))
+    np.testing.assert_allclose(np.asarray(cw), st['class_weight'],
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(cwn), st['class_weight_noise'],
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_weighted_ce_loss_and_gradient_parity(train_oracle_stages):
+    """ops/losses.weighted_cross_entropy_with_logits (value AND custom-VJP
+    gradient) vs the cross_entropy_wsl_op.cc:89-180 transcription, both
+    is_mean settings."""
+    from nafwebsod_tpu.ops import losses as loss_ops
+    labels, st = train_oracle_stages
+    for is_mean in (True, False):
+        for probs_np, w_np in [(st['cls_prob'], st['class_weight']),
+                               (st['cls_prob_noise'],
+                                st['class_weight_noise'])]:
+            ref_loss = oracle.cross_entropy_with_logits(
+                probs_np, labels, w=w_np, is_mean=is_mean)
+            ref_grad = oracle.cross_entropy_with_logits_grad(
+                probs_np, labels, w=w_np, is_mean=is_mean)
+            f = lambda p: loss_ops.weighted_cross_entropy_with_logits(
+                p, jnp.asarray(labels), jnp.asarray(w_np), is_mean)
+            val, grad = jax.value_and_grad(f)(jnp.asarray(probs_np))
+            np.testing.assert_allclose(float(val), ref_loss, rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(grad), ref_grad,
+                                       rtol=1e-5, atol=1e-7)
+
+
+def test_train_loss_chain_parity(bundle, train_oracle_stages, monkeypatch):
+    """Full forward_train (conv body -> towers -> entropy weights -> the two
+    weighted CE losses) vs the oracle on the same checkpoint. Dropout masks
+    are disabled on the JAX side to match the oracle's deterministic graph
+    (the reference's dropout is arbitrary randomness, not semantics)."""
+    from nafwebsod_tpu.models import heads as heads_mod
+    labels, st = train_oracle_stages
+    monkeypatch.setattr(heads_mod, '_dropout',
+                        lambda x, rate, rng, train: x)
+    batch = {
+        'image': jnp.asarray(bundle['im']),        # (1, H, W, 3) NHWC
+        'rois': jnp.asarray(bundle['rois']),
+        'obn_scores': jnp.asarray(bundle['obn']),
+        'labels_oh': jnp.asarray(labels),
+        'valid_mask': jnp.ones((len(bundle['rois']),), bool),
+    }
+    total, aux = detector.forward_train(
+        bundle['spec'], bundle['params'], batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(aux['loss_cls']), st['loss_cls'],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(aux['loss_cls_noise']),
+                               st['loss_cls_noise'], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(aux['class_weight_mean']),
+                               st['class_weight'].mean(), rtol=1e-4)
+    np.testing.assert_allclose(
+        float(total), st['loss_cls'] + st['loss_cls_noise'],
+        rtol=1e-4, atol=1e-5)
