@@ -454,6 +454,13 @@ __C.TPU.ROI_SHARDING = False
 # chunk's host prep stops hiding under device compute; BASELINE.md), 1
 # elsewhere. Explicit values are honored as given.
 __C.TPU.INFER_BATCH = -1
+# Chunks kept in flight before harvesting in the batched eval loop.
+# 1 = classic double-buffer (dispatch i+1, then harvest i); 2 keeps a
+# second dispatched chunk queued so the host's harvest/assemble work for
+# chunk i also overlaps device compute (measured 55.4 -> 40.9 ms/image
+# on the dev rig, BASELINE.md). Results are order-identical at any depth
+# (FIFO harvest into per-image slots).
+__C.TPU.INFER_PIPELINE_DEPTH = 2
 # Resize + normalize images INSIDE the jitted program (ops/image.py):
 # the host ships raw uint8 pixels (4x smaller than the f32 resized blob)
 # and skips cv2.resize. -1 = auto (on when the default backend is TPU),

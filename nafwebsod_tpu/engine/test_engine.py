@@ -205,9 +205,11 @@ def test_net(weights_file, dataset_name, proposal_file, output_dir,
         from nafwebsod_tpu.engine.test import (
             im_detect_fused_batch_dispatch, im_detect_fused_batch_harvest)
         pend_idx, pend_ims, pend_boxes, pend_obn = [], [], [], []
-        # double-buffer: harvest chunk k only after chunk k+1 is
-        # dispatched, so the next chunk's host prep + input transfer
-        # overlap the current chunk's device compute (async dispatch)
+        # pipelined dispatch: harvest chunk k only once DEPTH newer chunks
+        # are dispatched, so host prep + input transfer (and, at depth>=2,
+        # the harvest/assemble host work itself) overlap device compute
+        # (async dispatch; TPU.INFER_PIPELINE_DEPTH)
+        depth = max(int(cfg.TPU.INFER_PIPELINE_DEPTH), 1)
         inflight = []
 
         def harvest(handle, idx_list):
@@ -224,7 +226,7 @@ def test_net(weights_file, dataset_name, proposal_file, output_dir,
                 inflight.append((handle, list(pend_idx)))
                 timers['im_detect_bbox'].toc()
                 del pend_idx[:], pend_ims[:], pend_boxes[:], pend_obn[:]
-            while len(inflight) > (0 if final else 1):
+            while len(inflight) > (0 if final else depth):
                 timers['im_detect_bbox'].tic()
                 handle, idx_list = inflight.pop(0)
                 harvest(handle, idx_list)

@@ -37,6 +37,9 @@ def main():
     n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     r = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    # pipeline depth: chunks kept in flight before harvesting (argv[4]);
+    # 1 = the engine's double-buffer, 2+ = deeper dispatch-ahead
+    depth = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     on_tpu = any(d.platform == 'tpu' for d in jax.devices())
     side = 704 if on_tpu else 96
     hidden = 4096 if on_tpu else 32
@@ -100,7 +103,7 @@ def main():
             inflight.append((infer.im_detect_fused_batch_dispatch(
                 spec, params, chunk, [boxes] * len(chunk),
                 [obn] * len(chunk)), i0))
-            while len(inflight) > 1:
+            while len(inflight) > depth:
                 harvest()
         while inflight:
             harvest()
@@ -117,9 +120,10 @@ def main():
     dt = time.perf_counter() - t0
     n_dets = sum(len(all_boxes[j][0]) for j in range(1, num_classes))
     print('e2e inference: {:.1f} ms/image = {:.2f} images/sec '
-          '({} images, {} rois, batch {}, {} dets/im0, device_nms={})'
+          '({} images, {} rois, batch {}, depth {}, {} dets/im0, '
+          'device_nms={})'
           .format(dt / n_images * 1e3, n_images / dt, n_images, r, batch,
-                  n_dets, not os.environ.get('NAFWEBSOD_HOST_NMS')))
+                  depth, n_dets, not os.environ.get('NAFWEBSOD_HOST_NMS')))
 
 
 if __name__ == '__main__':

@@ -252,8 +252,11 @@ class TestEndToEndInference:
         wts = str(tmp_path / 'weights.pkl')
         ckpt.save_params_to_weights_file(wts, params)
         outs = {}
-        for label, batch in [('b3', 3), ('b2', 2)]:
+        # chunk sizes 3 vs 2 AND pipeline depths 1 vs 3 (the harvest
+        # order/bookkeeping must be invariant to both knobs)
+        for label, batch, depth in [('b3', 3, 1), ('b2', 2, 3)]:
             cfg.TPU.INFER_BATCH = batch
+            cfg.TPU.INFER_PIPELINE_DEPTH = depth
             cfg.TPU.DEVICE_IMAGE_PREP = 1
             out_dir = str(tmp_path / ('out_' + label))
             os.makedirs(out_dir, exist_ok=True)
@@ -262,6 +265,7 @@ class TestEndToEndInference:
                     wts, 'synth_batch', info['prop_file'], out_dir)[0]
             finally:
                 cfg.TPU.INFER_BATCH = 1
+                cfg.TPU.INFER_PIPELINE_DEPTH = 2
                 cfg.TPU.DEVICE_IMAGE_PREP = -1
         for j in range(1, cfg.MODEL.NUM_CLASSES):
             for i in range(5):
@@ -370,3 +374,27 @@ class TestFusedDetect:
                 np.testing.assert_allclose(
                     got, want, rtol=2e-5, atol=2e-5,
                     err_msg='image %d class %d' % (k, j))
+
+
+def test_infer_batch_auto_resolution(monkeypatch):
+    """TPU.INFER_BATCH = -1 resolves to the measured sweet spot (16) on
+    accelerator backends and to 1 on CPU; explicit values are honored
+    (test_engine.py resolution, BASELINE.md batch sweep)."""
+    import jax
+    from nafwebsod_tpu.core.config import cfg
+
+    def resolve(value, backend):
+        b = int(value)
+        if b < 0:
+            b = 16 if backend != 'cpu' else 1
+        return max(b, 1)
+
+    # mirror of the test_net resolution logic, pinned here so a drift in
+    # either place fails the test
+    src = open('nafwebsod_tpu/engine/test_engine.py').read()
+    assert "infer_batch = 16 if jax.default_backend() != 'cpu' else 1" in src
+    assert resolve(-1, 'cpu') == 1
+    assert resolve(-1, 'tpu') == 16
+    assert resolve(4, 'tpu') == 4
+    assert resolve(0, 'cpu') == 1
+    assert int(cfg.TPU.INFER_BATCH) == -1   # the shipped default is auto
