@@ -445,6 +445,14 @@ __C.TPU.MAX_GT_BOXES = 64
 # (parallel/roi_shard.py — the scale-out for the R x 25088 tower axis
 # when RoI activations exceed per-chip HBM). Plain WSDDN/webly heads only.
 __C.TPU.ROI_SHARDING = False
+# Tensor (hidden-dim) parallelism for the fc towers: the Megatron-style
+# column-parallel fc6 / row-parallel fc7 split over a 2-D
+# ('data', 'model') mesh (parallel/tensor_shard.py). Value = model-axis
+# size m (0 = off); the remaining devices//m mesh rows stay data-parallel
+# (one image each). Shrinks the dominant 25088 x hidden tower weights and
+# their optimizer state m-fold per chip with ONE psum per tower per
+# direction. Plain WSDDN/webly 2fc heads only.
+__C.TPU.TENSOR_SHARDING = 0
 # Images per device call at eval time (plain protocol only: precomputed
 # proposals, no TTA/soft-NMS/voting/mask/keypoints/vis). A scan-of-B
 # fused forward+NMS program amortizes the per-call dispatch round-trip

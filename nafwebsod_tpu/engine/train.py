@@ -116,6 +116,27 @@ def train_model(roidb=None, max_iters=None):
             b = {k: batch[k][0] for k in ('image', 'rois', 'obn_scores',
                                           'valid_mask', 'labels_oh')}
             return inner_step(params, opt_state, b, lr, rngs[0])
+    elif cfg.TPU.TENSOR_SHARDING:
+        # Hidden-dim (tensor) parallelism for the fc towers
+        # (parallel/tensor_shard.py): devices//m data rows x m hidden
+        # shards; params/opt state stay resident in the sharded layout.
+        from nafwebsod_tpu.parallel import tensor_shard
+        assert steps_per_call == 1, (
+            'TPU.TENSOR_SHARDING does not support TPU.STEPS_PER_CALL > 1')
+        m = int(cfg.TPU.TENSOR_SHARDING)
+        assert num_devices % m == 0, (
+            'TPU.TENSOR_SHARDING={} must divide the device count {}'.format(
+                m, num_devices))
+        tp_mesh = tensor_shard.make_tp_mesh(n_model=m,
+                                            n_data=num_devices // m)
+        num_devices = num_devices // m  # images per step = data rows
+        inner_step = tensor_shard.make_tp_train_step(
+            spec, hp, mults, tp_mesh, params)
+
+        def step_fn(params, opt_state, batch, lr, rngs):
+            b = {k: batch[k] for k in ('image', 'rois', 'obn_scores',
+                                       'valid_mask', 'labels_oh')}
+            return inner_step(params, opt_state, b, lr, rngs[0])
     else:
         m = mesh_lib.make_mesh(num_devices)
         step_fn = ts.make_train_step(

@@ -1,0 +1,159 @@
+"""Tensor (hidden-dim) parallelism (parallel/tensor_shard.py): the
+Megatron-style column/row-parallel fc towers must match the unsharded
+detector.forward_train numerically, both TP-only (1x8) and composed with
+data parallelism (2x4), on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from nafwebsod_tpu.models import detector
+from nafwebsod_tpu.parallel import tensor_shard as tsh
+from nafwebsod_tpu.solver import sgd
+
+
+def _one_image(num_classes, r=64, seed=0):
+    rng = np.random.RandomState(seed)
+    x1 = rng.uniform(0, 30, r)
+    y1 = rng.uniform(0, 30, r)
+    labels = np.zeros((1, num_classes - 1), np.float32)
+    labels[0, [0, 2]] = 1
+    return {
+        'image': jnp.asarray(rng.randn(1, 48, 48, 3).astype(np.float32)),
+        'rois': jnp.asarray(np.stack(
+            [np.zeros(r), x1, y1, x1 + rng.uniform(8, 17, r),
+             y1 + rng.uniform(8, 17, r)], 1).astype(np.float32)),
+        'obn_scores': jnp.asarray(rng.rand(r, 1).astype(np.float32) + 1),
+        'labels_oh': jnp.asarray(labels),
+        'valid_mask': jnp.asarray(np.arange(r) < r - 5),
+    }
+
+
+def _stack(images):
+    return {k: jnp.stack([b[k] for b in images]) for k in images[0]}
+
+
+def _specs():
+    yield detector.ModelSpec(num_classes=5, hidden_dim=16, webly_on=False,
+                             webly_entropy=False, box_head='vgg16_2fc',
+                             compute_dtype='float32')
+    yield detector.ModelSpec(num_classes=5, hidden_dim=16,
+                             compute_dtype='float32')  # webly + entropy
+
+
+def test_param_pspec_rules():
+    assert tsh.param_pspec('fc6_w') == P(None, tsh.MODEL_AXIS)
+    assert tsh.param_pspec('_[noisy]_fc6_w') == P(None, tsh.MODEL_AXIS)
+    assert tsh.param_pspec('fc6_b') == P(tsh.MODEL_AXIS)
+    assert tsh.param_pspec('fc7_w') == P(tsh.MODEL_AXIS, None)
+    assert tsh.param_pspec('_[noisy]_fc7_w') == P(tsh.MODEL_AXIS, None)
+    # replicated: fc7 bias (post-psum add), logit layers, conv body
+    assert tsh.param_pspec('fc7_b') == P()
+    assert tsh.param_pspec('fc8c_w') == P()
+    assert tsh.param_pspec('conv1_1_w') == P()
+
+
+@pytest.mark.parametrize('spec_idx', [0, 1])
+def test_tp_step_matches_unsharded(spec_idx):
+    """1 data row x 8 hidden shards: one TP step == the unsharded step."""
+    spec = list(_specs())[spec_idx]
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    img = _one_image(spec.num_classes)
+
+    (ref_loss, _), ref_grads = jax.value_and_grad(
+        lambda p: detector.forward_train(spec, p, img, None),
+        has_aux=True)(params)
+
+    hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005, iter_size=1)
+    trainable = detector.trainable_param_names(spec, params)
+    mults = sgd.param_multipliers(params, trainable)
+    opt_state = sgd.init_state(params, hp)
+    ref_upd, _ = sgd.update(params, ref_grads, opt_state, np.float32(1e-3),
+                            hp, sgd.freeze_mults(mults))
+
+    mesh = tsh.make_tp_mesh(n_model=8, n_data=1)
+    step = tsh.make_tp_train_step(spec, hp, mults, mesh, params,
+                                  dropout=False)
+    p2, s2, loss, aux = step(params, opt_state, _stack([img]),
+                             np.float32(1e-3), jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-5)
+    keys = ['fc6_w', 'fc6_b', 'fc7_w', 'fc7_b', 'fc8c_w', 'fc8d_w']
+    if spec.is_webly:
+        keys += ['_[noisy]_fc6_w', '_[noisy]_fc7_w', 'noisy_fc8c_w']
+    for k in keys:
+        np.testing.assert_allclose(np.asarray(p2[k]), np.asarray(ref_upd[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_tp_dp_composed_matches_two_image_mean():
+    """2 data rows x 4 hidden shards == the mean-loss step over 2 images."""
+    spec = list(_specs())[1]
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    imgs = [_one_image(spec.num_classes, seed=3),
+            _one_image(spec.num_classes, seed=4)]
+
+    def mean_loss(p):
+        totals = [detector.forward_train(spec, p, b, None)[0] for b in imgs]
+        return sum(totals) / len(imgs)
+
+    ref_loss, ref_grads = jax.value_and_grad(mean_loss)(params)
+
+    hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005, iter_size=1)
+    trainable = detector.trainable_param_names(spec, params)
+    mults = sgd.param_multipliers(params, trainable)
+    opt_state = sgd.init_state(params, hp)
+    ref_upd, _ = sgd.update(params, ref_grads, opt_state, np.float32(1e-3),
+                            hp, sgd.freeze_mults(mults))
+
+    mesh = tsh.make_tp_mesh(n_model=4, n_data=2)
+    step = tsh.make_tp_train_step(spec, hp, mults, mesh, params,
+                                  dropout=False)
+    p2, s2, loss, aux = step(params, opt_state, _stack(imgs),
+                             np.float32(1e-3), jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-5)
+    for k in ('fc6_w', 'fc7_w', 'fc8c_w', '_[noisy]_fc6_w', 'fc8d_w'):
+        np.testing.assert_allclose(np.asarray(p2[k]), np.asarray(ref_upd[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_tp_step_learns_with_dropout():
+    spec = list(_specs())[1]
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0, iter_size=1)
+    trainable = detector.trainable_param_names(spec, params)
+    mults = sgd.param_multipliers(params, trainable)
+    opt_state = sgd.init_state(params, hp)
+    mesh = tsh.make_tp_mesh(n_model=4, n_data=2)
+    step = tsh.make_tp_train_step(spec, hp, mults, mesh, params)
+    batch = _stack([_one_image(spec.num_classes, seed=5),
+                    _one_image(spec.num_classes, seed=6)])
+    rng = jax.random.PRNGKey(7)
+    losses = []
+    for i in range(6):
+        params, opt_state, loss, _ = step(params, opt_state, batch,
+                                          np.float32(5e-4),
+                                          jax.random.fold_in(rng, i))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_tp_rejects_unsupported_branches():
+    spec = detector.ModelSpec(num_classes=5, hidden_dim=16, csc=True,
+                              webly_on=False, box_head='vgg16_2fc')
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    with pytest.raises(NotImplementedError):
+        tsh.forward_train_tp(spec, params, _one_image(spec.num_classes),
+                             None)
+
+
+def test_tp_rejects_indivisible_hidden():
+    spec = detector.ModelSpec(num_classes=5, hidden_dim=12,
+                              compute_dtype='float32')
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError):
+        tsh.check_divisibility(params, 8)
