@@ -453,6 +453,15 @@ __C.TPU.ROI_SHARDING = False
 # their optimizer state m-fold per chip with ONE psum per tower per
 # direction. Plain WSDDN/webly 2fc heads only.
 __C.TPU.TENSOR_SHARDING = 0
+# 2-stage pipeline parallelism (parallel/pipeline.py): conv body on stage
+# 0, fc towers + heads + backward on stage 1, microbatches flowing through
+# a lax.scan schedule with one ppermute hop per tick. Requires
+# TRAIN.FREEZE_CONV_BODY (the flagship setting — makes the pipe
+# one-directional). Plain WSDDN/webly 2fc heads only.
+__C.TPU.PIPELINE_PARALLEL = False
+# Microbatches (images) per pipeline step; the fill/drain bubble is
+# 1/(B+1) of the step, so more microbatches amortize it better.
+__C.TPU.PIPELINE_MICROBATCHES = 4
 # Images per device call at eval time (plain protocol only: precomputed
 # proposals, no TTA/soft-NMS/voting/mask/keypoints/vis). A scan-of-B
 # fused forward+NMS program amortizes the per-call dispatch round-trip

@@ -116,6 +116,20 @@ def train_model(roidb=None, max_iters=None):
             b = {k: batch[k][0] for k in ('image', 'rois', 'obn_scores',
                                           'valid_mask', 'labels_oh')}
             return inner_step(params, opt_state, b, lr, rngs[0])
+    elif cfg.TPU.PIPELINE_PARALLEL:
+        # 2-stage body|head pipeline (parallel/pipeline.py): microbatches
+        # stream through a ppermute schedule; one step trains B images.
+        from nafwebsod_tpu.parallel import pipeline
+        assert steps_per_call == 1, (
+            'TPU.PIPELINE_PARALLEL does not support TPU.STEPS_PER_CALL > 1')
+        pipe_mesh = pipeline.make_pipe_mesh()
+        inner_step = pipeline.make_pipeline_step(spec, hp, mults, pipe_mesh)
+        num_devices = max(int(cfg.TPU.PIPELINE_MICROBATCHES), 1)
+
+        def step_fn(params, opt_state, batch, lr, rngs):
+            b = {k: batch[k] for k in ('image', 'rois', 'obn_scores',
+                                       'valid_mask', 'labels_oh')}
+            return inner_step(params, opt_state, b, lr, rngs[0])
     elif cfg.TPU.TENSOR_SHARDING:
         # Hidden-dim (tensor) parallelism for the fc towers
         # (parallel/tensor_shard.py): devices//m data rows x m hidden

@@ -1,0 +1,196 @@
+"""Pipeline parallelism — GPipe-style 2-stage split (conv body | fc head).
+
+The reference can only replicate the whole network per GPU; this module
+splits it across a ``('pipe',)`` mesh axis at the natural seam of the
+flagship config: stage 0 runs the (frozen) VGG16 conv body + RoIPool/boost,
+stage 1 runs the dual fc towers + two-stream heads + losses + backward.
+Microbatches flow through a ``lax.scan`` schedule with one
+``jax.lax.ppermute`` hop per tick — at steady state stage 0 computes the
+features of microbatch ``t`` while stage 1 trains on microbatch ``t-1``,
+so both chips stay busy (fill/drain costs 1 tick of B+1).
+
+The flagship config freezes the conv body
+(configs/flickr_voc/na_wsddn_V-16-C5_1x.yaml:35 FREEZE_CONV_BODY), which
+makes the pipeline one-directional: no gradient ever flows back to stage 0,
+so there is no reverse ppermute and no bubble beyond the single fill tick.
+Unfrozen bodies are rejected (the data-parallel / tensor-parallel steps
+cover them).
+
+Scope: plain WSDDN / webly noise-aware 2fc heads (shared with
+``parallel/tensor_shard.py`` / ``roi_shard.py``). Gradients accumulate over
+the microbatches as a mean — numerically the same step as the
+data-parallel mean over B images, pinned by tests/test_pipeline.py.
+Enable with ``TPU.PIPELINE_PARALLEL = True`` (2 stages).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.flatten_util import ravel_pytree
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nafwebsod_tpu.models import detector, heads
+from nafwebsod_tpu.parallel import wsl_losses
+from nafwebsod_tpu.solver import sgd
+
+AXIS = 'pipe'
+N_STAGES = 2
+
+try:
+    from jax import shard_map as _sm
+
+    def _shard_map(f, **kw):
+        return _sm(f, check_vma=False, **kw)
+except ImportError:  # older jax spells it differently
+    from jax.experimental.shard_map import shard_map as _sme
+
+    def _shard_map(f, **kw):
+        return _sme(f, check_rep=False, **kw)
+
+
+def make_pipe_mesh(num_devices=N_STAGES):
+    """1-D 2-device mesh over the pipeline axis (stage per device)."""
+    if num_devices != N_STAGES:
+        raise ValueError('the body|head pipeline has exactly 2 stages')
+    if len(jax.devices()) < N_STAGES:
+        raise ValueError('pipeline parallelism needs {} devices, have {}'
+                         .format(N_STAGES, len(jax.devices())))
+    return Mesh(np.asarray(jax.devices()[:N_STAGES]), (AXIS,))
+
+
+def _check_scope(spec):
+    wsl_losses.check_scope(spec)
+    if not spec.freeze_conv_body:
+        raise NotImplementedError(
+            'the 2-stage pipeline requires FREEZE_CONV_BODY (the flagship '
+            'setting) — a trainable body needs a reverse gradient pipe; '
+            'use the data-parallel or tensor-parallel step instead')
+
+
+def _body_pool(spec, params, image, rois, obn):
+    """Stage-0 work: conv body + RoIPool/boost -> flat (R, C*P*P) features
+    (detector._run_body_and_head front half; body frozen by scope)."""
+    feat, spatial_scale = detector.body_forward(spec, params, image)
+    feat = jax.lax.stop_gradient(feat)
+    return heads.roi_transform(
+        feat[0], rois, obn, spatial_scale, spec.roi_xform_method,
+        spec.roi_resolution, spec.roi_sampling_ratio, True)
+
+
+def _head_loss(spec, params, roi_feat, rois, labels_oh, valid, rng):
+    """Stage-1 work: fc towers + two-stream heads + losses for one
+    microbatch (detector._run_body_and_head back half + loss assembly)."""
+    r1 = r2 = None
+    if rng is not None:
+        r1, r2 = jax.random.split(rng)
+    train = rng is not None
+    fc7_clean = heads._fc_tower(roi_feat, params, '', r1, train)
+    fc7_noisy = None
+    if spec.is_webly:
+        fc7_noisy = heads._fc_tower(roi_feat, params, '_[noisy]_', r2, train)
+    return wsl_losses.wsl_head_losses(spec, params, fc7_clean, fc7_noisy,
+                                      rois, labels_oh, valid)
+
+
+def _aux_keys(spec):
+    if spec.is_webly:
+        return ('accuracy_cls', 'accuracy_cls_noise', 'loss_cls',
+                'loss_cls_noise')
+    return ('accuracy_cls', 'loss_cls')
+
+
+def make_pipeline_step(spec, hp, mults, mesh, dropout=True):
+    """Jitted 2-stage pipeline train step.
+
+    ``step(params, opt_state, batch, lr, rng) -> (params, opt_state, loss,
+    aux)`` where every ``batch`` leaf has leading microbatch axis B (one
+    image each). Parameters stay replicated on both stages (each stage only
+    touches its half; a weight-sharded variant would compose with
+    TPU.TENSOR_SHARDING). The loss is the mean over the B microbatches —
+    the same step as the data-parallel mean over B images.
+    """
+    _check_scope(spec)
+    mults = sgd.freeze_mults(mults) if isinstance(mults, dict) else mults
+    repl = NamedSharding(mesh, P())
+
+    @partial(_shard_map, mesh=mesh, in_specs=(P(), P(), P()),
+             out_specs=(P(), P(), P()))
+    def grads_fn(params, batch, rng):
+        stage = jax.lax.axis_index(AXIS)
+        B = batch['image'].shape[0]
+        T = B + N_STAGES - 1  # fill + steady-state ticks
+        compute_dtype = jnp.dtype(spec.compute_dtype)
+        R = batch['rois'].shape[1]
+        feat_dim = (spec.roi_resolution * spec.roi_resolution *
+                    spec.body_out_dim)
+
+        zero_buf = jnp.zeros((R, feat_dim), compute_dtype)
+        zero_grads = jax.tree.map(jnp.zeros_like, params)
+        zero_aux = {k: jnp.zeros((), jnp.float32) for k in _aux_keys(spec)}
+
+        def tick(carry, t):
+            buf, gacc, loss_acc, aux_acc = carry
+
+            # ---- stage 0: features for microbatch t (while valid) ----
+            i0 = jnp.clip(t, 0, B - 1)
+            send = jax.lax.cond(
+                jnp.logical_and(stage == 0, t < B),
+                lambda: _body_pool(
+                    spec, params, batch['image'][i0],
+                    batch['rois'][i0], batch['obn_scores'][i0]
+                ).astype(compute_dtype),
+                lambda: zero_buf)
+            # the only collective: pooled features hop stage 0 -> stage 1
+            recv = jax.lax.ppermute(send, AXIS, [(0, 1)])
+
+            # ---- stage 1: train on microbatch t-1 (in-flight buffer) ----
+            i1 = jnp.clip(t - 1, 0, B - 1)
+
+            def head_grads():
+                mrng = (jax.random.fold_in(rng, i1) if dropout else None)
+
+                def loss_fn(p):
+                    total, aux = _head_loss(
+                        spec, p, buf, batch['rois'][i1],
+                        batch['labels_oh'][i1], batch['valid_mask'][i1],
+                        mrng)
+                    return total / B, {k: aux[k] / B for k in zero_aux}
+
+                (loss, aux), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                return g, loss, aux
+
+            g, loss, aux = jax.lax.cond(
+                jnp.logical_and(stage == N_STAGES - 1, t >= 1),
+                head_grads,
+                lambda: (zero_grads, jnp.zeros((), jnp.float32), zero_aux))
+
+            gacc = jax.tree.map(jnp.add, gacc, g)
+            loss_acc = loss_acc + loss
+            aux_acc = {k: aux_acc[k] + aux[k] for k in aux_acc}
+            return (recv, gacc, loss_acc, aux_acc), None
+
+        init = (zero_buf, zero_grads, jnp.zeros((), jnp.float32), zero_aux)
+        (_, gacc, loss, aux), _ = jax.lax.scan(
+            tick, init, jnp.arange(T))
+
+        # replicate the (stage-1-only) results: stage 0 contributes zeros
+        flat, unravel = ravel_pytree(gacc)
+        grads = unravel(jax.lax.psum(flat, AXIS))
+        loss = jax.lax.psum(loss, AXIS)
+        aux = jax.tree.map(lambda v: jax.lax.psum(v, AXIS), aux)
+        return loss, aux, grads
+
+    def step(params, opt_state, batch, lr, rng):
+        loss, aux, grads = grads_fn(params, batch, rng)
+        params, opt_state = sgd.update(params, grads, opt_state, lr, hp,
+                                       mults)
+        return params, opt_state, loss, aux
+
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, repl, repl, repl),
+        out_shardings=(repl, repl, repl, repl),
+    )

@@ -43,8 +43,7 @@ from jax.flatten_util import ravel_pytree
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nafwebsod_tpu.models import detector, heads
-from nafwebsod_tpu.ops import losses as loss_ops
-from nafwebsod_tpu.ops.entropy import spatial_entropy_weights
+from nafwebsod_tpu.parallel import wsl_losses
 from nafwebsod_tpu.solver import sgd
 
 DATA_AXIS = 'data'
@@ -204,15 +203,7 @@ def _fc_tower_tp(feat_flat, params, prefix, rng, train, axis):
 # Training forward (plain WSDDN / webly noise-aware scope)
 # --------------------------------------------------------------------------- #
 
-def _check_scope(spec):
-    if (spec.refine_k or spec.is_context or spec.csc or spec.cpg or
-            spec.center_loss or spec.min_entropy_loss or spec.mask_on or
-            spec.supervised or spec.cmil or spec.is_fpn or
-            spec.fused_noise_tower or
-            spec.box_head not in ('vgg16_2fc', 'vgg16_2fc_noise')):
-        raise NotImplementedError(
-            'tensor sharding supports the plain WSDDN / webly noise-aware '
-            '2fc heads; other branches use the data-parallel step')
+_check_scope = wsl_losses.check_scope
 
 
 def forward_train_tp(spec, params, batch, rng, axis=MODEL_AXIS):
@@ -240,40 +231,12 @@ def forward_train_tp(spec, params, batch, rng, axis=MODEL_AXIS):
     if rng is not None:
         r1, r2 = jax.random.split(rng)
     fc7_clean = _fc_tower_tp(roi_feat, params, '', r1, rng is not None, axis)
-
-    losses, aux = {}, {}
+    fc7_noisy = None
     if spec.is_webly:
         fc7_noisy = _fc_tower_tp(roi_feat, params, '_[noisy]_', r2,
                                  rng is not None, axis)
-        out = heads.webly_outputs(params, fc7_clean, fc7_noisy, valid)
-        cls_prob = heads.cls_pred(out['rois_pred'])
-        cls_prob_noise = heads.cls_pred(out['rois_pred_noise'])
-        if spec.webly_entropy:
-            cw, cwn = spatial_entropy_weights(
-                out['rois_pred'], cls_prob, rois, labels_oh, valid)
-        else:
-            cw = jnp.ones_like(labels_oh)
-            cwn = jnp.ones_like(labels_oh)
-        losses['loss_cls'] = loss_ops.weighted_cross_entropy_with_logits(
-            cls_prob, labels_oh, cw, spec.mean_loss)
-        losses['loss_cls_noise'] = (
-            loss_ops.weighted_cross_entropy_with_logits(
-                cls_prob_noise, labels_oh, cwn, spec.mean_loss))
-        aux['accuracy_cls'] = loss_ops.multilabel_accuracy(cls_prob,
-                                                           labels_oh)
-        aux['accuracy_cls_noise'] = loss_ops.multilabel_accuracy(
-            cls_prob_noise, labels_oh)
-    else:
-        out = heads.wsl_outputs(params, fc7_clean, valid)
-        cls_prob = heads.cls_pred(out['rois_pred'])
-        losses['loss_cls'] = loss_ops.cross_entropy_with_logits(
-            cls_prob, labels_oh, spec.mean_loss)
-        aux['accuracy_cls'] = loss_ops.multilabel_accuracy(cls_prob,
-                                                           labels_oh)
-
-    total = sum(losses.values())
-    aux.update(losses)
-    return total, aux
+    return wsl_losses.wsl_head_losses(spec, params, fc7_clean, fc7_noisy,
+                                      rois, labels_oh, valid)
 
 
 # --------------------------------------------------------------------------- #

@@ -1,0 +1,116 @@
+"""Pipeline parallelism (parallel/pipeline.py): the 2-stage body|head
+GPipe schedule must reproduce the data-parallel mean-loss step over the
+same microbatches (virtual CPU mesh; dropout off for bit-level parity)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nafwebsod_tpu.models import detector
+from nafwebsod_tpu.parallel import pipeline
+from nafwebsod_tpu.solver import sgd
+
+
+def _one_image(num_classes, r=64, seed=0):
+    rng = np.random.RandomState(seed)
+    x1 = rng.uniform(0, 30, r)
+    y1 = rng.uniform(0, 30, r)
+    labels = np.zeros((1, num_classes - 1), np.float32)
+    labels[0, [0, 2]] = 1
+    return {
+        'image': jnp.asarray(rng.randn(1, 48, 48, 3).astype(np.float32)),
+        'rois': jnp.asarray(np.stack(
+            [np.zeros(r), x1, y1, x1 + rng.uniform(8, 17, r),
+             y1 + rng.uniform(8, 17, r)], 1).astype(np.float32)),
+        'obn_scores': jnp.asarray(rng.rand(r, 1).astype(np.float32) + 1),
+        'labels_oh': jnp.asarray(labels),
+        'valid_mask': jnp.asarray(np.arange(r) < r - 5),
+    }
+
+
+def _stack(images):
+    return {k: jnp.stack([b[k] for b in images]) for k in images[0]}
+
+
+def _specs():
+    yield detector.ModelSpec(num_classes=5, hidden_dim=16, webly_on=False,
+                             webly_entropy=False, box_head='vgg16_2fc',
+                             compute_dtype='float32')
+    yield detector.ModelSpec(num_classes=5, hidden_dim=16,
+                             compute_dtype='float32')  # webly + entropy
+
+
+@pytest.mark.parametrize('spec_idx', [0, 1])
+def test_pipeline_step_matches_mean_loss_step(spec_idx):
+    spec = list(_specs())[spec_idx]
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    imgs = [_one_image(spec.num_classes, seed=s) for s in (0, 3, 4)]
+
+    def mean_loss(p):
+        totals = [detector.forward_train(spec, p, b, None)[0] for b in imgs]
+        return sum(totals) / len(imgs)
+
+    ref_loss, ref_grads = jax.value_and_grad(mean_loss)(params)
+
+    hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005, iter_size=1)
+    trainable = detector.trainable_param_names(spec, params)
+    mults = sgd.param_multipliers(params, trainable)
+    opt_state = sgd.init_state(params, hp)
+    ref_upd, _ = sgd.update(params, ref_grads, opt_state, np.float32(1e-3),
+                            hp, sgd.freeze_mults(mults))
+
+    mesh = pipeline.make_pipe_mesh()
+    step = pipeline.make_pipeline_step(spec, hp, mults, mesh, dropout=False)
+    p2, s2, loss, aux = step(params, opt_state, _stack(imgs),
+                             np.float32(1e-3), jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-5)
+    keys = ['fc6_w', 'fc6_b', 'fc7_w', 'fc8c_w', 'fc8d_w']
+    if spec.is_webly:
+        keys += ['_[noisy]_fc6_w', 'noisy_fc8c_w']
+    for k in keys:
+        np.testing.assert_allclose(np.asarray(p2[k]), np.asarray(ref_upd[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+    # frozen body params must not move
+    np.testing.assert_array_equal(np.asarray(p2['conv1_1_w']),
+                                  np.asarray(params['conv1_1_w']))
+
+
+def test_pipeline_step_learns_with_dropout():
+    spec = list(_specs())[1]
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0, iter_size=1)
+    trainable = detector.trainable_param_names(spec, params)
+    mults = sgd.param_multipliers(params, trainable)
+    opt_state = sgd.init_state(params, hp)
+    mesh = pipeline.make_pipe_mesh()
+    step = pipeline.make_pipeline_step(spec, hp, mults, mesh)
+    batch = _stack([_one_image(spec.num_classes, seed=5),
+                    _one_image(spec.num_classes, seed=6)])
+    rng = jax.random.PRNGKey(7)
+    losses = []
+    for i in range(6):
+        params, opt_state, loss, _ = step(params, opt_state, batch,
+                                          np.float32(5e-4),
+                                          jax.random.fold_in(rng, i))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_pipeline_rejects_trainable_body():
+    spec = detector.ModelSpec(num_classes=5, hidden_dim=16,
+                              compute_dtype='float32',
+                              freeze_conv_body=False)
+    hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0, iter_size=1)
+    with pytest.raises(NotImplementedError):
+        pipeline.make_pipeline_step(spec, hp, {}, pipeline.make_pipe_mesh())
+
+
+def test_pipeline_rejects_unsupported_branches():
+    spec = detector.ModelSpec(num_classes=5, hidden_dim=16, csc=True,
+                              webly_on=False, box_head='vgg16_2fc')
+    hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0, iter_size=1)
+    with pytest.raises(NotImplementedError):
+        pipeline.make_pipeline_step(spec, hp, {}, pipeline.make_pipe_mesh())
