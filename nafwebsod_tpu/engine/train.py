@@ -120,23 +120,29 @@ def train_model(roidb=None, max_iters=None):
         # 2-stage body|head pipeline (parallel/pipeline.py): microbatches
         # stream through a ppermute schedule; one step trains B images.
         from nafwebsod_tpu.parallel import pipeline
-        assert steps_per_call == 1, (
-            'TPU.PIPELINE_PARALLEL does not support TPU.STEPS_PER_CALL > 1')
         pipe_mesh = pipeline.make_pipe_mesh()
         inner_step = pipeline.make_pipeline_step(spec, hp, mults, pipe_mesh)
         num_devices = max(int(cfg.TPU.PIPELINE_MICROBATCHES), 1)
+        _keys = ('image', 'rois', 'obn_scores', 'valid_mask', 'labels_oh')
 
         def step_fn(params, opt_state, batch, lr, rngs):
-            b = {k: batch[k] for k in ('image', 'rois', 'obn_scores',
-                                       'valid_mask', 'labels_oh')}
+            b = {k: batch[k] for k in _keys}
             return inner_step(params, opt_state, b, lr, rngs[0])
+
+        if steps_per_call > 1:
+            inner_multi = pipeline.make_pipeline_multi_step(
+                spec, hp, mults, pipe_mesh)
+
+            def multi_step_fn(params, opt_state, batches, lrs, factors,
+                              rngs):
+                b = {k: batches[k] for k in _keys}
+                return inner_multi(params, opt_state, b, lrs, factors,
+                                   rngs[:, 0])
     elif cfg.TPU.TENSOR_SHARDING:
         # Hidden-dim (tensor) parallelism for the fc towers
         # (parallel/tensor_shard.py): devices//m data rows x m hidden
         # shards; params/opt state stay resident in the sharded layout.
         from nafwebsod_tpu.parallel import tensor_shard
-        assert steps_per_call == 1, (
-            'TPU.TENSOR_SHARDING does not support TPU.STEPS_PER_CALL > 1')
         m = int(cfg.TPU.TENSOR_SHARDING)
         assert num_devices % m == 0, (
             'TPU.TENSOR_SHARDING={} must divide the device count {}'.format(
@@ -146,11 +152,21 @@ def train_model(roidb=None, max_iters=None):
         num_devices = num_devices // m  # images per step = data rows
         inner_step = tensor_shard.make_tp_train_step(
             spec, hp, mults, tp_mesh, params)
+        _keys = ('image', 'rois', 'obn_scores', 'valid_mask', 'labels_oh')
 
         def step_fn(params, opt_state, batch, lr, rngs):
-            b = {k: batch[k] for k in ('image', 'rois', 'obn_scores',
-                                       'valid_mask', 'labels_oh')}
+            b = {k: batch[k] for k in _keys}
             return inner_step(params, opt_state, b, lr, rngs[0])
+
+        if steps_per_call > 1:
+            inner_multi = tensor_shard.make_tp_multi_train_step(
+                spec, hp, mults, tp_mesh, params)
+
+            def multi_step_fn(params, opt_state, batches, lrs, factors,
+                              rngs):
+                b = {k: batches[k] for k in _keys}
+                return inner_multi(params, opt_state, b, lrs, factors,
+                                   rngs[:, 0])
     else:
         m = mesh_lib.make_mesh(num_devices)
         step_fn = ts.make_train_step(

@@ -101,19 +101,9 @@ def _aux_keys(spec):
     return ('accuracy_cls', 'loss_cls')
 
 
-def make_pipeline_step(spec, hp, mults, mesh, dropout=True):
-    """Jitted 2-stage pipeline train step.
-
-    ``step(params, opt_state, batch, lr, rng) -> (params, opt_state, loss,
-    aux)`` where every ``batch`` leaf has leading microbatch axis B (one
-    image each). Parameters stay replicated on both stages (each stage only
-    touches its half; a weight-sharded variant would compose with
-    TPU.TENSOR_SHARDING). The loss is the mean over the B microbatches —
-    the same step as the data-parallel mean over B images.
-    """
-    _check_scope(spec)
-    mults = sgd.freeze_mults(mults) if isinstance(mults, dict) else mults
-    repl = NamedSharding(mesh, P())
+def _make_grads_fn(spec, mesh, dropout):
+    """The shard_map'd pipeline schedule (loss/grads over B microbatches),
+    shared by the single-step and scan-of-K drivers."""
 
     @partial(_shard_map, mesh=mesh, in_specs=(P(), P(), P()),
              out_specs=(P(), P(), P()))
@@ -183,6 +173,24 @@ def make_pipeline_step(spec, hp, mults, mesh, dropout=True):
         aux = jax.tree.map(lambda v: jax.lax.psum(v, AXIS), aux)
         return loss, aux, grads
 
+    return grads_fn
+
+
+def make_pipeline_step(spec, hp, mults, mesh, dropout=True):
+    """Jitted 2-stage pipeline train step.
+
+    ``step(params, opt_state, batch, lr, rng) -> (params, opt_state, loss,
+    aux)`` where every ``batch`` leaf has leading microbatch axis B (one
+    image each). Parameters stay replicated on both stages (each stage only
+    touches its half; a weight-sharded variant would compose with
+    TPU.TENSOR_SHARDING). The loss is the mean over the B microbatches —
+    the same step as the data-parallel mean over B images.
+    """
+    _check_scope(spec)
+    mults = sgd.freeze_mults(mults) if isinstance(mults, dict) else mults
+    repl = NamedSharding(mesh, P())
+    grads_fn = _make_grads_fn(spec, mesh, dropout)
+
     def step(params, opt_state, batch, lr, rng):
         loss, aux, grads = grads_fn(params, batch, rng)
         params, opt_state = sgd.update(params, grads, opt_state, lr, hp,
@@ -192,5 +200,37 @@ def make_pipeline_step(spec, hp, mults, mesh, dropout=True):
     return jax.jit(
         step,
         in_shardings=(repl, repl, repl, repl, repl),
+        out_shardings=(repl, repl, repl, repl),
+    )
+
+
+def make_pipeline_multi_step(spec, hp, mults, mesh, dropout=True):
+    """K chained pipeline steps per device call via ``lax.scan``
+    (TPU.STEPS_PER_CALL; dispatch amortization as in
+    ``train_step.make_multi_train_step``, momentum-correction factors
+    applied in-graph). ``multi(params, opt_state, batches, lrs, factors,
+    rngs)`` with batch leaves stacked (K, B, ...) and ``rngs`` (K,) keys;
+    returns ``(params, opt_state, losses (K,), aux {name: (K,)})``."""
+    _check_scope(spec)
+    mults = sgd.freeze_mults(mults) if isinstance(mults, dict) else mults
+    repl = NamedSharding(mesh, P())
+    grads_fn = _make_grads_fn(spec, mesh, dropout)
+
+    def multi(params, opt_state, batches, lrs, factors, rngs):
+        def one(carry, xs):
+            p, s = carry
+            batch, lr, factor, rng = xs
+            s = sgd.scale_momentum(s, factor)
+            loss, aux, grads = grads_fn(p, batch, rng)
+            p, s = sgd.update(p, grads, s, lr, hp, mults)
+            return (p, s), (loss, aux)
+
+        (p, s), (losses, auxs) = jax.lax.scan(
+            one, (params, opt_state), (batches, lrs, factors, rngs))
+        return p, s, losses, auxs
+
+    return jax.jit(
+        multi,
+        in_shardings=(repl, repl, repl, repl, repl, repl),
         out_shardings=(repl, repl, repl, repl),
     )

@@ -243,23 +243,9 @@ def forward_train_tp(spec, params, batch, rng, axis=MODEL_AXIS):
 # Train step
 # --------------------------------------------------------------------------- #
 
-def make_tp_train_step(spec, hp, mults, mesh, params, dropout=True):
-    """Jitted tensor-parallel (x data-parallel) train step over a 2-D
-    ``('data', 'model')`` mesh.
-
-    ``step(params, opt_state, batch, lr, rng) -> (params, opt_state, loss,
-    aux)`` where every ``batch`` leaf has leading axis ``n_data`` (one image
-    per data row, sharded over 'data'); params/opt_state carry the per-leaf
-    hidden-shard layout (see ``param_pspec``) and stay resident in it across
-    steps. ``dropout=False`` ignores the rng (used by the parity tests).
-    ``params`` is consulted for leaf names/shapes only.
-    """
-    _check_scope(spec)
-    mults = sgd.freeze_mults(mults) if isinstance(mults, dict) else mults
-    n_data, n_model = mesh.devices.shape
-    check_divisibility(params, n_model)
-    pspecs = param_pspecs(params)
-    repl = NamedSharding(mesh, P())
+def _make_grads_fn(spec, mesh, pspecs, n_data, dropout):
+    """The shard_map'd loss/grad computation shared by the single-step and
+    scan-of-K drivers."""
 
     @partial(_shard_map, mesh=mesh,
              in_specs=(pspecs, P(DATA_AXIS), P()),
@@ -285,6 +271,28 @@ def make_tp_train_step(spec, hp, mults, mesh, params, dropout=True):
         aux = jax.tree.map(lambda v: jax.lax.psum(v, DATA_AXIS), aux)
         return loss, aux, grads
 
+    return grads_fn
+
+
+def make_tp_train_step(spec, hp, mults, mesh, params, dropout=True):
+    """Jitted tensor-parallel (x data-parallel) train step over a 2-D
+    ``('data', 'model')`` mesh.
+
+    ``step(params, opt_state, batch, lr, rng) -> (params, opt_state, loss,
+    aux)`` where every ``batch`` leaf has leading axis ``n_data`` (one image
+    per data row, sharded over 'data'); params/opt_state carry the per-leaf
+    hidden-shard layout (see ``param_pspec``) and stay resident in it across
+    steps. ``dropout=False`` ignores the rng (used by the parity tests).
+    ``params`` is consulted for leaf names/shapes only.
+    """
+    _check_scope(spec)
+    mults = sgd.freeze_mults(mults) if isinstance(mults, dict) else mults
+    n_data, n_model = mesh.devices.shape
+    check_divisibility(params, n_model)
+    pspecs = param_pspecs(params)
+    repl = NamedSharding(mesh, P())
+    grads_fn = _make_grads_fn(spec, mesh, pspecs, n_data, dropout)
+
     def step(params, opt_state, batch, lr, rng):
         loss, aux, grads = grads_fn(params, batch, rng)
         params, opt_state = sgd.update(params, grads, opt_state, lr, hp,
@@ -304,5 +312,52 @@ def make_tp_train_step(spec, hp, mults, mesh, params, dropout=True):
     return jax.jit(
         step,
         in_shardings=(param_shardings, opt_in, batch_shard, repl, repl),
+        out_shardings=(param_shardings, opt_in, repl, repl),
+    )
+
+
+def make_tp_multi_train_step(spec, hp, mults, mesh, params, dropout=True):
+    """K chained tensor-parallel steps per device call via ``lax.scan``
+    (TPU.STEPS_PER_CALL; same dispatch-amortization contract as
+    ``train_step.make_multi_train_step``, with the momentum-correction
+    factors applied in-graph before each step).
+
+    ``multi(params, opt_state, batches, lrs, factors, rngs) ->
+    (params, opt_state, losses (K,), aux {name: (K,)})`` with every batch
+    leaf stacked (K, n_data, ...) and ``rngs`` (K,) keys (replicated; the
+    step folds in the data-row index)."""
+    _check_scope(spec)
+    mults = sgd.freeze_mults(mults) if isinstance(mults, dict) else mults
+    n_data, n_model = mesh.devices.shape
+    check_divisibility(params, n_model)
+    pspecs = param_pspecs(params)
+    repl = NamedSharding(mesh, P())
+
+    grads_fn = _make_grads_fn(spec, mesh, pspecs, n_data, dropout)
+
+    def multi(params, opt_state, batches, lrs, factors, rngs):
+        def one(carry, xs):
+            p, s = carry
+            batch, lr, factor, rng = xs
+            s = sgd.scale_momentum(s, factor)
+            loss, aux, grads = grads_fn(p, batch, rng)
+            p, s = sgd.update(p, grads, s, lr, hp, mults)
+            return (p, s), (loss, aux)
+
+        (p, s), (losses, auxs) = jax.lax.scan(
+            one, (params, opt_state), (batches, lrs, factors, rngs))
+        return p, s, losses, auxs
+
+    param_shardings = {k: NamedSharding(mesh, s) for k, s in pspecs.items()}
+    probe = jax.eval_shape(lambda p: sgd.init_state(p, hp), params)
+    opt_in = {
+        k: ({n: param_shardings[n] for n in v}
+            if k in ('momentum', 'grad_acc') else repl)
+        for k, v in probe.items()}
+    batch_shard = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.jit(
+        multi,
+        in_shardings=(param_shardings, opt_in, batch_shard, repl, repl,
+                      repl),
         out_shardings=(param_shardings, opt_in, repl, repl),
     )

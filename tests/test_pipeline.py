@@ -114,3 +114,42 @@ def test_pipeline_rejects_unsupported_branches():
     hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0, iter_size=1)
     with pytest.raises(NotImplementedError):
         pipeline.make_pipeline_step(spec, hp, {}, pipeline.make_pipe_mesh())
+
+
+def test_pipeline_multi_step_matches_chained_single_steps():
+    """scan-of-K pipeline driver == K sequential single pipeline steps."""
+    spec = list(_specs())[1]
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005, iter_size=1)
+    trainable = detector.trainable_param_names(spec, params)
+    mults = sgd.param_multipliers(params, trainable)
+    opt_state = sgd.init_state(params, hp)
+    mesh = pipeline.make_pipe_mesh()
+
+    K = 3
+    batches = [_stack([_one_image(spec.num_classes, seed=10 * k),
+                       _one_image(spec.num_classes, seed=10 * k + 1)])
+               for k in range(K)]
+    rngs = jax.random.split(jax.random.PRNGKey(9), K)
+    lrs = np.asarray([1e-3, 1e-3, 5e-4], np.float32)
+    factors = np.asarray([1.0, 1.0, 0.5], np.float32)
+
+    step = pipeline.make_pipeline_step(spec, hp, mults, mesh)
+    p_ref, s_ref = params, opt_state
+    ref_losses = []
+    for k in range(K):
+        s_ref = sgd.scale_momentum(s_ref, factors[k])
+        p_ref, s_ref, loss, _ = step(p_ref, s_ref, batches[k], lrs[k],
+                                     rngs[k])
+        ref_losses.append(float(loss))
+
+    multi = pipeline.make_pipeline_multi_step(spec, hp, mults, mesh)
+    stacked = {k: jnp.stack([b[k] for b in batches]) for k in batches[0]}
+    p_m, s_m, losses, aux = multi(params, opt_state, stacked,
+                                  jnp.asarray(lrs), jnp.asarray(factors),
+                                  rngs)
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(ref_losses),
+                               rtol=1e-5)
+    for k in ('fc6_w', 'fc7_w', 'fc8c_w'):
+        np.testing.assert_allclose(np.asarray(p_m[k]), np.asarray(p_ref[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
