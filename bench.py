@@ -54,7 +54,8 @@ def main():
 
     spec = detector.ModelSpec(
         num_classes=21, compute_dtype='bfloat16', hidden_dim=hidden,
-        fused_noise_tower=os.environ.get('BENCH_FUSED', '0') == '1')
+        fused_noise_tower=os.environ.get('BENCH_FUSED', '0') == '1',
+        fused_fc7=os.environ.get('BENCH_FUSED_FC7', '0') == '1')
     params = detector.init_params(spec, jax.random.PRNGKey(0))
     hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005, iter_size=1)
     trainable = detector.trainable_param_names(spec, params)

@@ -424,6 +424,13 @@ __C.TPU.USE_PALLAS = True
 # Run the clean+noisy fc towers as one width-doubled GEMM pair (identical
 # math, fewer MXU launches; see ROADMAP perf lever 1).
 __C.TPU.FUSED_NOISE_TOWER = False
+# Batch only the fc7 GEMMs across the clean/noisy towers (one (2, H, H)
+# batched matmul instead of two (H, H) ones; fc6 stays per-tower so the
+# HBM-heavy weight concat that sank FUSED_NOISE_TOWER is avoided).
+# MEASURED SLOWER on v5e (48.8 vs 53.2 img/s): the per-step weight
+# stack/cast still outweighs the launch savings — documented negative
+# result, keep off (models/heads.py vgg16_roi_2fc_noise_head).
+__C.TPU.FUSED_FC7 = False
 # fc6/fc7 width (4096 in the reference; narrow for CPU tests only).
 __C.TPU.HEAD_HIDDEN_DIM = 4096
 # When set, capture a jax.profiler trace of iterations [10, 15) into this

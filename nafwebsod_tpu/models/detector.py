@@ -217,6 +217,8 @@ class ModelSpec:
     # run the clean+noisy towers as one width-doubled GEMM pair
     # (TPU.FUSED_NOISE_TOWER; mathematically identical, fewer MXU launches)
     fused_noise_tower: bool = False
+    # batch ONLY the fc7 GEMMs across the two towers (TPU.FUSED_FC7)
+    fused_fc7: bool = False
     # Xconv1fc GN head sizing (FAST_RCNN.CONV_HEAD_DIM / NUM_STACKED_CONVS)
     conv_head_dim: int = 256
     num_stacked_convs: int = 4
@@ -323,6 +325,7 @@ def spec_from_cfg(cfg):
         min_entropy_loss=cfg.WSL.MIN_ENTROPY_LOSS,
         compute_dtype=cfg.TPU.COMPUTE_DTYPE,
         fused_noise_tower=cfg.TPU.FUSED_NOISE_TOWER,
+        fused_fc7=cfg.TPU.FUSED_FC7,
         # ResNet heads size their MLP from FAST_RCNN.MLP_HEAD_DIM
         # (wsl_heads.py:867-872); VGG towers are 4096 (TPU.HEAD_HIDDEN_DIM);
         # the res5 conv head emits the res5 width (2048 / 512-shallow)
@@ -924,7 +927,8 @@ def _run_body_and_head(spec, params, image, rois, obn_scores, train, rng):
     if spec.box_head == 'vgg16_2fc_noise':
         (fc7_clean, fc7_noisy), _ = heads.vgg16_roi_2fc_noise_head(
             params, feat, rois, obn_scores, spatial_scale,
-            fused=spec.fused_noise_tower, **kwargs)
+            fused=spec.fused_noise_tower, fused_fc7=spec.fused_fc7,
+            **kwargs)
         return fc7_clean, fc7_noisy, feat
     if spec.box_head == 'res5_head':
         fc7 = _res5_tower(spec, params, feat, rois, obn_scores,

@@ -211,7 +211,7 @@ def vgg16_roi_2fc_head(params, feat, rois, obn_scores, spatial_scale, *,
 def vgg16_roi_2fc_noise_head(params, feat, rois, obn_scores, spatial_scale, *,
                              method='RoIPoolF', resolution=7, sampling_ratio=2,
                              freeze_body=True, train=False, rng=None,
-                             fused=False):
+                             fused=False, fused_fc7=False):
     """Clean tower + noisy tower on the same boosted RoI features
     (webly_heads.py:463-502).
 
@@ -221,12 +221,40 @@ def vgg16_roi_2fc_noise_head(params, feat, rois, obn_scores, spatial_scale, *,
     stay per-tower. MEASURED SLOWER on v5e (30.3 vs 39.6 img/s at flagship
     shapes): the per-step concat of the 25088x8192 weight matrix costs more
     HBM traffic than the launch savings recover — kept as a documented
-    negative result (ROADMAP perf lever 1), default off."""
+    negative result (ROADMAP perf lever 1), default off.
+
+    ``fused_fc7=True`` batches ONLY the fc7 GEMMs across the two towers
+    (fc6 stays per-tower, avoiding the 25088x8192 concat that sank the full
+    fusion): the (H, H) weights stack into one (2, H, H) batched matmul —
+    the two smallest/lowest-MXU-utilization GEMMs of the step become one.
+    ALSO MEASURED SLOWER on v5e (48.8 vs 53.2 img/s at flagship shapes):
+    the per-step stack/cast of the two 4096x4096 fp32 weights costs more
+    HBM traffic than the batched launch recovers. Both fusions are kept as
+    documented negative results; avoiding the stack needs pre-stacked
+    weights, i.e. a checkpoint-schema change (rejected — reference pkl
+    interchange is a hard requirement). Default off."""
     r1 = r2 = None
     if rng is not None:
         r1, r2 = jax.random.split(rng)
     roi_feat = roi_transform(feat[0], rois, obn_scores, spatial_scale,
                              method, resolution, sampling_ratio, freeze_body)
+    if fused_fc7 and not fused:
+        r1a = r1b = r2a = r2b = None
+        if r1 is not None:
+            r1a, r1b = jax.random.split(r1)
+            r2a, r2b = jax.random.split(r2)
+        hc = _dropout(jax.nn.relu(_fc(roi_feat, params, 'fc6')),
+                      0.5, r1a, train)
+        hn = _dropout(jax.nn.relu(_fc(roi_feat, params, '_[noisy]_fc6')),
+                      0.5, r2a, train)
+        w7 = jnp.stack([params['fc7_w'], params['_[noisy]_fc7_w']]).astype(
+            roi_feat.dtype)
+        b7 = jnp.stack([params['fc7_b'], params['_[noisy]_fc7_b']])
+        y2 = jax.nn.relu(jnp.einsum('trh,tho->tro', jnp.stack([hc, hn]), w7)
+                         + b7[:, None, :].astype(roi_feat.dtype))
+        clean = _dropout(y2[0], 0.5, r1b, train)
+        noisy = _dropout(y2[1], 0.5, r2b, train)
+        return (clean, noisy), roi_feat
     if not fused:
         clean = _fc_tower(roi_feat, params, '', r1, train)
         noisy = _fc_tower(roi_feat, params, '_[noisy]_', r2, train)

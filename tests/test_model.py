@@ -184,3 +184,41 @@ class TestVGGBody:
         feat, scale = vgg16.forward(p, x, dilation=1)
         assert scale == 1.0 / 16.0
         assert feat.shape == (1, 4, 6, 512)
+
+
+def test_fused_fc7_matches_unfused():
+    """TPU.FUSED_FC7 (batched fc7 einsum across the two towers) is
+    numerically identical to the per-tower GEMMs (dropout off)."""
+    import dataclasses
+    from nafwebsod_tpu.models import detector as det
+
+    spec = det.ModelSpec(num_classes=5, hidden_dim=16,
+                         compute_dtype='float32')
+    params = det.init_params(spec, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    r = 16
+    x1 = rng.uniform(0, 30, r)
+    y1 = rng.uniform(0, 30, r)
+    labels = np.zeros((1, 4), np.float32)
+    labels[0, [0, 2]] = 1
+    batch = {
+        'image': jnp.asarray(rng.randn(1, 48, 48, 3).astype(np.float32)),
+        'rois': jnp.asarray(np.stack(
+            [np.zeros(r), x1, y1, x1 + rng.uniform(8, 17, r),
+             y1 + rng.uniform(8, 17, r)], 1).astype(np.float32)),
+        'obn_scores': jnp.asarray(rng.rand(r, 1).astype(np.float32) + 1),
+        'labels_oh': jnp.asarray(labels),
+        'valid_mask': jnp.asarray(np.ones(r, bool)),
+    }
+    spec_f = dataclasses.replace(spec, fused_fc7=True)
+    loss, _ = det.forward_train(spec, params, batch, None)
+    loss_f, _ = det.forward_train(spec_f, params, batch, None)
+    np.testing.assert_allclose(float(loss_f), float(loss), rtol=1e-6)
+
+    out = det.forward_test(spec, params, batch['image'], batch['rois'],
+                           batch['obn_scores'], batch['valid_mask'])
+    out_f = det.forward_test(spec_f, params, batch['image'], batch['rois'],
+                             batch['obn_scores'], batch['valid_mask'])
+    np.testing.assert_allclose(np.asarray(out_f['scores']),
+                               np.asarray(out['scores']), rtol=1e-5,
+                               atol=1e-7)
