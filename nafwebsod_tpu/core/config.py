@@ -431,6 +431,11 @@ __C.TPU.FUSED_NOISE_TOWER = False
 # stack/cast still outweighs the launch savings — documented negative
 # result, keep off (models/heads.py vgg16_roi_2fc_noise_head).
 __C.TPU.FUSED_FC7 = False
+# Rematerialize the conv body during backward (jax.checkpoint): trade
+# recompute FLOPs for activation HBM — lets an UNFROZEN body train at
+# larger image sizes / batch. No effect on frozen-body configs (their
+# activations are already dead after the pool).
+__C.TPU.REMAT_BODY = False
 # fc6/fc7 width (4096 in the reference; narrow for CPU tests only).
 __C.TPU.HEAD_HIDDEN_DIM = 4096
 # When set, capture a jax.profiler trace of iterations [10, 15) into this

@@ -219,6 +219,8 @@ class ModelSpec:
     fused_noise_tower: bool = False
     # batch ONLY the fc7 GEMMs across the two towers (TPU.FUSED_FC7)
     fused_fc7: bool = False
+    # rematerialize the conv body in backward (TPU.REMAT_BODY)
+    remat_body: bool = False
     # Xconv1fc GN head sizing (FAST_RCNN.CONV_HEAD_DIM / NUM_STACKED_CONVS)
     conv_head_dim: int = 256
     num_stacked_convs: int = 4
@@ -326,6 +328,7 @@ def spec_from_cfg(cfg):
         compute_dtype=cfg.TPU.COMPUTE_DTYPE,
         fused_noise_tower=cfg.TPU.FUSED_NOISE_TOWER,
         fused_fc7=cfg.TPU.FUSED_FC7,
+        remat_body=cfg.TPU.REMAT_BODY,
         # ResNet heads size their MLP from FAST_RCNN.MLP_HEAD_DIM
         # (wsl_heads.py:867-872); VGG towers are 4096 (TPU.HEAD_HIDDEN_DIM);
         # the res5 conv head emits the res5 width (2048 / 512-shallow)
@@ -671,7 +674,18 @@ def trainable_param_names(spec: ModelSpec, params):
 
 def body_forward_fpn(spec, params, image):
     """FPN body: ResNet stages -> pyramid. Returns (levels dict, scales
-    dict), both keyed by pyramid level."""
+    dict), both keyed by pyramid level.
+
+    With ``spec.remat_body`` (TPU.REMAT_BODY) the whole body is wrapped in
+    ``jax.checkpoint``: the backward pass recomputes the conv activations
+    instead of keeping them live — the standard XLA rematerialization trade
+    (FLOPs for HBM) for training large images with an unfrozen body."""
+    if spec.remat_body:
+        from dataclasses import replace as dc_replace
+        inner = dc_replace(spec, remat_body=False)
+        levels = jax.checkpoint(
+            lambda p, im: body_forward_fpn(inner, p, im)[0])(params, image)
+        return levels, {k: 1.0 / (2 ** k) for k in levels}
     from nafwebsod_tpu.models import fpn, resnet
 
     dtype = jnp.bfloat16 if spec.compute_dtype == 'bfloat16' else jnp.float32
@@ -688,7 +702,18 @@ def body_forward_fpn(spec, params, image):
 
 
 def body_forward(spec, params, image):
-    """Dispatch to the configured conv body. Returns (feat NHWC, scale)."""
+    """Dispatch to the configured conv body. Returns (feat NHWC, scale).
+
+    ``spec.remat_body`` (TPU.REMAT_BODY) wraps the body in
+    ``jax.checkpoint`` — backward recomputes conv activations instead of
+    storing them (HBM-for-FLOPs, useful with an unfrozen body at large
+    image sizes). The spatial scale stays a static Python float."""
+    if spec.remat_body:
+        from dataclasses import replace as dc_replace
+        inner = dc_replace(spec, remat_body=False)
+        feat = jax.checkpoint(
+            lambda p, im: body_forward(inner, p, im)[0])(params, image)
+        return feat, body_spatial_scale(spec)
     dtype = jnp.bfloat16 if spec.compute_dtype == 'bfloat16' else jnp.float32
     x = image.astype(dtype)
     if spec.conv_body.startswith('resnet'):

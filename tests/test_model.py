@@ -222,3 +222,72 @@ def test_fused_fc7_matches_unfused():
     np.testing.assert_allclose(np.asarray(out_f['scores']),
                                np.asarray(out['scores']), rtol=1e-5,
                                atol=1e-7)
+
+
+def test_remat_body_matches_plain_grads():
+    """TPU.REMAT_BODY (jax.checkpoint around the conv body) must not change
+    values or gradients — it only changes what backward stores."""
+    import dataclasses
+    from nafwebsod_tpu.models import detector as det
+
+    spec = det.ModelSpec(num_classes=5, hidden_dim=16,
+                         compute_dtype='float32', freeze_conv_body=False,
+                         freeze_at=0)
+    spec_r = dataclasses.replace(spec, remat_body=True)
+    params = det.init_params(spec, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    r = 16
+    x1 = rng.uniform(0, 30, r)
+    y1 = rng.uniform(0, 30, r)
+    labels = np.zeros((1, 4), np.float32)
+    labels[0, [0, 2]] = 1
+    batch = {
+        'image': jnp.asarray(rng.randn(1, 48, 48, 3).astype(np.float32)),
+        'rois': jnp.asarray(np.stack(
+            [np.zeros(r), x1, y1, x1 + rng.uniform(8, 17, r),
+             y1 + rng.uniform(8, 17, r)], 1).astype(np.float32)),
+        'obn_scores': jnp.asarray(rng.rand(r, 1).astype(np.float32) + 1),
+        'labels_oh': jnp.asarray(labels),
+        'valid_mask': jnp.asarray(np.ones(r, bool)),
+    }
+
+    def loss(s, p):
+        return det.forward_train(s, p, batch, None)[0]
+
+    (l0, g0) = jax.value_and_grad(lambda p: loss(spec, p))(params)
+    (l1, g1) = jax.value_and_grad(lambda p: loss(spec_r, p))(params)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    # the body grads are the point: they flow through the checkpoint
+    for k in ('conv1_1_w', 'conv5_3_w', 'fc6_w'):
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g0[k]),
+                                   rtol=1e-5, atol=1e-8, err_msg=k)
+
+
+def test_remat_body_fpn_matches_plain():
+    import dataclasses
+    from nafwebsod_tpu.models import detector as det
+
+    spec = det.ModelSpec(num_classes=5, hidden_dim=16,
+                         compute_dtype='float32',
+                         conv_body='fpn_resnet18', fpn_dim=16,
+                         freeze_conv_body=False, freeze_at=0)
+    spec_r = dataclasses.replace(spec, remat_body=True)
+    params = det.init_params(spec, jax.random.PRNGKey(0))
+    image = jnp.asarray(
+        np.random.RandomState(0).randn(1, 64, 64, 3).astype(np.float32))
+
+    def s_loss(s, p):
+        levels, scales = det.body_forward_fpn(s, p, image)
+        return sum(jnp.sum(v.astype(jnp.float32) ** 2)
+                   for v in levels.values()), scales
+
+    (l0, sc0), g0 = jax.value_and_grad(
+        lambda p: s_loss(spec, p), has_aux=True)(params)
+    (l1, sc1), g1 = jax.value_and_grad(
+        lambda p: s_loss(spec_r, p), has_aux=True)(params)
+    assert sc0 == sc1
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    some = [k for k in g0 if np.asarray(g0[k]).size][:5]
+    for k in some:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g0[k]),
+                                   rtol=1e-5, atol=1e-8, err_msg=k)
