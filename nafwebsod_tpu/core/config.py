@@ -483,6 +483,12 @@ __C.TPU.PIPELINE_MICROBATCHES = 4
 # chunk's host prep stops hiding under device compute; BASELINE.md), 1
 # elsewhere. Explicit values are honored as given.
 __C.TPU.INFER_BATCH = -1
+# Shard each eval chunk's images over this many mesh devices inside ONE
+# program (engine/test.py _fused_detect_scan_mesh): the in-process,
+# ICI-native counterpart of --multi-gpu-testing's process-per-range
+# sharding (one weight replica per chip, no pickle merge). 0/1 = off;
+# chunks whose size does not divide evenly fall back to single-device.
+__C.TPU.INFER_MESH = 0
 # Chunks kept in flight before harvesting in the batched eval loop.
 # 1 = classic double-buffer (dispatch i+1, then harvest i); 2 keeps a
 # second dispatched chunk queued so the host's harvest/assemble work for

@@ -380,13 +380,8 @@ def _fused_detect_call(spec, params, im_in, rois_p, obn_p, valid,
         max_keep, limit)
 
 
-@partial(jax.jit, static_argnames=('spec', 'max_keep', 'limit'))
-def _fused_detect_scan(spec, params, ims, rois, obns, valids, origs,
-                       nms_t, score_t, max_keep, limit):
-    """B images per device call: lax.scan of the fused core over the
-    stacked chunk. One dispatch amortizes the per-call round-trip Bx
-    (scan, not vmap: per-image programs keep the Pallas pool's VMEM
-    residency pattern unchanged)."""
+def _detect_scan_impl(spec, params, ims, rois, obns, valids, origs,
+                      nms_t, score_t, max_keep, limit):
     def one(carry, xs):
         im, r, o, v, ob = xs
         return carry, _fused_detect_core(
@@ -396,6 +391,67 @@ def _fused_detect_scan(spec, params, ims, rois, obns, valids, origs,
     _, outs = jax.lax.scan(one, jnp.int32(0),
                            (ims, rois, obns, valids, origs))
     return outs
+
+
+@partial(jax.jit, static_argnames=('spec', 'max_keep', 'limit'))
+def _fused_detect_scan(spec, params, ims, rois, obns, valids, origs,
+                       nms_t, score_t, max_keep, limit):
+    """B images per device call: lax.scan of the fused core over the
+    stacked chunk. One dispatch amortizes the per-call round-trip Bx
+    (scan, not vmap: per-image programs keep the Pallas pool's VMEM
+    residency pattern unchanged)."""
+    return _detect_scan_impl(spec, params, ims, rois, obns, valids, origs,
+                             nms_t, score_t, max_keep, limit)
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _infer_mesh(n_dev):
+    from jax.sharding import Mesh
+    devices = jax.devices()
+    if len(devices) < n_dev:
+        raise ValueError('TPU.INFER_MESH={} but only {} devices'.format(
+            n_dev, len(devices)))
+    return Mesh(np.asarray(devices[:n_dev]), ('data',))
+
+
+def _shard_map(f, **kw):
+    try:
+        return jax.shard_map(f, check_vma=False, **kw)
+    except AttributeError:  # older jax spells it differently
+        from jax.experimental.shard_map import shard_map as _sme
+        return _sme(f, check_rep=False, **kw)
+
+
+def _infer_mesh_size(b):
+    """Mesh width for eval chunks: TPU.INFER_MESH devices when enabled and
+    the chunk divides evenly, else 1 (single-device path)."""
+    n = int(getattr(cfg.TPU, 'INFER_MESH', 0) or 0)
+    if n > 1 and b % n == 0 and len(jax.devices()) >= n:
+        return n
+    return 1
+
+
+@partial(jax.jit, static_argnames=('spec', 'max_keep', 'limit', 'n_dev'))
+def _fused_detect_scan_mesh(spec, params, ims, rois, obns, valids, origs,
+                            nms_t, score_t, max_keep, limit, n_dev):
+    """Mesh-sharded eval chunk (TPU.INFER_MESH): the B images split over
+    ``n_dev`` devices, each scanning its B/n share of the SAME program —
+    the single-process, ICI-native counterpart of the multi-process range
+    sharding in engine/test_engine.py (one weight replica per chip, no
+    pickle merge)."""
+    from jax.sharding import PartitionSpec as P
+
+    fn = _shard_map(
+        lambda p, *xs: _detect_scan_impl(spec, p, *xs, max_keep=max_keep,
+                                         limit=limit),
+        mesh=_infer_mesh(n_dev),
+        in_specs=(P(), P('data'), P('data'), P('data'), P('data'),
+                  P('data'), P(), P()),
+        out_specs=P('data'))
+    return fn(params, ims, rois, obns, valids, origs, nms_t, score_t)
 
 
 def _dedup_scaled_rois(boxes, obn_scores, im_scale):
@@ -478,14 +534,9 @@ def _fused_detect_call_raw(spec, params, raw, scale, vh, vw, means, stds,
         jnp.float32(cfg.TEST.SCORE_THRESH), out_hw, max_keep, limit)
 
 
-@partial(jax.jit, static_argnames=('spec', 'out_hw', 'max_keep', 'limit'))
-def _fused_detect_scan_raw(spec, params, raws, scales, vhs, vws, means,
-                           stds, rois, obns, valids, origs, nms_t, score_t,
-                           out_hw, max_keep, limit):
-    """Scan-of-B with in-graph image prep: per-image dynamic scale under
-    one static raw/out canvas pair (scale_and_translate takes the scale
-    as a traced operand, so one compile covers the whole dataset when
-    the caller caps the canvases from the roidb)."""
+def _detect_scan_raw_impl(spec, params, raws, scales, vhs, vws, means,
+                          stds, rois, obns, valids, origs, nms_t, score_t,
+                          out_hw, max_keep, limit):
     def one(carry, xs):
         raw, s, vh, vw, r, o, v, ob = xs
         return carry, _fused_detect_core_raw(
@@ -496,6 +547,42 @@ def _fused_detect_scan_raw(spec, params, raws, scales, vhs, vws, means,
                            (raws, scales, vhs, vws, rois, obns, valids,
                             origs))
     return outs
+
+
+@partial(jax.jit, static_argnames=('spec', 'out_hw', 'max_keep', 'limit'))
+def _fused_detect_scan_raw(spec, params, raws, scales, vhs, vws, means,
+                           stds, rois, obns, valids, origs, nms_t, score_t,
+                           out_hw, max_keep, limit):
+    """Scan-of-B with in-graph image prep: per-image dynamic scale under
+    one static raw/out canvas pair (scale_and_translate takes the scale
+    as a traced operand, so one compile covers the whole dataset when
+    the caller caps the canvases from the roidb)."""
+    return _detect_scan_raw_impl(spec, params, raws, scales, vhs, vws,
+                                 means, stds, rois, obns, valids, origs,
+                                 nms_t, score_t, out_hw, max_keep, limit)
+
+
+@partial(jax.jit, static_argnames=('spec', 'out_hw', 'max_keep', 'limit',
+                                   'n_dev'))
+def _fused_detect_scan_raw_mesh(spec, params, raws, scales, vhs, vws,
+                                means, stds, rois, obns, valids, origs,
+                                nms_t, score_t, out_hw, max_keep, limit,
+                                n_dev):
+    """Mesh-sharded raw-prep eval chunk (TPU.INFER_MESH): see
+    _fused_detect_scan_mesh."""
+    from jax.sharding import PartitionSpec as P
+
+    fn = _shard_map(
+        lambda p, m, sd, *xs: _detect_scan_raw_impl(
+            spec, p, xs[0], xs[1], xs[2], xs[3], m, sd, xs[4], xs[5],
+            xs[6], xs[7], xs[8], xs[9], out_hw, max_keep, limit),
+        mesh=_infer_mesh(n_dev),
+        in_specs=(P(), P(), P(), P('data'), P('data'), P('data'),
+                  P('data'), P('data'), P('data'), P('data'), P('data'),
+                  P(), P()),
+        out_specs=P('data'))
+    return fn(params, means, stds, raws, scales, vhs, vws, rois, obns,
+              valids, origs, nms_t, score_t)
 
 
 def _assemble_cls_boxes(orig_p, idx, vals, keep):
@@ -605,7 +692,10 @@ def _im_detect_fused_batch_raw_dispatch(spec, params, ims, boxes_list,
         orig_p[i, :n] = boxes_u
 
     limit = int(cfg.TEST.DETECTIONS_PER_IM)
-    idx, vals, keep = _fused_detect_scan_raw(
+    n_mesh = _infer_mesh_size(b)
+    scan_fn = (_fused_detect_scan_raw if n_mesh == 1 else
+               partial(_fused_detect_scan_raw_mesh, n_dev=n_mesh))
+    idx, vals, keep = scan_fn(
         spec, params, jnp.asarray(raws), jnp.asarray(scales),
         jnp.asarray(vhs), jnp.asarray(vws),
         jnp.asarray(cfg.PIXEL_MEANS.reshape(-1), jnp.float32),
@@ -680,7 +770,10 @@ def _im_detect_fused_batch_host_dispatch(spec, params, ims, boxes_list,
         orig_p[i, :n] = boxes_u
 
     limit = int(cfg.TEST.DETECTIONS_PER_IM)
-    idx, vals, keep = _fused_detect_scan(
+    n_mesh = _infer_mesh_size(b)
+    scan_fn = (_fused_detect_scan if n_mesh == 1 else
+               partial(_fused_detect_scan_mesh, n_dev=n_mesh))
+    idx, vals, keep = scan_fn(
         spec, params, jnp.asarray(ims_p), jnp.asarray(rois_p),
         jnp.asarray(obn_p), jnp.asarray(valid), jnp.asarray(orig_p),
         jnp.float32(cfg.TEST.NMS), jnp.float32(cfg.TEST.SCORE_THRESH),

@@ -398,3 +398,62 @@ def test_infer_batch_auto_resolution(monkeypatch):
     assert resolve(4, 'tpu') == 4
     assert resolve(0, 'cpu') == 1
     assert int(cfg.TPU.INFER_BATCH) == -1   # the shipped default is auto
+
+
+class TestInferMesh:
+    """TPU.INFER_MESH (mesh-sharded eval chunks): splitting a chunk's
+    images over the virtual device mesh must reproduce the single-device
+    scan exactly — same program per image, different placement."""
+
+    def _images(self, n):
+        rng = np.random.RandomState(7)
+        ims, boxes_l, obn_l = [], [], []
+        for i in range(n):
+            im = np.clip(cfg.PIXEL_MEANS.reshape(1, 1, 3) +
+                         rng.randn(60, 80, 3) * 8, 0, 255).astype(np.uint8)
+            boxes = rng.uniform(0, 50, (20, 4)).astype(np.float32)
+            boxes[:, 2:] = np.minimum(boxes[:, :2] + 6 +
+                                      rng.uniform(0, 25, (20, 2)), 79)
+            boxes[:, 3] = np.minimum(boxes[:, 3], 59)
+            ims.append(im)
+            boxes_l.append(boxes)
+            obn_l.append(rng.rand(20, 1).astype(np.float32))
+        return ims, boxes_l, obn_l
+
+    def test_mesh_chunk_matches_single_device(self):
+        from nafwebsod_tpu.engine import test as infer
+        helper = TestFusedDetect()
+        spec, params, _, _, _ = helper._setup()
+        ims, boxes_l, obn_l = self._images(8)
+
+        cfg.TPU.INFER_MESH = 0
+        plain = infer.im_detect_fused_batch(spec, params, ims, boxes_l,
+                                            obn_l)
+        cfg.TPU.INFER_MESH = 4
+        try:
+            meshed = infer.im_detect_fused_batch(spec, params, ims,
+                                                 boxes_l, obn_l)
+        finally:
+            cfg.TPU.INFER_MESH = 0
+        assert len(meshed) == len(plain) == 8
+        for i in range(8):
+            for j in range(1, cfg.MODEL.NUM_CLASSES):
+                got = np.asarray(meshed[i][j]).reshape(-1, 5)
+                want = np.asarray(plain[i][j]).reshape(-1, 5)
+                np.testing.assert_allclose(
+                    got, want, rtol=1e-5, atol=1e-6,
+                    err_msg='image %d class %d' % (i, j))
+
+    def test_indivisible_chunk_falls_back(self):
+        from nafwebsod_tpu.engine import test as infer
+        helper = TestFusedDetect()
+        spec, params, _, _, _ = helper._setup()
+        ims, boxes_l, obn_l = self._images(3)
+        cfg.TPU.INFER_MESH = 4
+        try:
+            assert infer._infer_mesh_size(3) == 1
+            out = infer.im_detect_fused_batch(spec, params, ims, boxes_l,
+                                              obn_l)
+        finally:
+            cfg.TPU.INFER_MESH = 0
+        assert len(out) == 3
