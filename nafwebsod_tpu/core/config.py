@@ -436,6 +436,12 @@ __C.TPU.FUSED_FC7 = False
 # larger image sizes / batch. No effect on frozen-body configs (their
 # activations are already dead after the pool).
 __C.TPU.REMAT_BODY = False
+# ZeRO-1 (parallel/zero.py): keep the data-parallel step but shard the
+# SGD momentum over the mesh — psum_scatter gradients, per-slice Caffe
+# momentum update, all_gather of the updated params. Optimizer memory
+# per chip drops n-fold; numerics identical to the replicated solver.
+# Checkpoints keep the reference per-param momentum schema.
+__C.TPU.ZERO_OPT = False
 # fc6/fc7 width (4096 in the reference; narrow for CPU tests only).
 __C.TPU.HEAD_HIDDEN_DIM = 4096
 # When set, capture a jax.profiler trace of iterations [10, 15) into this

@@ -167,6 +167,17 @@ def train_model(roidb=None, max_iters=None):
                 b = {k: batches[k] for k in _keys}
                 return inner_multi(params, opt_state, b, lrs, factors,
                                    rngs[:, 0])
+    elif cfg.TPU.ZERO_OPT:
+        # ZeRO-1: data-parallel step with the momentum sharded over the
+        # mesh (parallel/zero.py) — psum_scatter grads, slice update,
+        # all_gather params. Same batch layout as the replicated DP step.
+        from nafwebsod_tpu.parallel import zero
+        assert steps_per_call == 1, (
+            'TPU.ZERO_OPT does not support TPU.STEPS_PER_CALL > 1')
+        zmesh = mesh_lib.make_mesh(num_devices)
+        opt_state = zero.momentum_from_dict(params, hp, zmesh,
+                                            momentum or {})
+        step_fn = zero.make_zero_train_step(spec, hp, mults, zmesh, params)
     else:
         m = mesh_lib.make_mesh(num_devices)
         step_fn = ts.make_train_step(
@@ -371,7 +382,14 @@ def jnp_asarray(x):
 def _save(path, params, opt_state):
     logger.info('Saving checkpoint to %s', path)
     host_params = {k: np.asarray(v) for k, v in params.items()}
-    host_mom = {k: np.asarray(v) for k, v in opt_state['momentum'].items()}
+    if set(opt_state['momentum']) == {'flat'}:
+        # ZeRO-1 state (parallel/zero.py): gather the sharded vector back
+        # into the reference per-param momentum schema
+        from nafwebsod_tpu.parallel import zero
+        host_mom = zero.momentum_to_dict(params, opt_state)
+    else:
+        host_mom = {k: np.asarray(v)
+                    for k, v in opt_state['momentum'].items()}
     ckpt.save_params_to_weights_file(
         path, host_params, momentum=host_mom, cfg_yaml=dump_cfg())
     return path

@@ -1,0 +1,192 @@
+"""ZeRO-1: data-parallel training with the optimizer state sharded.
+
+The reference replicates the full momentum buffer on every GPU
+(``ACMWeightDecayMomentumSGDUpdate`` per device, optimizer_wsl.py:18-137).
+This step keeps the data-parallel forward/backward but shards the SGD
+momentum over the mesh: the fused gradient all-reduce becomes a
+``psum_scatter`` (each device receives only its 1/n slice of the reduced
+gradient, halving the collective bytes vs psum), the Caffe-momentum update
+runs on that slice, and one tiled ``all_gather`` rebuilds the full updated
+parameter vector. Per-chip optimizer memory drops n-fold (~550 MB -> ~70 MB
+on a v5e-8 for the 134M-param flagship); the collective volume per step is
+the same 2x|params| as a bandwidth-optimal all-reduce.
+
+Per-parameter lr/decay multipliers (the Caffe ``param_multipliers``
+semantics, incl. the 'gn' special weight decay) are baked into two flat
+per-ELEMENT vectors at build time, so the sliced update stays elementwise.
+Numerics match the replicated-solver DP step exactly (same reduction
+order as the fused psum path up to scatter/gather association), pinned by
+tests/test_zero.py. Enable with ``TPU.ZERO_OPT``. iter_size > 1 is not
+supported (the accumulator would defeat the sharding; use
+TPU.STEPS_PER_CALL windows instead).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.flatten_util import ravel_pytree
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from nafwebsod_tpu.models import detector
+from nafwebsod_tpu.solver import sgd
+
+AXIS = 'data'
+
+try:
+    from jax import shard_map as _sm
+
+    def _shard_map(f, **kw):
+        return _sm(f, check_vma=False, **kw)
+except ImportError:  # older jax spells it differently
+    from jax.experimental.shard_map import shard_map as _sme
+
+    def _shard_map(f, **kw):
+        return _sme(f, check_rep=False, **kw)
+
+
+def _flat_multipliers(params, hp, mults):
+    """Per-ELEMENT (lr_mult, weight_decay) f32 vectors in ravel order."""
+    mults = dict(mults) if not isinstance(mults, dict) else mults
+    lr_parts, wd_parts = [], []
+    for name, v in sorted(params.items()):
+        lr_mult, decay_mult = mults[name]
+        wd = hp.weight_decay_gn if decay_mult == 'gn' else (
+            hp.weight_decay * decay_mult)
+        n = int(np.prod(v.shape)) if v.shape else 1
+        lr_parts.append(np.full(n, lr_mult, np.float32))
+        wd_parts.append(np.full(n, wd, np.float32))
+    return np.concatenate(lr_parts), np.concatenate(wd_parts)
+
+
+def _check_ravel_order(params):
+    """ravel_pytree flattens dicts in sorted-key order — the same order
+    _flat_multipliers uses. Guard the assumption."""
+    sizes = [int(np.prod(v.shape)) if v.shape else 1
+             for _, v in sorted(params.items())]
+    flat, _ = ravel_pytree(params)
+    assert flat.shape[0] == sum(sizes)
+
+
+def init_state(params, hp, mesh):
+    """Sharded momentum: a flat f32 vector padded to the mesh size, laid
+    out P('data') so each device holds one slice."""
+    if hp.iter_size != 1:
+        raise NotImplementedError(
+            'TPU.ZERO_OPT supports ITER_SIZE == 1 (use TPU.STEPS_PER_CALL '
+            'windows for accumulation-free batching)')
+    n = mesh.devices.size
+    flat, _ = ravel_pytree(params)
+    pad = (-flat.shape[0]) % n
+    mom = jnp.zeros((flat.shape[0] + pad,), jnp.float32)
+    mom = jax.device_put(mom, NamedSharding(mesh, P(AXIS)))
+    return {'momentum': {'flat': mom}, 'it': jnp.zeros((), jnp.int32)}
+
+
+def momentum_to_dict(params, state):
+    """Sharded flat momentum -> the reference checkpoint's per-param dict
+    (net_wsl.py '<param>_momentum' schema; gathers the vector to host)."""
+    flat, unravel = ravel_pytree(params)
+    mom = np.asarray(state['momentum']['flat'])[:flat.shape[0]]
+    return {k: np.asarray(v) for k, v in unravel(jnp.asarray(mom)).items()}
+
+
+def momentum_from_dict(params, hp, mesh, momentum_dict):
+    """Per-param momentum dict (AUTO_RESUME checkpoint) -> sharded state.
+    Missing leaves start at zero, like the replicated solver."""
+    state = init_state(params, hp, mesh)
+    full = {k: jnp.asarray(momentum_dict[k]) if k in momentum_dict
+            else jnp.zeros_like(v) for k, v in params.items()}
+    flat, _ = ravel_pytree(full)
+    pad = state['momentum']['flat'].shape[0] - flat.shape[0]
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+    state['momentum']['flat'] = jax.device_put(
+        flat.astype(jnp.float32), NamedSharding(mesh, P(AXIS)))
+    return state
+
+
+def make_zero_train_step(spec, hp, mults, mesh, params):
+    """Jitted ZeRO-1 data-parallel train step: ``step(params, opt_state,
+    batch, lr, rngs) -> (params, opt_state, loss, aux)`` with the same
+    batch layout as the replicated DP step (leading axis = mesh size, one
+    image per device) and ``opt_state`` from ``zero.init_state``."""
+    if hp.iter_size != 1:
+        raise NotImplementedError('TPU.ZERO_OPT supports ITER_SIZE == 1')
+    if spec.center_loss:
+        raise NotImplementedError(
+            'TPU.ZERO_OPT does not carry the center-loss accumulators; '
+            'use the replicated-solver DP step')
+    mults_t = sgd.freeze_mults(mults) if isinstance(mults, dict) else mults
+    n = mesh.devices.size
+    _check_ravel_order(params)
+    flat0, unravel = ravel_pytree(params)
+    total = int(flat0.shape[0])
+    pad = (-total) % n
+    lr_mult, wd = _flat_multipliers(params, hp, dict(mults_t))
+    lr_mult = np.pad(lr_mult, (0, pad))
+    wd = np.pad(wd, (0, pad))
+    momentum = np.float32(hp.momentum)
+
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(AXIS))
+    batch_shard = NamedSharding(mesh, P(AXIS))
+
+    @partial(_shard_map, mesh=mesh,
+             in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(),
+                       P(AXIS)),
+             out_specs=(P(), P(AXIS), P(), P()))
+    def step_local(p, pslice, batch, rngs, mom_slice, lr, mult_slices):
+        lr_mult_s, wd_s = mult_slices
+
+        def loss_fn(pp):
+            totals, auxs = jax.vmap(
+                lambda b, r: detector.forward_train(spec, pp, b, r)
+            )(batch, rngs)
+            metrics = {k: jnp.sum(v) / n for k, v in auxs.items()
+                       if not k.startswith('__')}
+            return jnp.sum(totals) / n, metrics
+
+        (loss, aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(p)
+        gflat = ravel_pytree(grads)[0]
+        if pad:
+            gflat = jnp.concatenate(
+                [gflat, jnp.zeros((pad,), gflat.dtype)])
+        # reduce + scatter in one collective: this device ends up with the
+        # fully-reduced 1/n slice it owns (half the bytes of an
+        # all-reduce; the other half is the param all_gather below)
+        gslice = jax.lax.psum_scatter(gflat, AXIS, scatter_dimension=0,
+                                      tiled=True)
+        # Caffe/ACM momentum update on the owned slice
+        # (acm_weightdecay_momentum_sgd_op.h:79-112 semantics)
+        g = gslice + wd_s * pslice
+        v = momentum * mom_slice + (lr * lr_mult_s) * g
+        new_pslice = pslice - v
+        # rebuild the full parameter vector for the next forward
+        new_flat = jax.lax.all_gather(new_pslice, AXIS, tiled=True)
+        loss = jax.lax.psum(loss, AXIS)
+        aux = jax.tree.map(lambda x: jax.lax.psum(x, AXIS), aux)
+        return new_flat, v, loss, aux
+
+    def step(p, opt_state, batch, lr, rngs):
+        flat_p, _ = ravel_pytree(p)
+        if pad:
+            flat_p = jnp.concatenate(
+                [flat_p, jnp.zeros((pad,), flat_p.dtype)])
+        mult_slices = (jnp.asarray(lr_mult), jnp.asarray(wd))
+        new_flat, new_mom, loss, aux = step_local(
+            p, flat_p, batch, rngs, opt_state['momentum']['flat'], lr,
+            mult_slices)
+        new_params = unravel(new_flat[:total])
+        new_state = {'momentum': {'flat': new_mom},
+                     'it': opt_state['it'] + 1}
+        return new_params, new_state, loss, aux
+
+    opt_shardings = {'momentum': {'flat': shard}, 'it': repl}
+    return jax.jit(
+        step,
+        in_shardings=(repl, opt_shardings, batch_shard, repl, batch_shard),
+        out_shardings=(repl, opt_shardings, repl, repl),
+    )
