@@ -85,6 +85,13 @@ def main():
     from nafwebsod_tpu.solver import sgd as sgd_mod
 
     K = iters
+    # pre-cast bf16 shadow weights (TPU.SHADOW_BF16 / parallel/train_step.py):
+    # the forward reads carried bf16 copies of the big weights instead of
+    # converting the fp32 masters every step; numerically identical
+    if os.environ.get('BENCH_SHADOW', '1') == '1':
+        opt_state['shadow'] = ts.init_shadow(spec, params) or {}
+        if not opt_state['shadow']:
+            del opt_state['shadow']
 
     @jax.jit
     def multi_step(params, opt_state, batch, rng):
@@ -96,8 +103,16 @@ def main():
                     spec, pp, jax.tree.map(lambda x: x[0], batch),
                     jax.random.fold_in(rng, k))
 
-            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            shadow = s.get('shadow')
+            if shadow is not None:
+                (loss, _), grads = ts._shadow_grads_and_loss(
+                    grad_fn, p, shadow)
+            else:
+                (loss, _), grads = grad_fn(p)
             p, s = sgd_mod.update(p, grads, s, jnp.float32(1e-4), hp, mults)
+            if shadow is not None:
+                s = ts._refresh_shadow(s, p, shadow, mults)
             return (p, s), loss
 
         (p, s), losses = jax.lax.scan(one, (params, opt_state),

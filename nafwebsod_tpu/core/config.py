@@ -436,6 +436,15 @@ __C.TPU.FUSED_FC7 = False
 # larger image sizes / batch. No effect on frozen-body configs (their
 # activations are already dead after the pool).
 __C.TPU.REMAT_BODY = False
+# Carry pre-cast bf16 shadow copies of the big compute-path weights in the
+# optimizer state (parallel/train_step.init_shadow): the forward reads the
+# shadow directly instead of converting the fp32 master weights every step
+# (~530 MB/step of HBM convert traffic at flagship shapes; the frozen conv
+# body is cast exactly once per run). Numerically identical to the plain
+# path — the gradient of a shadowed leaf is the same bf16 value the cast
+# VJP produces today. -1 = auto (on when COMPUTE_DTYPE is bfloat16 and the
+# model is the flagship VGG16+2fc family; no-op otherwise), 0 = off, 1 = on.
+__C.TPU.SHADOW_BF16 = -1
 # ZeRO-1 (parallel/zero.py): keep the data-parallel step but shard the
 # SGD momentum over the mesh — psum_scatter gradients, per-slice Caffe
 # momentum update, all_gather of the updated params. Optimizer memory

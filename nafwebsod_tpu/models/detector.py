@@ -672,6 +672,39 @@ def trainable_param_names(spec: ModelSpec, params):
     return out
 
 
+def shadow_weight_names(spec: ModelSpec, params):
+    """Weight leaves safe to carry as pre-cast compute-dtype shadow copies.
+
+    Every use of these leaves in the forward is ``w.astype(x.dtype)``
+    (``vgg16._conv`` operands, ``heads._fc``), so substituting a pre-cast
+    bfloat16 copy is a numeric no-op — the in-graph ``astype`` becomes the
+    identity — while removing the per-step fp32->bf16 weight convert
+    (~530 MB of HBM reads at flagship shapes: 2x 25088x4096 fc6 towers plus
+    the VGG16 conv stack) from the forward. The train step keeps the master
+    fp32 params for the Caffe-momentum update and recomputes the shadow of
+    each TRAINABLE leaf after the update; frozen leaves' shadows are carried
+    unchanged, so the frozen conv body is cast exactly once per run instead
+    of once per step. See ``parallel/train_step.py`` (TPU.SHADOW_BF16).
+
+    Restricted to the flagship operating point (VGG16-C5 body + fc6/fc7
+    towers) where the substitution has been validated; other bodies return
+    an empty set and take the original per-step cast path.
+    """
+    if spec.compute_dtype != 'bfloat16':
+        return frozenset()
+    if spec.conv_body != 'vgg16_c5':
+        return frozenset()
+    if spec.box_head not in ('vgg16_2fc', 'vgg16_2fc_noise',
+                             'vgg16_context_2fc'):
+        return frozenset()
+    # exact names only: 'conv5_mask_w' (seg head), 'conv_rpn_w' (RPN head)
+    # and the deeplab 'fc6_<k>_w' ASPP convs are consumed without the
+    # astype(x.dtype) pattern and MUST NOT be substituted
+    names = {s[0] + '_w' for stage in vgg16.VGG16_STAGES for s in stage}
+    names |= {'fc6_w', 'fc7_w', '_[noisy]_fc6_w', '_[noisy]_fc7_w'}
+    return frozenset(n for n in names if n in params)
+
+
 def body_forward_fpn(spec, params, image):
     """FPN body: ResNet stages -> pyramid. Returns (levels dict, scales
     dict), both keyed by pyramid level.

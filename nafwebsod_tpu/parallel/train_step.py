@@ -67,6 +67,47 @@ def round_up(n, multiple):
     return ((n + multiple - 1) // multiple) * multiple
 
 
+def init_shadow(spec, params):
+    """Pre-cast bf16 copies of the big compute-path weights (TPU.SHADOW_BF16).
+
+    Stored in ``opt_state['shadow']`` and substituted into the params seen by
+    the forward, making the in-graph ``w.astype(x.dtype)`` an identity: the
+    per-step fp32->bf16 weight convert moves out of the forward and fuses
+    into the SGD update (trainable leaves) or disappears entirely (frozen
+    leaves, cast once here). Returns None when the spec has no eligible
+    leaves (see ``detector.shadow_weight_names``)."""
+    names = detector.shadow_weight_names(spec, params)
+    if not names:
+        return None
+    return {k: jnp.asarray(params[k], jnp.bfloat16) for k in sorted(names)}
+
+
+def _shadow_grads_and_loss(loss_grad_fn, params, shadow):
+    """Run ``loss_grad_fn`` on shadow-substituted params and return fp32
+    grads keyed like the master params.
+
+    Numerically identical to the plain path: the gradient of a shadowed leaf
+    arrives in bf16 (the dtype the GEMM actually produced) and today's cast
+    VJP does exactly this bf16->fp32 convert."""
+    pc = dict(params)
+    pc.update(shadow)
+    out, grads = loss_grad_fn(pc)
+    grads = {k: (v.astype(jnp.float32) if k in shadow else v)
+             for k, v in grads.items()}
+    return out, grads
+
+
+def _refresh_shadow(new_state, new_params, shadow, mults):
+    """Recompute shadows of trainable leaves from the updated master params;
+    frozen leaves (lr_mult == decay_mult == 0) carry through untouched."""
+    md = dict(mults)
+    new_state['shadow'] = {
+        k: (v if md.get(k, (1.0, 1.0)) == (0.0, 0.0)
+            else new_params[k].astype(jnp.bfloat16))
+        for k, v in shadow.items()}
+    return new_state
+
+
 def _step_body(spec, hp, mults, center_update_period, params, opt_state,
                batch, lr, rngs, mesh=None):
     """One data-parallel step (shared by the single-step and scan drivers).
@@ -95,10 +136,17 @@ def _step_body(spec, hp, mults, center_update_period, params, opt_state,
                    for k, v in auxs.items() if not k.startswith('__')}
         return jnp.mean(totals), (metrics, deltas)
 
-    ((loss, (aux, deltas)), grads) = jax.value_and_grad(
-        loss_fn, has_aux=True)(params)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    shadow = opt_state.get('shadow')
+    if shadow is not None:
+        (loss, (aux, deltas)), grads = _shadow_grads_and_loss(
+            grad_fn, params, shadow)
+    else:
+        (loss, (aux, deltas)), grads = grad_fn(params)
     new_params, new_state = sgd.update(
         params, grads, opt_state, lr, hp, mults)
+    if shadow is not None:
+        new_state = _refresh_shadow(new_state, new_params, shadow, mults)
     if spec.center_loss:
         accum = {'center_dcf': opt_state['center_dcf'],
                  'center_ndcf': opt_state['center_ndcf']}
@@ -133,10 +181,11 @@ def _step_body_fused(spec, hp, mults, center_update_period, params,
 
     n_total = jax.tree_util.tree_leaves(batch)[0].shape[0]
     _, unravel = ravel_pytree(params)
+    shadow = opt_state.get('shadow')
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P('data'), P('data')), out_specs=P())
-    def local_grads(p, b, r):
+             in_specs=(P(), P(), P('data'), P('data')), out_specs=P())
+    def local_grads(p, sh, b, r):
         def loss_fn(pp):
             totals, auxs = jax.vmap(
                 lambda bb, rr: detector.forward_train(spec, pp, bb, rr)
@@ -148,8 +197,12 @@ def _step_body_fused(spec, hp, mults, center_update_period, params,
             # local sum / global count == this shard's share of the mean
             return jnp.sum(totals) / n_total, (metrics, deltas)
 
-        ((loss, (aux, deltas)), grads) = jax.value_and_grad(
-            loss_fn, has_aux=True)(p)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if sh:
+            (loss, (aux, deltas)), grads = _shadow_grads_and_loss(
+                grad_fn, p, sh)
+        else:
+            (loss, (aux, deltas)), grads = grad_fn(p)
         flat = ravel_pytree(grads)[0]
         flat = jax.lax.psum(flat, 'data')          # THE all-reduce
         loss = jax.lax.psum(loss, 'data')
@@ -157,10 +210,12 @@ def _step_body_fused(spec, hp, mults, center_update_period, params,
         deltas = jax.tree.map(lambda v: jax.lax.psum(v, 'data'), deltas)
         return flat, loss, aux, deltas
 
-    flat, loss, aux, deltas = local_grads(params, batch, rngs)
+    flat, loss, aux, deltas = local_grads(params, shadow or {}, batch, rngs)
     grads = unravel(flat)
     new_params, new_state = sgd.update(
         params, grads, opt_state, lr, hp, mults)
+    if shadow is not None:
+        new_state = _refresh_shadow(new_state, new_params, shadow, mults)
     if spec.center_loss:
         accum = {'center_dcf': opt_state['center_dcf'],
                  'center_ndcf': opt_state['center_ndcf']}
