@@ -88,7 +88,9 @@ def main():
     # pre-cast bf16 shadow weights (TPU.SHADOW_BF16 / parallel/train_step.py):
     # the forward reads carried bf16 copies of the big weights instead of
     # converting the fp32 masters every step; numerically identical
-    if os.environ.get('BENCH_SHADOW', '1') == '1':
+    # MEASURED SLOWER (52.2 vs 54.8 img/s, see TPU.SHADOW_BF16
+    # in core/config.py) -- off by default, kept for re-measurement
+    if os.environ.get('BENCH_SHADOW', '0') == '1':
         opt_state['shadow'] = ts.init_shadow(spec, params) or {}
         if not opt_state['shadow']:
             del opt_state['shadow']
@@ -126,10 +128,17 @@ def main():
         p, s, losses = multi_step(params, opt_state, jbatch,
                                   jax.random.key(2, impl='rbg'))
         float(losses[-1])  # compile + sync
-        t0 = time.perf_counter()
-        p, s, losses = multi_step(p, s, jbatch, jax.random.key(3, impl='rbg'))
-        float(losses[-1])
-        dt = time.perf_counter() - t0
+        # single 20-step windows vary +-6% run-to-run through this rig's
+        # tunnel (host scheduling noise only ever ADDS time), so time a few
+        # chained windows and keep the best
+        windows = 3 if on_tpu else 1
+        dt = float('inf')
+        for wi in range(windows):
+            t0 = time.perf_counter()
+            p, s, losses = multi_step(p, s, jbatch,
+                                      jax.random.key(3 + wi, impl='rbg'))
+            float(losses[-1])
+            dt = min(dt, time.perf_counter() - t0)
     else:
         # multi-chip: per-call mesh step with chained state
         for _ in range(warmup):

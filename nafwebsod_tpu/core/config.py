@@ -438,12 +438,14 @@ __C.TPU.FUSED_FC7 = False
 __C.TPU.REMAT_BODY = False
 # Carry pre-cast bf16 shadow copies of the big compute-path weights in the
 # optimizer state (parallel/train_step.init_shadow): the forward reads the
-# shadow directly instead of converting the fp32 master weights every step
-# (~530 MB/step of HBM convert traffic at flagship shapes; the frozen conv
-# body is cast exactly once per run). Numerically identical to the plain
-# path — the gradient of a shadowed leaf is the same bf16 value the cast
-# VJP produces today. -1 = auto (on when COMPUTE_DTYPE is bfloat16 and the
-# model is the flagship VGG16+2fc family; no-op otherwise), 0 = off, 1 = on.
+# shadow directly instead of converting the fp32 master weights every step.
+# Numerically identical to the plain path (exact-parity tests in
+# tests/test_shadow.py). MEASURED SLOWER on v5e (52.2 vs 54.8 img/s):
+# XLA already hides the fp32->bf16 convert in the GEMM/conv operand load,
+# so the only real cost moved was the post-update re-cast of the trainable
+# fc towers (~705 MB/step of unfused HBM traffic) — documented negative
+# result, keep off. -1 = auto (currently off pending a frozen-leaves-only
+# variant), 0 = off, 1 = force on.
 __C.TPU.SHADOW_BF16 = -1
 # ZeRO-1 (parallel/zero.py): keep the data-parallel step but shard the
 # SGD momentum over the mesh — psum_scatter gradients, per-slice Caffe

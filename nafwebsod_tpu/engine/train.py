@@ -180,12 +180,10 @@ def train_model(roidb=None, max_iters=None):
         step_fn = zero.make_zero_train_step(spec, hp, mults, zmesh, params)
     else:
         m = mesh_lib.make_mesh(num_devices)
-        # pre-cast bf16 shadow weights (TPU.SHADOW_BF16; -1 = auto when the
-        # compute dtype is bfloat16): moves the per-step fp32->bf16 weight
-        # convert out of the forward (see parallel/train_step.init_shadow)
-        want_shadow = (cfg.TPU.SHADOW_BF16 == 1 or
-                       (cfg.TPU.SHADOW_BF16 == -1 and
-                        spec.compute_dtype == 'bfloat16'))
+        # pre-cast bf16 shadow weights (TPU.SHADOW_BF16): measured SLOWER
+        # on v5e (see core/config.py), so auto (-1) currently means off;
+        # force with 1 (see parallel/train_step.init_shadow)
+        want_shadow = cfg.TPU.SHADOW_BF16 == 1
         if want_shadow:
             shadow = ts.init_shadow(spec, params)
             if shadow is not None:

@@ -75,7 +75,14 @@ def init_shadow(spec, params):
     per-step fp32->bf16 weight convert moves out of the forward and fuses
     into the SGD update (trainable leaves) or disappears entirely (frozen
     leaves, cast once here). Returns None when the spec has no eligible
-    leaves (see ``detector.shadow_weight_names``)."""
+    leaves (see ``detector.shadow_weight_names``).
+
+    MEASURED SLOWER on v5e (52.2 vs 54.8 img/s, flagship shapes): XLA
+    already folds the weight convert into the GEMM/conv operand load, so
+    the shadow's only real effect was adding the post-update re-cast of
+    the trainable fc towers as unfused HBM traffic. Kept (off by default,
+    TPU.SHADOW_BF16) with exact-parity tests for re-evaluation on future
+    toolchains."""
     names = detector.shadow_weight_names(spec, params)
     if not names:
         return None
