@@ -100,6 +100,7 @@ def train_model(roidb=None, max_iters=None):
         opt_state['center_ndcf'] = np.zeros(cf.shape[:2], cf.dtype)
     steps_per_call = max(cfg.TPU.STEPS_PER_CALL, 1)
     multi_step_fn = None
+    mesh_obj = None  # set by the plain DP branch (multi-host capable)
     if cfg.TPU.ROI_SHARDING:
         # RoI-dimension sharding (parallel/roi_shard.py): ONE image per
         # step with its proposals split over the mesh — the memory/FLOP
@@ -180,6 +181,7 @@ def train_model(roidb=None, max_iters=None):
         step_fn = zero.make_zero_train_step(spec, hp, mults, zmesh, params)
     else:
         m = mesh_lib.make_mesh(num_devices)
+        mesh_obj = m
         # pre-cast bf16 shadow weights (TPU.SHADOW_BF16): measured SLOWER
         # on v5e (see core/config.py), so auto (-1) currently means off;
         # force with 1 (see parallel/train_step.init_shadow)
@@ -197,9 +199,19 @@ def train_model(roidb=None, max_iters=None):
                 center_update_period=max(128 // num_devices, 1))
 
     # ----- data -----
+    # Multi-host: each process owns a strided roidb slice + its own loader
+    # threads and contributes its chips' share of the global batch
+    # (parallel/multihost.py). The exotic sharding modes stay single-host.
+    from nafwebsod_tpu.parallel import multihost as mh
+    if mh.is_multihost():
+        assert not (cfg.TPU.ROI_SHARDING or cfg.TPU.PIPELINE_PARALLEL or
+                    cfg.TPU.TENSOR_SHARDING or cfg.TPU.ZERO_OPT), (
+            'multi-process training supports the plain data-parallel step')
+    local_per_step = mh.local_device_count(num_devices)
     if roidb is None:
         roidb = combined_roidb_for_training(
             cfg.TRAIN.DATASETS, cfg.TRAIN.PROPOSAL_FILES)
+    roidb = mh.shard_roidb(roidb)
     pad_rois_to = _round_up(cfg.TRAIN.BATCH_SIZE_PER_IM,
                             cfg.TPU.ROI_PAD_MULTIPLE)
     loader = RoIDataLoader(
@@ -250,9 +262,15 @@ def train_model(roidb=None, max_iters=None):
                 lrs.append(lr)
                 lr_prev = lr
 
-            blobs = [loader.get() for _ in range(w * num_devices)]
+            blobs = [loader.get() for _ in range(w * local_per_step)]
             batch = ts.stack_minibatches(
                 blobs, size_bucket=cfg.TPU.SIZE_BUCKET_MULTIPLE)
+            if mh.is_multihost():
+                # hosts agree on this iteration's image canvas so every
+                # process feeds/traces identical static shapes
+                gH, gW = mh.global_canvas(batch['image'].shape[2],
+                                          batch['image'].shape[3])
+                batch = mh.pad_batch_images(batch, gH, gW)
             # cur_iter gates the C-MIL continuation schedule AND the
             # CSC / center-loss / deeplab CSC_MAX_ITER cutoffs in
             # detector.forward_train — inject it unconditionally so those
@@ -260,24 +278,34 @@ def train_model(roidb=None, max_iters=None):
             # (csc_op/center_loss_op cur_iter >= max_iter pass-through).
             iters_arr = np.repeat(
                 np.arange(cur_iter, cur_iter + w, dtype=np.float32),
-                num_devices)
+                local_per_step)
             batch['cur_iter'] = iters_arr
             rng, sub = jax.random.split(rng)
-            rngs = ts.device_rngs(sub, w * num_devices)
+            # the rng stream is host-identical (same seed); each process
+            # takes the rows for its own devices
+            rngs_global = ts.device_rngs(sub, w * num_devices)
+            rngs = mh.local_device_rngs(rngs_global, w, num_devices)
             if w == 1:
                 if factors[0] != 1.0:
                     opt_state = sgd.scale_momentum(
                         opt_state, np.float32(factors[0]))
+                batch = mh.form_global_batch(mesh_obj, batch)
+                rngs = mh.form_global_rngs(mesh_obj, rngs)
                 params, opt_state, loss, aux = step_fn(
                     params, opt_state, batch, np.float32(lrs[0]), rngs)
             else:
-                batch = {k: v.reshape((w, num_devices) + v.shape[1:])
+                batch = {k: v.reshape((w, local_per_step) + v.shape[1:])
                          for k, v in batch.items()}
+                batch = mh.form_global_batch(mesh_obj, batch, batch_axis=1)
+                rngs = mh.form_global_rngs(
+                    mesh_obj,
+                    rngs.reshape((w, local_per_step) + rngs.shape[1:]),
+                    batch_axis=1)
                 params, opt_state, loss, aux = multi_step_fn(
                     params, opt_state, batch,
                     np.asarray(lrs, np.float32),
                     np.asarray(factors, np.float32),
-                    rngs.reshape((w, num_devices) + rngs.shape[1:]))
+                    rngs)
 
             # Defer the host fetch: a per-step sync would serialize the
             # pipeline (and costs a full RTT on remote-TPU rigs). Losses are
@@ -316,7 +344,8 @@ def train_model(roidb=None, max_iters=None):
             stats.LogIterStats(last_it, lrs[-1],
                                queue_size=loader.queue_size())
 
-            if cfg.WSL.SAMPLE and cur_iter % cfg.WSL.SAMPLE_ITER < w:
+            if (cfg.WSL.SAMPLE and cur_iter % cfg.WSL.SAMPLE_ITER < w and
+                    mh.process_index() == 0):
                 _vis_sample(spec, params, blobs[0], output_dir, cur_iter)
 
             if ((last_it + 1) % snapshot_iters < w and
@@ -388,6 +417,12 @@ def jnp_asarray(x):
 
 
 def _save(path, params, opt_state):
+    import jax as _jax
+    if _jax.process_index() != 0:
+        # multi-host: params/opt state are replicated; host 0 writes the
+        # checkpoint (the analogue of the reference's GPU0-owns-weights
+        # convention, net_wsl.py:183-207)
+        return path
     logger.info('Saving checkpoint to %s', path)
     host_params = {k: np.asarray(v) for k, v in params.items()}
     if set(opt_state['momentum']) == {'flat'}:
