@@ -39,6 +39,12 @@ def main():
     parser.add_argument('--height', type=int, default=704)
     parser.add_argument('--width', type=int, default=704)
     parser.add_argument('--rois', type=int, default=2048)
+    parser.add_argument('--format', choices=('stablehlo', 'savedmodel'),
+                        default='stablehlo',
+                        help='stablehlo: portable jax.export bytes; '
+                             'savedmodel: self-contained TF SavedModel '
+                             'directory via jax2tf (weights embedded), for '
+                             'TF-Serving infrastructure')
     parser.add_argument('opts', default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
@@ -50,7 +56,6 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    from jax import export as jax_export
 
     from nafwebsod_tpu.engine.test_engine import initialize_model_from_cfg
     from nafwebsod_tpu.models import detector
@@ -66,17 +71,22 @@ def main():
         return detector.forward_test(spec, params, image, rois, obn_scores,
                                      valid_mask)['scores']
 
-    shapes = (
-        jax.tree.map(lambda p: jax.ShapeDtypeStruct(np.shape(p),
-                                                    np.asarray(p).dtype),
-                     params),
+    input_shapes = (
         jax.ShapeDtypeStruct((1, args.height, args.width, 3), jnp.float32),
         jax.ShapeDtypeStruct((args.rois, 5), jnp.float32),
         jax.ShapeDtypeStruct((args.rois, 1), jnp.float32),
         jax.ShapeDtypeStruct((args.rois,), jnp.bool_),
     )
-    exported = jax_export.export(jax.jit(fn))(*shapes)
-    blob = exported.serialize()
+    from nafwebsod_tpu.utils import deploy
+
+    if args.format == 'savedmodel':
+        deploy.export_tf_savedmodel(fn, params, input_shapes, args.out)
+        logger.info('Wrote TF SavedModel to %s '
+                    '(in: image %dx%d, %d rois; weights embedded)',
+                    args.out, args.height, args.width, args.rois)
+        return
+
+    blob, exported = deploy.export_stablehlo(fn, params, input_shapes)
     with open(args.out, 'wb') as f:
         f.write(blob)
     logger.info('Wrote %d bytes of serialized StableHLO to %s '
