@@ -60,6 +60,12 @@ def main():
     from nafwebsod_tpu.engine import train as train_engine
     checkpoints, _ = train_engine.train_model()
 
+    import jax
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # multi-host pods: host 0 owns the checkpoints and the post-train
+        # evaluation; the other processes exit after the SPMD training
+        return
+
     if not args.skip_test:
         test_model(checkpoints['final'], args.multi_gpu_testing)
         for snapshot_iter in sorted(k for k in checkpoints if k != 'final'):
