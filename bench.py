@@ -91,9 +91,9 @@ def main():
     # MEASURED SLOWER (52.2 vs 54.8 img/s, see TPU.SHADOW_BF16
     # in core/config.py) -- off by default, kept for re-measurement
     if os.environ.get('BENCH_SHADOW', '0') == '1':
-        opt_state['shadow'] = ts.init_shadow(spec, params) or {}
-        if not opt_state['shadow']:
-            del opt_state['shadow']
+        sh = ts.init_shadow(spec, params)
+        if sh:
+            opt_state['shadow'] = sh
 
     @jax.jit
     def multi_step(params, opt_state, batch, rng):

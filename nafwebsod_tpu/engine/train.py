@@ -207,6 +207,12 @@ def train_model(roidb=None, max_iters=None):
         assert not (cfg.TPU.ROI_SHARDING or cfg.TPU.PIPELINE_PARALLEL or
                     cfg.TPU.TENSOR_SHARDING or cfg.TPU.ZERO_OPT), (
             'multi-process training supports the plain data-parallel step')
+        # the data mesh must span every process: a NUM_GPUS smaller than
+        # the pod builds a host-0-only mesh while other hosts still try to
+        # contribute batch shards they own no devices for
+        assert num_devices == len(jax.devices()), (
+            'multi-host training requires NUM_GPUS ({}) == the global '
+            'device count ({})'.format(num_devices, len(jax.devices())))
     local_per_step = mh.local_device_count(num_devices)
     if roidb is None:
         roidb = combined_roidb_for_training(
@@ -346,7 +352,14 @@ def train_model(roidb=None, max_iters=None):
 
             if (cfg.WSL.SAMPLE and cur_iter % cfg.WSL.SAMPLE_ITER < w and
                     mh.process_index() == 0):
-                _vis_sample(spec, params, blobs[0], output_dir, cur_iter)
+                vp = params
+                if mh.is_multihost():
+                    # params are replicated over the GLOBAL mesh; host 0
+                    # must not dispatch a solo computation on arrays that
+                    # span other hosts' devices — visualize from a
+                    # host-local copy (like _save does)
+                    vp = {k: np.asarray(v) for k, v in params.items()}
+                _vis_sample(spec, vp, blobs[0], output_dir, cur_iter)
 
             if ((last_it + 1) % snapshot_iters < w and
                     last_it + 1 < max_iters):

@@ -16,8 +16,9 @@ buffers"). This module contains the host-side glue:
     the same static shapes;
   * ``form_global_batch`` — wraps each host-local batch leaf into a global
     ``jax.Array`` over the mesh via
-    ``jax.make_array_from_process_local_data`` (sharded leaves) or plain
-    host-identical numpy (replicated leaves, which jit accepts directly).
+    ``jax.make_array_from_process_local_data`` (every leaf is sharded on
+    the batch axis; replicated step inputs like lr stay plain numpy at the
+    call sites, which jit accepts directly).
 
 Single-process (``jax.process_count() == 1``) short-circuits everywhere to
 the exact prior behavior, so this path adds nothing on the dev rig; the
@@ -30,10 +31,6 @@ have — see ROADMAP.md).
 import jax
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
-
-
-def process_count():
-    return jax.process_count()
 
 
 def process_index():
@@ -95,14 +92,15 @@ def pad_batch_images(batch, H, W):
     return batch
 
 
-def form_global_batch(mesh, local_batch, batch_axis=0, window=None):
+def form_global_batch(mesh, local_batch, batch_axis=0):
     """Lift a host-local batch dict into global ``jax.Array`` leaves.
 
-    ``local_batch`` leaves have this host's ``local_devices`` images on
-    ``batch_axis`` (with an optional leading ``window`` axis for the
-    STEPS_PER_CALL driver, in which case ``batch_axis`` is 1). Returns the
-    dict of global arrays sharded ``P('data')`` (or ``P(None, 'data')``)
-    over ``mesh``. Single-process returns the input unchanged — jit's
+    EVERY leaf must carry this host's ``local_devices`` images on
+    ``batch_axis`` (0, or 1 with a leading window axis for the
+    STEPS_PER_CALL driver) — that is the contract ``stack_minibatches``
+    establishes, including the injected ``cur_iter``. Returns the dict of
+    global arrays sharded ``P('data')`` (or ``P(None, 'data')``) over
+    ``mesh``. Single-process returns the input unchanged — jit's
     in_shardings handle the transfer exactly as before."""
     if not is_multihost():
         return local_batch
@@ -148,14 +146,3 @@ def form_global_rngs(mesh, rngs_local, batch_axis=0):
         return jr.wrap_key_data(g, impl=impl)
     return jax.make_array_from_process_local_data(
         sharding, np.asarray(rngs_local))
-
-
-def local_rows(arr, num_devices_global, axis=0):
-    """This host's contiguous row block of a host-identically-computed
-    global array (e.g. the per-device rng keys): rows
-    [rank * local : (rank + 1) * local) along ``axis``."""
-    local = local_device_count(num_devices_global)
-    start = jax.process_index() * local
-    idx = [slice(None)] * arr.ndim
-    idx[axis] = slice(start, start + local)
-    return arr[tuple(idx)]

@@ -61,9 +61,19 @@ def main():
     checkpoints, _ = train_engine.train_model()
 
     import jax
-    if jax.process_count() > 1 and jax.process_index() != 0:
-        # multi-host pods: host 0 owns the checkpoints and the post-train
-        # evaluation; the other processes exit after the SPMD training
+    if jax.process_count() > 1:
+        # Multi-host pods: the in-process post-train evaluation would build
+        # inference meshes over the global device set while only one process
+        # drove them (deadlock), so it is skipped — run tools/test_net.py on
+        # the written checkpoints separately. The barrier keeps every worker
+        # alive until all have finished training (an exiting peer would tear
+        # down the slice for the rest).
+        from jax.experimental import multihost_utils
+        if not args.skip_test and jax.process_index() == 0:
+            logger.info(
+                'multi-host run: skipping in-process post-train testing; '
+                'evaluate %s with tools/test_net.py', checkpoints['final'])
+        multihost_utils.sync_global_devices('train_net_done')
         return
 
     if not args.skip_test:
