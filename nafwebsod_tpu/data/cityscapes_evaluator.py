@@ -44,11 +44,16 @@ NAME_TO_LABEL_ID = {
 
 
 def write_instance_submission(json_dataset, all_boxes, all_segms,
-                              output_dir, use_salt=True):
+                              output_dir, use_salt=True, image_ids=None):
     """Write the cityscapesscripts submission layout (ref :49-94): per image
     a ``<basename>pred.txt`` with one row per detection and the binary
     instance masks as ``results/<basename>_<class>_<k>.png``. Returns the
-    list of written txt files."""
+    list of written txt files.
+
+    ``image_ids``: detection-time ids aligned with all_segms[cls][i] —
+    without them the unfiltered roidb rebuild below must match the
+    detection-time enumeration (it can differ when the train-set no-class
+    filter dropped entries)."""
     import cv2
 
     from nafwebsod_tpu.utils import segms as segm_utils
@@ -57,6 +62,9 @@ def write_instance_submission(json_dataset, all_boxes, all_segms,
     os.makedirs(results_dir, exist_ok=True)
 
     roidb = json_dataset.get_roidb()
+    if image_ids is not None:
+        by_id = {e['id']: e for e in roidb}
+        roidb = [by_id[i] for i in image_ids]
     txt_files = []
     for i, entry in enumerate(roidb):
         basename = os.path.splitext(os.path.basename(entry['image']))[0]
@@ -81,11 +89,10 @@ def write_instance_submission(json_dataset, all_boxes, all_segms,
 
 
 def evaluate_masks(json_dataset, all_boxes, all_segms, output_dir,
-                   use_salt=True, cleanup=False):
+                   use_salt=True, cleanup=False, image_ids=None):
     """Native cityscapes instance AP (+ submission files). Returns the
     metric dict {'AP', 'AP50'} (class-averaged over overlaps / at 0.5)."""
     from nafwebsod_tpu.data import coco_evaluator
-    from nafwebsod_tpu.utils import segms as segm_utils
 
     if cfg.CLUSTER.ON_CLUSTER:
         output_dir = '/tmp'
@@ -93,49 +100,24 @@ def evaluate_masks(json_dataset, all_boxes, all_segms, output_dir,
     if use_salt:
         sub_dir += '_{}'.format(uuid.uuid4())
     os.makedirs(sub_dir, exist_ok=True)
-    write_instance_submission(json_dataset, all_boxes, all_segms, sub_dir)
+    write_instance_submission(json_dataset, all_boxes, all_segms, sub_dir,
+                              image_ids=image_ids)
     logger.info('Wrote cityscapes submission files to %s', sub_dir)
 
-    # Native matching over the COCO-converted gt: same gt/det assembly as
-    # the COCO segm task, but a single 'all' area range (cityscapes has no
-    # size buckets; its distance-based AP50m/AP100m need depth and are not
-    # computed — documented in PARITY.md).
+    # Native matching over the COCO-converted gt: the gt/det assembly is
+    # shared with the COCO segm task (coco_evaluator helpers), but with a
+    # single 'all' area range (cityscapes has no size buckets; its
+    # distance-based AP50m/AP100m need depth and are not computed —
+    # documented in PARITY.md).
     roidb = json_dataset.get_roidb(gt=True)
-    image_ids = [e['id'] for e in roidb]
+    if image_ids is None:
+        image_ids = [e['id'] for e in roidb]
+    else:
+        image_ids = list(image_ids)
     num_classes = len(json_dataset.classes)
-    gt_by, det_by = {}, {}
-    for e in roidb:
-        h, w = e['height'], e['width']
-        for cls in np.unique(e['gt_classes'][e['gt_classes'] > 0]):
-            sel = np.where(e['gt_classes'] == cls)[0]
-            masks, areas = [], []
-            for ix in sel:
-                poly = e['segms'][ix] if ix < len(e['segms']) else []
-                if poly:
-                    m = segm_utils.polys_to_mask(poly, h, w)
-                else:
-                    m = np.zeros((h, w), np.uint8)
-                    x1, y1, x2, y2 = e['boxes'][ix].astype(int)
-                    m[y1:y2 + 1, x1:x2 + 1] = 1
-                masks.append(m.astype(np.uint8))
-                areas.append(float(m.sum()))
-            gt_by[(e['id'], int(cls))] = {
-                'boxes': masks,
-                'areas': np.asarray(areas),
-                'ignore': e['is_crowd'][sel].astype(bool),
-                'crowd': e['is_crowd'][sel].astype(bool),
-            }
-    for cls in range(1, num_classes):
-        for i, img_id in enumerate(image_ids):
-            rles = all_segms[cls][i]
-            if not len(rles):
-                continue
-            masks = [segm_utils.rle_to_mask(r) for r in rles]
-            det_by[(img_id, cls)] = {
-                'boxes': masks,
-                'scores': np.asarray(all_boxes[cls][i]).reshape(-1, 5)[:, 4],
-                'areas': np.asarray([float(m.sum()) for m in masks]),
-            }
+    gt_by = coco_evaluator.gt_masks_by_img_cat(roidb)
+    det_by = coco_evaluator.det_masks_by_img_cat(
+        all_boxes, all_segms, image_ids, num_classes)
     res = coco_evaluator.evaluate_bbox(
         gt_by, det_by, list(range(1, num_classes)), image_ids,
         iou_fn=coco_evaluator._mask_iou_fn,

@@ -203,10 +203,18 @@ def evaluate_bbox(gt_by_img_cat, det_by_img_cat, categories, image_ids,
     return results
 
 
-def evaluate_boxes(json_dataset, all_boxes, output_dir):
+def evaluate_boxes(json_dataset, all_boxes, output_dir,
+                   image_ids=None):
     """Evaluate class-indexed detections against a JsonDataset's gt."""
     roidb = json_dataset.get_roidb(gt=True)
-    image_ids = [e['id'] for e in roidb]
+    if image_ids is None:
+        image_ids = [e['id'] for e in roidb]
+    else:
+        # detection-time ids: all_boxes[cls][i] is positionally aligned
+        # with the roidb THE ENGINE iterated, which the train-set no-class
+        # filter can make differ from the gt-only rebuild above (gt lookups
+        # below are id-keyed, so extra/missing gt entries resolve correctly)
+        image_ids = list(image_ids)
     gt_by_img_cat = {}
     for e in roidb:
         for cls in np.unique(e['gt_classes'][e['gt_classes'] > 0]):
@@ -263,15 +271,12 @@ def _mask_iou_fn(dets, gts, iscrowd):
     return ious
 
 
-def evaluate_masks(json_dataset, all_boxes, all_segms, output_dir):
-    """COCO segm AP: gt masks rasterized from roidb polygons, det masks
-    decoded from the engine's RLEs (json_dataset_evaluator segm task)."""
+def gt_masks_by_img_cat(roidb):
+    """(img_id, cls) -> gt mask dicts for the segm matching (shared by the
+    COCO segm task and the cityscapes instance evaluator)."""
     from nafwebsod_tpu.utils import segms as segm_utils
 
-    roidb = json_dataset.get_roidb(gt=True)
-    image_ids = [e['id'] for e in roidb]
-    gt_by, det_by = {}, {}
-    num_classes = len(json_dataset.classes)
+    gt_by = {}
     for e in roidb:
         h, w = e['height'], e['width']
         for cls in np.unique(e['gt_classes'][e['gt_classes'] > 0]):
@@ -279,8 +284,9 @@ def evaluate_masks(json_dataset, all_boxes, all_segms, output_dir):
             masks, areas = [], []
             for ix in sel:
                 poly = e['segms'][ix] if ix < len(e['segms']) else []
-                if poly:
-                    m = segm_utils.polys_to_mask(poly, h, w)
+                if poly or not segm_utils.is_poly(poly):
+                    # non-empty polygon list OR crowd RLE dict (ignore)
+                    m = segm_utils.segm_to_mask(poly, h, w)
                 else:  # box-shaped gt mask fallback
                     m = np.zeros((h, w), np.uint8)
                     x1, y1, x2, y2 = e['boxes'][ix].astype(int)
@@ -293,6 +299,15 @@ def evaluate_masks(json_dataset, all_boxes, all_segms, output_dir):
                 'ignore': e['is_crowd'][sel].astype(bool),
                 'crowd': e['is_crowd'][sel].astype(bool),
             }
+    return gt_by
+
+
+def det_masks_by_img_cat(all_boxes, all_segms, image_ids, num_classes):
+    """(img_id, cls) -> decoded detection masks + scores (shared with the
+    cityscapes evaluator)."""
+    from nafwebsod_tpu.utils import segms as segm_utils
+
+    det_by = {}
     for cls in range(1, num_classes):
         for i, img_id in enumerate(image_ids):
             rles = all_segms[cls][i]
@@ -305,6 +320,26 @@ def evaluate_masks(json_dataset, all_boxes, all_segms, output_dir):
                 'scores': np.asarray(dets).reshape(-1, 5)[:, 4],
                 'areas': np.asarray([float(m.sum()) for m in masks]),
             }
+    return det_by
+
+
+def evaluate_masks(json_dataset, all_boxes, all_segms, output_dir,
+                   image_ids=None):
+    """COCO segm AP: gt masks rasterized from roidb polygons, det masks
+    decoded from the engine's RLEs (json_dataset_evaluator segm task)."""
+    roidb = json_dataset.get_roidb(gt=True)
+    if image_ids is None:
+        image_ids = [e['id'] for e in roidb]
+    else:
+        # detection-time ids: all_boxes[cls][i] is positionally aligned
+        # with the roidb THE ENGINE iterated, which the train-set no-class
+        # filter can make differ from the gt-only rebuild above (gt lookups
+        # below are id-keyed, so extra/missing gt entries resolve correctly)
+        image_ids = list(image_ids)
+    num_classes = len(json_dataset.classes)
+    gt_by = gt_masks_by_img_cat(roidb)
+    det_by = det_masks_by_img_cat(all_boxes, all_segms, image_ids,
+                                  num_classes)
     res = evaluate_bbox(gt_by, det_by, list(range(1, num_classes)),
                         image_ids, iou_fn=_mask_iou_fn)
     logger.info('COCO segm results: %s', res)
@@ -347,10 +382,18 @@ def _oks_fn_factory(num_keypoints):
     return oks
 
 
-def evaluate_keypoints(json_dataset, all_boxes, all_keyps, output_dir):
+def evaluate_keypoints(json_dataset, all_boxes, all_keyps, output_dir,
+                       image_ids=None):
     """COCO keypoints AP (OKS matching; person class = contiguous id 1)."""
     roidb = json_dataset.get_roidb(gt=True)
-    image_ids = [e['id'] for e in roidb]
+    if image_ids is None:
+        image_ids = [e['id'] for e in roidb]
+    else:
+        # detection-time ids: all_boxes[cls][i] is positionally aligned
+        # with the roidb THE ENGINE iterated, which the train-set no-class
+        # filter can make differ from the gt-only rebuild above (gt lookups
+        # below are id-keyed, so extra/missing gt entries resolve correctly)
+        image_ids = list(image_ids)
     k = json_dataset.num_keypoints
     if not k:
         logger.info('dataset has no keypoint annotations; skipping')

@@ -27,6 +27,7 @@ from nafwebsod_tpu.core.config import cfg
 from nafwebsod_tpu.data import catalog
 from nafwebsod_tpu.data.coco_json import COCOJson
 from nafwebsod_tpu.ops import boxes as box_utils
+from nafwebsod_tpu.utils import segms as segm_utils
 from nafwebsod_tpu.utils.io import load_object
 
 logger = logging.getLogger(__name__)
@@ -128,6 +129,13 @@ class JsonDataset:
         # (json key 'diffcult' as in the reference data), drop the image's gt
         all_difficult_truncated = True
         for obj in objs:
+            # crowd regions are RLE dicts and pass through as-is; polygon
+            # lists drop degenerate <3-point entries
+            # (json_dataset_wsl.py:186-192)
+            if 'segmentation' in obj and segm_utils.is_poly(
+                    obj['segmentation']):
+                obj['segmentation'] = [
+                    p for p in obj['segmentation'] if len(p) >= 6]
             if obj.get('area', 0) < cfg.TRAIN.GT_MIN_AREA:
                 continue
             if obj.get('ignore', 0) == 1:

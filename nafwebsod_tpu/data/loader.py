@@ -138,9 +138,26 @@ class RoIDataLoader:
                 # (a bare spin starves them on few-core hosts)
                 time.sleep(0.01)
 
-    def get(self, timeout=60.0):
-        """Pop one host minibatch for the training loop."""
-        return coordinated_get(self.coordinator, self._minibatch_queue)
+    def get(self, timeout=None):
+        """Pop one host minibatch for the training loop. With ``timeout``
+        (seconds), raise ``queue.Empty`` if no batch arrives in time even
+        though the coordinator has not stopped — lets callers detect
+        silently wedged loader threads instead of blocking forever."""
+        import time as _time
+
+        if timeout is None:
+            return coordinated_get(self.coordinator, self._minibatch_queue)
+        deadline = _time.monotonic() + timeout
+        while _time.monotonic() < deadline:
+            if self.coordinator.should_stop():
+                raise Exception('Coordinator stopped during get()')
+            try:
+                return self._minibatch_queue.get(block=True, timeout=1.0)
+            except queue.Empty:
+                continue
+        raise queue.Empty(
+            'no minibatch within {:.0f}s (loader threads wedged?)'.format(
+                timeout))
 
     def queue_size(self):
         return self._minibatch_queue.qsize()

@@ -24,7 +24,8 @@ def _use_voc_evaluator(dataset_name):
     return bool(devkit) and os.path.exists(devkit)
 
 
-def evaluate_boxes(json_dataset, all_boxes, output_dir, use_matlab=False):
+def evaluate_boxes(json_dataset, all_boxes, output_dir, use_matlab=False,
+                   image_ids=None):
     logger.info('Evaluating detections')
     if use_matlab:
         # The reference shells out to VOCdevkit-matlab-wrapper/
@@ -36,9 +37,12 @@ def evaluate_boxes(json_dataset, all_boxes, output_dir, use_matlab=False):
             'not supported in the TPU rebuild; use the python evaluator '
             '(voc_eval 11-point AP parity-tested in tests/test_eval_tasks.py)')
     if _use_voc_evaluator(json_dataset.name):
+        # the VOC path enumerates the devkit image-set txt and hard-asserts
+        # its length against all_boxes — misalignment fails fast there
         return voc_dataset_evaluator.evaluate_boxes(
             json_dataset, all_boxes, output_dir)
-    return coco_evaluator.evaluate_boxes(json_dataset, all_boxes, output_dir)
+    return coco_evaluator.evaluate_boxes(json_dataset, all_boxes, output_dir,
+                                         image_ids=image_ids)
 
 
 def _use_cityscapes_evaluator(dataset_name):
@@ -47,22 +51,31 @@ def _use_cityscapes_evaluator(dataset_name):
     return 'cityscapes_' in dataset_name
 
 
-def evaluate_all(dataset, all_boxes, all_segms, all_keyps, output_dir):
-    res = evaluate_boxes(dataset, all_boxes, output_dir)
+def evaluate_all(dataset, all_boxes, all_segms, all_keyps, output_dir,
+                 image_ids=None):
+    """``image_ids``: the DETECTION-time per-image ids aligned with the
+    positional index of all_boxes[cls][i] (engine/test_engine.py saves them
+    in detections.pkl). Without them the positional evaluators rebuild a
+    gt roidb and assume its order/length matches — which the train-set
+    no-class filter can silently break (the CorLoc re-test case)."""
+    res = evaluate_boxes(dataset, all_boxes, output_dir,
+                         image_ids=image_ids)
     if all_segms is not None:
         logger.info('Evaluating segmentations')
         if _use_cityscapes_evaluator(dataset.name):
             from nafwebsod_tpu.data import cityscapes_evaluator
             seg = cityscapes_evaluator.evaluate_masks(
-                dataset, all_boxes, all_segms, output_dir)
+                dataset, all_boxes, all_segms, output_dir,
+                image_ids=image_ids)
         else:
             seg = coco_evaluator.evaluate_masks(
-                dataset, all_boxes, all_segms, output_dir)
+                dataset, all_boxes, all_segms, output_dir,
+                image_ids=image_ids)
         res.update({'segm_' + k: v for k, v in seg.items()})
     if all_keyps is not None:
         logger.info('Evaluating keypoints')
         kps = coco_evaluator.evaluate_keypoints(
-            dataset, all_boxes, all_keyps, output_dir)
+            dataset, all_boxes, all_keyps, output_dir, image_ids=image_ids)
         res.update({'keypoints_' + k: v for k, v in kps.items()})
     return {dataset.name: res}
 

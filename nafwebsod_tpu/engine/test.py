@@ -65,20 +65,9 @@ def im_detect_bbox(spec, params, im, target_scale, target_max_size,
     im_blob, im_scale = prep_im_for_blob(
         im, cfg.PIXEL_MEANS, target_scale, target_max_size, cfg.PIXEL_STDS)
 
-    rois = boxes * im_scale
-    rois5 = np.hstack([np.zeros((rois.shape[0], 1), np.float32),
-                       rois.astype(np.float32)])
-    obn = np.add(obn_scores, 1.0).astype(np.float32).reshape(-1, 1)
-
     # dedup aliased feature rois (ref :125-133)
-    inv_index = None
-    if cfg.DEDUP_BOXES > 0:
-        v = np.array([1, 1e3, 1e6, 1e9, 1e12])
-        hashes = np.round(rois5 * cfg.DEDUP_BOXES).dot(v)
-        _, index, inv_index = np.unique(hashes, return_index=True,
-                                        return_inverse=True)
-        rois5 = rois5[index, :]
-        obn = obn[index, :]
+    rois5, obn, _, inv_index = _dedup_scaled_rois(
+        boxes, obn_scores, im_scale)
 
     pad_mult = cfg.TPU.ROI_PAD_MULTIPLE
     rois_p, obn_p, valid = _pad_rois(rois5, obn, pad_mult)
@@ -268,6 +257,12 @@ def _suppress_on_device(all_scores, all_boxes):
 
     limit = int(cfg.TEST.DETECTIONS_PER_IM)
     per_class_cap = min(cap, limit if limit > 0 else cap)
+    if cfg.TEST.BBOX_VOTE.ENABLED:
+        # voting re-scores the NMS survivors BEFORE any cap applies
+        # (test_wsl.py:843-858): keep every survivor, not just the top
+        # `limit` per class, or a survivor whose voted score would have
+        # made the final cut could be dropped early
+        per_class_cap = cap
     idx, vals, keep = jbox.multiclass_nms_limit(
         jnp.asarray(bx.transpose(1, 0, 2)[1:]),      # (C-1, cap, 4)
         jnp.asarray(sc.T[1:]),                       # (C-1, cap)
@@ -455,19 +450,24 @@ def _fused_detect_scan_mesh(spec, params, ims, rois, obns, valids, origs,
 
 
 def _dedup_scaled_rois(boxes, obn_scores, im_scale):
-    """Scale + DEDUP_BOXES hashing for the fused paths. The duplicates
-    must leave the forward too: they would inflate the RoI-softmax
-    denominator the reference computes on unique rois. Returns
-    (rois5, obn, unique_boxes)."""
+    """Scale + DEDUP_BOXES quantized hashing (test_wsl.py:125-133) — the
+    ONE implementation shared by the per-image and fused paths. The
+    duplicates must leave the forward too: they would inflate the
+    RoI-softmax denominator the reference computes on unique rois.
+    Returns (rois5, obn, unique_boxes, inv_index); ``inv_index`` (None
+    when dedup is off) maps original rows back onto the unique set for
+    score scatter-back."""
     rois5 = np.hstack([np.zeros((boxes.shape[0], 1), np.float32),
                        (boxes * im_scale).astype(np.float32)])
     obn = np.add(obn_scores, 1.0).astype(np.float32).reshape(-1, 1)
+    inv_index = None
     if cfg.DEDUP_BOXES > 0:
         v = np.array([1, 1e3, 1e6, 1e9, 1e12])
         hashes = np.round(rois5 * cfg.DEDUP_BOXES).dot(v)
-        _, index = np.unique(hashes, return_index=True)
+        _, index, inv_index = np.unique(hashes, return_index=True,
+                                        return_inverse=True)
         rois5, obn, boxes = rois5[index], obn[index], boxes[index]
-    return rois5, obn, boxes
+    return rois5, obn, boxes, inv_index
 
 
 def _fused_host_prep(im, boxes, obn_scores):
@@ -476,7 +476,7 @@ def _fused_host_prep(im, boxes, obn_scores):
     im_blob, im_scale = prep_im_for_blob(
         im, cfg.PIXEL_MEANS, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE,
         cfg.PIXEL_STDS)
-    rois5, obn, boxes = _dedup_scaled_rois(boxes, obn_scores, im_scale)
+    rois5, obn, boxes, _ = _dedup_scaled_rois(boxes, obn_scores, im_scale)
     return im_blob, rois5, obn, boxes
 
 
@@ -507,7 +507,7 @@ def _raw_host_prep(im, boxes, obn_scores):
     h, w = im.shape[:2]
     im_scale = image_ops.compute_im_scale(
         h, w, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE)
-    rois5, obn, boxes = _dedup_scaled_rois(boxes, obn_scores, im_scale)
+    rois5, obn, boxes, _ = _dedup_scaled_rois(boxes, obn_scores, im_scale)
     return (im, im_scale, image_ops.scaled_size(h, w, im_scale),
             rois5, obn, boxes)
 

@@ -257,7 +257,8 @@ def test_net(weights_file, dataset_name, proposal_file, output_dir,
         det_file = os.path.join(output_dir, det_name)
         save_object(
             dict(all_boxes=all_boxes, all_segms=all_segms,
-                 all_keyps=all_keyps, cfg=cfg_yaml), det_file)
+                 all_keyps=all_keyps, cfg=cfg_yaml,
+                 image_ids=[e['id'] for e in roidb]), det_file)
         logger.info('Wrote detections to: %s', os.path.abspath(det_file))
         return all_boxes, all_segms, all_keyps
 
@@ -323,7 +324,7 @@ def test_net(weights_file, dataset_name, proposal_file, output_dir,
     det_file = os.path.join(output_dir, det_name)
     save_object(
         dict(all_boxes=all_boxes, all_segms=all_segms, all_keyps=all_keyps,
-             cfg=cfg_yaml),
+             cfg=cfg_yaml, image_ids=[e['id'] for e in roidb]),
         det_file)
     logger.info('Wrote detections to: %s', os.path.abspath(det_file))
     return all_boxes, all_segms, all_keyps
@@ -338,18 +339,21 @@ def merge_detection_ranges(output_dir, num_classes, total_num_images, ranges):
     """Merge detection_range_*.pkl files from sharded workers
     (ref :154-200)."""
     all_boxes = [[] for _ in range(num_classes)]
+    image_ids = []
     for (start, end) in ranges:
         det_file = os.path.join(
             output_dir, 'detection_range_{}_{}.pkl'.format(start, end))
         data = load_object(det_file)
         for cls_idx in range(num_classes):
             all_boxes[cls_idx] += list(data['all_boxes'][cls_idx])
+        image_ids += list(data.get('image_ids', []))
     for cls_idx in range(num_classes):
         assert len(all_boxes[cls_idx]) == total_num_images
     det_file = os.path.join(output_dir, 'detections.pkl')
     save_object(dict(all_boxes=all_boxes, all_segms=None, all_keyps=None,
-                     cfg=_dump_cfg_str()), det_file)
-    return all_boxes
+                     cfg=_dump_cfg_str(), image_ids=image_ids or None),
+                det_file)
+    return all_boxes, image_ids or None
 
 
 def test_net_on_dataset(weights_file, dataset_name, proposal_file,
@@ -361,16 +365,21 @@ def test_net_on_dataset(weights_file, dataset_name, proposal_file,
     test_timer = Timer()
     test_timer.tic()
     if multi_gpu:
-        all_boxes = multi_process_test_net_on_dataset(
+        all_boxes, image_ids = multi_process_test_net_on_dataset(
             weights_file, dataset_name, proposal_file, output_dir)
         all_segms = all_keyps = None
     else:
         all_boxes, all_segms, all_keyps = test_net(
             weights_file, dataset_name, proposal_file, output_dir)
+        # the pkl save inside test_net recorded the enumeration order;
+        # reload the ids rather than rebuilding the roidb a second time
+        dets = load_object(os.path.join(output_dir, 'detections.pkl'))
+        image_ids = dets.get('image_ids')
     test_timer.toc()
     logger.info('Total inference time: %.3fs', test_timer.average_time)
     results = task_evaluation.evaluate_all(
-        dataset, all_boxes, all_segms, all_keyps, output_dir)
+        dataset, all_boxes, all_segms, all_keyps, output_dir,
+        image_ids=image_ids)
     return results
 
 
@@ -411,10 +420,17 @@ def multi_process_test_net_on_dataset(weights_file, dataset_name,
         os.path.abspath(__file__))))
     tool = os.path.join(repo_root, 'tools', 'test_net.py')
     binary = [sys.executable, tool, '--cfg', cfg_path]
+    # pin the worker to THIS dataset: the dumped cfg still lists every
+    # TEST.DATASETS entry and the child resolves index 0, so without the
+    # override dataset 2+'s workers would re-detect dataset 1 (the
+    # reference passes the same two keys, test_engine_wsl.py:164-167)
+    extra_opts = ['TEST.WEIGHTS', weights_file,
+                  'TEST.DATASETS', str((dataset_name,))]
+    if proposal_file:
+        extra_opts += ['TEST.PROPOSAL_FILES', str((proposal_file,))]
     ranges = subprocess_utils.process_in_parallel(
         'detection', total, binary, output_dir, num_workers,
-        worker_env=worker_env,
-        extra_opts=['TEST.WEIGHTS', weights_file])
+        worker_env=worker_env, extra_opts=extra_opts)
     return merge_detection_ranges(
         output_dir, cfg.MODEL.NUM_CLASSES, total, ranges)
 

@@ -13,6 +13,21 @@ except ImportError:  # pragma: no cover
     cv2 = None
 
 
+def is_poly(segm):
+    """Polygon-list segmentation vs COCO RLE dict (segms.py is_poly):
+    crowd regions are RLE-encoded dicts, everything else is a list of
+    coordinate lists."""
+    return isinstance(segm, (list, tuple))
+
+
+def segm_to_mask(segm, height, width):
+    """Any COCO segmentation (polygon list OR crowd RLE dict) -> (H, W)
+    float mask."""
+    if is_poly(segm):
+        return polys_to_mask(segm, height, width)
+    return rle_to_mask(segm).astype(np.float32)
+
+
 def polys_to_mask(polygons, height, width):
     """COCO polygon list -> (H, W) binary mask (segms.polys_to_mask)."""
     mask = np.zeros((height, width), np.uint8)
@@ -48,9 +63,15 @@ def polys_to_boxes(polys):
 
 
 def flip_segms(segms, height, width):
-    """Left/right flip polygon segmentations (segms.flip_segms)."""
+    """Left/right flip segmentations (segms.flip_segms): polygon lists flip
+    coordinate-wise; crowd RLE dicts flip via mask decode/flip/re-encode
+    (the upstream _flip_rle path)."""
     out = []
     for segm in segms:
+        if not is_poly(segm):
+            mask = rle_to_mask(segm)[:, ::-1]
+            out.append(mask_to_rle(np.ascontiguousarray(mask)))
+            continue
         flipped = []
         for poly in segm:
             p = np.asarray(poly, np.float64).copy()
@@ -132,7 +153,10 @@ def rle_to_mask(rle):
     """Inverse of mask_to_rle."""
     h, w = rle['size']
     counts = rle['counts']
-    if isinstance(counts, (bytes, bytearray)):
+    if isinstance(counts, str):
+        # compressed counts arrive as str when the RLE came through json
+        counts = _rle_string_to_counts(counts.encode('utf-8'))
+    elif isinstance(counts, (bytes, bytearray)):
         counts = _rle_string_to_counts(bytes(counts))
     flat = np.zeros((h * w,), np.uint8)
     pos = 0

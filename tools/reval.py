@@ -51,7 +51,8 @@ def main():
     dataset = JsonDataset(dataset_name)
     results = task_evaluation.evaluate_all(
         dataset, data['all_boxes'], data.get('all_segms'),
-        data.get('all_keyps'), output_dir)
+        data.get('all_keyps'), output_dir,
+        image_ids=data.get('image_ids'))
     logger.info('%s', results)
 
 

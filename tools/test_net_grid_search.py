@@ -119,7 +119,8 @@ def main():
                         all_boxes_cache[i])
                     extend_results(i, all_boxes, cls_boxes_i)
                 results = task_evaluation.evaluate_all(
-                    dataset, all_boxes, all_segms, all_keyps, output_dir)
+                    dataset, all_boxes, all_segms, all_keyps, output_dir,
+                    image_ids=outputs.get('image_ids'))
                 logger.info('%s', results)
                 rows.append([nms, thresh, max_per_image, results])
 
