@@ -283,6 +283,10 @@ def get_minibatch(entry, rng=None, pad_rois_to=None, size_bucket=None,
                             cfg.TRAIN.BATCH_SIZE_PER_IM, pad_to=pad_rois_to)
     blobs['data'] = im[None, :, :, :]  # (1, H, W, 3) NHWC
     blobs['im_scale'] = im_scale
+    # true (h, w) of this image — stack_minibatches pads to the batch
+    # canvas; the context head clips its rings at THIS edge, not the
+    # canvas edge (detector._run_body_and_head im_hw)
+    blobs['im_hw'] = np.array(im.shape[:2], np.float32)
     blobs['data_ids'] = np.array([entry.get('id', 0)], dtype=np.int32)
     return blobs
 
@@ -301,6 +305,7 @@ def mixup_blobs(blobs_a, blobs_b, lam, max_rois=None):
     canvas[:, :b.shape[1], :b.shape[2]] += (1.0 - lam) * b
     out = dict(blobs_a)
     out['data'] = canvas
+    out['im_hw'] = np.array([h, w], np.float32)  # blended canvas extent
     out['labels_oh'] = (lam * blobs_a['labels_oh'] +
                         (1.0 - lam) * blobs_b['labels_oh'])
 

@@ -75,7 +75,11 @@ def im_detect_bbox(spec, params, im, target_scale, target_max_size,
 
     out = detector.forward_test(
         spec, params, jnp.asarray(im_in[None]), jnp.asarray(rois_p),
-        jnp.asarray(obn_p), jnp.asarray(valid))
+        jnp.asarray(obn_p), jnp.asarray(valid),
+        # true blob extent inside the bucket-padded canvas: the context
+        # head clips its outer rings here, not at the padded edge
+        im_hw=jnp.asarray(
+            np.array(im_blob.shape[:2], np.float32)))
     scores = np.asarray(out['scores'])[:rois5.shape[0]]
     scores = scores.reshape(-1, scores.shape[-1])
 
@@ -784,6 +788,10 @@ def _im_detect_fused_batch_host_dispatch(spec, params, ims, boxes_list,
 def _can_fuse_detect(spec):
     return (not cfg.TEST.BBOX_AUG.ENABLED and not cfg.TEST.SOFT_NMS.ENABLED
             and not cfg.TEST.BBOX_VOTE.ENABLED
+            # the context head needs the true image extent (im_hw) for its
+            # ring clipping; the fused drivers don't thread it yet, so the
+            # context family takes the per-image path
+            and not getattr(spec, 'is_context', False)
             and int(cfg.TEST.DETECTIONS_PER_IM) > 0
             # supervised heads decode bbox_pred deltas on host (TEST.
             # BBOX_REG defaults True but WSL specs emit no bbox_pred)

@@ -295,6 +295,14 @@ def spec_from_cfg(cfg):
     elif (cfg.MODEL.TYPE != 'rfcn' and not rpn_only and
           head not in _SUPPORTED_HEADS):
         raise NotImplementedError('ROI_BOX_HEAD {} not implemented'.format(head))
+    if cfg.MODEL.TYPE == 'rfcn' and _SUPPORTED_BODIES[body].startswith(
+            'fpn_'):
+        # fail at CONFIG time like every other unsupported combination —
+        # the rfcn forward branches bind feat/spatial_scale only on the
+        # single-scale path and would otherwise die mid-trace
+        raise NotImplementedError(
+            'R-FCN over an FPN body is not supported (the reference wires '
+            'R-FCN to C4/C5 bodies only, model_builder.py:93)')
     if retinanet or retinanet_wsl or rpn_only or cfg.MODEL.TYPE == 'rfcn':
         head = 'fast_rcnn_heads.add_roi_2mlp_head'  # unused placeholder
     if (cfg.MODEL.MASK_ON and _SUPPORTED_BODIES[body].startswith('fpn_')
@@ -959,7 +967,13 @@ def _res5_tower(spec, params, feat, rois, obn_scores, spatial_scale):
         num_groups=spec.resnets_num_groups)
 
 
-def _run_body_and_head(spec, params, image, rois, obn_scores, train, rng):
+def _run_body_and_head(spec, params, image, rois, obn_scores, train, rng,
+                       im_hw=None):
+    """``im_hw``: optional true (h, w) of the image inside the padded
+    canvas — the context head's outer rings clip at the IMAGE edge like
+    the reference's single-image blob (roi_context_op.cu:10-84), not at
+    the zero-padded canvas edge where RoILoopPool would sample dead
+    border-bleed activations."""
     if spec.is_fpn:
         levels, scales = body_forward_fpn(spec, params, image)
         fc7_clean, fc7_noisy = _fpn_head_tower(
@@ -975,9 +989,11 @@ def _run_body_and_head(spec, params, image, rois, obn_scores, train, rng):
                   sampling_ratio=spec.roi_sampling_ratio,
                   freeze_body=spec.freeze_conv_body, train=train, rng=rng)
     if spec.is_context:
+        ih = image.shape[1] if im_hw is None else im_hw[0]
+        iw = image.shape[2] if im_hw is None else im_hw[1]
         fc7s = heads.vgg16_roi_context_2fc_head(
             params, feat, rois, obn_scores, spatial_scale,
-            image.shape[1], image.shape[2],
+            ih, iw,
             context_ratio=spec.context_ratio,
             resolution=spec.roi_resolution,
             freeze_body=spec.freeze_conv_body, train=train, rng=rng)
@@ -1007,7 +1023,7 @@ def _run_body_and_head(spec, params, image, rois, obn_scores, train, rng):
 
 @partial(jax.jit, static_argnames=('spec',))
 def forward_test(spec: ModelSpec, params, image, rois, obn_scores,
-                 valid_mask=None, im_info=None):
+                 valid_mask=None, im_info=None, im_hw=None):
     """Per-image inference. Returns per-RoI class scores (R, num_classes).
 
     Without a refinement ladder the scores are the WSDDN rois_pred with a
@@ -1100,7 +1116,8 @@ def forward_test(spec: ModelSpec, params, image, rois, obn_scores,
         return {'scores': probs, 'bbox_pred': bbox_pred,
                 'rois_pred': probs[:, 1:]}
     fc7_clean, fc7_noisy, feat = _run_body_and_head(
-        spec, params, image, rois, obn_scores, train=False, rng=None)
+        spec, params, image, rois, obn_scores, train=False, rng=None,
+        im_hw=im_hw)
     if spec.supervised:
         logits = heads._fc(fc7_clean, params, 'cls_score',
                            out_dtype=jnp.float32)
@@ -1190,7 +1207,7 @@ def forward_keypoints(spec: ModelSpec, params, image, rois):
 
 @partial(jax.jit, static_argnames=('spec',))
 def forward_cpg_maps(spec: ModelSpec, params, image, rois, obn_scores,
-                     valid, labels_oh):
+                     valid, labels_oh, im_hw=None):
     """CPG saliency maps for visualization (cpg_vis.py:save_cpg:135-152 —
     the reference dumps the CPG blob every WSL.SAMPLE_ITER when CPG/CSC is
     active). Recomputed off the hot path instead of exporting the maps from
@@ -1205,7 +1222,8 @@ def forward_cpg_maps(spec: ModelSpec, params, image, rois, obn_scores,
 
     def cls_prob_fn(im):
         f7, _, _ = _run_body_and_head(unfrozen, params, im, rois,
-                                      obn_scores, train=False, rng=None)
+                                      obn_scores, train=False, rng=None,
+                                      im_hw=im_hw)
         o = (heads.wsl_context_outputs(params, f7, valid)
              if spec.is_context else heads.wsl_outputs(params, f7, valid))
         return heads.cls_pred(o['rois_pred'])
@@ -1282,8 +1300,12 @@ def _refinement_losses(spec, params, fc7, rois, out, cls_prob, labels_oh,
                     host_targets, shapes, sg(rois[:, 1:5]), prev, labels_oh,
                     sg(probs), vmask, vmap_method='sequential')
             (lbl, clw, ga, pcl_l, pcl_p, pcl_c, img_w, im_real) = targets
+            # normalize by the ACTUAL proposal count (pcl_loss_op.cc
+            # divides by dim32(0)); the padded static capacity would
+            # rescale the loss by each image's padding ratio
             losses['loss_cls{}'.format(k)] = refine_ops.pcl_loss_full(
-                probs, lbl, clw, ga, pcl_l, pcl_p, pcl_c, img_w, im_real)
+                probs, lbl, clw, ga, pcl_l, pcl_p, pcl_c, img_w, im_real,
+                jnp.sum(vmask.astype(jnp.float32)))
             prev = sg(probs)
         return losses
 
@@ -1510,8 +1532,9 @@ def forward_train(spec: ModelSpec, params, batch, rng):
             batch['bbox_targets'], batch['bbox_inside_weights'],
             batch['bbox_outside_weights'], valid)
 
+    im_hw = batch.get('im_hw')  # true (h, w) inside the padded canvas
     fc7_clean, fc7_noisy, feat = _run_body_and_head(
-        spec, params, image, rois, obn, train=True, rng=rng)
+        spec, params, image, rois, obn, train=True, rng=rng, im_hw=im_hw)
     if spec.supervised:
         # Fast R-CNN supervised losses on precomputed-proposal blobs
         logits, bbox_pred = _fast_rcnn_outputs(spec, params, fc7_clean)
@@ -1594,7 +1617,8 @@ def forward_train(spec: ModelSpec, params, batch, rng):
 
         def cls_prob_fn(im):
             f7, _, _ = _run_body_and_head(unfrozen, params_sg, im, rois,
-                                          obn, train=False, rng=None)
+                                          obn, train=False, rng=None,
+                                          im_hw=im_hw)
             o = (heads.wsl_context_outputs(params_sg, f7, valid)
                  if spec.is_context
                  else heads.wsl_outputs(params_sg, f7, valid))
@@ -1653,7 +1677,8 @@ def forward_train(spec: ModelSpec, params, batch, rng):
 
         def cls_prob_fn(im):
             f7, _, _ = _run_body_and_head(unfrozen, params_sg, im, rois,
-                                          obn, train=False, rng=None)
+                                          obn, train=False, rng=None,
+                                          im_hw=im_hw)
             f7m = f7[0] if spec.is_context else f7
             o = heads.wsl_outputs(params_sg, f7m, valid)
             return heads.cls_pred(o['rois_pred'])

@@ -269,8 +269,15 @@ def deeplab_losses(mask_fc8, cpg, labels_oh, cls_prob, image, tau=0.7,
     losses = {'mask_seed_loss': seed_loss}
     if run_crf:
         sig, probs, unary = deeplab_outputs(mask_fc8)
-        q = dense_crf(jnp.moveaxis(unary[0], -1, 0),
-                      image[0, :mask_fc8.shape[1], :mask_fc8.shape[2]])
+        # the CRF runs on the mask grid (the reference refines at image
+        # resolution after UpsampleBilinearWSL; PARITY.md documents the
+        # grid deviation) — the color-affinity image must be RESAMPLED to
+        # that grid so cell (i, j) reads the pixels it covers, not the
+        # top-left image corner
+        im_small = jax.image.resize(
+            image[0], (mask_fc8.shape[1], mask_fc8.shape[2],
+                       image.shape[-1]), method='linear')
+        q = dense_crf(jnp.moveaxis(unary[0], -1, 0), im_small)
         crf_fg = jnp.moveaxis(q[1:], 0, -1)[None]        # (1, h, w, C-1)
         losses['mask_constraint_loss'] = kl_loss(
             jax.lax.stop_gradient(crf_fg).reshape(-1, crf_fg.shape[-1]),

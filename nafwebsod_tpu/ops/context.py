@@ -39,11 +39,13 @@ def roi_context(rois, im_h, im_w, context_ratio=1.8):
     outer_res_w = (w * context_ratio - w) / 2.0
     outer_res_h = (h * context_ratio - h) / 2.0
 
+    # bounds may be python ints (full canvas) OR traced scalars (the true
+    # image extent inside a padded batch canvas)
     def clipx(v):
-        return jnp.clip(v, 0.0, float(im_w))
+        return jnp.clip(v, 0.0, jnp.float32(im_w))
 
     def clipy(v):
-        return jnp.clip(v, 0.0, float(im_h))
+        return jnp.clip(v, 0.0, jnp.float32(im_h))
 
     frame = jnp.stack([
         b, x1, y1, x2, y2,

@@ -186,7 +186,6 @@ def csc_weights(maps, class_idx, class_keep, rois, labels_oh, cls_prob,
     (labels_pos, labels_neg) = (labels_oh, zeros) (csc_op.cu:315-323)."""
     r = rois.shape[0]
     c = labels_oh.shape[1]
-    w_full = jnp.ones((r, c), jnp.float32)
 
     def one(m, ci, keep):
         raw = csc_scores_one_class(m, rois, fg_threshold, context_scale)
@@ -198,10 +197,16 @@ def csc_weights(maps, class_idx, class_keep, rois, labels_oh, cls_prob,
         return jnp.where(keep, blended, jnp.ones_like(blended))
 
     per_class = jax.vmap(one)(maps, class_idx, class_keep)  # (max_gt, R)
-    # scatter the selected class columns into the (R, C-1) weight matrix
-    for_k = jnp.maximum(class_idx, 0)
-    w_full = w_full.at[:, for_k].set(
-        jnp.where(class_keep[None, :], per_class.T, w_full[:, for_k]))
+    # Scatter the selected class columns into the (R, C-1) weight matrix.
+    # Padded slots must NOT alias a real column: class_idx is -1 there and
+    # maximum(ci, 0) would collide with foreground class 0, overwriting
+    # its blended weights with the padding's 1.0 (scatter with duplicate
+    # indices keeps an arbitrary entry). Route padding to a dump column
+    # past the class range instead; kept entries are distinct gt classes,
+    # so no real duplicates remain.
+    col = jnp.where(class_keep, jnp.maximum(class_idx, 0), c)
+    w_ext = jnp.ones((r, c + 1), jnp.float32)
+    w_full = w_ext.at[:, col].set(per_class.T)[:, :c]
     labels_pos = labels_oh
     labels_neg = jnp.zeros_like(labels_oh)
     return jax.lax.stop_gradient(w_full), labels_pos, labels_neg

@@ -42,25 +42,6 @@ def _round_half_away(x):
     return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
 
 
-def _bin_bounds(rois, pooled_h, pooled_w, spatial_scale, H, W):
-    """Exact RoIPoolF integer bin boundaries (same math as ops.roi_pool)."""
-    x1 = _round_half_away(rois[:, 1] * spatial_scale).astype(jnp.int32)
-    y1 = _round_half_away(rois[:, 2] * spatial_scale).astype(jnp.int32)
-    x2 = _round_half_away(rois[:, 3] * spatial_scale).astype(jnp.int32)
-    y2 = _round_half_away(rois[:, 4] * spatial_scale).astype(jnp.int32)
-    roi_h = jnp.maximum(y2 - y1 + 1, 1)[:, None]
-    roi_w = jnp.maximum(x2 - x1 + 1, 1)[:, None]
-    ph = jnp.arange(pooled_h, dtype=jnp.int32)[None, :]
-    pw = jnp.arange(pooled_w, dtype=jnp.int32)[None, :]
-    hs = jnp.clip((ph * roi_h) // pooled_h + y1[:, None], 0, H)
-    he = jnp.clip(((ph + 1) * roi_h + pooled_h - 1) // pooled_h + y1[:, None],
-                  0, H)
-    ws = jnp.clip((pw * roi_w) // pooled_w + x1[:, None], 0, W)
-    we = jnp.clip(((pw + 1) * roi_w + pooled_w - 1) // pooled_w + x1[:, None],
-                  0, W)
-    return hs, he, ws, we
-
-
 def _kernel(rois_ref, feat_ref, out_ref, rowmax_ref,
             *, pooled_h, pooled_w, mbh, mbw, H, W, clip_h, clip_w,
             spatial_scale, mbh_s, mbwu_s, mbw_s, mbh_t, mbwu_t, mbw_t):

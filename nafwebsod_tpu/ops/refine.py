@@ -162,12 +162,17 @@ def _merge_assign(obn, iou, lam, valid, top_k=200, window=40):
     p = min(top_k, r)
     order = jnp.argsort(jnp.where(valid, -obn, jnp.inf), stable=True)
     top = order[:p]
+    vtop = valid[top]                       # padded rois can reach the top
+    # block when the valid count is < p; they must never join or seed a
+    # clique (at lam == 0 EVERY pair satisfies iou >= lam, so an unmasked
+    # padded roi would pollute real cliques with zero-canvas logits)
     c_ok = iou[top][:, top] >= lam          # (P, P), sorted space
     pos = jnp.arange(p)
     earlier = pos[None, :] < pos[:, None]   # j < k  (row k, col j)
 
     def clique_members(t, free):
-        cand = free & (pos >= t) & (pos < jnp.minimum(t + window, p))
+        cand = (free & vtop & (pos >= t) &
+                (pos < jnp.minimum(t + window, p)))
 
         def step(state):
             m, _, it = state
@@ -194,7 +199,8 @@ def _merge_assign(obn, iou, lam, valid, top_k=200, window=40):
 
     assigned, clique_s, cur_id = jax.lax.fori_loop(
         0, p, outer,
-        (jnp.zeros((p,), bool), jnp.full((p,), -1, jnp.int32),
+        # invalid positions start pre-assigned: they cannot seed cliques
+        (~vtop, jnp.full((p,), -1, jnp.int32),
          jnp.int32(0)))
 
     clique = jnp.full((r,), -1, jnp.int32).at[top].set(clique_s)
@@ -413,8 +419,12 @@ def pcl_targets_padded(boxes, cls_prob, im_labels, cls_prob_new, max_pc):
 @partial(jax.custom_vjp, nondiff_argnums=())
 def pcl_loss_full(pcl_probs, labels, cls_loss_weights, gt_assignment,
                   pc_labels, pc_probs, pc_count, img_cls_loss_weights,
-                  im_labels_real):
-    r = pcl_probs.shape[0]
+                  im_labels_real, n_valid=None):
+    # PCLLoss normalizes by the image's ACTUAL proposal count
+    # (pcl_loss_op.cc: 1 / pcl_probs.dim32(0)); with the rois padded to a
+    # static capacity the caller passes sum(valid_mask) — dividing by the
+    # padded shape would rescale the loss by the padding ratio
+    r = pcl_probs.shape[0] if n_valid is None else jnp.maximum(n_valid, 1)
     eps = 1e-6
     bg_mask = (labels == 0) & (im_labels_real[0] != 0)
     bg = -jnp.sum(jnp.where(bg_mask, cls_loss_weights *
@@ -430,13 +440,14 @@ def pcl_loss_full(pcl_probs, labels, cls_loss_weights, gt_assignment,
 
 
 def _pclf_fwd(pcl_probs, labels, cls_loss_weights, gt_assignment, pc_labels,
-              pc_probs, pc_count, img_cls_loss_weights, im_labels_real):
+              pc_probs, pc_count, img_cls_loss_weights, im_labels_real,
+              n_valid=None):
     val = pcl_loss_full(pcl_probs, labels, cls_loss_weights, gt_assignment,
                         pc_labels, pc_probs, pc_count, img_cls_loss_weights,
-                        im_labels_real)
+                        im_labels_real, n_valid)
     return val, (pcl_probs, labels, cls_loss_weights, gt_assignment,
                  pc_labels, pc_probs, pc_count, img_cls_loss_weights,
-                 im_labels_real)
+                 im_labels_real, n_valid)
 
 
 def _pclf_bwd(res, g):
@@ -444,8 +455,9 @@ def _pclf_bwd(res, g):
     d/dp_i0 = -w_i / max(p_i0, eps); for fg rois assigned to cluster t with
     label c: d/dp_ic = -img_w_t / (count_t * max(pc_prob_t, eps)); /batch."""
     (pcl_probs, labels, cls_loss_weights, gt_assignment, pc_labels, pc_probs,
-     pc_count, img_cls_loss_weights, im_labels_real) = res
+     pc_count, img_cls_loss_weights, im_labels_real, n_valid) = res
     r, c = pcl_probs.shape
+    denom = r if n_valid is None else jnp.maximum(n_valid, 1)
     eps = 1e-5
     grad = jnp.zeros_like(pcl_probs)
 
@@ -466,8 +478,8 @@ def _pclf_bwd(res, g):
     fg_mask = assigned & (labels > 0) & cls_gt
     grad = grad.at[jnp.arange(r), cls].add(
         jnp.where(fg_mask, per_roi, 0.0))
-    grad = grad * (g / r)
-    return (grad, None, None, None, None, None, None, None, None)
+    grad = grad * (g / denom)
+    return (grad, None, None, None, None, None, None, None, None, None)
 
 
 pcl_loss_full.defvjp(_pclf_fwd, _pclf_bwd)

@@ -129,6 +129,12 @@ def rpn_targets(anchors, gt_boxes, gt_valid, im_h, im_w, rng,
     fg = fg & (_random_rank(r1, fg) < num_fg)
     n_fg = jnp.sum(fg)
 
+    # DEVIATION (documented in PARITY.md): bg candidates EXCLUDE anchors
+    # already chosen fg. The reference assigns labels in passes
+    # (roi_data/rpn.py) where the bg pass `labels[enable_inds] = 0` can
+    # demote a forced-positive (gt-best) anchor whose IoU sits below
+    # RPN_NEGATIVE_OVERLAP — losing a small gt's only positive to a random
+    # draw. Keeping forced positives is intentional here.
     bg_cand = inside & (a2g_max < negative_overlap) & ~fg
     num_bg = batch_size - n_fg                             # traced
     bg = bg_cand & (_random_rank(r2, bg_cand) < num_bg)

@@ -31,9 +31,16 @@ BATCH_KEYS = ('image', 'rois', 'obn_scores', 'labels_oh', 'valid_mask')
 def stack_minibatches(blob_list, size_bucket=None):
     """Host-side: list of per-image loader blob dicts -> one batch dict with a
     leading device axis. Images are zero-padded to the per-iteration max H/W
-    (rounded up to ``size_bucket`` to bound XLA recompiles). Zero padding is
-    numerically transparent: convs zero-pad at image borders anyway and RoIs
-    never reach the padded canvas."""
+    (rounded up to ``size_bucket`` to bound XLA recompiles).
+
+    Zero padding is transparent at the FIRST conv (it matches the conv's own
+    zero padding) but not exactly thereafter: deeper layers see relu(bias)
+    activations in the dead zone where the unpadded conv would re-pad with
+    zeros, so features within ~a receptive field of the right/bottom image
+    edge can differ slightly from an exact-size blob (standard
+    batched-detector behavior; RoI pooling itself never reads the dead zone
+    — the context head additionally clips its rings at the true image
+    extent via the 'im_hw' blob)."""
     ims = [b['data'][0] for b in blob_list]
     h = max(im.shape[0] for im in ims)
     w = max(im.shape[1] for im in ims)

@@ -132,3 +132,61 @@ class TestContextHeadIntegration:
         grads = jax.grad(lambda p: detector.forward_train(
             spec, p, batch, jax.random.PRNGKey(1))[0])(params)
         assert float(jnp.abs(grads['fc8d_frame_w']).max()) > 0
+
+
+class TestContextImHw:
+    def test_ring_geometry_clips_at_traced_image_extent(self):
+        """roi_context must accept a TRACED (im_h, im_w) and clip the
+        frame/context rings identically to the static-bound computation —
+        the padded batch canvas passes the true image extent this way
+        (round-4 review finding: rings used to clip at the canvas edge and
+        RoILoopPool sampled dead zero-canvas activations)."""
+        rois = np.array([[0, 30, 20, 55, 44],
+                         [0, 8, 28, 30, 47],
+                         [0, 4, 4, 24, 20]], np.float32)
+        f_static, c_static = roi_context(jnp.asarray(rois), 48, 56,
+                                         context_ratio=1.8)
+        f_traced, c_traced = jax.jit(
+            lambda r, h, w: roi_context(r, h, w, context_ratio=1.8)
+        )(jnp.asarray(rois), jnp.float32(48), jnp.float32(56))
+        np.testing.assert_allclose(np.asarray(f_traced),
+                                   np.asarray(f_static), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(c_traced),
+                                   np.asarray(c_static), rtol=1e-6)
+        # the border roi's outer ring really is clipped at the image edge
+        assert np.asarray(c_static)[0, 3] <= 56  # outer x2
+        assert np.asarray(c_static)[1, 4] <= 48  # outer y2
+
+    def test_forward_train_uses_im_hw(self):
+        """On a padded canvas, im_hw must reach the context head: the loss
+        changes when the rings stop extending into the dead canvas."""
+        spec = detector.ModelSpec(
+            num_classes=5, hidden_dim=16,
+            box_head='vgg16_context_2fc',
+            webly_on=False, webly_entropy=False)
+        params = detector.init_params(spec, jax.random.PRNGKey(0))
+        rng = np.random.RandomState(0)
+        h, w = 48, 56
+        image = (rng.randn(1, h, w, 3) * 8).astype(np.float32)
+        R = 4
+        rois = np.array([[0, 30, 20, w - 1, 44],
+                         [0, 8, 28, 30, h - 1],
+                         [0, 4, 4, 24, 20],
+                         [0, 20, 10, 50, 40]], np.float32)
+        obn = rng.uniform(0.5, 1.5, (R, 1)).astype(np.float32)
+        labels = np.zeros((1, 4), np.float32)
+        labels[0, 1] = 1
+        canvas = np.zeros((1, h + 16, w + 24, 3), np.float32)
+        canvas[:, :h, :w] = image
+        batch = {
+            'image': jnp.asarray(canvas), 'rois': jnp.asarray(rois),
+            'obn_scores': jnp.asarray(obn), 'labels_oh': jnp.asarray(labels),
+            'valid_mask': jnp.ones((R,), bool),
+            'im_hw': jnp.asarray(np.array([h, w], np.float32)),
+        }
+        key = jax.random.PRNGKey(1)
+        loss1, _ = detector.forward_train(spec, params, batch, key)
+        batch_n = {k: v for k, v in batch.items() if k != 'im_hw'}
+        loss2, _ = detector.forward_train(spec, params, batch_n, key)
+        assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
+        assert abs(float(loss2) - float(loss1)) > 1e-7

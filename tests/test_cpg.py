@@ -145,3 +145,44 @@ class TestCSCIntegration:
             spec_plain, params, batch, jax.random.PRNGKey(1))
         assert float(aux['loss_cls_pos']) == pytest.approx(
             float(aux_plain['loss_cls']), rel=1e-5)
+
+
+class TestCSCWeightsScatter:
+    def test_class_zero_not_clobbered_by_padding(self):
+        """Padded class_idx slots (-1) must not alias foreground class 0:
+        the old maximum(ci, 0) scatter overwrote class 0's blended weights
+        with the padding's 1.0 (round-4 review finding, reproduced)."""
+        rng = np.random.RandomState(0)
+        R, C, max_gt = 8, 4, 4
+        # concentrated saliency blob: the aligned roi scores POSITIVE
+        # (frame density >> context ring), so _normalize_class leaves the
+        # all-ones fallback and produces real per-roi weights
+        m0 = np.zeros((48, 48), np.float32)
+        m0[8:28, 8:28] = 1.0
+        maps = jnp.asarray(np.stack([m0] * max_gt))
+        rois = np.stack([np.zeros(R),
+                         rng.uniform(0, 20, R), rng.uniform(0, 20, R),
+                         rng.uniform(24, 46, R), rng.uniform(24, 46, R)],
+                        1).astype(np.float32)
+        rois[0] = [0, 8, 8, 27, 27]  # aligned with the blob
+        labels = np.zeros((1, C), np.float32)
+        labels[0, 0] = 1  # ONLY gt class 0
+        cls_prob = jnp.asarray(np.full((1, C), 0.9, np.float32))
+        class_idx = jnp.asarray(np.array([0, -1, -1, -1], np.int32))
+        class_keep = jnp.asarray(np.array([True, False, False, False]))
+
+        w, _, _ = cpg_ops.csc_weights(
+            maps, class_idx, class_keep, jnp.asarray(rois),
+            jnp.asarray(labels), cls_prob)
+        w = np.asarray(w)
+        # class 0 must carry REAL blended weights, not the padding's 1.0
+        assert not np.allclose(w[:, 0], 1.0)
+        # untouched classes stay at the default 1.0
+        np.testing.assert_allclose(w[:, 1:], 1.0)
+
+        # and the weights must equal the single-class computation
+        raw = cpg_ops.csc_scores_one_class(maps[0], jnp.asarray(rois),
+                                           0.1, 1.8)
+        norm = cpg_ops._normalize_class(raw)
+        want = 0.9 * np.asarray(norm) + 0.1
+        np.testing.assert_allclose(w[:, 0], want, rtol=1e-6)

@@ -336,3 +336,54 @@ class TestMergeAssignSequentialParity:
             jnp.asarray(obn), jnp.asarray(iou), jnp.float32(0.4),
             jnp.ones((r,), bool))
         np.testing.assert_array_equal(np.asarray(got), want)
+
+
+class TestMergePaddedRois:
+    def test_padded_rois_never_join_real_cliques(self):
+        """At lam == 0 every pair passes the IoU test, so an unmasked
+        padded roi inside the sorted top block would join the first real
+        clique and pollute the averaged logits with zero-canvas values
+        (round-4 review finding). Merged outputs on a padded input must
+        equal the unpadded computation."""
+        rng = np.random.RandomState(0)
+        n, pad, c = 10, 6, 4
+        r = n + pad
+        x1 = rng.uniform(0, 50, n).astype(np.float32)
+        y1 = rng.uniform(0, 50, n).astype(np.float32)
+        boxes = np.stack([x1, y1, x1 + 20, y1 + 20], 1)
+        obn = rng.uniform(0.2, 1.0, n).astype(np.float32)
+        fc8c = rng.randn(n, c).astype(np.float32)
+        fc8d = rng.randn(n, c).astype(np.float32)
+
+        def iou_of(b):
+            from nafwebsod_tpu.ops.jbox import roi_iou
+            r5 = np.hstack([np.zeros((len(b), 1), np.float32), b])
+            return roi_iou(jnp.asarray(r5))
+
+        # unpadded reference result
+        mc0, md0, cl0, cnt0, mv0 = refine.roi_merge(
+            jnp.asarray(obn), iou_of(boxes), jnp.asarray(fc8c),
+            jnp.asarray(fc8d), jnp.float32(0.0),
+            valid_mask=jnp.ones((n,), bool))
+
+        # padded: garbage logits + zero boxes in the padding rows
+        boxes_p = np.vstack([boxes, np.zeros((pad, 4), np.float32)])
+        obn_p = np.concatenate([obn, np.full(pad, 0.15, np.float32)])
+        fc8c_p = np.vstack([fc8c, np.full((pad, c), 7.0, np.float32)])
+        fc8d_p = np.vstack([fc8d, np.full((pad, c), -7.0, np.float32)])
+        valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+        mc1, md1, cl1, cnt1, mv1 = refine.roi_merge(
+            jnp.asarray(obn_p), iou_of(boxes_p), jnp.asarray(fc8c_p),
+            jnp.asarray(fc8d_p), jnp.float32(0.0),
+            valid_mask=jnp.asarray(valid))
+
+        n_cliques = int(np.asarray(cl0).max()) + 1
+        np.testing.assert_allclose(np.asarray(mc1)[:n_cliques],
+                                   np.asarray(mc0)[:n_cliques], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(md1)[:n_cliques],
+                                   np.asarray(md0)[:n_cliques], rtol=1e-6)
+        # valid rois keep identical clique structure
+        np.testing.assert_array_equal(np.asarray(cl1)[:n],
+                                      np.asarray(cl0)[:n])
+        # padded rois land in masked-out singletons
+        assert not np.asarray(mv1)[np.asarray(cl1)[n:]].any()
