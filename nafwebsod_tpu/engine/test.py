@@ -417,11 +417,8 @@ def _infer_mesh(n_dev):
 
 
 def _shard_map(f, **kw):
-    try:
-        return jax.shard_map(f, check_vma=False, **kw)
-    except AttributeError:  # older jax spells it differently
-        from jax.experimental.shard_map import shard_map as _sme
-        return _sme(f, check_rep=False, **kw)
+    from nafwebsod_tpu.parallel.mesh import shard_map_compat
+    return shard_map_compat(f, **kw)
 
 
 def _infer_mesh_size(b):

@@ -111,7 +111,7 @@ def train_model(roidb=None, max_iters=None):
         roi_mesh = roi_shard.make_roi_mesh(num_devices)
         num_devices = 1  # one logical image per step; devices hold rois
         inner_step = roi_shard.make_roi_sharded_train_step(
-            spec, hp, mults, roi_mesh)
+            spec, hp, mults, roi_mesh, donate=True)
 
         def step_fn(params, opt_state, batch, lr, rngs):
             b = {k: batch[k][0] for k in ('image', 'rois', 'obn_scores',
@@ -122,7 +122,8 @@ def train_model(roidb=None, max_iters=None):
         # stream through a ppermute schedule; one step trains B images.
         from nafwebsod_tpu.parallel import pipeline
         pipe_mesh = pipeline.make_pipe_mesh()
-        inner_step = pipeline.make_pipeline_step(spec, hp, mults, pipe_mesh)
+        inner_step = pipeline.make_pipeline_step(spec, hp, mults,
+                                                 pipe_mesh, donate=True)
         num_devices = max(int(cfg.TPU.PIPELINE_MICROBATCHES), 1)
         _keys = ('image', 'rois', 'obn_scores', 'valid_mask', 'labels_oh')
 
@@ -132,7 +133,7 @@ def train_model(roidb=None, max_iters=None):
 
         if steps_per_call > 1:
             inner_multi = pipeline.make_pipeline_multi_step(
-                spec, hp, mults, pipe_mesh)
+                spec, hp, mults, pipe_mesh, donate=True)
 
             def multi_step_fn(params, opt_state, batches, lrs, factors,
                               rngs):
@@ -152,7 +153,7 @@ def train_model(roidb=None, max_iters=None):
                                             n_data=num_devices // m)
         num_devices = num_devices // m  # images per step = data rows
         inner_step = tensor_shard.make_tp_train_step(
-            spec, hp, mults, tp_mesh, params)
+            spec, hp, mults, tp_mesh, params, donate=True)
         _keys = ('image', 'rois', 'obn_scores', 'valid_mask', 'labels_oh')
 
         def step_fn(params, opt_state, batch, lr, rngs):
@@ -161,7 +162,7 @@ def train_model(roidb=None, max_iters=None):
 
         if steps_per_call > 1:
             inner_multi = tensor_shard.make_tp_multi_train_step(
-                spec, hp, mults, tp_mesh, params)
+                spec, hp, mults, tp_mesh, params, donate=True)
 
             def multi_step_fn(params, opt_state, batches, lrs, factors,
                               rngs):
@@ -178,7 +179,8 @@ def train_model(roidb=None, max_iters=None):
         zmesh = mesh_lib.make_mesh(num_devices)
         opt_state = zero.momentum_from_dict(params, hp, zmesh,
                                             momentum or {})
-        step_fn = zero.make_zero_train_step(spec, hp, mults, zmesh, params)
+        step_fn = zero.make_zero_train_step(spec, hp, mults, zmesh,
+                                            params, donate=True)
     else:
         m = mesh_lib.make_mesh(num_devices)
         mesh_obj = m
@@ -340,8 +342,21 @@ def train_model(roidb=None, max_iters=None):
                             # debuggable one (reference dumps at-event
                             # params, train_wsl.py:77-83)
                             good = last_good or (params, opt_state)
-                            _save(os.path.join(output_dir, 'model_nan.pkl'),
-                                  *good)
+                            try:
+                                _save(os.path.join(output_dir,
+                                                   'model_nan.pkl'), *good)
+                            except RuntimeError:
+                                # last_good buffers were DONATED by a later
+                                # step (deleted on device): fall back to the
+                                # current post-NaN params — still the
+                                # reference's at-event dump semantics
+                                # (train_wsl.py:77-83)
+                                logger.warning(
+                                    'last-good params were donated; dumping '
+                                    'the current (post-NaN) params instead')
+                                _save(os.path.join(output_dir,
+                                                   'model_nan.pkl'),
+                                      params, opt_state)
                             raise FloatingPointError(
                                 'Loss is NaN at iter {}'.format(it_0 + j))
                 pending = []

@@ -34,3 +34,15 @@ def data_sharding(mesh):
 
 def replicated(mesh):
     return NamedSharding(mesh, P())
+
+
+def shard_map_compat(f, **kw):
+    """jax.shard_map across jax versions: new jax spells it jax.shard_map
+    (check_vma), older jax.experimental.shard_map (check_rep). The ONE
+    shim every sharded step builder uses."""
+    try:
+        from jax import shard_map as _sm
+        return _sm(f, check_vma=False, **kw)
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as _sme
+        return _sme(f, check_rep=False, **kw)

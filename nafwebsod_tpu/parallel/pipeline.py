@@ -38,16 +38,7 @@ from nafwebsod_tpu.solver import sgd
 AXIS = 'pipe'
 N_STAGES = 2
 
-try:
-    from jax import shard_map as _sm
-
-    def _shard_map(f, **kw):
-        return _sm(f, check_vma=False, **kw)
-except ImportError:  # older jax spells it differently
-    from jax.experimental.shard_map import shard_map as _sme
-
-    def _shard_map(f, **kw):
-        return _sme(f, check_rep=False, **kw)
+from nafwebsod_tpu.parallel.mesh import shard_map_compat as _shard_map
 
 
 def make_pipe_mesh(num_devices=N_STAGES):
@@ -176,7 +167,8 @@ def _make_grads_fn(spec, mesh, dropout):
     return grads_fn
 
 
-def make_pipeline_step(spec, hp, mults, mesh, dropout=True):
+def make_pipeline_step(spec, hp, mults, mesh, dropout=True,
+                       donate=False):
     """Jitted 2-stage pipeline train step.
 
     ``step(params, opt_state, batch, lr, rng) -> (params, opt_state, loss,
@@ -201,10 +193,12 @@ def make_pipeline_step(spec, hp, mults, mesh, dropout=True):
         step,
         in_shardings=(repl, repl, repl, repl, repl),
         out_shardings=(repl, repl, repl, repl),
+        donate_argnums=(0, 1) if donate else (),
     )
 
 
-def make_pipeline_multi_step(spec, hp, mults, mesh, dropout=True):
+def make_pipeline_multi_step(spec, hp, mults, mesh, dropout=True,
+                             donate=False):
     """K chained pipeline steps per device call via ``lax.scan``
     (TPU.STEPS_PER_CALL; dispatch amortization as in
     ``train_step.make_multi_train_step``, momentum-correction factors
@@ -233,4 +227,5 @@ def make_pipeline_multi_step(spec, hp, mults, mesh, dropout=True):
         multi,
         in_shardings=(repl, repl, repl, repl, repl, repl),
         out_shardings=(repl, repl, repl, repl),
+        donate_argnums=(0, 1) if donate else (),
     )

@@ -31,6 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nafwebsod_tpu.models import detector, heads
+from nafwebsod_tpu.parallel.mesh import shard_map_compat as _shard_map
 from nafwebsod_tpu.ops import losses as loss_ops
 from nafwebsod_tpu.ops.jbox import iou_matrix
 from nafwebsod_tpu.solver import sgd
@@ -141,12 +142,11 @@ def forward_train_roi_sharded(spec, params, batch, rng, axis=AXIS):
     """Per-device training forward on the local RoI shard. ``batch`` holds
     the REPLICATED image/labels and the LOCAL rois/obn_scores/valid_mask.
     Returns (total_loss, aux) — both replicated (psum-reduced)."""
-    if (spec.refine_k or spec.is_context or spec.csc or spec.cpg or
-            spec.center_loss or spec.min_entropy_loss or spec.mask_on or
-            spec.supervised or spec.cmil):
-        raise NotImplementedError(
-            'RoI sharding supports the plain WSDDN / webly noise-aware '
-            'heads; other branches use the data-parallel step')
+    # same scope gate as the tensor-parallel / pipeline steps (an inline
+    # copy had drifted: it missed is_fpn, fused_noise_tower, and the
+    # box-head whitelist, letting unsupported specs crash mid-trace)
+    from nafwebsod_tpu.parallel.wsl_losses import check_scope
+    check_scope(spec)
 
     image = batch['image']
     rois = batch['rois']
@@ -194,7 +194,7 @@ def forward_train_roi_sharded(spec, params, batch, rng, axis=AXIS):
     return total, aux
 
 
-def make_roi_sharded_train_step(spec, hp, mults, mesh):
+def make_roi_sharded_train_step(spec, hp, mults, mesh, donate=False):
     """Jitted train step with RoIs sharded over the mesh axis 'roi':
     ``step(params, opt_state, batch, lr, rng) -> (params, opt_state, loss,
     aux)``. ``batch['rois'/'obn_scores'/'valid_mask']`` are global (R, ...)
@@ -207,11 +207,11 @@ def make_roi_sharded_train_step(spec, hp, mults, mesh):
     # ShapeDtypeStructs (no vma annotation), and the psum-transpose
     # semantics under the legacy mode match the explicit grads psum below
     # (pinned exact vs the unsharded grads in tests/test_roi_shard.py)
-    @partial(jax.shard_map, mesh=mesh,
+    @partial(_shard_map, mesh=mesh,
              in_specs=(P(), {'image': P(), 'rois': P(AXIS),
                              'obn_scores': P(AXIS), 'valid_mask': P(AXIS),
                              'labels_oh': P()}, P()),
-             out_specs=(P(), P(), P()), check_vma=False)
+             out_specs=(P(), P(), P()))
     def grads_fn(params, batch, rng):
         (loss, aux), grads = jax.value_and_grad(
             lambda p: forward_train_roi_sharded(spec, p, batch, rng),
@@ -233,4 +233,5 @@ def make_roi_sharded_train_step(spec, hp, mults, mesh):
                        'valid_mask': shard, 'labels_oh': repl}
     return jax.jit(step,
                    in_shardings=(repl, repl, batch_shardings, repl, repl),
-                   out_shardings=(repl, repl, repl, repl))
+                   out_shardings=(repl, repl, repl, repl),
+                   donate_argnums=(0, 1) if donate else ())

@@ -49,16 +49,7 @@ from nafwebsod_tpu.solver import sgd
 DATA_AXIS = 'data'
 MODEL_AXIS = 'model'
 
-try:
-    from jax import shard_map as _sm
-
-    def _shard_map(f, **kw):
-        return _sm(f, check_vma=False, **kw)
-except ImportError:  # older jax spells it differently
-    from jax.experimental.shard_map import shard_map as _sme
-
-    def _shard_map(f, **kw):
-        return _sme(f, check_rep=False, **kw)
+from nafwebsod_tpu.parallel.mesh import shard_map_compat as _shard_map
 
 
 def make_tp_mesh(n_model, n_data=1):
@@ -274,7 +265,8 @@ def _make_grads_fn(spec, mesh, pspecs, n_data, dropout):
     return grads_fn
 
 
-def make_tp_train_step(spec, hp, mults, mesh, params, dropout=True):
+def make_tp_train_step(spec, hp, mults, mesh, params, dropout=True,
+                       donate=False):
     """Jitted tensor-parallel (x data-parallel) train step over a 2-D
     ``('data', 'model')`` mesh.
 
@@ -313,10 +305,12 @@ def make_tp_train_step(spec, hp, mults, mesh, params, dropout=True):
         step,
         in_shardings=(param_shardings, opt_in, batch_shard, repl, repl),
         out_shardings=(param_shardings, opt_in, repl, repl),
+        donate_argnums=(0, 1) if donate else (),
     )
 
 
-def make_tp_multi_train_step(spec, hp, mults, mesh, params, dropout=True):
+def make_tp_multi_train_step(spec, hp, mults, mesh, params, dropout=True,
+                             donate=False):
     """K chained tensor-parallel steps per device call via ``lax.scan``
     (TPU.STEPS_PER_CALL; same dispatch-amortization contract as
     ``train_step.make_multi_train_step``, with the momentum-correction
@@ -360,4 +354,5 @@ def make_tp_multi_train_step(spec, hp, mults, mesh, params, dropout=True):
         in_shardings=(param_shardings, opt_in, batch_shard, repl, repl,
                       repl),
         out_shardings=(param_shardings, opt_in, repl, repl),
+        donate_argnums=(0, 1) if donate else (),
     )

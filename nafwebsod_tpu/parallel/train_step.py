@@ -182,16 +182,8 @@ def _step_body_fused(spec, hp, mults, center_update_period, params,
     """Fused-allreduce variant: local grads under shard_map, ONE psum over
     the raveled gradient vector, then the (replicated) solver update."""
     from jax.flatten_util import ravel_pytree
-    try:
-        from jax import shard_map as _sm
-
-        def shard_map(f, **kw):
-            return _sm(f, check_vma=False, **kw)
-    except ImportError:  # older jax spells it differently
-        from jax.experimental.shard_map import shard_map as _sme
-
-        def shard_map(f, **kw):
-            return _sme(f, check_rep=False, **kw)
+    from nafwebsod_tpu.parallel.mesh import (
+        shard_map_compat as shard_map)
 
     n_total = jax.tree_util.tree_leaves(batch)[0].shape[0]
     _, unravel = ravel_pytree(params)

@@ -34,16 +34,7 @@ from nafwebsod_tpu.solver import sgd
 
 AXIS = 'data'
 
-try:
-    from jax import shard_map as _sm
-
-    def _shard_map(f, **kw):
-        return _sm(f, check_vma=False, **kw)
-except ImportError:  # older jax spells it differently
-    from jax.experimental.shard_map import shard_map as _sme
-
-    def _shard_map(f, **kw):
-        return _sme(f, check_rep=False, **kw)
+from nafwebsod_tpu.parallel.mesh import shard_map_compat as _shard_map
 
 
 def _flat_multipliers(params, hp, mults):
@@ -62,11 +53,17 @@ def _flat_multipliers(params, hp, mults):
 
 def _check_ravel_order(params):
     """ravel_pytree flattens dicts in sorted-key order — the same order
-    _flat_multipliers uses. Guard the assumption."""
-    sizes = [int(np.prod(v.shape)) if v.shape else 1
-             for _, v in sorted(params.items())]
-    flat, _ = ravel_pytree(params)
-    assert flat.shape[0] == sum(sizes)
+    _flat_multipliers uses. Guard the assumption with an ORDER-SENSITIVE
+    probe: tag each leaf with its sorted index and require the raveled
+    tags to be block-ascending (a size-sum check cannot detect an order
+    mismatch, which would silently misalign the per-element lr/decay
+    multipliers with the flattened params)."""
+    probe = {k: np.full(v.shape if v.shape else (1,), i, np.int32)
+             for i, (k, v) in enumerate(sorted(params.items()))}
+    tags = np.asarray(ravel_pytree(probe)[0])
+    assert np.all(np.diff(tags) >= 0), (
+        'ravel_pytree no longer flattens dicts in sorted-key order; the '
+        'ZeRO per-element multiplier vectors would misalign')
 
 
 def init_state(params, hp, mesh):
@@ -107,7 +104,7 @@ def momentum_from_dict(params, hp, mesh, momentum_dict):
     return state
 
 
-def make_zero_train_step(spec, hp, mults, mesh, params):
+def make_zero_train_step(spec, hp, mults, mesh, params, donate=False):
     """Jitted ZeRO-1 data-parallel train step: ``step(params, opt_state,
     batch, lr, rngs) -> (params, opt_state, loss, aux)`` with the same
     batch layout as the replicated DP step (leading axis = mesh size, one
@@ -132,6 +129,12 @@ def make_zero_train_step(spec, hp, mults, mesh, params):
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(AXIS))
     batch_shard = NamedSharding(mesh, P(AXIS))
+    # the per-element multiplier vectors are placed ONCE in the sharded
+    # layout and passed as step arguments: baking them into the program as
+    # jnp constants would materialize ~2x|params| of replicated f32 per
+    # chip — more HBM than the sharded momentum saves
+    lr_mult_dev = jax.device_put(jnp.asarray(lr_mult), shard)
+    wd_dev = jax.device_put(jnp.asarray(wd), shard)
 
     @partial(_shard_map, mesh=mesh,
              in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(),
@@ -160,22 +163,26 @@ def make_zero_train_step(spec, hp, mults, mesh, params):
         gslice = jax.lax.psum_scatter(gflat, AXIS, scatter_dimension=0,
                                       tiled=True)
         # Caffe/ACM momentum update on the owned slice
-        # (acm_weightdecay_momentum_sgd_op.h:79-112 semantics)
+        # (acm_weightdecay_momentum_sgd_op.h:79-112 semantics). Frozen
+        # elements (lr_mult == 0 AND wd == 0) are excluded entirely like
+        # sgd._apply: a checkpoint carrying nonzero momentum for a frozen
+        # leaf must not drift the frozen weights via v = mu * mom
+        frozen = (lr_mult_s == 0.0) & (wd_s == 0.0)
         g = gslice + wd_s * pslice
         v = momentum * mom_slice + (lr * lr_mult_s) * g
-        new_pslice = pslice - v
+        v = jnp.where(frozen, mom_slice, v)
+        new_pslice = jnp.where(frozen, pslice, pslice - v)
         # rebuild the full parameter vector for the next forward
         new_flat = jax.lax.all_gather(new_pslice, AXIS, tiled=True)
         loss = jax.lax.psum(loss, AXIS)
         aux = jax.tree.map(lambda x: jax.lax.psum(x, AXIS), aux)
         return new_flat, v, loss, aux
 
-    def step(p, opt_state, batch, lr, rngs):
+    def step(p, opt_state, batch, lr, rngs, mult_slices):
         flat_p, _ = ravel_pytree(p)
         if pad:
             flat_p = jnp.concatenate(
                 [flat_p, jnp.zeros((pad,), flat_p.dtype)])
-        mult_slices = (jnp.asarray(lr_mult), jnp.asarray(wd))
         new_flat, new_mom, loss, aux = step_local(
             p, flat_p, batch, rngs, opt_state['momentum']['flat'], lr,
             mult_slices)
@@ -185,8 +192,18 @@ def make_zero_train_step(spec, hp, mults, mesh, params):
         return new_params, new_state, loss, aux
 
     opt_shardings = {'momentum': {'flat': shard}, 'it': repl}
-    return jax.jit(
+    jitted = jax.jit(
         step,
-        in_shardings=(repl, opt_shardings, batch_shard, repl, batch_shard),
+        in_shardings=(repl, opt_shardings, batch_shard, repl, batch_shard,
+                      (shard, shard)),
         out_shardings=(repl, opt_shardings, repl, repl),
+        # donate params + momentum buffers (the modes built to SAVE HBM
+        # must not double-buffer a 536 MB param vector per step)
+        donate_argnums=(0, 1) if donate else (),
     )
+
+    def run(p, opt_state, batch, lr, rngs):
+        return jitted(p, opt_state, batch, lr, rngs,
+                      (lr_mult_dev, wd_dev))
+
+    return run

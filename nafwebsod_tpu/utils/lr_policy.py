@@ -61,6 +61,11 @@ def lr_func_exp(cur_iter):
 
 def get_step_index(cur_iter):
     """Index of the last element of SOLVER.STEPS <= cur_iter."""
+    assert cfg.SOLVER.STEPS and cfg.SOLVER.STEPS[0] == 0, (
+        'SOLVER.STEPS must be non-empty and start with 0 (got {}): an index '
+        'of -1 before the first step would silently apply GAMMA**-1 '
+        '(lr_policy.py:117 in the reference has the same guard)'.format(
+            cfg.SOLVER.STEPS))
     steps = list(cfg.SOLVER.STEPS) + [cfg.SOLVER.MAX_ITER]
     for ind, step in enumerate(steps):
         if cur_iter < step:
