@@ -1,10 +1,24 @@
 """Benchmark: flagship NA-fWebSOD training-step throughput (images/sec).
 
-Measures the full jitted data-parallel training step — VGG16-C5 (dilated,
-bfloat16 conv path) + RoIPool/boost + dual 4096-d fc towers + noise-aware
-webly losses + spatial-entropy weights + Caffe-momentum SGD — at the
-reference's flagship operating point: ~688-short-side image, 2048 RoIs/image,
-1 image per device (configs/flickr_voc/na_wsddn_V-16-C5_1x.yaml:27-33).
+Measures the PRODUCTION training driver (``ts.make_multi_train_step``: the
+lax.scan window the train loop runs, with the fused pytree-psum gradient
+all-reduce and in-graph momentum-correction factors) on the flagship
+operating point — VGG16-C5 (dilated, bfloat16 conv path) + RoIPool/boost +
+dual 4096-d fc towers + noise-aware webly losses + spatial-entropy weights +
+Caffe-momentum SGD at ~688-short-side, 2048 RoIs/image, 1 image per device
+(configs/flickr_voc/na_wsddn_V-16-C5_1x.yaml:27-33). A DIFFERENT batch
+feeds every scan step, exactly like training.
+
+Measurement integrity notes (round 4, BASELINE.md):
+  * feeding ONE batch as a scan constant lets XLA hoist the frozen conv
+    body + RoIPool out of the loop (they are loop-invariant) and
+    overstates throughput by ~3.5 ms/step — the earlier inline
+    formulation (BENCH_DRIVER=inline, kept for comparison) does exactly
+    that; per-step batches through the scan xs are the honest layout;
+  * single 20-step windows vary +-6% through this rig's remote tunnel, so
+    three chained windows are timed and the best is reported;
+  * the raveled fused all-reduce cost ~24 ms/step and was replaced by one
+    lax.psum over the gradient pytree (XLA combines the collectives).
 
 Baseline context (BASELINE.md): the reference publishes no throughput. The
 `vs_baseline` field is computed against an estimated 10 images/sec for the
@@ -36,6 +50,10 @@ except Exception:
 
 sys.path.insert(0, '/root/repo')
 
+from nafwebsod_tpu.utils.env import apply_platform_override  # noqa: E402
+
+apply_platform_override()  # NAFWEBSOD_PLATFORM=cpu forces CPU smoke mode
+
 from __graft_entry__ import _example_inputs  # noqa: E402
 from nafwebsod_tpu.models import detector  # noqa: E402
 from nafwebsod_tpu.parallel import mesh as mesh_lib  # noqa: E402
@@ -45,12 +63,34 @@ from nafwebsod_tpu.solver import sgd  # noqa: E402
 BASELINE_IMS_PER_SEC = 10.0  # estimated 4xP100 Detectron (see docstring)
 
 
+def _blob(H, W, R, seed):
+    image, rois, obn, valid, labels = _example_inputs(H=H, W=W, R=R,
+                                                      seed=seed)
+    return {'data': image, 'rois': rois, 'obn_scores': obn,
+            'valid_mask': valid, 'labels_oh': labels}
+
+
+def _emit(ims_per_sec, **extra):
+    out = {
+        'metric': 'train_images_per_sec',
+        'value': round(ims_per_sec, 3),
+        'unit': 'images/sec',
+        # the reference publishes NO throughput; the denominator is the
+        # BASELINE.md estimate for the 4xP100 Caffe2 rig (~10 img/s total),
+        # so this ratio is estimate-based, not a measured-baseline ratio
+        'vs_baseline': round(ims_per_sec / BASELINE_IMS_PER_SEC, 3),
+        'baseline_kind': 'estimated-4xP100-detectron (BASELINE.md)',
+    }
+    out.update(extra)
+    print(json.dumps(out))
+
+
 def main():
     on_tpu = any(d.platform == 'tpu' for d in jax.devices())
     if on_tpu:
-        H, W, R, hidden, iters, warmup = 704, 704, 2048, 4096, 20, 3
+        H, W, R, hidden, K, warmup = 704, 704, 2048, 4096, 20, 3
     else:  # CPU smoke mode so the bench stays runnable anywhere
-        H, W, R, hidden, iters, warmup = 128, 128, 64, 64, 3, 1
+        H, W, R, hidden, K, warmup = 128, 128, 64, 64, 3, 1
 
     spec = detector.ModelSpec(
         num_classes=21, compute_dtype='bfloat16', hidden_dim=hidden,
@@ -61,77 +101,76 @@ def main():
     trainable = detector.trainable_param_names(spec, params)
     mults = sgd.freeze_mults(sgd.param_multipliers(params, trainable))
     opt_state = sgd.init_state(params, hp)
-
-    n_dev = len(jax.devices())
-    mesh = mesh_lib.make_mesh(n_dev)
-    step = ts.make_train_step(spec, hp, mults, mesh, donate=False)
-
-    blobs = []
-    for i in range(n_dev):
-        image, rois, obn, valid, labels = _example_inputs(
-            H=H, W=W, R=R, seed=i)
-        blobs.append({'data': image, 'rois': rois, 'obn_scores': obn,
-                      'valid_mask': valid, 'labels_oh': labels})
-    batch = ts.stack_minibatches(blobs, size_bucket=64)
-    rngs = ts.device_rngs(jax.random.PRNGKey(1), n_dev)
-    lr = np.float32(1e-4)
-
-    # Measure DEVICE-side throughput: run K chained steps inside one jitted
-    # lax.scan so per-call host dispatch (which dominates through the dev
-    # rig's remote-TPU tunnel: ~170ms/call for the 550-leaf param pytree vs
-    # ~28ms of device compute) is excluded. This is also how a production
-    # input pipeline runs the step (double-buffered device-resident batches).
-    from nafwebsod_tpu.models import detector as det_mod
-    from nafwebsod_tpu.solver import sgd as sgd_mod
-
-    K = iters
-    # pre-cast bf16 shadow weights (TPU.SHADOW_BF16 / parallel/train_step.py):
-    # the forward reads carried bf16 copies of the big weights instead of
-    # converting the fp32 masters every step; numerically identical
-    # MEASURED SLOWER (52.2 vs 54.8 img/s, see TPU.SHADOW_BF16
-    # in core/config.py) -- off by default, kept for re-measurement
     if os.environ.get('BENCH_SHADOW', '0') == '1':
+        # TPU.SHADOW_BF16: measured neutral-at-best, off by default
         sh = ts.init_shadow(spec, params)
         if sh:
             opt_state['shadow'] = sh
 
-    @jax.jit
-    def multi_step(params, opt_state, batch, rng):
-        def one(carry, k):
-            p, s = carry
+    n_dev = len(jax.devices())
+    mesh = mesh_lib.make_mesh(n_dev)
+    windows = 3 if on_tpu else 1
 
-            def loss_fn(pp):
-                return det_mod.forward_train(
-                    spec, pp, jax.tree.map(lambda x: x[0], batch),
-                    jax.random.fold_in(rng, k))
-
-            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-            shadow = s.get('shadow')
-            if shadow is not None:
-                (loss, _), grads = ts._shadow_grads_and_loss(
-                    grad_fn, p, shadow)
-            else:
-                (loss, _), grads = grad_fn(p)
-            p, s = sgd_mod.update(p, grads, s, jnp.float32(1e-4), hp, mults)
-            if shadow is not None:
-                s = ts._refresh_shadow(s, p, shadow, mults)
-            return (p, s), loss
-
-        (p, s), losses = jax.lax.scan(one, (params, opt_state),
-                                      jnp.arange(K))
-        return p, s, losses
-
-    if n_dev == 1:
-        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    if n_dev == 1 and os.environ.get('BENCH_DRIVER', 'prod') == 'prod':
+        # THE production scan driver over K per-step batches
+        multi = ts.make_multi_train_step(spec, hp, mults, mesh,
+                                         donate=False)
+        batch_list = [ts.stack_minibatches([_blob(H, W, R, seed=k)],
+                                           size_bucket=64)
+                      for k in range(K)]
+        batches = {key: jnp.asarray(np.stack([b[key] for b in batch_list]))
+                   for key in batch_list[0]}
+        lrs = jnp.full((K,), 1e-4, jnp.float32)
+        factors = jnp.ones((K,), jnp.float32)
         # dropout-mask stream matches the train loop's TPU.RNG_IMPL default
         # ('rbg': XLA RngBitGenerator; ~3 ms/step cheaper than threefry)
+        rngsK = jax.random.split(jax.random.key(2, impl='rbg'), K)[:, None]
+
+        p, s, losses, _ = multi(params, opt_state, batches, lrs, factors,
+                                rngsK)
+        float(losses[-1])  # compile + sync
+        dt = float('inf')
+        for wi in range(windows):
+            rngsW = jax.random.split(
+                jax.random.key(3 + wi, impl='rbg'), K)[:, None]
+            t0 = time.perf_counter()
+            p, s, losses, _ = multi(p, s, batches, lrs, factors, rngsW)
+            float(losses[-1])
+            dt = min(dt, time.perf_counter() - t0)
+        _emit(n_dev * K / dt)
+        return
+
+    if n_dev == 1:
+        # Legacy inline formulation (BENCH_DRIVER=inline): one batch closed
+        # over as a scan CONSTANT — XLA hoists the frozen conv body + pool
+        # out of the loop, overstating steady-state throughput by
+        # ~3.5 ms/step. Kept only for cross-round comparability.
+        batch = ts.stack_minibatches([_blob(H, W, R, seed=0)],
+                                     size_bucket=64)
+
+        @jax.jit
+        def multi_step(params, opt_state, batch, rng):
+            def one(carry, k):
+                p, s = carry
+
+                def loss_fn(pp):
+                    return detector.forward_train(
+                        spec, pp, jax.tree.map(lambda x: x[0], batch),
+                        jax.random.fold_in(rng, k))
+
+                (loss, _), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(p)
+                p, s = sgd.update(p, grads, s, jnp.float32(1e-4), hp, mults)
+                return (p, s), loss
+
+            (p, s), losses = jax.lax.scan(one, (params, opt_state),
+                                          jnp.arange(K))
+            return p, s, losses
+
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
         p, s, losses = multi_step(params, opt_state, jbatch,
                                   jax.random.key(2, impl='rbg'))
-        float(losses[-1])  # compile + sync
-        # single 20-step windows vary +-6% run-to-run through this rig's
-        # tunnel (host scheduling noise only ever ADDS time), so time a few
-        # chained windows and keep the best
-        windows = 3 if on_tpu else 1
+        float(losses[-1])
         dt = float('inf')
         for wi in range(windows):
             t0 = time.perf_counter()
@@ -139,30 +178,25 @@ def main():
                                       jax.random.key(3 + wi, impl='rbg'))
             float(losses[-1])
             dt = min(dt, time.perf_counter() - t0)
-    else:
-        # multi-chip: per-call mesh step with chained state
-        for _ in range(warmup):
-            params, opt_state, loss, _ = step(params, opt_state, batch, lr,
-                                              rngs)
-        float(loss)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            params, opt_state, loss, _ = step(params, opt_state, batch, lr,
-                                              rngs)
-        float(loss)
-        dt = time.perf_counter() - t0
+        _emit(n_dev * K / dt, driver='inline-hoisted-body')
+        return
 
-    ims_per_sec = n_dev * K / dt
-    print(json.dumps({
-        'metric': 'train_images_per_sec',
-        'value': round(ims_per_sec, 3),
-        'unit': 'images/sec',
-        # the reference publishes NO throughput; the denominator is the
-        # BASELINE.md estimate for the 4xP100 Caffe2 rig (~10 img/s total),
-        # so this ratio is estimate-based, not a measured-baseline ratio
-        'vs_baseline': round(ims_per_sec / BASELINE_IMS_PER_SEC, 3),
-        'baseline_kind': 'estimated-4xP100-detectron (BASELINE.md)',
-    }))
+    # multi-chip: per-call mesh step with chained state
+    step = ts.make_train_step(spec, hp, mults, mesh, donate=False)
+    batch = ts.stack_minibatches([_blob(H, W, R, seed=i)
+                                  for i in range(n_dev)], size_bucket=64)
+    rngs = ts.device_rngs(jax.random.PRNGKey(1), n_dev)
+    lr = np.float32(1e-4)
+    for _ in range(warmup):
+        params, opt_state, loss, _ = step(params, opt_state, batch, lr,
+                                          rngs)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(K):
+        params, opt_state, loss, _ = step(params, opt_state, batch, lr,
+                                          rngs)
+    float(loss)
+    _emit(n_dev * K / (time.perf_counter() - t0))
 
 
 if __name__ == '__main__':

@@ -181,12 +181,10 @@ def _step_body_fused(spec, hp, mults, center_update_period, params,
                      opt_state, batch, lr, rngs, mesh):
     """Fused-allreduce variant: local grads under shard_map, ONE psum over
     the raveled gradient vector, then the (replicated) solver update."""
-    from jax.flatten_util import ravel_pytree
     from nafwebsod_tpu.parallel.mesh import (
         shard_map_compat as shard_map)
 
     n_total = jax.tree_util.tree_leaves(batch)[0].shape[0]
-    _, unravel = ravel_pytree(params)
     shadow = opt_state.get('shadow')
 
     @partial(shard_map, mesh=mesh,
@@ -209,15 +207,19 @@ def _step_body_fused(spec, hp, mults, center_update_period, params,
                 grad_fn, p, sh)
         else:
             (loss, (aux, deltas)), grads = grad_fn(p)
-        flat = ravel_pytree(grads)[0]
-        flat = jax.lax.psum(flat, 'data')          # THE all-reduce
+        # ONE lax.psum over the whole gradient pytree: XLA's all-reduce
+        # combiner fuses the per-leaf collectives into one launch WITHOUT
+        # the ravel/unravel round trip — the raveled formulation cost
+        # ~24 ms/step at flagship shapes (copies + the liveness spike of
+        # holding every gradient at once; measured round 4, BASELINE.md)
+        grads = jax.lax.psum(grads, 'data')        # THE all-reduce
         loss = jax.lax.psum(loss, 'data')
         aux = jax.tree.map(lambda v: jax.lax.psum(v, 'data'), aux)
         deltas = jax.tree.map(lambda v: jax.lax.psum(v, 'data'), deltas)
-        return flat, loss, aux, deltas
+        return grads, loss, aux, deltas
 
-    flat, loss, aux, deltas = local_grads(params, shadow or {}, batch, rngs)
-    grads = unravel(flat)
+    grads, loss, aux, deltas = local_grads(params, shadow or {}, batch,
+                                           rngs)
     new_params, new_state = sgd.update(
         params, grads, opt_state, lr, hp, mults)
     if shadow is not None:
@@ -268,7 +270,8 @@ def make_train_step(spec, hp, mults, mesh, donate=True,
 
 
 def make_multi_train_step(spec, hp, mults, mesh, donate=True,
-                          center_update_period=128, fused_grads=True):
+                          center_update_period=128, fused_grads=True,
+                          apply_factors=True):
     """K chained steps per device call via ``lax.scan`` (TPU.STEPS_PER_CALL).
 
     Per-call host dispatch dominates on remote-attached TPUs (~170 ms/call
@@ -282,6 +285,12 @@ def make_multi_train_step(spec, hp, mults, mesh, donate=True,
     (params, opt_state, losses (K,), aux {name: (K,)})`` where every batch
     leaf is stacked (K, n_dev, ...), ``lrs``/``factors`` are (K,), and
     ``rngs`` is (K, n_dev, 2).
+
+    ``apply_factors=False`` compiles WITHOUT the in-graph momentum
+    rescaling — the unconditional scale_momentum rewrites the full
+    momentum every scan step (~1.3 ms at flagship shapes) even at factor
+    1.0; the train loop uses this variant for the (overwhelmingly common)
+    windows that contain no LR boundary.
     """
     mults = sgd.freeze_mults(mults) if isinstance(mults, dict) else mults
     repl = NamedSharding(mesh, P())
@@ -291,7 +300,8 @@ def make_multi_train_step(spec, hp, mults, mesh, donate=True,
         def one(carry, xs):
             p, s = carry
             batch, lr, factor, rng = xs
-            s = sgd.scale_momentum(s, factor)
+            if apply_factors:
+                s = sgd.scale_momentum(s, factor)
             p, s, loss, aux = _step_body(
                 spec, hp, mults, center_update_period, p, s, batch, lr, rng,
                 mesh=mesh if fused_grads else None)

@@ -48,32 +48,42 @@ def _len_delim(field, payload):
     return _tag(field, 2) + _varint(len(payload)) + payload
 
 
-def _blob_proto(arr):
+def _blob_proto(arr, legacy_dims=False):
     arr = np.asarray(arr, np.float32)
-    shape_payload = _tag(1, 2) + _varint(len(arr.shape) * 1)
-    # packed varint dims
+    data = arr.astype('<f4').tobytes()
+    if legacy_dims:
+        # V1 num/channels/height/width scalar fields (1-4): pad the shape
+        # to 4-D with leading 1s, exactly how 2014-era caffemodels (e.g.
+        # VGG_ILSVRC_16_layers) encode biases as (1, 1, 1, N)
+        shape4 = (1,) * (4 - arr.ndim) + arr.shape
+        hdr = b''.join(_tag(i + 1, 0) + _varint(int(d))
+                       for i, d in enumerate(shape4))
+        return hdr + _len_delim(5, data)
     dims = b''.join(_varint(int(d)) for d in arr.shape)
     shape_payload = _tag(1, 2) + _varint(len(dims)) + dims
-    data = arr.astype('<f4').tobytes()
     return (_len_delim(7, shape_payload) +      # shape = field 7
             _len_delim(5, data))                # packed float data = field 5
 
 
-def _layer(name, blobs, v1):
+def _layer(name, blobs, v1, legacy_dims=False):
     name_field = 4 if v1 else 1
     blobs_field = 6 if v1 else 7
     payload = _len_delim(name_field, name.encode())
     for b in blobs:
-        payload += _len_delim(blobs_field, _blob_proto(b))
+        payload += _len_delim(blobs_field,
+                              _blob_proto(b, legacy_dims=legacy_dims))
     return payload
 
 
-def write_caffemodel(path, layers, v1=False):
-    """layers: {name: [blob arrays]} in Caffe layouts (OIHW / (out, in))."""
+def write_caffemodel(path, layers, v1=False, legacy_dims=False):
+    """layers: {name: [blob arrays]} in Caffe layouts (OIHW / (out, in)).
+    ``legacy_dims`` encodes blob shapes via the V1 num/channels/height/width
+    scalars instead of BlobShape (2014-era caffemodels)."""
     field = 2 if v1 else 100
     buf = b''
     for name, blobs in layers.items():
-        buf += _len_delim(field, _layer(name, blobs, v1))
+        buf += _len_delim(field, _layer(name, blobs, v1,
+                                        legacy_dims=legacy_dims))
     with open(path, 'wb') as f:
         f.write(buf)
 
@@ -91,16 +101,20 @@ def _params_to_caffe_layers(params):
     return layers
 
 
-@pytest.mark.parametrize('v1', [False, True])
-def test_caffemodel_roundtrip_to_forward(tmp_path, v1):
+@pytest.mark.parametrize('v1,legacy_dims',
+                         [(False, False), (True, False), (True, True)])
+def test_caffemodel_roundtrip_to_forward(tmp_path, v1, legacy_dims):
     spec = detector.ModelSpec(num_classes=4, hidden_dim=8,
                               compute_dtype='float32')
     params0 = detector.init_params(spec, jax.random.PRNGKey(0))
     params0 = {k: np.asarray(v) for k, v in params0.items()}
 
     # 1. synthesize the caffemodel from the reference layouts
+    # (legacy_dims: V1 num/... scalar shapes — biases arrive (1, 1, 1, N)
+    # like the real VGG_ILSVRC_16_layers.caffemodel)
     cm = str(tmp_path / 'net.caffemodel')
-    write_caffemodel(cm, _params_to_caffe_layers(params0), v1=v1)
+    write_caffemodel(cm, _params_to_caffe_layers(params0), v1=v1,
+                     legacy_dims=legacy_dims)
 
     # 2. tool conversion: caffemodel -> pkl blobs
     layers = pcb.parse_caffemodel(cm)

@@ -30,6 +30,13 @@ def combine(original, deeplab):
         if name in original:
             assert np.asarray(v).shape == np.asarray(original[name]).shape, \
                 'shape clash on shared blob {}'.format(name)
+            # the reference also asserts VALUE equality (sum == sum,
+            # :46-47): silently keeping the original over a fine-tuned
+            # deeplab copy would produce a mixed init it rejects
+            assert np.isclose(np.asarray(v, np.float64).sum(),
+                              np.asarray(original[name],
+                                         np.float64).sum()), \
+                'value clash on shared blob {}'.format(name)
             continue
         if 'fc8' in name:
             continue

@@ -54,7 +54,10 @@ def convert_selective_search(dataset_name, file_in, file_out):
         # selective search boxes are 1-indexed (y1, x1, y2, x2)
         b = raw[i][:, (1, 0, 3, 2)] - 1
         boxes.append(b.astype(np.uint16))
-        scores.append(np.ones((b.shape[0], 1), np.float32))
+        # the reference writes ZERO scores for selective search
+        # (convert_selective_search.py:54) — with the WSL obn+1
+        # offset that means weight 1.0 per proposal, not 2.0
+        scores.append(np.zeros((b.shape[0], 1), np.float32))
         ids.append(entry['id'])
     with open(file_out, 'wb') as f:
         pickle.dump(dict(boxes=boxes, scores=scores, indexes=ids), f,

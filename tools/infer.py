@@ -79,7 +79,19 @@ def main():
             '(or use a FASTER_RCNN / retinanet config)')
         with open(args.proposals, 'rb') as f:
             props = pickle.load(f, encoding='latin1')
-        entry = props[stem] if stem in props else props
+        if stem in props:
+            entry = props[stem]
+        elif isinstance(props.get('boxes'), np.ndarray) or (
+                isinstance(props.get('boxes'), list) and
+                not isinstance(props['boxes'][0], (list, np.ndarray))):
+            entry = props  # single-image pkl: {boxes, scores}
+        else:
+            raise SystemExit(
+                "'{}' not found in {} — pass a per-image proposal pkl "
+                "keyed by image stem, or {{boxes, scores}} for one image "
+                "(dataset-wide pkls from convert_proposals.py belong to "
+                "test_net.py via TEST.PROPOSAL_FILES)".format(
+                    stem, args.proposals))
         boxes = np.asarray(entry['boxes'], np.float32)
         scores = np.asarray(entry.get('scores',
                                       np.ones((len(boxes), 1))), np.float32)

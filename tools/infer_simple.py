@@ -88,6 +88,9 @@ def main():
     for i, im_name in enumerate(im_list):
         logger.info('Processing %s (%d/%d)', im_name, i + 1, len(im_list))
         im = cv2.imread(im_name)
+        if im is None:
+            logger.warning('Could not read %s; skipping', im_name)
+            continue
         stem = os.path.splitext(os.path.basename(im_name))[0]
         if props is not None and stem in props:
             boxes = np.asarray(props[stem]['boxes'], np.float32)

@@ -20,10 +20,13 @@ import sys
 import time
 
 # force the virtual CPU mesh before jax initializes (conftest recipe)
+import re as _re
 flags = os.environ.get('XLA_FLAGS', '')
-if 'xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (
-        flags + ' --xla_force_host_platform_device_count=8').strip()
+# REPLACE any existing count (__graft_entry__.py pattern): a pre-existing
+# smaller count would crash the 4- and 8-device legs mid-run
+flags = _re.sub(r'--xla_force_host_platform_device_count=\d+', '', flags)
+os.environ['XLA_FLAGS'] = (
+    flags + ' --xla_force_host_platform_device_count=8').strip()
 os.environ['JAX_PLATFORMS'] = 'cpu'
 
 import numpy as np  # noqa: E402

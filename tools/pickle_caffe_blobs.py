@@ -100,8 +100,11 @@ def _parse_blob(buf):
         dims = [legacy.get(i, 1) for i in (1, 2, 3, 4)]
     if dims and int(np.prod(dims)) == data.size:
         data = data.reshape(dims)
-        # squeeze legacy 4-D fc blobs (1, 1, out, in) -> (out, in)
-        while data.ndim > 2 and data.shape[0] == 1:
+        # squeeze legacy num/channels/height/width padding: fc blobs
+        # (1, 1, out, in) -> (out, in) AND biases (1, 1, 1, n) -> (n,) —
+        # stopping at 2-D left biases as (1, n), which the checkpoint
+        # loader transposes like an fc weight and then rejects
+        while data.ndim > 1 and data.shape[0] == 1:
             data = data[0]
     return data
 

@@ -57,15 +57,44 @@ def main():
     roidb, _, _, _, _ = get_roidb_and_dataset(dataset_name, proposal_file)
     spec, params = initialize_model_from_cfg(args.weights)
 
+    import jax.numpy as jnp
+
+    from nafwebsod_tpu.data.minibatch import (pad_image_to_bucket,
+                                              prep_im_for_blob)
+    from nafwebsod_tpu.models import detector as det
+
     feats, classes = [], []
     for entry in roidb[:args.num_images]:
         im = cv2.imread(entry['image'])
+        if im is None:
+            print('skipping unreadable', entry['image'])
+            continue
+        # class colors from the per-roi scores; EMBEDDED vectors are the
+        # fc7 tower features like the reference tool (which reads the
+        # dumped 4096-d fc7/roi_feats blobs)
         scores, _, _ = infer.im_detect_bbox(
             spec, params, im, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE,
             boxes=entry['boxes'], obn_scores=entry['obn_scores'])
+        im_blob, im_scale = prep_im_for_blob(
+            im, cfg.PIXEL_MEANS, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE,
+            cfg.PIXEL_STDS)
+        rois5, obn, _, inv = infer._dedup_scaled_rois(
+            entry['boxes'], entry['obn_scores'], im_scale)
+        rois_p, obn_p, valid = infer._pad_rois(
+            rois5, obn, cfg.TPU.ROI_PAD_MULTIPLE)
+        im_in = pad_image_to_bucket(im_blob, cfg.TPU.SIZE_BUCKET_MULTIPLE)
+        fc7, _, _ = det._run_body_and_head(
+            spec, params, jnp.asarray(im_in[None]), jnp.asarray(rois_p),
+            jnp.asarray(obn_p), train=False, rng=None,
+            im_hw=jnp.asarray(np.array(im_blob.shape[:2], np.float32)))
+        if isinstance(fc7, tuple):  # context head returns three streams
+            fc7 = fc7[0]
+        fc7 = np.asarray(fc7, np.float32)[:rois5.shape[0]]
+        if inv is not None:
+            fc7 = fc7[inv]  # scatter back to original rows like the scores
         top = scores[:, 1:].argmax(axis=1)
         keep = scores[:, 1:].max(axis=1) > 1e-4
-        feats.append(scores[keep])
+        feats.append(fc7[keep])
         classes.append(top[keep])
     x = np.vstack(feats)
     c = np.concatenate(classes)
