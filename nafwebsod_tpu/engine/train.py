@@ -100,6 +100,7 @@ def train_model(roidb=None, max_iters=None):
         opt_state['center_ndcf'] = np.zeros(cf.shape[:2], cf.dtype)
     steps_per_call = max(cfg.TPU.STEPS_PER_CALL, 1)
     multi_step_fn = None
+    multi_step_with_factors = None  # DP-only lazy factor-applying driver
     mesh_obj = None  # set by the plain DP branch (multi-host capable)
     if cfg.TPU.ROI_SHARDING:
         # RoI-dimension sharding (parallel/roi_shard.py): ONE image per
@@ -196,9 +197,24 @@ def train_model(roidb=None, max_iters=None):
             spec, hp, mults, m,
             center_update_period=max(128 // num_devices, 1))
         if steps_per_call > 1:
+            # primary window driver compiles WITHOUT the per-step in-graph
+            # momentum rescaling (~0.3 ms/step of pure momentum rewrite at
+            # factor 1.0); the factor-applying variant is built lazily for
+            # the rare windows that contain an LR boundary
             multi_step_fn = ts.make_multi_train_step(
-                spec, hp, mults, m,
+                spec, hp, mults, m, apply_factors=False,
                 center_update_period=max(128 // num_devices, 1))
+            _multi_cache = {}
+
+            def multi_step_with_factors(*args):
+                if 'f' not in _multi_cache:
+                    logger.info('LR boundary inside a STEPS_PER_CALL '
+                                'window: compiling the factor-applying '
+                                'window driver')
+                    _multi_cache['f'] = ts.make_multi_train_step(
+                        spec, hp, mults, m, apply_factors=True,
+                        center_update_period=max(128 // num_devices, 1))
+                return _multi_cache['f'](*args)
 
     # ----- data -----
     # Multi-host: each process owns a strided roidb slice + its own loader
@@ -309,7 +325,14 @@ def train_model(roidb=None, max_iters=None):
                     mesh_obj,
                     rngs.reshape((w, local_per_step) + rngs.shape[1:]),
                     batch_axis=1)
-                params, opt_state, loss, aux = multi_step_fn(
+                # the DP window driver skips in-graph momentum rescaling;
+                # windows containing an LR boundary use the lazy
+                # factor-applying variant
+                mfn = multi_step_fn
+                if (multi_step_with_factors is not None and
+                        any(f != 1.0 for f in factors)):
+                    mfn = multi_step_with_factors
+                params, opt_state, loss, aux = mfn(
                     params, opt_state, batch,
                     np.asarray(lrs, np.float32),
                     np.asarray(factors, np.float32),
