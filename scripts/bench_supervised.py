@@ -24,6 +24,10 @@ except Exception:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from nafwebsod_tpu.utils.env import apply_platform_override  # noqa: E402
+
+apply_platform_override()
+
 from nafwebsod_tpu.models import detector  # noqa: E402
 from nafwebsod_tpu.solver import sgd  # noqa: E402
 

@@ -27,6 +27,10 @@ except Exception:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from nafwebsod_tpu.utils.env import apply_platform_override  # noqa: E402
+
+apply_platform_override()
+
 from __graft_entry__ import _example_inputs  # noqa: E402
 from nafwebsod_tpu.models import detector  # noqa: E402
 from nafwebsod_tpu.parallel import train_step as ts  # noqa: E402
@@ -42,12 +46,20 @@ def main():
     H = W = 704 if on_tpu else 96
     R, hidden = (2048, 4096) if on_tpu else (32, 32)
 
-    image, rois, obn, valid, labels = _example_inputs(
-        H=H, W=W, R=R, num_classes=21, seed=0)
-    stacked = ts.stack_minibatches(
-        [{'data': image, 'rois': rois, 'obn_scores': obn,
-          'valid_mask': valid, 'labels_oh': labels}], size_bucket=64)
-    batch = {k: jnp.asarray(v[0]) for k, v in stacked.items()}
+    def blob(seed):
+        image, rois, obn, valid, labels = _example_inputs(
+            H=H, W=W, R=R, num_classes=21, seed=seed)
+        return {'data': image, 'rois': rois, 'obn_scores': obn,
+                'valid_mask': valid, 'labels_oh': labels}
+
+    # ONE batch PER SCAN STEP (K distinct): a constant scan batch lets XLA
+    # hoist the frozen conv body + pool out of the loop and overstate
+    # frozen-body variants by ~3.5 ms/step (round-4 finding, BASELINE.md)
+    per_step = [ts.stack_minibatches([blob(seed)], size_bucket=64)
+                for seed in range(K)]
+    batches = {k: jnp.asarray(np.stack([b[k][0] for b in per_step]))
+               for k in per_step[0]}
+    batch = {k: v[0] for k, v in batches.items()}  # eval variant: 1 image
 
     base = dict(num_classes=21, compute_dtype='bfloat16',
                 hidden_dim=hidden)
@@ -73,14 +85,15 @@ def main():
                     mask_resolution=7, mask_dim_reduced=256),
         'infer': {},
     }
-    full_batch = batch
+    full_batches = batches
     for variant in want:
         spec = detector.ModelSpec(**base, **variants[variant])
-        batch = full_batch
+        batches = full_batches
         if variant == 'csc2':
-            two = np.zeros((1, 20), np.float32)
-            two[0, [3, 11]] = 1.0
-            batch = dict(full_batch, labels_oh=jnp.asarray(two))
+            two = np.zeros((K, 1, 20), np.float32)
+            two[:, 0, 3] = 1.0
+            two[:, 0, 11] = 1.0
+            batches = dict(full_batches, labels_oh=jnp.asarray(two))
         params = detector.init_params(spec, jax.random.PRNGKey(0))
         hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005,
                                 iter_size=1)
@@ -94,13 +107,14 @@ def main():
         # — and remote-attached runtimes like axon_pjrt do not implement
         # host callbacks AT ALL, so it may simply fail there).
         @jax.jit
-        def multi_step(params, opt_state, batch, rng):
-            def one(carry, k):
+        def multi_step(params, opt_state, batches, rng):
+            def one(carry, xs):
                 p, s = carry
+                b, k = xs
 
                 def loss_fn(pp):
                     return detector.forward_train(
-                        spec, pp, batch, jax.random.fold_in(rng, k))
+                        spec, pp, b, jax.random.fold_in(rng, k))
 
                 (loss, _), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(p)
@@ -108,7 +122,7 @@ def main():
                 return (p, s), loss
 
             (p, s), losses = jax.lax.scan(one, (params, opt_state),
-                                          jnp.arange(K))
+                                          (batches, jnp.arange(K)))
             return p, s, losses
 
         if variant == 'infer':
@@ -135,14 +149,14 @@ def main():
 
         rng = jax.random.key(2, impl='rbg')
         try:
-            p, s, losses = multi_step(params, opt_state, batch, rng)
+            p, s, losses = multi_step(params, opt_state, batches, rng)
             float(losses[-1])
         except Exception as e:
             print('wsod[{:10s}]: FAILED ({})'.format(
                 variant, str(e).splitlines()[0][:100]), flush=True)
             continue
         t0 = time.perf_counter()
-        p, s, losses = multi_step(p, s, batch, rng)
+        p, s, losses = multi_step(p, s, batches, rng)
         float(losses[-1])
         dt = (time.perf_counter() - t0) / K
         print('wsod[{:10s}]: {:7.2f} ms/step'.format(variant, dt * 1e3),

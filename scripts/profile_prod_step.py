@@ -21,6 +21,10 @@ except Exception:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from nafwebsod_tpu.utils.env import apply_platform_override  # noqa: E402
+
+apply_platform_override()
+
 from __graft_entry__ import _example_inputs  # noqa: E402
 from nafwebsod_tpu.models import detector  # noqa: E402
 from nafwebsod_tpu.parallel import mesh as mesh_lib  # noqa: E402
