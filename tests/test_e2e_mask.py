@@ -144,6 +144,26 @@ def test_every_reference_config_builds_a_spec():
     assert not bad, bad
 
 
+def test_every_shipped_config_builds_a_spec():
+    """The YAMLs this repo ships (configs/) must merge AND build."""
+    from nafwebsod_tpu.core import config as C
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    yamls = sorted(glob.glob(os.path.join(repo_root, 'configs', '**',
+                                          '*.yaml'), recursive=True))
+    assert yamls, 'no shipped configs found'
+    bad = []
+    for p in yamls:
+        C.reset_cfg()
+        try:
+            C.merge_cfg_from_file(p)
+            detector.spec_from_cfg(C.cfg)
+        except Exception as e:
+            bad.append((os.path.basename(p), str(e)[:70]))
+    C.reset_cfg()
+    assert not bad, bad
+
+
 class TestMaskHeadVariants:
     """MRCNN.ROI_MASK_HEAD strings must build the architecture their names
     promise (mask_rcnn_heads.py:112-300) — or raise."""
