@@ -29,7 +29,7 @@ NEG = -3.0e38
 
 def _kernel(rois_ref, feat_ref, out_ref, rmall_ref, rmout_ref,
             *, pooled_h, pooled_w, mbh, mbw, H, W, clip_h, clip_w,
-            spatial_scale, mbh_s, mbwu_s, mbw_s):
+            spatial_scale, tiers):
     r = pl.program_id(1)
 
     def scaled(i):
@@ -93,16 +93,24 @@ def _kernel(rois_ref, feat_ref, out_ref, rmall_ref, rmout_ref,
         for pw in range(pooled_w):
             pass2(pw, w_base, w_window)
 
-    use_small = (mbh_s < mbh and mbwu_s + mbw_s < W and mbh_s < H)
-    if not use_small:
+    # predicated size tiers (ascending windows; same pattern as
+    # roi_pool_pallas): VPU work per roi scales with h_window * w_union, so
+    # each roi takes the smallest window set its ring fits in
+    usable = [(th, twu, tw) for (th, twu, tw) in tiers
+              if th < mbh and twu + tw < W and th < H]
+    if not usable:
         _full_path()
         return
 
     # float bins: bin height <= ceil(roi_h / PH) + 1
     bin_rows = (roi_h + pooled_h - 1) // pooled_h + 1
-    small = (bin_rows <= mbh_s) & (roi_w + 8 <= mbwu_s)
-    pl.when(small)(lambda: sized_path(mbh_s, mbwu_s, mbw_s))
-    pl.when(jnp.logical_not(small))(_full_path)
+    taken = None
+    for th, twu, tw in usable:
+        fits = (bin_rows <= th) & (roi_w + 8 <= twu)
+        cond = fits if taken is None else (fits & jnp.logical_not(taken))
+        pl.when(cond)(functools.partial(sized_path, th, twu, tw))
+        taken = fits if taken is None else (taken | fits)
+    pl.when(jnp.logical_not(taken))(_full_path)
 
 
 @functools.partial(
@@ -141,13 +149,15 @@ def roi_loop_pool_pallas(feat, rois9, pooled_h=7, pooled_w=7,
     mbw = min(int(math.ceil(W / pooled_w)) + 2, Wp)
     mbw_full = min(-(-(mbw + 7) // 8) * 8, Wp)
 
-    # the context head's ring rois are ~1.8x the proposal: keep one small
-    # tier with windows sized for that (outer boxes up to ~448 px at 1/8)
+    # the context head's ring rois are ~1.8x the proposal: ascending tier
+    # ladder from outer boxes ~128 px (xtiny: proposals ~70 px, where most
+    # MCG/selective-search boxes live) up to ~448 px (small); bigger rings
+    # take the full-map path
     kernel = functools.partial(
         _kernel, pooled_h=pooled_h, pooled_w=pooled_w, mbh=mbh,
         mbw=mbw_full, H=Hp, W=Wp, clip_h=H, clip_w=W,
         spatial_scale=spatial_scale,
-        mbh_s=12, mbwu_s=64, mbw_s=24)
+        tiers=((4, 24, 16), (6, 40, 16), (8, 48, 16), (12, 64, 24)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

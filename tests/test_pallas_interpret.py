@@ -43,6 +43,20 @@ def test_roi_loop_pool_interpret_matches_xla():
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_roi_loop_pool_interpret_tiered_paths():
+    """A map wide enough to enable the small AND tiny predicated tiers
+    (W=96 > mbwu_s+mbw_s=88 > mbwu_t+mbw_t=56); rois spanning 8..760 px
+    route through tiny, small, and full paths."""
+    rng = np.random.RandomState(3)
+    feat = jnp.asarray(rng.randn(96, 96, 8).astype(np.float32))
+    base = jnp.asarray(_rois(rng, 24, span=760))
+    frame, context = roi_context(base, 760, 760, 1.8)
+    for r9 in (frame, context):
+        out = roi_loop_pool_pallas(feat, r9, 7, 7, 0.125, interpret=True)
+        ref = roi_loop_pool_xla(feat, r9, 7, 7, 0.125)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_roi_align_interpret_matches_xla():
     rng = np.random.RandomState(2)
     feat = jnp.asarray(rng.randn(40, 40, 8).astype(np.float32))
