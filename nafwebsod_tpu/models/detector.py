@@ -1615,9 +1615,18 @@ def forward_train(spec: ModelSpec, params, batch, rng):
         # Pallas pool-backward kernel (no JVP rule) — and dies.
         params_sg = jax.tree.map(jax.lax.stop_gradient, params)
 
+        # train=True with the SAME rng as the main tower: the reference's
+        # nested CPG net shares the train net's forward blobs — dropout
+        # masks included (cpg_utils.py:20 create_cpg_net builds it from
+        # the train net) — so the faithful inner forward is IDENTICAL to
+        # the main one. Being identical also makes the duplicate forward
+        # CSE-able (stop_gradient is identity in HLO); measured
+        # perf-neutral on-chip (86.5 vs 87-88 ms), so this is a parity
+        # fix, not a speed lever — the speed lever is the per-seed cond
+        # gating in cpg_maps (86.5 -> 65.9 ms).
         def cls_prob_fn(im):
             f7, _, _ = _run_body_and_head(unfrozen, params_sg, im, rois,
-                                          obn, train=False, rng=None,
+                                          obn, train=True, rng=rng,
                                           im_hw=im_hw)
             o = (heads.wsl_context_outputs(params_sg, f7, valid)
                  if spec.is_context
@@ -1675,9 +1684,11 @@ def forward_train(spec: ModelSpec, params, batch, rng):
         # see the CSC branch for why the params must be sg'd here)
         params_sg = jax.tree.map(jax.lax.stop_gradient, params)
 
+        # train=True with the main tower's rng — same blob-sharing
+        # faithfulness argument as the CSC branch above
         def cls_prob_fn(im):
             f7, _, _ = _run_body_and_head(unfrozen, params_sg, im, rois,
-                                          obn, train=False, rng=None,
+                                          obn, train=True, rng=rng,
                                           im_hw=im_hw)
             f7m = f7[0] if spec.is_context else f7
             o = heads.wsl_outputs(params_sg, f7m, valid)

@@ -59,24 +59,33 @@ def cpg_maps(cls_prob_fn, image, labels_oh, cls_prob, tau=0.7, max_gt=4):
     idx, valid = select_gt_classes(labels_oh, max_gt)
     pred = cls_prob[0]
 
-    # ONE linearization + a vmapped VJP over per-class cotangent seeds:
-    # the forward runs once and the max_gt backward passes batch (the
-    # previous lax.map of jax.grad re-ran forward AND backward per class —
-    # 4x the work at the flagship CSC shapes)
+    # ONE linearization, then a lax.scan of per-class backward passes with
+    # a lax.cond gate: the reference's CPG op only runs the nested backward
+    # for classes with label AND pred >= tau (cpg_op.cu:149-166) — the cond
+    # makes that skip STRUCTURAL, so an image with g active gt classes pays
+    # exactly g backward passes instead of max_gt batched ones (the previous
+    # vmapped form ran the conv-body/fc dgrads for zeroed seeds too; only
+    # the Pallas pool backward could early-exit on zero cotangents).
+    # Measured on v5e at flagship shapes (2 gt classes, max_gt=4): 86.5 ->
+    # 65.9 ms/step for the full CSC step; an inner-forward-CSE-only
+    # ablation stayed at 86.3, pinning the whole win on this gating.
     out_shape = jax.eval_shape(cls_prob_fn, image)
     _, vjp = jax.vjp(cls_prob_fn, image)
-    seeds = jax.nn.one_hot(jnp.maximum(idx, 0), out_shape.shape[1],
-                           dtype=out_shape.dtype)[:, None, :]  # (G, 1, C)
-    # the reference's CPG op only runs the nested backward for classes
-    # with label AND pred >= tau (cpg_op.cu:149-166); zero the other
-    # seeds — their maps are discarded by `keep` below anyway, and the
-    # Pallas pool backward skips zero-cotangent rois entirely, so padded
-    # / low-confidence classes stop costing full backward passes
-    active = valid & (cls_prob[0][jnp.maximum(idx, 0)] >= tau)
-    seeds = seeds * active[:, None, None].astype(seeds.dtype)
-    grads = jax.vmap(lambda s: vjp(s)[0])(seeds)     # (G, 1, H, W, 3)
-    # channel-max of |grad| over the image's channel axis (cpg_op.cu:58)
-    maps = jnp.max(jnp.abs(grads[:, 0]), axis=-1)    # (max_gt, H, W)
+    active = valid & (pred[jnp.maximum(idx, 0)] >= tau)
+
+    def one_seed(_, xs):
+        ci, act = xs
+        seed = jax.nn.one_hot(jnp.maximum(ci, 0), out_shape.shape[1],
+                              dtype=out_shape.dtype)[None, :]  # (1, C)
+        grad = jax.lax.cond(
+            act,
+            lambda s: vjp(s)[0],
+            lambda s: jnp.zeros(image.shape, image.dtype),
+            seed)
+        # channel-max of |grad| over the image's channel axis (cpg_op.cu:58)
+        return None, jnp.max(jnp.abs(grad[0]), axis=-1)
+
+    _, maps = jax.lax.scan(one_seed, None, (idx, active))  # (max_gt, H, W)
 
     # CPGScale: gate on pred >= tau; normalize to max 1; drop max in {0, 1}
     pred_sel = pred[jnp.maximum(idx, 0)]

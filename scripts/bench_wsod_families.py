@@ -77,8 +77,10 @@ def main():
         'min_entropy': dict(single, min_entropy_loss=True),
         # cpg_tau=0 keeps every gt-class CPG seed active (random-init preds
         # never pass the real 0.7 gate after the cpg_op.cu:149-166 parity
-        # seed-gating) — 'csc' measures the all-4-seeds worst case;
-        # 'csc2' the typical 2-gt-class regime (seed early-exit active)
+        # seed-gating) — 'csc' forces 4 gt classes = the all-4-seeds
+        # worst case (the default _example_inputs labels carry at most 2,
+        # so pre-round-5 'csc' numbers were really the 2-seed regime);
+        # 'csc2' the typical 2-gt-class regime (seed cond-gating active)
         'csc': dict(single, csc=True, cpg_tau=0.0),
         'csc2': dict(single, csc=True, cpg_tau=0.0),
         'seg': dict(single, mask_on=True, mask_head='fcn',
@@ -89,11 +91,11 @@ def main():
     for variant in want:
         spec = detector.ModelSpec(**base, **variants[variant])
         batches = full_batches
-        if variant == 'csc2':
-            two = np.zeros((K, 1, 20), np.float32)
-            two[:, 0, 3] = 1.0
-            two[:, 0, 11] = 1.0
-            batches = dict(full_batches, labels_oh=jnp.asarray(two))
+        if variant in ('csc', 'csc2'):
+            n_gt = 4 if variant == 'csc' else 2
+            lab = np.zeros((K, 1, 20), np.float32)
+            lab[:, 0, [3, 11, 7, 15][:n_gt]] = 1.0
+            batches = dict(full_batches, labels_oh=jnp.asarray(lab))
         params = detector.init_params(spec, jax.random.PRNGKey(0))
         hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005,
                                 iter_size=1)
