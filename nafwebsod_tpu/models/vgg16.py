@@ -12,6 +12,8 @@ Params are a flat dict of Caffe2-style blob names -> arrays in TPU layouts
 have already been BGR pixel-mean subtracted by the data layer.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -66,7 +68,7 @@ def _conv(x, w, b, dilation=1):
     return y + b.astype(y.dtype)
 
 
-def _maxpool(x, stride):
+def _maxpool_raw(x, stride):
     # Caffe2 MaxPool kernel=2, pad=0 (floor semantics == VALID window)
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max,
@@ -74,6 +76,109 @@ def _maxpool(x, stride):
         window_strides=(1, stride, stride, 1),
         padding='VALID',
     )
+
+
+# Custom VJP for the 2x2 pools: XLA's default reduce_window backward is a
+# select-and-scatter op that TPUs execute slowly AND that forces layout-
+# change copies of the full-resolution activations around it (profiled at
+# ~7.7 ms/step of the CSC family's 63.6, scripts/profile_csc.py — the CPG
+# image-gradient passes are the only consumers; flagship training freezes
+# the body and never differentiates a pool). The replacement recomputes
+# the four window-element comparisons and routes the cotangent to the
+# FIRST max in row-major window order — exactly XLA SelectAndScatter's
+# GE-select tie-break AND Caffe's argmax mask routing — as pure
+# elementwise/reshape ops the TPU vector unit streams at HBM speed.
+
+
+def _sh(t, ax, d):
+    """t shifted so position i reads t[i-d] along ax, zero/False padded."""
+    pads = [(0, 0)] * t.ndim
+    pads[ax] = (d, 0) if d > 0 else (0, -d)
+    tt = jnp.pad(t, pads)
+    idx = [slice(None)] * t.ndim
+    idx[ax] = slice(0, t.shape[ax]) if d > 0 else slice(-d, None)
+    return tt[tuple(idx)]
+
+
+def _swap(t, ax, parity_odd):
+    """Exchange each in-window pair along ax: out[i] = t[i ^ 1]."""
+    return jnp.where(parity_odd, _sh(t, ax, 1), _sh(t, ax, -1))
+
+
+def _dilate2(t, h, w):
+    """Place t[a, b] at [2a, 2b] of an (h, w) grid (zeros elsewhere)."""
+    cfg = [(0, 0, 0), (0, h - 2 * t.shape[1] + 1, 1),
+           (0, w - 2 * t.shape[2] + 1, 1), (0, 0, 0)]
+    return jax.lax.pad(t, jnp.zeros((), t.dtype), cfg)
+
+
+def _mp_fwd(x, stride):
+    y = _maxpool_raw(x, stride)
+    return y, (x, y)
+
+
+def _mp_bwd(stride, res, g):
+    x, y = res
+    if stride == 2:
+        # Non-overlapping windows, computed ENTIRELY at full resolution
+        # with shift-by-1 / parity-select / interior-pad ops so XLA keeps
+        # the native (N, H, W, C) tiling end-to-end. Two earlier forms
+        # lowered badly on v5e: strided quarter slices became s32 row
+        # gathers (~4.4 ms/seed at 704px), and an (H/2, 2, W/2, 2, C)
+        # reshape materialized T(2,128)-laid-out broadcasts (~3.7).
+        # Routing is FIRST max in row-major window order — identical to
+        # XLA SelectAndScatter's GE-select and Caffe's argmax mask
+        # (bit-equal, pinned by tests/test_backbones.py::TestMaxPoolVJP).
+        n, h, w, c = x.shape
+        row_odd = (jnp.arange(h) % 2 == 1)[None, :, None, None]
+        col_odd = (jnp.arange(w) % 2 == 1)[None, None, :, None]
+
+        def spread(t):  # window-corner values -> every window element
+            s = t + _swap(t, 1, row_odd)
+            return s + _swap(s, 2, col_odd)
+
+        y_up = spread(_dilate2(y, h, w))
+        m = x == y_up
+        # first-max tie-break: drop any element whose window has an
+        # earlier (row-major) max — the left pair-neighbor (odd cols),
+        # or either element of the pair-row above (odd rows)
+        mu = _sh(m, 1, 1)
+        earlier = ((col_odd & _sh(m, 2, 1))
+                   | (row_odd & (mu | _swap(mu, 2, col_odd))))
+        chosen = m & ~earlier
+        dx = jnp.where(chosen, spread(_dilate2(g, h, w)),
+                       jnp.zeros((), g.dtype))
+        return (dx,)
+    # stride 1 (the small dilated pool4): overlapping windows — mask the
+    # four shifted views and sum the four padded contributions. The sum
+    # order differs from SelectAndScatter's scatter-add by <= 1 ULP
+    # (PARITY.md); routing (first max, row-major) is identical.
+    x00 = x[:, :-1, :-1, :]
+    x01 = x[:, :-1, 1:, :]
+    x10 = x[:, 1:, :-1, :]
+    x11 = x[:, 1:, 1:, :]
+    c00 = x00 == y
+    c01 = (x01 == y) & ~c00
+    c10 = (x10 == y) & ~c00 & ~c01
+    c11 = ~(c00 | c01 | c10)  # the max is always one of the four
+    zero = jnp.zeros((), g.dtype)
+    dx = (jnp.pad(jnp.where(c00, g, zero), ((0, 0), (0, 1), (0, 1), (0, 0)))
+          + jnp.pad(jnp.where(c01, g, zero), ((0, 0), (0, 1), (1, 0), (0, 0)))
+          + jnp.pad(jnp.where(c10, g, zero), ((0, 0), (1, 0), (0, 1), (0, 0)))
+          + jnp.pad(jnp.where(c11, g, zero), ((0, 0), (1, 0), (1, 0), (0, 0))))
+    return (dx,)
+
+
+@functools.lru_cache(maxsize=None)
+def _maxpool2x2(stride):
+    f = jax.custom_vjp(lambda x: _maxpool_raw(x, stride))
+    f.defvjp(lambda x: _mp_fwd(x, stride),
+             lambda res, g: _mp_bwd(stride, res, g))
+    return f
+
+
+def _maxpool(x, stride):
+    return _maxpool2x2(stride)(x)
 
 
 def forward(params, x, dilation=2, freeze_at=2):

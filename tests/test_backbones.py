@@ -134,3 +134,52 @@ def test_resnext_param_shapes():
     assert s['res3_0_branch2b_w'] == (3, 3, 16, 512)
     assert s['res5_0_branch2b_w'] == (3, 3, 64, 2048)
     assert s['res5_0_branch2c_w'] == (1, 1, 2048, 2048)
+
+
+class TestMaxPoolVJP:
+    """The VGG16 2x2 maxpool custom VJP must match XLA's reduce_window
+    backward (SelectAndScatter GE-select = first-max routing): bit-equal
+    for the non-overlapping stride-2 pools, <=1-ULP summation-order
+    difference for the overlapping stride-1 pool4 (PARITY.md)."""
+
+    @staticmethod
+    def _raw(x, stride):
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max,
+            window_dimensions=(1, 2, 2, 1),
+            window_strides=(1, stride, stride, 1),
+            padding='VALID')
+
+    @pytest.mark.parametrize('hw', [(8, 10), (9, 11)])
+    @pytest.mark.parametrize('stride', [2, 1])
+    @pytest.mark.parametrize('ties', ['none', 'relu_zeros', 'rounded'])
+    def test_matches_xla_backward(self, stride, ties, hw):
+        from nafwebsod_tpu.models import vgg16
+        rng = np.random.RandomState(hash((stride, ties)) % 2**31)
+        x = rng.randn(1, hw[0], hw[1], 3).astype(np.float32)
+        if ties == 'relu_zeros':
+            x = np.maximum(x, 0.0)
+        elif ties == 'rounded':
+            x = np.round(x)
+        x = jnp.asarray(x)
+        y_ref = self._raw(x, stride)
+        g = jnp.asarray(rng.randn(*y_ref.shape).astype(np.float32))
+        y = vgg16._maxpool(x, stride)
+        assert jnp.array_equal(y, y_ref)
+        _, vjp_new = jax.vjp(lambda a: vgg16._maxpool(a, stride), x)
+        _, vjp_ref = jax.vjp(lambda a: self._raw(a, stride), x)
+        dn, dr = vjp_new(g)[0], vjp_ref(g)[0]
+        if stride == 2:
+            assert jnp.array_equal(dn, dr)
+        else:
+            np.testing.assert_allclose(np.asarray(dn), np.asarray(dr),
+                                       rtol=0, atol=1e-6)
+
+    def test_bf16_bit_equal(self):
+        from nafwebsod_tpu.models import vgg16
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(np.maximum(rng.randn(1, 8, 8, 4), 0), jnp.bfloat16)
+        g = jnp.asarray(rng.randn(1, 4, 4, 4), jnp.bfloat16)
+        _, vjp_new = jax.vjp(lambda a: vgg16._maxpool(a, 2), x)
+        _, vjp_ref = jax.vjp(lambda a: self._raw(a, 2), x)
+        assert jnp.array_equal(vjp_new(g)[0], vjp_ref(g)[0])
