@@ -137,7 +137,11 @@ def _mp_bwd(stride, res, g):
             s = t + _swap(t, 1, row_odd)
             return s + _swap(s, 2, col_odd)
 
-        y_up = spread(_dilate2(y, h, w))
+        # per-position window max via pair swaps (cheaper than dilating
+        # the saved y back up: each _dilate2 materialized a full-res pad,
+        # ~1 ms/seed at 704px)
+        th = jnp.maximum(x, _swap(x, 1, row_odd))
+        y_up = jnp.maximum(th, _swap(th, 2, col_odd))
         m = x == y_up
         # first-max tie-break: drop any element whose window has an
         # earlier (row-major) max — the left pair-neighbor (odd cols),
