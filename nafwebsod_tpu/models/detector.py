@@ -1164,7 +1164,10 @@ def _mask_pooled(spec, params, feat, rois):
             method='RoIAlign', resolution=spec.mask_resolution,
             sampling_ratio=2, canonical_scale=spec.fpn_canonical_scale,
             canonical_level=spec.fpn_canonical_level, flatten=False)
-    return roi_align(feat[0].astype(jnp.float32), rois,
+    # no f32 upcast: the Pallas kernel keeps a bf16 block resident in
+    # VMEM (half the window-copy bytes) and converts at the GEMM operand
+    # — numerically identical to upcasting here, output is f32 either way
+    return roi_align(feat[0], rois,
                      spec.mask_resolution, spec.mask_resolution,
                      body_spatial_scale(spec), 2)
 

@@ -69,7 +69,7 @@ def _axis_weights(start, end, pooled, sr, n, base, window, limit):
 
 def _kernel(rois_ref, feat_ref, out_ref,
             *, pooled_h, pooled_w, sr, H, W, clip_h, clip_w, spatial_scale,
-            hw_s, ww_s):
+            tiers):
     r = pl.program_id(1)
     start_w = rois_ref[1, r] * spatial_scale
     start_h = rois_ref[2, r] * spatial_scale
@@ -105,18 +105,24 @@ def _kernel(rois_ref, feat_ref, out_ref,
                 pooled_w, pooled_h, -1)
         out_ref[0, :, :, :] = out.transpose(1, 0, 2)
 
-    # small tier: roi fits an (hw_s, ww_s) window (weights cover
-    # floor(start)..ceil(end)+1; the +8 covers the aligned base slack)
+    # ascending window-size ladder: each roi takes the SMALLEST window
+    # that covers its sample extent (floor(start)..ceil(end)+1, +8 on w
+    # for the aligned base slack) — the per-roi VMEM window copy is the
+    # kernel's dominant cost, so typical MCG-scale rois must not pay the
+    # worst-case window (same structure as the RoIPool/RoILoopPool
+    # ladders; profiled at 10.2 ms/step in the seg family with the old
+    # single 40x40 tier)
     roi_h_cells = jnp.ceil(end_h) - jnp.floor(start_h) + 2.0
     roi_w_cells = jnp.ceil(end_w) - jnp.floor(start_w) + 2.0
-    use_small = (hw_s < H and ww_s + 8 < W)
-    if not use_small:
-        run(H, W)
-        return
-    small = ((roi_h_cells <= hw_s) & (roi_w_cells + 8.0 <= ww_s) &
-             (start_h >= 0) & (start_w >= 0))
-    pl.when(small)(lambda: run(hw_s, ww_s))
-    pl.when(jnp.logical_not(small))(lambda: run(H, W))
+    live = (start_h >= 0) & (start_w >= 0)
+    usable = [(th, tw) for th, tw in tiers if th < H and tw + 8 < W]
+    taken = jnp.zeros((), jnp.bool_)
+    for th, tw in usable:
+        fits = live & (roi_h_cells <= th) & (roi_w_cells + 8.0 <= tw)
+        this = fits & jnp.logical_not(taken)
+        pl.when(this)(lambda th=th, tw=tw: run(th, tw))
+        taken = taken | fits
+    pl.when(jnp.logical_not(taken))(lambda: run(H, W))
 
 
 @functools.partial(
@@ -127,16 +133,22 @@ def roi_align_pallas(feat, rois, pooled_h=7, pooled_w=7,
                      spatial_scale=0.125, sampling_ratio=2, cblk=256,
                      interpret=False):
     """RoIAlign forward on TPU via separable bilinear GEMMs. feat:
-    (H, W, C); rois: (R, 5). Returns (R, PH, PW, C) f32."""
+    (H, W, C) f32 or bf16 — the resident VMEM block keeps the input
+    dtype (a bf16 body block halves VMEM residency and window-copy
+    bytes; windows are converted to f32 at the GEMM operand, so the
+    contraction itself is full precision either way); rois: (R, 5).
+    Returns (R, PH, PW, C) f32."""
     H, W, C = feat.shape
     R = rois.shape[0]
-    feat = feat.astype(jnp.float32)
+    if feat.dtype not in (jnp.float32, jnp.bfloat16):
+        feat = feat.astype(jnp.float32)
+    esize = feat.dtype.itemsize
 
     # resident feat block + the full-path window COPY both live in VMEM
     cblk = min(cblk, max(-(-C // 128) * 128, 128))
-    while cblk > 128 and H * W * cblk * 4 > 6 * 1024 * 1024:
+    while cblk > 128 and H * W * cblk * esize > 6 * 1024 * 1024:
         cblk //= 2
-    if H * W * cblk * 4 > 6 * 1024 * 1024:
+    if H * W * cblk * esize > 6 * 1024 * 1024:
         from nafwebsod_tpu.ops.roi_pool import roi_align_xla
         return roi_align_xla(feat, rois, pooled_h, pooled_w, spatial_scale,
                              sampling_ratio)
@@ -149,7 +161,7 @@ def roi_align_pallas(feat, rois, pooled_h=7, pooled_w=7,
     kernel = functools.partial(
         _kernel, pooled_h=pooled_h, pooled_w=pooled_w, sr=sampling_ratio,
         H=Hp, W=Wp, clip_h=H, clip_w=W, spatial_scale=spatial_scale,
-        hw_s=min(40, Hp), ww_s=min(40, Wp))
+        tiers=((8, 16), (16, 24), (24, 40), (40, 56)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -49,6 +49,9 @@ VARIANTS = {
                  cmil=True),
     'csc2': dict(webly_on=False, webly_entropy=False, box_head='vgg16_2fc',
                  csc=True, cpg_tau=0.0),
+    'seg': dict(webly_on=False, webly_entropy=False, box_head='vgg16_2fc',
+                mask_on=True, mask_head='fcn', mask_resolution=7,
+                mask_dim_reduced=256),
 }
 
 
