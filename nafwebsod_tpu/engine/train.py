@@ -450,12 +450,19 @@ def _vis_sample(spec, params, blobs, output_dir, cur_iter):
                 vis_dir, cur_iter, blobs['data'], blobs['rois'], inter,
                 cw, cwn, blobs['labels_oh'], pixel_means=cfg.PIXEL_MEANS)
         if spec.cpg or spec.csc:
-            # CPG saliency dump (cpg_vis.vis_training via train_wsl.py:95)
+            # CPG saliency dump (cpg_vis.vis_training via train_wsl.py:95).
+            # A deterministic iter-folded rng keeps the dumped maps
+            # dropout-ACTIVE like the ones csc_weights consumed in the
+            # step (representative, not byte-identical — the step's own
+            # key lives inside the jitted scan)
+            vis_rng = jax.random.fold_in(
+                jax.random.key(cfg.RNG_SEED, impl=cfg.TPU.RNG_IMPL),
+                cur_iter)
             maps, idx, keep = detector.forward_cpg_maps(
                 spec, params, jnp_asarray(blobs['data']),
                 jnp_asarray(blobs['rois']), jnp_asarray(blobs['obn_scores']),
                 jnp_asarray(blobs['valid_mask']),
-                jnp_asarray(blobs['labels_oh']))
+                jnp_asarray(blobs['labels_oh']), rng=vis_rng)
             vis.vis_training_cpg(vis_dir, cur_iter, blobs['data'], maps,
                                  idx, keep, pixel_means=cfg.PIXEL_MEANS)
     except Exception:

@@ -1164,12 +1164,13 @@ def _mask_pooled(spec, params, feat, rois):
             method='RoIAlign', resolution=spec.mask_resolution,
             sampling_ratio=2, canonical_scale=spec.fpn_canonical_scale,
             canonical_level=spec.fpn_canonical_level, flatten=False)
-    # no f32 upcast: the Pallas kernel keeps a bf16 block resident in
-    # VMEM (half the window-copy bytes) and converts at the GEMM operand
-    # — numerically identical to upcasting here, output is f32 either way
+    # no f32 upcast of the FEATURES: the Pallas kernel keeps a bf16 block
+    # resident in VMEM (half the window-copy bytes) and contracts in f32;
+    # out_dtype=f32 returns that result un-rounded — bit-identical to the
+    # old feat.astype(f32)-then-pool form (the f32 mask head consumes it)
     return roi_align(feat[0], rois,
                      spec.mask_resolution, spec.mask_resolution,
-                     body_spatial_scale(spec), 2)
+                     body_spatial_scale(spec), 2, out_dtype=jnp.float32)
 
 
 @partial(jax.jit, static_argnames=('spec',))
@@ -1210,11 +1211,17 @@ def forward_keypoints(spec: ModelSpec, params, image, rois):
 
 @partial(jax.jit, static_argnames=('spec',))
 def forward_cpg_maps(spec: ModelSpec, params, image, rois, obn_scores,
-                     valid, labels_oh, im_hw=None):
+                     valid, labels_oh, im_hw=None, rng=None):
     """CPG saliency maps for visualization (cpg_vis.py:save_cpg:135-152 —
     the reference dumps the CPG blob every WSL.SAMPLE_ITER when CPG/CSC is
     active). Recomputed off the hot path instead of exporting the maps from
-    the train step. Returns (maps (max_gt, H, W), class_idx, keep)."""
+    the train step. With ``rng`` the inner forward runs train=True so the
+    dumped maps include dropout like the maps the CSC train step actually
+    uses (the reference dumps from the live train net's blobs); the exact
+    per-step key is consumed inside the jitted step, so callers pass a
+    deterministic stand-in (engine/train._vis_sample folds the iter into
+    the seed) — representative, not byte-identical to the in-step maps.
+    Returns (maps (max_gt, H, W), class_idx, keep)."""
     from dataclasses import replace as dc_replace
 
     from nafwebsod_tpu.models import heads
@@ -1225,8 +1232,8 @@ def forward_cpg_maps(spec: ModelSpec, params, image, rois, obn_scores,
 
     def cls_prob_fn(im):
         f7, _, _ = _run_body_and_head(unfrozen, params, im, rois,
-                                      obn_scores, train=False, rng=None,
-                                      im_hw=im_hw)
+                                      obn_scores, train=rng is not None,
+                                      rng=rng, im_hw=im_hw)
         o = (heads.wsl_context_outputs(params, f7, valid)
              if spec.is_context else heads.wsl_outputs(params, f7, valid))
         return heads.cls_pred(o['rois_pred'])

@@ -253,37 +253,45 @@ def roi_pool_xla(feat, rois, pooled_h=7, pooled_w=7, spatial_scale=0.125, chunk=
 
 
 def roi_align(feat, rois, pooled_h=7, pooled_w=7, spatial_scale=0.125,
-              sampling_ratio=2):
+              sampling_ratio=2, out_dtype=None):
     """Detectron RoIAlign (legacy, non-aligned offsets) with a static
-    sampling grid. Returns (R, pooled_h, pooled_w, C).
+    sampling grid. Returns (R, pooled_h, pooled_w, C) in ``out_dtype``
+    (default: ``feat.dtype`` on every dispatch path).
+
+    ``out_dtype=jnp.float32`` with a bf16 ``feat`` keeps the Pallas
+    kernel's cheap bf16 VMEM residency while returning the contraction's
+    natural f32 result un-rounded — exactly what an f32 upcast of the
+    bf16 features BEFORE pooling would produce, without the 2x window
+    copy/residency cost (used by the f32 mask head, detector._mask_pooled).
 
     On TPU this dispatches to the separable-bilinear-GEMM Pallas kernel
     (ops/pallas/roi_align_pallas.py — two MXU matmuls per roi against a
     VMEM-resident feature block instead of 4-corner gathers); gradients
     fall back to autodiff of the XLA implementation."""
+    out_dtype = feat.dtype if out_dtype is None else jnp.dtype(out_dtype)
     if not _FORCE_PORTABLE and _on_tpu():
         return _roi_align_tpu(feat, rois, pooled_h, pooled_w,
-                              spatial_scale, sampling_ratio)
+                              spatial_scale, sampling_ratio, out_dtype)
     return roi_align_xla(feat, rois, pooled_h, pooled_w, spatial_scale,
-                         sampling_ratio)
+                         sampling_ratio).astype(out_dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _roi_align_tpu(feat, rois, pooled_h, pooled_w, spatial_scale,
-                   sampling_ratio):
+                   sampling_ratio, out_dtype):
     from nafwebsod_tpu.ops.pallas.roi_align_pallas import roi_align_pallas
     return roi_align_pallas(feat, rois, pooled_h, pooled_w, spatial_scale,
-                            sampling_ratio).astype(feat.dtype)
+                            sampling_ratio).astype(out_dtype)
 
 
 def _roi_align_tpu_fwd(feat, rois, pooled_h, pooled_w, spatial_scale,
-                       sampling_ratio):
+                       sampling_ratio, out_dtype):
     return (_roi_align_tpu(feat, rois, pooled_h, pooled_w, spatial_scale,
-                           sampling_ratio), (feat, rois))
+                           sampling_ratio, out_dtype), (feat, rois))
 
 
 def _roi_align_tpu_bwd(pooled_h, pooled_w, spatial_scale, sampling_ratio,
-                       res, g):
+                       out_dtype, res, g):
     feat, rois = res
     _, vjp = jax.vjp(
         lambda f: roi_align_xla(f, rois, pooled_h, pooled_w, spatial_scale,

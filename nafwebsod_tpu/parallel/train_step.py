@@ -122,6 +122,30 @@ def _refresh_shadow(new_state, new_params, shadow, mults):
     return new_state
 
 
+def _vmap_forward_train(spec, params, batch, rngs):
+    """``forward_train`` over the device's images, as ``(totals, auxs)``
+    with a leading image axis.
+
+    The B == 1 case (EVERY WSL config: the reference trains 1 image/GPU,
+    na_wsddn_V-16-C5_1x.yaml:31) is specialized to a DIRECT call +
+    expand_dims — semantically identical to a size-1 vmap, but it keeps
+    data-dependent ``lax.cond`` skips inside the forward REAL
+    conditionals: under vmap a batched-predicate cond lowers to
+    ``select_n`` and executes BOTH branches, which silently turned the
+    CPG per-seed gating (ops/cpg.py cpg_maps) into max_gt unconditional
+    sequential backward passes in the production step while the family
+    benchmark (un-vmapped) measured the gated fast path."""
+    b_dim = jax.tree_util.tree_leaves(batch)[0].shape[0]
+    if b_dim == 1:
+        total, aux = detector.forward_train(
+            spec, params, jax.tree.map(lambda x: x[0], batch), rngs[0])
+        return (jnp.expand_dims(total, 0),
+                jax.tree.map(lambda v: jnp.expand_dims(v, 0), aux))
+    return jax.vmap(
+        lambda b, r: detector.forward_train(spec, params, b, r)
+    )(batch, rngs)
+
+
 def _step_body(spec, hp, mults, center_update_period, params, opt_state,
                batch, lr, rngs, mesh=None):
     """One data-parallel step (shared by the single-step and scan drivers).
@@ -138,9 +162,7 @@ def _step_body(spec, hp, mults, center_update_period, params, opt_state,
                                 params, opt_state, batch, lr, rngs, mesh)
 
     def loss_fn(p):
-        totals, auxs = jax.vmap(
-            lambda b, r: detector.forward_train(spec, p, b, r)
-        )(batch, rngs)
+        totals, auxs = _vmap_forward_train(spec, p, batch, rngs)
         # '__'-prefixed aux entries are cross-device SUM deltas (e.g. the
         # center-loss accumulators, reference allreduce in
         # cpg_utils.Center_loss_surgery); plain metrics are averaged.
@@ -191,9 +213,7 @@ def _step_body_fused(spec, hp, mults, center_update_period, params,
              in_specs=(P(), P(), P('data'), P('data')), out_specs=P())
     def local_grads(p, sh, b, r):
         def loss_fn(pp):
-            totals, auxs = jax.vmap(
-                lambda bb, rr: detector.forward_train(spec, pp, bb, rr)
-            )(b, r)
+            totals, auxs = _vmap_forward_train(spec, pp, b, r)
             deltas = {k: jnp.sum(v, axis=0)
                       for k, v in auxs.items() if k.startswith('__')}
             metrics = {k: jnp.sum(v) / n_total
@@ -329,7 +349,5 @@ def device_rngs(key, num_devices):
 @partial(jax.jit, static_argnames=('spec',))
 def eval_step(spec, params, batch, rngs):
     """Loss-only forward over a stacked batch (used by tests/benchmarks)."""
-    totals, auxs = jax.vmap(
-        lambda b, r: detector.forward_train(spec, params, b, r)
-    )(batch, rngs)
+    totals, auxs = _vmap_forward_train(spec, params, batch, rngs)
     return jnp.mean(totals), jax.tree.map(jnp.mean, auxs)

@@ -144,9 +144,10 @@ def make_zero_train_step(spec, hp, mults, mesh, params, donate=False):
         lr_mult_s, wd_s = mult_slices
 
         def loss_fn(pp):
-            totals, auxs = jax.vmap(
-                lambda b, r: detector.forward_train(spec, pp, b, r)
-            )(batch, rngs)
+            # B==1-specialized (keeps forward_train's lax.cond skips real
+            # conditionals — see train_step._vmap_forward_train)
+            from nafwebsod_tpu.parallel.train_step import _vmap_forward_train
+            totals, auxs = _vmap_forward_train(spec, pp, batch, rngs)
             metrics = {k: jnp.sum(v) / n for k, v in auxs.items()
                        if not k.startswith('__')}
             return jnp.sum(totals) / n, metrics

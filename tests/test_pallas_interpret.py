@@ -69,6 +69,26 @@ def test_roi_align_interpret_matches_xla():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_roi_align_interpret_ladder_tiers_and_bf16():
+    """An 88x88 map makes every ladder tier usable ((8,16)..(40,56) plus
+    the full path); rois spanning 8..700 px route through all of them.
+    Covers the bf16-residency path too (windows convert to f32 at the
+    GEMM operand, so bf16 FEATURES pool identically to their f32 cast)."""
+    rng = np.random.RandomState(5)
+    feat32 = rng.randn(88, 88, 8).astype(np.float32)
+    rois = jnp.asarray(_rois(rng, 32, span=700))
+    ref = roi_align_xla(jnp.asarray(feat32), rois, 7, 7, 0.125, 2)
+    out = roi_align_pallas(jnp.asarray(feat32), rois, 7, 7, 0.125, 2,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    fbf = jnp.asarray(feat32, jnp.bfloat16)
+    out_bf = roi_align_pallas(fbf, rois, 7, 7, 0.125, 2, interpret=True)
+    ref_bf = roi_align_xla(fbf.astype(jnp.float32), rois, 7, 7, 0.125, 2)
+    np.testing.assert_allclose(np.asarray(out_bf), np.asarray(ref_bf),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_bwd_kernel_tiers_match_xla_grad():
     """Tiered argmax-scatter backward (interpret mode) vs the XLA autodiff
     gradient of roi_pool_xla — exact on tie-free features, across roi
