@@ -165,9 +165,16 @@ def _roi_pool_ffi_fwd(feat, rois, pooled_h, pooled_w, spatial_scale):
 
 def _roi_pool_ffi_bwd(pooled_h, pooled_w, spatial_scale, res, g):
     feat, rois = res
+    # differentiate at f32: roi_pool_xla PRESERVES the input dtype (pure
+    # max selection), so a bf16 feat would make the vjp expect a bf16
+    # cotangent while g is cast to f32 below — the f32 primal keeps the
+    # max routing identical (bf16 values embed exactly in f32) and the
+    # cotangent dtypes consistent on the bf16 CPU path (CSC/CPG take
+    # grad-of-grad through this pool)
     _, vjp = jax.vjp(
-        lambda f: roi_pool_xla(f, rois, pooled_h, pooled_w, spatial_scale),
-        feat)
+        jax.checkpoint(lambda f: roi_pool_xla(
+            f, rois, pooled_h, pooled_w, spatial_scale)),
+        feat.astype(jnp.float32))
     return vjp(g.astype(jnp.float32))[0].astype(feat.dtype), None
 
 

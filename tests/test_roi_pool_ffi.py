@@ -76,6 +76,36 @@ def test_ffi_grad_of_grad():
 
 
 @ffi_ok
+def test_ffi_backward_bf16_features():
+    """bf16 feat: roi_pool_xla PRESERVES the input dtype (pure max), so the
+    bwd must differentiate at f32 to accept the f32-cast cotangent — this
+    is the bf16 CPU train path (CSC/CPG image gradients included)."""
+    feat32, rois = _inputs(seed=8, H=16, W=16, C=8, R=9)
+    feat = feat32.astype(jnp.bfloat16)
+    g = jnp.asarray(np.random.RandomState(9).randn(
+        rois.shape[0], 7, 7, feat.shape[2]).astype(np.float32))
+    out, vjp = jax.vjp(lambda f: rp._roi_pool_ffi(f, rois, 7, 7, 0.125),
+                       feat)
+    g = g.astype(out.dtype)  # the custom vjp sees a bf16 cotangent
+    d = vjp(g)[0]
+    assert d.dtype == feat.dtype
+    _, vjp_xla = jax.vjp(
+        lambda f: rp.roi_pool_xla(f, rois, 7, 7, 0.125),
+        feat.astype(jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(d, np.float32),
+        np.asarray(vjp_xla(g.astype(jnp.float32))[0]
+                   .astype(jnp.bfloat16), np.float32),
+        rtol=1e-6, atol=1e-6)
+    # grad-of-grad at bf16 (the CSC path) traces without dtype errors
+    def f(x):
+        return (rp._roi_pool_ffi(x, rois, 7, 7, 0.125)
+                .astype(jnp.float32) ** 2).sum()
+    gg = jax.grad(lambda x: jax.grad(f)(x).astype(jnp.float32).sum())(feat)
+    assert np.isfinite(np.asarray(gg, np.float32)).all()
+
+
+@ffi_ok
 def test_ffi_empty_bins_and_degenerate_rois():
     feat, _ = _inputs(seed=3)
     # zero-area roi + roi entirely off-image (clipped windows -> empty bins)
