@@ -348,13 +348,17 @@ def box_results_with_nms_and_limit(scores, boxes):
 
 
 def _fused_detect_core(spec, params, im_in, rois_p, obn_p, valid,
-                       orig_boxes_p, nms_t, score_t, max_keep, limit):
+                       orig_boxes_p, nms_t, score_t, max_keep, limit,
+                       im_hw=None):
     """forward_test + the class-batched NMS-and-limit kernel, traced as
     one program (shared by the single-image jit and the scan-of-B batch
-    driver)."""
+    driver). ``im_hw`` (2,) f32 is the true blob extent inside the
+    bucket-padded canvas — the context head clips its outer rings there
+    (wsl_heads.py RoIContext), not at the padded edge."""
     from nafwebsod_tpu.ops import jbox
 
-    out = detector.forward_test(spec, params, im_in, rois_p, obn_p, valid)
+    out = detector.forward_test(spec, params, im_in, rois_p, obn_p, valid,
+                                im_hw=im_hw)
     scores = out['scores'].reshape(rois_p.shape[0], -1)
     gated = jnp.where(valid[:, None], scores.astype(jnp.float32), -jnp.inf)
     c = gated.shape[1]
@@ -367,7 +371,7 @@ def _fused_detect_core(spec, params, im_in, rois_p, obn_p, valid,
 
 @partial(jax.jit, static_argnames=('spec', 'max_keep', 'limit'))
 def _fused_detect_call(spec, params, im_in, rois_p, obn_p, valid,
-                       orig_boxes_p, max_keep, limit):
+                       orig_boxes_p, max_keep, limit, im_hw=None):
     """ONE device program: forward_test + the class-batched NMS-and-limit
     kernel. On remote-attached TPUs each device call costs a full host
     round-trip (~170 ms through this rig's tunnel), so fusing the two
@@ -376,31 +380,31 @@ def _fused_detect_call(spec, params, im_in, rois_p, obn_p, valid,
     return _fused_detect_core(
         spec, params, im_in, rois_p, obn_p, valid, orig_boxes_p,
         jnp.float32(cfg.TEST.NMS), jnp.float32(cfg.TEST.SCORE_THRESH),
-        max_keep, limit)
+        max_keep, limit, im_hw)
 
 
 def _detect_scan_impl(spec, params, ims, rois, obns, valids, origs,
-                      nms_t, score_t, max_keep, limit):
+                      nms_t, score_t, max_keep, limit, im_hws=None):
     def one(carry, xs):
-        im, r, o, v, ob = xs
+        im, r, o, v, ob, hw = xs
         return carry, _fused_detect_core(
             spec, params, im[None], r, o, v, ob, nms_t, score_t,
-            max_keep, limit)
+            max_keep, limit, hw)
 
     _, outs = jax.lax.scan(one, jnp.int32(0),
-                           (ims, rois, obns, valids, origs))
+                           (ims, rois, obns, valids, origs, im_hws))
     return outs
 
 
 @partial(jax.jit, static_argnames=('spec', 'max_keep', 'limit'))
 def _fused_detect_scan(spec, params, ims, rois, obns, valids, origs,
-                       nms_t, score_t, max_keep, limit):
+                       nms_t, score_t, max_keep, limit, im_hws=None):
     """B images per device call: lax.scan of the fused core over the
     stacked chunk. One dispatch amortizes the per-call round-trip Bx
     (scan, not vmap: per-image programs keep the Pallas pool's VMEM
     residency pattern unchanged)."""
     return _detect_scan_impl(spec, params, ims, rois, obns, valids, origs,
-                             nms_t, score_t, max_keep, limit)
+                             nms_t, score_t, max_keep, limit, im_hws)
 
 
 from functools import lru_cache as _lru_cache
@@ -432,7 +436,8 @@ def _infer_mesh_size(b):
 
 @partial(jax.jit, static_argnames=('spec', 'max_keep', 'limit', 'n_dev'))
 def _fused_detect_scan_mesh(spec, params, ims, rois, obns, valids, origs,
-                            nms_t, score_t, max_keep, limit, n_dev):
+                            nms_t, score_t, max_keep, limit, n_dev,
+                            im_hws=None):
     """Mesh-sharded eval chunk (TPU.INFER_MESH): the B images split over
     ``n_dev`` devices, each scanning its B/n share of the SAME program —
     the single-process, ICI-native counterpart of the multi-process range
@@ -441,13 +446,14 @@ def _fused_detect_scan_mesh(spec, params, ims, rois, obns, valids, origs,
     from jax.sharding import PartitionSpec as P
 
     fn = _shard_map(
-        lambda p, *xs: _detect_scan_impl(spec, p, *xs, max_keep=max_keep,
-                                         limit=limit),
+        lambda p, hw, *xs: _detect_scan_impl(
+            spec, p, *xs, max_keep=max_keep, limit=limit, im_hws=hw),
         mesh=_infer_mesh(n_dev),
         in_specs=(P(), P('data'), P('data'), P('data'), P('data'),
-                  P('data'), P(), P()),
+                  P('data'), P('data'), P(), P()),
         out_specs=P('data'))
-    return fn(params, ims, rois, obns, valids, origs, nms_t, score_t)
+    return fn(params, im_hws, ims, rois, obns, valids, origs, nms_t,
+              score_t)
 
 
 def _dedup_scaled_rois(boxes, obn_scores, im_scale):
@@ -520,9 +526,13 @@ def _fused_detect_core_raw(spec, params, raw, scale, vh, vw, means, stds,
     front of forward_test + NMS: the whole per-image pipeline past the
     uint8 pixels is ONE device program."""
     im = image_ops.device_prep(raw, scale, vh, vw, out_hw, means, stds)
+    # (vh, vw) IS the true resized extent — thread it as im_hw so the
+    # context head's ring clipping sees the real image edge, not the
+    # out_hw canvas pad
+    im_hw = jnp.stack([vh, vw]).astype(jnp.float32)
     return _fused_detect_core(spec, params, im[None], rois_p, obn_p,
                               valid, orig_p, nms_t, score_t, max_keep,
-                              limit)
+                              limit, im_hw)
 
 
 @partial(jax.jit, static_argnames=('spec', 'out_hw', 'max_keep', 'limit'))
@@ -617,7 +627,8 @@ def im_detect_fused(spec, params, im, boxes, obn_scores):
     idx, vals, keep = _fused_detect_call(
         spec, params, jnp.asarray(im_in[None]), jnp.asarray(rois_p),
         jnp.asarray(obn_p), jnp.asarray(valid), jnp.asarray(orig_p),
-        max_keep=min(limit, rois_p.shape[0]), limit=limit)
+        max_keep=min(limit, rois_p.shape[0]), limit=limit,
+        im_hw=jnp.asarray(np.array(im_blob.shape[:2], np.float32)))
     return _assemble_cls_boxes(orig_p, np.asarray(idx), np.asarray(vals),
                                np.asarray(keep))
 
@@ -762,8 +773,10 @@ def _im_detect_fused_batch_host_dispatch(spec, params, ims, boxes_list,
     obn_p = np.zeros((b, rcap, 1), np.float32)
     valid = np.zeros((b, rcap), bool)
     orig_p = np.zeros((b, rcap, 4), np.float32)
+    im_hws = np.zeros((b, 2), np.float32)
     for i, (blob, rois5, obn, boxes_u) in enumerate(preps):
         ims_p[i, :blob.shape[0], :blob.shape[1]] = blob
+        im_hws[i] = blob.shape[:2]
         n = rois5.shape[0]
         rois_p[i, :n] = rois5
         obn_p[i, :n] = obn
@@ -778,17 +791,14 @@ def _im_detect_fused_batch_host_dispatch(spec, params, ims, boxes_list,
         spec, params, jnp.asarray(ims_p), jnp.asarray(rois_p),
         jnp.asarray(obn_p), jnp.asarray(valid), jnp.asarray(orig_p),
         jnp.float32(cfg.TEST.NMS), jnp.float32(cfg.TEST.SCORE_THRESH),
-        max_keep=min(limit, rcap), limit=limit)
+        max_keep=min(limit, rcap), limit=limit,
+        im_hws=jnp.asarray(im_hws))
     return (idx, vals, keep), orig_p, b
 
 
 def _can_fuse_detect(spec):
     return (not cfg.TEST.BBOX_AUG.ENABLED and not cfg.TEST.SOFT_NMS.ENABLED
             and not cfg.TEST.BBOX_VOTE.ENABLED
-            # the context head needs the true image extent (im_hw) for its
-            # ring clipping; the fused drivers don't thread it yet, so the
-            # context family takes the per-image path
-            and not getattr(spec, 'is_context', False)
             and int(cfg.TEST.DETECTIONS_PER_IM) > 0
             # supervised heads decode bbox_pred deltas on host (TEST.
             # BBOX_REG defaults True but WSL specs emit no bbox_pred)

@@ -339,6 +339,51 @@ class TestFusedDetect:
             np.testing.assert_allclose(got_j, want_j, rtol=1e-5, atol=1e-5,
                                        err_msg='class %d' % j)
 
+    def test_context_fused_matches_two_call_path(self):
+        """The context family takes the fused path too: the drivers thread
+        the per-image blob extent (im_hw), so the ring clipping sees the
+        true image edge rather than the bucket-padded canvas (the blob here
+        is 60x80-ish inside a 64x96 canvas — unthreaded im_hw WOULD change
+        the outer-ring boxes and the scores)."""
+        from nafwebsod_tpu.models import detector
+        from nafwebsod_tpu.engine import test as infer
+        import jax
+        _, params0, im, boxes, obn = self._setup()
+        spec = detector.ModelSpec(
+            num_classes=5, hidden_dim=16, webly_on=False,
+            webly_entropy=False, box_head='vgg16_context_2fc',
+            dilation=2, compute_dtype='float32')
+        params = detector.init_params(spec, jax.random.PRNGKey(0))
+        for k in ('fc8c_w', 'fc8d_frame_w'):
+            params[k] = params[k] * 30.0
+        assert spec.is_context and infer._can_fuse_detect(spec)
+        fused = infer.im_detect_fused(spec, params, im, boxes, obn)
+        scores, pred_boxes, _ = infer.im_detect_bbox(
+            spec, params, im, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE,
+            boxes=boxes, obn_scores=obn)
+        _, _, want = infer.box_results_with_nms_and_limit(scores, pred_boxes)
+        for j in range(1, cfg.MODEL.NUM_CLASSES):
+            got_j = np.asarray(fused[j]).reshape(-1, 5)
+            want_j = np.asarray(want[j]).reshape(-1, 5)
+            got_j = got_j[np.lexsort(got_j.T)]
+            want_j = want_j[np.lexsort(want_j.T)]
+            np.testing.assert_allclose(got_j, want_j, rtol=1e-5, atol=1e-5,
+                                       err_msg='class %d' % j)
+        # batch driver: mixed image sizes in one padded chunk — each
+        # image's rings still clip at ITS extent
+        batched = infer.im_detect_fused_batch(
+            spec, params, [im, im[:52, :64]], [boxes, boxes * 0.6],
+            [obn, obn])
+        single = infer.im_detect_fused(spec, params, im[:52, :64],
+                                       boxes * 0.6, obn)
+        for j in range(1, cfg.MODEL.NUM_CLASSES):
+            got = np.asarray(batched[1][j]).reshape(-1, 5)
+            want_j = np.asarray(single[j]).reshape(-1, 5)
+            got = got[np.lexsort(got.T)]
+            want_j = want_j[np.lexsort(want_j.T)]
+            np.testing.assert_allclose(got, want_j, rtol=2e-5, atol=2e-5,
+                                       err_msg='class %d' % j)
+
     def test_gate_disables_on_aug(self):
         from nafwebsod_tpu.engine import test as infer
         spec, _, _, _, _ = self._setup()
