@@ -1,0 +1,168 @@
+"""Every YAML shipped under configs/ is a runnable operating point.
+
+Fast tier: each shipped config merges, passes assert_and_infer_cfg, builds
+a ModelSpec, and (at tiny dims) initializes parameters.
+
+Slow tier (-m slow): each WSOD family config drives the real pipeline end
+to end on the synthetic fixture — train_model() -> run_inference() ->
+evaluator -> EXPECTED_RESULTS gate — the same train/test entry points the
+CLIs call (tools/train_net.py, tools/test_net.py). This converts "the code
+supports family X" into "a user can run family X" (reference analogue:
+cfg.EXPECTED_RESULTS end-to-end gates, test_engine_wsl.py:114-120)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from nafwebsod_tpu.core.config import (assert_and_infer_cfg, cfg,
+                                       merge_cfg_from_file, reset_cfg)
+from nafwebsod_tpu.data import catalog
+from nafwebsod_tpu.models import detector
+
+import fixtures
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CFG_DIR = os.path.join(REPO, 'configs')
+
+SHIPPED = sorted(
+    os.path.relpath(p, CFG_DIR)
+    for p in glob.glob(os.path.join(CFG_DIR, '**', '*.yaml'), recursive=True))
+
+# every family the framework implements has one e2e-gated operating point
+E2E_FAMILIES = [
+    'flickr_voc/na_wsddn_V-16-C5_1x.yaml',       # NA-fWebSOD flagship
+    'flickr_clean/na_wsddn_V-16-C5_1x.yaml',     # curated split variant
+    'flickr_coco/na_wsddn_V-16-C5_1x.yaml',      # 80-class webly variant
+    'test_time_aug/na_wsddn_V-16-C5_tta.yaml',   # TTA pyramid at eval
+    'wsod_families/oicr_V-16-C5.yaml',
+    'wsod_families/pcl_V-16-C5.yaml',
+    'wsod_families/cmil_V-16-C5.yaml',
+    'wsod_families/csc_V-16-C5.yaml',
+    'wsod_families/context_V-16-C5.yaml',
+    'wsod_families/center_loss_V-16-C5.yaml',
+    'wsod_families/min_entropy_V-16-C5.yaml',
+    'wsod_families/seg_V-16-C5.yaml',
+    'wsod_families/retinanet_wsl_R-50-FPN.yaml',
+]
+
+
+@pytest.fixture(autouse=True)
+def fresh_cfg():
+    reset_cfg()
+    yield
+    reset_cfg()
+
+
+def test_every_family_is_gated():
+    """New shipped family configs must be added to the e2e gate list."""
+    fams = [p for p in SHIPPED if p.startswith('wsod_families/')]
+    for p in fams:
+        assert p in E2E_FAMILIES, p + ' is shipped but not e2e-gated'
+    for p in E2E_FAMILIES:
+        assert p in SHIPPED, p + ' is gated but not shipped'
+
+
+@pytest.mark.parametrize('rel', SHIPPED)
+def test_shipped_config_builds(rel):
+    merge_cfg_from_file(os.path.join(CFG_DIR, rel))
+    assert_and_infer_cfg(make_immutable=False)
+    # shrink the expensive dims so init is cheap on the 1-core box; the
+    # architecture selection under test comes from the YAML itself
+    cfg.TPU.HEAD_HIDDEN_DIM = 32
+    cfg.FPN.DIM = 16
+    cfg.FAST_RCNN.MLP_HEAD_DIM = 32
+    cfg.RETINANET.NUM_CONVS = 2
+    spec = detector.spec_from_cfg(cfg)
+    if 'resnet50' in spec.conv_body.lower() or 'fpn' in spec.conv_body:
+        return  # full-width ResNet50 random init is slow; spec build suffices
+    import jax
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    assert params
+
+
+def _apply_tiny_overrides(info, tmp_path):
+    """Shrink a shipped production config to fixture scale WITHOUT touching
+    its family switches (WSL/WEBLY/MRCNN/RETINANET namespaces stay as the
+    YAML set them)."""
+    n_classes = len(fixtures.CLASSES) + 1
+    cfg.MODEL.NUM_CLASSES = n_classes
+    cfg.TRAIN.DATASETS = ('synth_train',)
+    cfg.TRAIN.PROPOSAL_FILES = (info['prop_file'],)
+    cfg.TRAIN.WEIGHTS = ''
+    cfg.TRAIN.SCALES = (64,)
+    cfg.TRAIN.MAX_SIZE = 120
+    cfg.TRAIN.BATCH_SIZE_PER_IM = 16
+    cfg.TRAIN.USE_FLIPPED = False
+    cfg.TRAIN.SNAPSHOT_ITERS = 2
+    cfg.TEST.DATASETS = ('synth_test',)
+    cfg.TEST.PROPOSAL_FILES = (info['prop_file'],)
+    cfg.TEST.SCALE = 64
+    cfg.TEST.MAX_SIZE = 120
+    cfg.TEST.PROPOSAL_LIMIT = 100
+    cfg.TEST.DETECTIONS_PER_IM = 10
+    if cfg.TEST.BBOX_AUG.ENABLED:
+        cfg.TEST.BBOX_AUG.SCALES = (48,)
+        cfg.TEST.BBOX_AUG.MAX_SIZE = 120
+    cfg.SOLVER.BASE_LR = 1e-5
+    cfg.SOLVER.STEPS = [0]
+    cfg.SOLVER.MAX_ITER = 4
+    cfg.SOLVER.WARM_UP_ITERS = 0
+    cfg.NUM_GPUS = 1
+    cfg.DATA_LOADER.NUM_THREADS = 1
+    cfg.TPU.HEAD_HIDDEN_DIM = 32
+    cfg.TPU.ROI_PAD_MULTIPLE = 16
+    cfg.TPU.SIZE_BUCKET_MULTIPLE = 32
+    cfg.VIS = False
+    cfg.WSL.SAMPLE = False
+    # the CSC saliency->constraint switchover happens inside the 4 iters
+    if cfg.WSL.CSC:
+        cfg.WSL.CSC_MAX_ITER = 2
+    if cfg.WSL.CMIL:
+        cfg.WSL.SIZE_EPOCH = 2
+    # FPN/RetinaNet families: shallow body + thin pyramid for the 1-core box
+    if cfg.RETINANET.RETINANET_ON:
+        cfg.MODEL.CONV_BODY = 'FPN.add_fpn_ResNet18_conv5_body'
+        cfg.FPN.DIM = 16
+        cfg.RETINANET.NUM_CONVS = 2
+    cfg.OUTPUT_DIR = str(tmp_path / 'out')
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('rel', E2E_FAMILIES)
+def test_family_config_end_to_end(rel, tmp_path):
+    merge_cfg_from_file(os.path.join(CFG_DIR, rel))
+    info = fixtures.make_coco_dataset(str(tmp_path), n_images=4,
+                                      width=96, height=64)
+    catalog.register_dataset('synth_train', info['image_dir'],
+                             info['ann_file'])
+    catalog.register_dataset('synth_test', info['image_dir'],
+                             info['ann_file'])
+    _apply_tiny_overrides(info, tmp_path)
+    assert_and_infer_cfg(make_immutable=False)
+
+    # --- train: same entry point tools/train_net.py calls ---
+    from nafwebsod_tpu.engine import train as train_engine
+    ckpts, _ = train_engine.train_model()
+    assert 'final' in ckpts and os.path.exists(ckpts['final'])
+
+    # --- test + evaluate: same entry point tools/test_net.py calls ---
+    from nafwebsod_tpu.engine import test_engine
+    results = test_engine.run_inference(ckpts['final'])
+    assert 'synth_test' in results
+    metrics = {k: v for k, v in results['synth_test'].items()
+               if isinstance(v, (int, float, np.floating))}
+    assert metrics, 'evaluator returned no scalar metrics'
+    metric, value = sorted(metrics.items())[0]
+    assert np.isfinite(value)
+
+    # --- EXPECTED_RESULTS regression gate (ref test_engine_wsl.py:114-120)
+    from nafwebsod_tpu.data import task_evaluation
+    cfg.EXPECTED_RESULTS = [['synth_test', 'box', metric, float(value)]]
+    assert task_evaluation.check_expected_results(
+        {'synth_test': metrics}) is True
+    cfg.EXPECTED_RESULTS = [['synth_test', 'box', metric,
+                             float(value) + 5.0]]
+    assert task_evaluation.check_expected_results(
+        {'synth_test': metrics}) is False
