@@ -102,3 +102,62 @@ def make_voc_annotations(root, image_specs):
     with open(setfile, 'w') as f:
         f.write('\n'.join(names) + '\n')
     return os.path.join(ann_dir, '{}.xml'), setfile
+
+
+def make_identical_coco_dataset(root, n_images=2, width=64, height=48,
+                                seed=0, n_props=16):
+    """Dataset where every entry is byte-identical (same image content,
+    same annotations, same proposals). Used by the multi-process training
+    equality tests: any assignment of entries to devices/hosts yields the
+    same global batch, so cross-run comparisons isolate the collective
+    path itself."""
+    rng = np.random.RandomState(seed)
+    img_dir = os.path.join(root, 'images')
+    os.makedirs(img_dir, exist_ok=True)
+
+    im = (rng.rand(height, width, 3) * 255).astype(np.uint8)
+    x, y, bw, bh = width // 4, height // 4, width // 3, height // 3
+    boxes = np.zeros((n_props, 4), np.float32)
+    boxes[0] = [x, y, x + bw - 1, y + bh - 1]
+    x1 = rng.uniform(0, width - 22, n_props - 1)
+    y1 = rng.uniform(0, height - 22, n_props - 1)
+    boxes[1:, 0] = x1
+    boxes[1:, 1] = y1
+    boxes[1:, 2] = np.minimum(x1 + rng.uniform(12, 40, n_props - 1),
+                              width - 1)
+    boxes[1:, 3] = np.minimum(y1 + rng.uniform(12, 40, n_props - 1),
+                              height - 1)
+    scores = rng.uniform(0, 1, (n_props, 1)).astype(np.float32)
+    scores[0] = 0.9
+
+    images, annotations = [], []
+    prop_boxes, prop_scores, prop_ids = [], [], []
+    for i in range(n_images):
+        fname = 'im_{:04d}.png'.format(i)
+        cv2.imwrite(os.path.join(img_dir, fname), im)
+        images.append({'id': i + 1, 'file_name': fname,
+                       'width': width, 'height': height})
+        annotations.append({
+            'id': i + 1, 'image_id': i + 1, 'category_id': 1,
+            'bbox': [x, y, bw, bh], 'area': bw * bh, 'iscrowd': 0,
+            'segmentation': [[x, y, x + bw - 1, y, x + bw - 1, y + bh - 1,
+                              x, y + bh - 1]],
+        })
+        prop_boxes.append(boxes.copy())
+        prop_scores.append(scores.copy())
+        prop_ids.append(i + 1)
+
+    ann_file = os.path.join(root, 'annotations.json')
+    with open(ann_file, 'w') as f:
+        json.dump({
+            'images': images,
+            'annotations': annotations,
+            'categories': [{'id': i + 1, 'name': n}
+                           for i, n in enumerate(CLASSES)],
+        }, f)
+    prop_file = os.path.join(root, 'proposals.pkl')
+    with open(prop_file, 'wb') as f:
+        pickle.dump({'boxes': prop_boxes, 'scores': prop_scores,
+                     'ids': prop_ids}, f, 2)
+    return {'image_dir': img_dir, 'ann_file': ann_file,
+            'prop_file': prop_file, 'n_images': n_images}

@@ -1,0 +1,215 @@
+"""REAL multi-controller training: two OS processes, jax.distributed +
+Gloo CPU collectives on localhost, the parallel/multihost.py branches
+un-mocked (upgrade from the shape-level tests in test_multihost.py).
+
+Equality design (established by probes, round 3): the fixture entries are
+byte-identical, so both layouts form bitwise-identical global batches and
+per-device rng rows (verified by dumping every input leaf), and per-device
+forward losses match bitwise on the saturated fixture. But the checkpoint
+canNOT be asserted bit-for-bit:
+
+  * The two layouts compile DIFFERENT XLA executables (1-proc x N-dev SPMD
+    with in-process collectives vs N procs x 1 dev with Gloo collectives).
+    XLA makes no cross-program determinism guarantee; the local backward
+    GEMMs reduce in different orders. Measured: with a de-saturated head
+    the per-device losses themselves differ at ~2e-7 relative.
+  * On the random-init fixture the WSDDN head saturates (image probs hit
+    the 1e-20 KLOG clamp; loss is exactly -log-clamp so it *looks* bitwise
+    stable) and the CE backward's -labels/p term amplifies those ulp-level
+    executable differences to ~1e-1 relative on the fc-tower grads. The
+    updates stay lr-scaled (measured <= 5e-8 abs per step on params).
+  * TPU.RNG_IMPL must be pinned to threefry2x32 for ANY cross-layout
+    comparison: the default 'rbg' (XLA RngBitGenerator) bit stream is
+    partitioning-dependent by design, so dropout masks differ between
+    layouts (measured: step-0 losses differ under rbg, match bitwise
+    under threefry).
+
+So the sensitive assertion is per-step LOSS agreement (diverges visibly
+on any real logic bug — wrong shard assignment, permuted rng rows, wrong
+canvas — all of which move losses at the 1e-2 scale) plus checkpoint
+agreement at reduction-order tolerance. Each run is itself deterministic
+(verified: repeated same-layout runs match bit-for-bit).
+
+The reference's only multi-process execution is inference sharding
+(detectron/utils/subprocess.py:40-106); this exceeds it by running
+TRAINING multi-process."""
+
+import os
+import pickle
+import re
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import fixtures
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, 'scripts', 'train_multiproc.py')
+CFG = os.path.join(REPO, 'configs', 'flickr_voc', 'na_wsddn_V-16-C5_1x.yaml')
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(('localhost', 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _overrides(out_dir, prop_file, num_devices, weights=''):
+    return [
+        'MODEL.NUM_CLASSES', '4',
+        'NUM_GPUS', str(num_devices),
+        'TRAIN.DATASETS', "('flickr_voc',)",
+        'TRAIN.PROPOSAL_FILES', "('%s',)" % prop_file,
+        'TRAIN.WEIGHTS', weights,
+        'TRAIN.SCALES', '(64,)',
+        'TRAIN.MAX_SIZE', '96',
+        'TRAIN.BATCH_SIZE_PER_IM', '16',
+        'TRAIN.USE_FLIPPED', 'False',
+        'TRAIN.SNAPSHOT_ITERS', '1000',
+        'SOLVER.MAX_ITER', '3',
+        'SOLVER.BASE_LR', '1e-5',
+        'SOLVER.STEPS', '[0]',
+        'SOLVER.WARM_UP_ITERS', '0',
+        'DATA_LOADER.NUM_THREADS', '1',
+        'TPU.HEAD_HIDDEN_DIM', '32',
+        'TPU.ROI_PAD_MULTIPLE', '16',
+        'TPU.SIZE_BUCKET_MULTIPLE', '32',
+        # rbg's bit stream is partitioning-dependent -> dropout masks would
+        # differ between layouts; threefry is sharding-invariant
+        'TPU.RNG_IMPL', 'threefry2x32',
+        # any data randomization would draw different per-process np
+        # streams; the equality argument needs bit-identical batches
+        'WEBLY.BAGGING_MIXUP', 'False',
+        'WSL.USE_DISTORTION', 'False',
+        'WSL.USE_CROP', 'False',
+        'WSL.SAMPLE', 'False',
+        'VIS', 'False',
+        'OUTPUT_DIR', out_dir,
+    ]
+
+
+def _make_seed_weights(tmp_path, prop_file, num_devices):
+    """Well-conditioned identical starting point for every layout (see
+    tests/_seed_weights_helper.py for why random init cannot be used)."""
+    out = str(tmp_path / 'seed_weights.pkl')
+    helper = os.path.join(REPO, 'tests', '_seed_weights_helper.py')
+    cmd = [sys.executable, helper, '--cfg', CFG, '--out', out] + _overrides(
+        str(tmp_path / 'seed_out'), prop_file, num_devices)
+    res = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
+    assert res.returncode == 0, res.stdout + res.stderr
+    return out
+
+
+def _launch(data_dir, out_dir, prop_file, n_proc, dev_per_proc,
+            weights='', timeout=600):
+    env = dict(os.environ)
+    env['WEBSOD_DATA_DIR'] = data_dir
+    env.pop('XLA_FLAGS', None)
+    port = _free_port()
+    procs = []
+    for pid in range(n_proc):
+        cmd = [sys.executable, WORKER,
+               '--coordinator', 'localhost:%d' % port,
+               '--num-processes', str(n_proc),
+               '--process-id', str(pid),
+               '--devices-per-process', str(dev_per_proc),
+               '--cfg', CFG] + _overrides(out_dir, prop_file,
+                                          n_proc * dev_per_proc,
+                                          weights=weights)
+        procs.append(subprocess.Popen(
+            cmd, env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=timeout)
+        outs.append(out.decode(errors='replace'))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, 'worker failed:\n' + out[-4000:]
+    return outs
+
+
+def _final_losses(outs):
+    for out in outs:
+        m = re.search(r'FINAL_LOSSES:([\d.,eE+-]+)', out)
+        if m:
+            return np.array([float(x) for x in m.group(1).split(',')])
+    raise AssertionError('no FINAL_LOSSES line in any worker output')
+
+
+def _load_final(out_dir):
+    path = os.path.join(out_dir, 'train', 'flickr_voc', 'generalized_wsl',
+                        'model_final.pkl')
+    assert os.path.exists(path), path
+    with open(path, 'rb') as f:
+        return pickle.load(f)['blobs']
+
+
+def _make_data(tmp_path, n_images):
+    data = tmp_path / 'data' / 'flickr_voc'
+    os.makedirs(str(data))
+    info = fixtures.make_identical_coco_dataset(str(data),
+                                                n_images=n_images)
+    os.rename(info['image_dir'], str(data / 'images'))
+    os.rename(info['ann_file'], str(data / 'annotations.json'))
+    return str(tmp_path / 'data'), os.path.join(str(data), 'proposals.pkl')
+
+
+def _assert_checkpoints_close(single, multi, rtol, atol):
+    assert sorted(single) == sorted(multi)
+    for k in sorted(single):
+        a = np.asarray(single[k]).astype(np.float64)
+        b = np.asarray(multi[k]).astype(np.float64)
+        assert a.shape == b.shape, k
+        ok = np.allclose(a, b, rtol=rtol, atol=atol)
+        assert ok, '%s differs: max abs %g (param scale %g)' % (
+            k, np.abs(a - b).max(), np.abs(a).max())
+
+
+@pytest.mark.slow
+def test_two_process_checkpoint_vs_single(tmp_path):
+    """2 processes x 1 device each vs 1 process x 2 devices: identical
+    global math; per-step losses agree tightly and the checkpoints agree
+    to executable-difference tolerance (see module docstring for why
+    bitwise is not attainable: different XLA executables reduce the local
+    backward GEMMs in different orders, measured at ulp scale and
+    amplified by the saturated-CE fixture)."""
+    data_dir, props = _make_data(tmp_path, n_images=2)
+    weights = _make_seed_weights(tmp_path, props, num_devices=2)
+    outs1 = _launch(data_dir, str(tmp_path / 'out1'), props, n_proc=1,
+                    dev_per_proc=2, weights=weights)
+    outs2 = _launch(data_dir, str(tmp_path / 'out2'), props, n_proc=2,
+                    dev_per_proc=1, weights=weights)
+    l1, l2 = _final_losses(outs1), _final_losses(outs2)
+    assert l1.shape == l2.shape
+    # step-0 must match almost exactly (same params, same batch, same
+    # dropout under threefry); later steps accumulate the update diff
+    np.testing.assert_allclose(l1, l2, rtol=2e-4)
+    single = _load_final(str(tmp_path / 'out1'))
+    multi = _load_final(str(tmp_path / 'out2'))
+    # measured: per-step param update diffs <= ~5e-8 abs; 1e-5 atol leaves
+    # two orders of headroom while catching any logic bug upstream of the
+    # loss (those move losses at 1e-2 and fail the assert above anyway)
+    _assert_checkpoints_close(single, multi, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_two_process_4x4_matches_single_8dev_tolerance(tmp_path):
+    """2 processes x 4 devices vs 1 process x 8 devices: same global math,
+    different reduction order (XLA in-process vs Gloo rings) -> equal to
+    float32 reduction-order tolerance."""
+    data_dir, props = _make_data(tmp_path, n_images=4)
+    weights = _make_seed_weights(tmp_path, props, num_devices=8)
+    outs1 = _launch(data_dir, str(tmp_path / 'out1'), props, n_proc=1,
+                    dev_per_proc=8, weights=weights)
+    outs2 = _launch(data_dir, str(tmp_path / 'out2'), props, n_proc=2,
+                    dev_per_proc=4, weights=weights)
+    l1, l2 = _final_losses(outs1), _final_losses(outs2)
+    np.testing.assert_allclose(l1, l2, rtol=2e-4)
+    single = _load_final(str(tmp_path / 'out1'))
+    multi = _load_final(str(tmp_path / 'out2'))
+    _assert_checkpoints_close(single, multi, rtol=1e-4, atol=1e-5)
