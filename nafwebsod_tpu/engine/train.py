@@ -126,10 +126,13 @@ def train_model(roidb=None, max_iters=None):
         inner_step = pipeline.make_pipeline_step(spec, hp, mults,
                                                  pipe_mesh, donate=True)
         num_devices = max(int(cfg.TPU.PIPELINE_MICROBATCHES), 1)
-        _keys = ('image', 'rois', 'obn_scores', 'valid_mask', 'labels_oh')
+        # cur_iter feeds the C-MIL continuation schedule, im_hw the context
+        # head's true-canvas ring clipping — pass them through when present
+        _keys = ('image', 'rois', 'obn_scores', 'valid_mask', 'labels_oh',
+                 'cur_iter', 'im_hw')
 
         def step_fn(params, opt_state, batch, lr, rngs):
-            b = {k: batch[k] for k in _keys}
+            b = {k: batch[k] for k in _keys if k in batch}
             return inner_step(params, opt_state, b, lr, rngs[0])
 
         if steps_per_call > 1:
@@ -138,7 +141,7 @@ def train_model(roidb=None, max_iters=None):
 
             def multi_step_fn(params, opt_state, batches, lrs, factors,
                               rngs):
-                b = {k: batches[k] for k in _keys}
+                b = {k: batches[k] for k in _keys if k in batches}
                 return inner_multi(params, opt_state, b, lrs, factors,
                                    rngs[:, 0])
     elif cfg.TPU.TENSOR_SHARDING:
@@ -155,10 +158,11 @@ def train_model(roidb=None, max_iters=None):
         num_devices = num_devices // m  # images per step = data rows
         inner_step = tensor_shard.make_tp_train_step(
             spec, hp, mults, tp_mesh, params, donate=True)
-        _keys = ('image', 'rois', 'obn_scores', 'valid_mask', 'labels_oh')
+        _keys = ('image', 'rois', 'obn_scores', 'valid_mask', 'labels_oh',
+                 'cur_iter', 'im_hw')
 
         def step_fn(params, opt_state, batch, lr, rngs):
-            b = {k: batch[k] for k in _keys}
+            b = {k: batch[k] for k in _keys if k in batch}
             return inner_step(params, opt_state, b, lr, rngs[0])
 
         if steps_per_call > 1:
@@ -167,7 +171,7 @@ def train_model(roidb=None, max_iters=None):
 
             def multi_step_fn(params, opt_state, batches, lrs, factors,
                               rngs):
-                b = {k: batches[k] for k in _keys}
+                b = {k: batches[k] for k in _keys if k in batches}
                 return inner_multi(params, opt_state, b, lrs, factors,
                                    rngs[:, 0])
     elif cfg.TPU.ZERO_OPT:

@@ -1347,6 +1347,208 @@ def _refinement_losses(spec, params, fc7, rois, out, cls_prob, labels_oh,
     return losses
 
 
+def wsl_tail_losses(spec: ModelSpec, params, batch, fc7_clean,
+                    fc7_noisy, feat, rng):
+    """WSL losses downstream of the fc towers (wsl_heads.py:456-607
+    ladders + webly_heads.py:132-216 noise split + the CSC / seg /
+    min-entropy / center branches). Shared tail: ``forward_train``
+    computes the towers unsharded; the tensor-parallel and pipeline
+    steps (parallel/tensor_shard.py, parallel/pipeline.py) compute
+    them hidden-sharded — everything from the two-stream outputs down
+    is identical, so sharded-step numerics inherit this code's parity
+    pinning. ``feat`` may be None when the spec's scope guarantees no
+    branch needs the conv features (the sharded steps' check_scope
+    rejects csc/cpg/mask/center)."""
+    image = batch['image']
+    rois = batch['rois']
+    obn = batch['obn_scores']
+    labels_oh = batch['labels_oh']
+    valid = batch.get('valid_mask')
+    im_hw = batch.get('im_hw')
+    fc7_main = fc7_clean[0] if spec.is_context else fc7_clean
+    if spec.cmil:
+        lam = refine_ops.cmil_lambda(
+            batch.get('cur_iter', jnp.zeros(())), spec.size_epoch,
+            max(spec.max_iter // spec.size_epoch, 1))
+        out = heads.cmil_outputs(params, fc7_main, rois, valid, lam)
+    elif spec.is_context:
+        out = heads.wsl_context_outputs(params, fc7_clean, valid)
+    elif fc7_noisy is not None:
+        out = heads.webly_outputs(params, fc7_clean, fc7_noisy, valid)
+    else:
+        out = heads.wsl_outputs(params, fc7_clean, valid)
+
+    cls_prob = heads.cls_pred(out['rois_pred'])
+    aux = {}
+    losses = {}
+
+    if spec.refine_k:
+        losses.update(_refinement_losses(
+            spec, params, fc7_main, rois, out, cls_prob, labels_oh, valid))
+
+    if spec.is_webly and 'rois_pred_noise' in out:
+        cls_prob_noise = heads.cls_pred(out['rois_pred_noise'])
+        if spec.webly_entropy:
+            cw, cwn = spatial_entropy_weights(
+                out['rois_pred'], cls_prob, rois, labels_oh, valid)
+        else:
+            cw = jnp.ones_like(labels_oh)
+            cwn = jnp.ones_like(labels_oh)
+        losses['loss_cls'] = loss_ops.weighted_cross_entropy_with_logits(
+            cls_prob, labels_oh, cw, spec.mean_loss)
+        losses['loss_cls_noise'] = loss_ops.weighted_cross_entropy_with_logits(
+            cls_prob_noise, labels_oh, cwn, spec.mean_loss)
+        aux['accuracy_cls'] = loss_ops.multilabel_accuracy(cls_prob, labels_oh)
+        aux['accuracy_cls_noise'] = loss_ops.multilabel_accuracy(
+            cls_prob_noise, labels_oh)
+        aux['class_weight_mean'] = jnp.mean(cw)
+        aux['class_weight_noise_mean'] = jnp.mean(cwn)
+    elif spec.csc:
+        # CSC replaces the plain CE with pos/neg constrained losses
+        # (wsl_heads.py:375-407): CPG saliency -> per-RoI contrastive
+        # weights -> polar-split rois_pred -> CE vs labels / zeros.
+        from dataclasses import replace as dc_replace
+        from nafwebsod_tpu.ops import cpg as cpg_ops
+
+        unfrozen = dc_replace(spec, freeze_conv_body=False, freeze_at=0,
+                              csc=False, cpg=False)
+        # CSC weights are constants (see the stop_gradient on w below), so
+        # the whole CPG computation must be opaque to the outer training
+        # grad: stop-gradient the params it closes over, otherwise the
+        # outer JVP traces the inner vjp's backward — which contains the
+        # Pallas pool-backward kernel (no JVP rule) — and dies.
+        params_sg = jax.tree.map(jax.lax.stop_gradient, params)
+
+        # train=True with the SAME rng as the main tower: the reference's
+        # nested CPG net shares the train net's forward blobs — dropout
+        # masks included (cpg_utils.py:20 create_cpg_net builds it from
+        # the train net) — so the faithful inner forward is IDENTICAL to
+        # the main one. Being identical also makes the duplicate forward
+        # CSE-able (stop_gradient is identity in HLO); measured
+        # perf-neutral on-chip (86.5 vs 87-88 ms), so this is a parity
+        # fix, not a speed lever — the speed lever is the per-seed cond
+        # gating in cpg_maps (86.5 -> 65.9 ms).
+        def cls_prob_fn(im):
+            f7, _, _ = _run_body_and_head(unfrozen, params_sg, im, rois,
+                                          obn, train=True, rng=rng,
+                                          im_hw=im_hw)
+            o = (heads.wsl_context_outputs(params_sg, f7, valid)
+                 if spec.is_context
+                 else heads.wsl_outputs(params_sg, f7, valid))
+            return heads.cls_pred(o['rois_pred'])
+
+        active = batch.get('cur_iter', jnp.zeros(())) < spec.csc_max_iter
+
+        def compute_w(_):
+            maps, idx, keep = cpg_ops.cpg_maps(
+                cls_prob_fn, image, labels_oh,
+                jax.lax.stop_gradient(cls_prob), tau=spec.cpg_tau,
+                max_gt=spec.max_gt_cpg)
+            w, _, _ = cpg_ops.csc_weights(
+                maps, idx, keep, rois, labels_oh,
+                jax.lax.stop_gradient(cls_prob),
+                fg_threshold=spec.csc_fg_threshold,
+                context_scale=1.8, valid_mask=valid)
+            return w
+
+        w = jax.lax.cond(
+            active, compute_w,
+            lambda _: jnp.ones((rois.shape[0], spec.num_classes - 1),
+                               jnp.float32), None)
+        # the reference's CSCConstraint gradient treats W as CONSTANT
+        # (csc_constraint_op.cu backward propagates to rois_pred only);
+        # without this the training grad differentiates through the CPG
+        # jax.grad — wrong weighting gradient AND a second-order conv
+        # graph big enough to kill the TPU compile at flagship shapes
+        w = jax.lax.stop_gradient(w)
+        from nafwebsod_tpu.ops.cpg import csc_constraint
+        pos = heads.cls_pred(csc_constraint(out['rois_pred'], w, True))
+        neg = heads.cls_pred(csc_constraint(out['rois_pred'], w, False))
+        losses['loss_cls_pos'] = loss_ops.cross_entropy_with_logits(
+            pos, labels_oh, spec.mean_loss)
+        losses['loss_cls_neg'] = loss_ops.cross_entropy_with_logits(
+            neg, jnp.zeros_like(labels_oh), spec.mean_loss)
+        aux['accuracy_cls'] = loss_ops.multilabel_accuracy(pos, labels_oh)
+    else:
+        losses['loss_cls'] = loss_ops.cross_entropy_with_logits(
+            cls_prob, labels_oh, spec.mean_loss)
+        aux['accuracy_cls'] = loss_ops.multilabel_accuracy(cls_prob, labels_oh)
+
+    if spec.mask_on and spec.mask_head == 'deeplab':
+        # deeplab branch (wsl_seg_heads.add_deeplab_losses): ASPP head on the
+        # conv features, pixel pseudo-labels from CPG saliency, seed +
+        # CRF-consistency losses. Needs the no-freeze image gradient like CSC.
+        from dataclasses import replace as dc_replace
+        from nafwebsod_tpu.models import seg_head
+        from nafwebsod_tpu.ops import cpg as cpg_ops
+
+        unfrozen = dc_replace(spec, freeze_conv_body=False, freeze_at=0,
+                              csc=False, cpg=False, mask_on=False)
+        # opaque to the outer grad (CPG maps are stop-gradient'd below;
+        # see the CSC branch for why the params must be sg'd here)
+        params_sg = jax.tree.map(jax.lax.stop_gradient, params)
+
+        # train=True with the main tower's rng — same blob-sharing
+        # faithfulness argument as the CSC branch above
+        def cls_prob_fn(im):
+            f7, _, _ = _run_body_and_head(unfrozen, params_sg, im, rois,
+                                          obn, train=True, rng=rng,
+                                          im_hw=im_hw)
+            f7m = f7[0] if spec.is_context else f7
+            o = heads.wsl_outputs(params_sg, f7m, valid)
+            return heads.cls_pred(o['rois_pred'])
+
+        maps, idx, keep = cpg_ops.cpg_maps(
+            cls_prob_fn, image, labels_oh, jax.lax.stop_gradient(cls_prob),
+            tau=spec.cpg_tau, max_gt=spec.max_gt_cpg)
+        # scatter the selected-class maps into a (1, C-1, H, W) cpg tensor
+        cpg_full = jnp.zeros(
+            (1, spec.num_classes - 1) + maps.shape[1:], jnp.float32)
+        cpg_full = cpg_full.at[0, jnp.maximum(idx, 0)].set(
+            jnp.where(keep[:, None, None], maps, 0.0))
+        mask_fc8 = seg_head.deeplab_head_forward(
+            params, feat.astype(jnp.float32),
+            freeze_body=spec.freeze_conv_body, train=True, rng=rng)
+        sw_active = (batch.get('cur_iter', jnp.zeros(())) < spec.cpg_max_iter
+                     if spec.cpg_max_iter > 0 else None)
+        dl = seg_head.deeplab_losses(
+            mask_fc8, jax.lax.stop_gradient(cpg_full), labels_oh,
+            jax.lax.stop_gradient(cls_prob), image, tau=spec.cpg_tau,
+            cpg_sw_active=sw_active)
+        losses['mask_seed_loss'] = dl['mask_seed_loss']
+        losses['mask_constraint_loss'] = dl['mask_constraint_loss']
+    elif spec.mask_on:
+        from nafwebsod_tpu.models import seg_head
+        pooled = _mask_pooled(spec, params, feat, rois)
+        mask_logits = _apply_mask_head(spec, params, pooled)
+        losses['mask_loss_cls'] = spec.mask_loss_weight * seg_head.mask_losses(
+            mask_logits, jax.lax.stop_gradient(out['rois_pred']), rois,
+            labels_oh, valid)
+
+    if spec.min_entropy_loss:
+        # weight 0.1 (wsl_heads.py:279-290 get_loss_gradients_weighted)
+        losses['loss_entropy'] = 0.1 * loss_ops.min_entropy_loss(
+            out['rois_pred'], labels_oh, valid)
+
+    if spec.center_loss:
+        cf = params['center_feature']
+        loss_center, deltas = center_ops.center_loss(
+            labels_oh, out['rois_pred'], fc7_main.astype(jnp.float32), cf,
+            spec.center_loss_top_k, valid)
+        # active only below CSC_MAX_ITER (center_loss_op.cu:77-79);
+        # grad weight 0.4096 (wsl_heads.py:274)
+        active = batch.get('cur_iter', jnp.zeros(())) < spec.csc_max_iter
+        loss_center = jnp.where(active, loss_center, 0.0)
+        losses['loss_center'] = 0.4096 * loss_center
+        aux['__center_dcf'] = jnp.where(active, 1.0, 0.0) * deltas['center_dcf']
+        aux['__center_ndcf'] = (jnp.where(active, 1.0, 0.0) *
+                                deltas['center_ndcf'])
+
+    total = sum(losses.values())
+    aux.update(losses)
+    return total, aux
+
+
 @partial(jax.jit, static_argnames=('spec',))
 def forward_train(spec: ModelSpec, params, batch, rng):
     """Per-image training forward + losses.
@@ -1571,185 +1773,5 @@ def forward_train(spec: ModelSpec, params, batch, rng):
             total = total + loss_mask
             aux['loss_mask'] = loss_mask
         return total, aux
-    fc7_main = fc7_clean[0] if spec.is_context else fc7_clean
-    if spec.cmil:
-        lam = refine_ops.cmil_lambda(
-            batch.get('cur_iter', jnp.zeros(())), spec.size_epoch,
-            max(spec.max_iter // spec.size_epoch, 1))
-        out = heads.cmil_outputs(params, fc7_main, rois, valid, lam)
-    elif spec.is_context:
-        out = heads.wsl_context_outputs(params, fc7_clean, valid)
-    elif fc7_noisy is not None:
-        out = heads.webly_outputs(params, fc7_clean, fc7_noisy, valid)
-    else:
-        out = heads.wsl_outputs(params, fc7_clean, valid)
-
-    cls_prob = heads.cls_pred(out['rois_pred'])
-    aux = {}
-    losses = {}
-
-    if spec.refine_k:
-        losses.update(_refinement_losses(
-            spec, params, fc7_main, rois, out, cls_prob, labels_oh, valid))
-
-    if spec.is_webly and 'rois_pred_noise' in out:
-        cls_prob_noise = heads.cls_pred(out['rois_pred_noise'])
-        if spec.webly_entropy:
-            cw, cwn = spatial_entropy_weights(
-                out['rois_pred'], cls_prob, rois, labels_oh, valid)
-        else:
-            cw = jnp.ones_like(labels_oh)
-            cwn = jnp.ones_like(labels_oh)
-        losses['loss_cls'] = loss_ops.weighted_cross_entropy_with_logits(
-            cls_prob, labels_oh, cw, spec.mean_loss)
-        losses['loss_cls_noise'] = loss_ops.weighted_cross_entropy_with_logits(
-            cls_prob_noise, labels_oh, cwn, spec.mean_loss)
-        aux['accuracy_cls'] = loss_ops.multilabel_accuracy(cls_prob, labels_oh)
-        aux['accuracy_cls_noise'] = loss_ops.multilabel_accuracy(
-            cls_prob_noise, labels_oh)
-        aux['class_weight_mean'] = jnp.mean(cw)
-        aux['class_weight_noise_mean'] = jnp.mean(cwn)
-    elif spec.csc:
-        # CSC replaces the plain CE with pos/neg constrained losses
-        # (wsl_heads.py:375-407): CPG saliency -> per-RoI contrastive
-        # weights -> polar-split rois_pred -> CE vs labels / zeros.
-        from dataclasses import replace as dc_replace
-        from nafwebsod_tpu.ops import cpg as cpg_ops
-
-        unfrozen = dc_replace(spec, freeze_conv_body=False, freeze_at=0,
-                              csc=False, cpg=False)
-        # CSC weights are constants (see the stop_gradient on w below), so
-        # the whole CPG computation must be opaque to the outer training
-        # grad: stop-gradient the params it closes over, otherwise the
-        # outer JVP traces the inner vjp's backward — which contains the
-        # Pallas pool-backward kernel (no JVP rule) — and dies.
-        params_sg = jax.tree.map(jax.lax.stop_gradient, params)
-
-        # train=True with the SAME rng as the main tower: the reference's
-        # nested CPG net shares the train net's forward blobs — dropout
-        # masks included (cpg_utils.py:20 create_cpg_net builds it from
-        # the train net) — so the faithful inner forward is IDENTICAL to
-        # the main one. Being identical also makes the duplicate forward
-        # CSE-able (stop_gradient is identity in HLO); measured
-        # perf-neutral on-chip (86.5 vs 87-88 ms), so this is a parity
-        # fix, not a speed lever — the speed lever is the per-seed cond
-        # gating in cpg_maps (86.5 -> 65.9 ms).
-        def cls_prob_fn(im):
-            f7, _, _ = _run_body_and_head(unfrozen, params_sg, im, rois,
-                                          obn, train=True, rng=rng,
-                                          im_hw=im_hw)
-            o = (heads.wsl_context_outputs(params_sg, f7, valid)
-                 if spec.is_context
-                 else heads.wsl_outputs(params_sg, f7, valid))
-            return heads.cls_pred(o['rois_pred'])
-
-        active = batch.get('cur_iter', jnp.zeros(())) < spec.csc_max_iter
-
-        def compute_w(_):
-            maps, idx, keep = cpg_ops.cpg_maps(
-                cls_prob_fn, image, labels_oh,
-                jax.lax.stop_gradient(cls_prob), tau=spec.cpg_tau,
-                max_gt=spec.max_gt_cpg)
-            w, _, _ = cpg_ops.csc_weights(
-                maps, idx, keep, rois, labels_oh,
-                jax.lax.stop_gradient(cls_prob),
-                fg_threshold=spec.csc_fg_threshold,
-                context_scale=1.8, valid_mask=valid)
-            return w
-
-        w = jax.lax.cond(
-            active, compute_w,
-            lambda _: jnp.ones((rois.shape[0], spec.num_classes - 1),
-                               jnp.float32), None)
-        # the reference's CSCConstraint gradient treats W as CONSTANT
-        # (csc_constraint_op.cu backward propagates to rois_pred only);
-        # without this the training grad differentiates through the CPG
-        # jax.grad — wrong weighting gradient AND a second-order conv
-        # graph big enough to kill the TPU compile at flagship shapes
-        w = jax.lax.stop_gradient(w)
-        from nafwebsod_tpu.ops.cpg import csc_constraint
-        pos = heads.cls_pred(csc_constraint(out['rois_pred'], w, True))
-        neg = heads.cls_pred(csc_constraint(out['rois_pred'], w, False))
-        losses['loss_cls_pos'] = loss_ops.cross_entropy_with_logits(
-            pos, labels_oh, spec.mean_loss)
-        losses['loss_cls_neg'] = loss_ops.cross_entropy_with_logits(
-            neg, jnp.zeros_like(labels_oh), spec.mean_loss)
-        aux['accuracy_cls'] = loss_ops.multilabel_accuracy(pos, labels_oh)
-    else:
-        losses['loss_cls'] = loss_ops.cross_entropy_with_logits(
-            cls_prob, labels_oh, spec.mean_loss)
-        aux['accuracy_cls'] = loss_ops.multilabel_accuracy(cls_prob, labels_oh)
-
-    if spec.mask_on and spec.mask_head == 'deeplab':
-        # deeplab branch (wsl_seg_heads.add_deeplab_losses): ASPP head on the
-        # conv features, pixel pseudo-labels from CPG saliency, seed +
-        # CRF-consistency losses. Needs the no-freeze image gradient like CSC.
-        from dataclasses import replace as dc_replace
-        from nafwebsod_tpu.models import seg_head
-        from nafwebsod_tpu.ops import cpg as cpg_ops
-
-        unfrozen = dc_replace(spec, freeze_conv_body=False, freeze_at=0,
-                              csc=False, cpg=False, mask_on=False)
-        # opaque to the outer grad (CPG maps are stop-gradient'd below;
-        # see the CSC branch for why the params must be sg'd here)
-        params_sg = jax.tree.map(jax.lax.stop_gradient, params)
-
-        # train=True with the main tower's rng — same blob-sharing
-        # faithfulness argument as the CSC branch above
-        def cls_prob_fn(im):
-            f7, _, _ = _run_body_and_head(unfrozen, params_sg, im, rois,
-                                          obn, train=True, rng=rng,
-                                          im_hw=im_hw)
-            f7m = f7[0] if spec.is_context else f7
-            o = heads.wsl_outputs(params_sg, f7m, valid)
-            return heads.cls_pred(o['rois_pred'])
-
-        maps, idx, keep = cpg_ops.cpg_maps(
-            cls_prob_fn, image, labels_oh, jax.lax.stop_gradient(cls_prob),
-            tau=spec.cpg_tau, max_gt=spec.max_gt_cpg)
-        # scatter the selected-class maps into a (1, C-1, H, W) cpg tensor
-        cpg_full = jnp.zeros(
-            (1, spec.num_classes - 1) + maps.shape[1:], jnp.float32)
-        cpg_full = cpg_full.at[0, jnp.maximum(idx, 0)].set(
-            jnp.where(keep[:, None, None], maps, 0.0))
-        mask_fc8 = seg_head.deeplab_head_forward(
-            params, feat.astype(jnp.float32),
-            freeze_body=spec.freeze_conv_body, train=True, rng=rng)
-        sw_active = (batch.get('cur_iter', jnp.zeros(())) < spec.cpg_max_iter
-                     if spec.cpg_max_iter > 0 else None)
-        dl = seg_head.deeplab_losses(
-            mask_fc8, jax.lax.stop_gradient(cpg_full), labels_oh,
-            jax.lax.stop_gradient(cls_prob), image, tau=spec.cpg_tau,
-            cpg_sw_active=sw_active)
-        losses['mask_seed_loss'] = dl['mask_seed_loss']
-        losses['mask_constraint_loss'] = dl['mask_constraint_loss']
-    elif spec.mask_on:
-        from nafwebsod_tpu.models import seg_head
-        pooled = _mask_pooled(spec, params, feat, rois)
-        mask_logits = _apply_mask_head(spec, params, pooled)
-        losses['mask_loss_cls'] = spec.mask_loss_weight * seg_head.mask_losses(
-            mask_logits, jax.lax.stop_gradient(out['rois_pred']), rois,
-            labels_oh, valid)
-
-    if spec.min_entropy_loss:
-        # weight 0.1 (wsl_heads.py:279-290 get_loss_gradients_weighted)
-        losses['loss_entropy'] = 0.1 * loss_ops.min_entropy_loss(
-            out['rois_pred'], labels_oh, valid)
-
-    if spec.center_loss:
-        cf = params['center_feature']
-        loss_center, deltas = center_ops.center_loss(
-            labels_oh, out['rois_pred'], fc7_main.astype(jnp.float32), cf,
-            spec.center_loss_top_k, valid)
-        # active only below CSC_MAX_ITER (center_loss_op.cu:77-79);
-        # grad weight 0.4096 (wsl_heads.py:274)
-        active = batch.get('cur_iter', jnp.zeros(())) < spec.csc_max_iter
-        loss_center = jnp.where(active, loss_center, 0.0)
-        losses['loss_center'] = 0.4096 * loss_center
-        aux['__center_dcf'] = jnp.where(active, 1.0, 0.0) * deltas['center_dcf']
-        aux['__center_ndcf'] = (jnp.where(active, 1.0, 0.0) *
-                                deltas['center_ndcf'])
-
-    total = sum(losses.values())
-    aux.update(losses)
-    return total, aux
+    return wsl_tail_losses(spec, params, batch, fc7_clean, fc7_noisy,
+                           feat, rng)

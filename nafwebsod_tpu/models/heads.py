@@ -287,14 +287,13 @@ def vgg16_roi_2fc_noise_head(params, feat, rois, obn_scores, spatial_scale, *,
     return (clean, noisy), roi_feat
 
 
-def vgg16_roi_context_2fc_head(params, feat, rois, obn_scores, spatial_scale,
-                               im_h, im_w, *, context_ratio=1.8,
-                               resolution=7, freeze_body=True, train=False,
-                               rng=None):
-    """Three-stream context head (wsl_heads.py:684-766
-    add_VGG16_roi_context_2fc_head): the original roi through RoIPool plus
-    frame/context ring rois through RoILoopPool; all three share the fc6/fc7
-    WEIGHTS but have independent dropout."""
+def context_pooled_feats(feat, rois, obn_scores, spatial_scale, im_h, im_w, *,
+                         context_ratio=1.8, resolution=7, freeze_body=True):
+    """The three flattened RoI feature streams of the context head
+    (wsl_heads.py:684-766): the original roi through RoIPool plus
+    frame/context ring rois through RoILoopPool, boosted and flattened.
+    Shared by the unsharded head below and the tensor-parallel tower path
+    (parallel/tensor_shard.py)."""
     from nafwebsod_tpu.ops.context import roi_context, roi_loop_pool
 
     f = feat[0]
@@ -303,18 +302,32 @@ def vgg16_roi_context_2fc_head(params, feat, rois, obn_scores, spatial_scale,
     pooled_f = roi_loop_pool(f, frame, resolution, resolution, spatial_scale)
     pooled_c = roi_loop_pool(f, context, resolution, resolution,
                              spatial_scale)
-
-    rngs = [None] * 3
-    if rng is not None:
-        rngs = list(jax.random.split(rng, 3))
     outs = []
-    for p, r in zip((pooled, pooled_f, pooled_c), rngs):
+    for p in (pooled, pooled_f, pooled_c):
         x = roi_feature_boost(p, obn_scores)
         if freeze_body:
             x = jax.lax.stop_gradient(x)
-        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
-        outs.append(_fc_tower(x, params, '', r, train))
-    return tuple(outs)  # (fc7, fc7_frame, fc7_context)
+        outs.append(jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1))
+    return tuple(outs)
+
+
+def vgg16_roi_context_2fc_head(params, feat, rois, obn_scores, spatial_scale,
+                               im_h, im_w, *, context_ratio=1.8,
+                               resolution=7, freeze_body=True, train=False,
+                               rng=None):
+    """Three-stream context head (wsl_heads.py:684-766
+    add_VGG16_roi_context_2fc_head): the original roi through RoIPool plus
+    frame/context ring rois through RoILoopPool; all three share the fc6/fc7
+    WEIGHTS but have independent dropout."""
+    flats = context_pooled_feats(
+        feat, rois, obn_scores, spatial_scale, im_h, im_w,
+        context_ratio=context_ratio, resolution=resolution,
+        freeze_body=freeze_body)
+    rngs = [None] * 3
+    if rng is not None:
+        rngs = list(jax.random.split(rng, 3))
+    return tuple(_fc_tower(x, params, '', r, train)
+                 for x, r in zip(flats, rngs))  # (fc7, fc7_frame, fc7_ctx)
 
 
 def wsl_context_outputs(params, fc7s, valid_mask=None, prefix=''):

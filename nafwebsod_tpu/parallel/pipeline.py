@@ -16,10 +16,14 @@ so there is no reverse ppermute and no bubble beyond the single fill tick.
 Unfrozen bodies are rejected (the data-parallel / tensor-parallel steps
 cover them).
 
-Scope: plain WSDDN / webly noise-aware 2fc heads (shared with
-``parallel/tensor_shard.py`` / ``roi_shard.py``). Gradients accumulate over
-the microbatches as a mean — numerically the same step as the
-data-parallel mean over B images, pinned by tests/test_pipeline.py.
+Scope: the WSDDN / webly / context 2fc heads with the OICR / PCL(device) /
+C-MIL ladders and min-entropy loss (``wsl_losses.check_scope``, shared
+with ``parallel/tensor_shard.py``); stage 1 reuses
+``detector.wsl_tail_losses`` so loss assembly is literally the unsharded
+code. The context head's three pooled streams concatenate into one
+cross-pipe buffer. Gradients accumulate over the microbatches as a mean —
+numerically the same step as the data-parallel mean over B images, pinned
+by tests/test_pipeline.py.
 Enable with ``TPU.PIPELINE_PARALLEL = True`` (2 stages).
 """
 
@@ -60,36 +64,54 @@ def _check_scope(spec):
             'use the data-parallel or tensor-parallel step instead')
 
 
-def _body_pool(spec, params, image, rois, obn):
+def _body_pool(spec, params, image, rois, obn, im_hw=None):
     """Stage-0 work: conv body + RoIPool/boost -> flat (R, C*P*P) features
-    (detector._run_body_and_head front half; body frozen by scope)."""
+    (detector._run_body_and_head front half; body frozen by scope). For the
+    context head the three streams (origin/frame/ring) are concatenated
+    into one (R, 3*C*P*P) buffer so a single ppermute still moves the
+    stage boundary."""
     feat, spatial_scale = detector.body_forward(spec, params, image)
     feat = jax.lax.stop_gradient(feat)
+    if spec.is_context:
+        # image is (1, H, W, 3) like detector._run_body_and_head's input
+        ih = image.shape[1] if im_hw is None else im_hw[0]
+        iw = image.shape[2] if im_hw is None else im_hw[1]
+        flats = heads.context_pooled_feats(
+            feat, rois, obn, spatial_scale, ih, iw,
+            context_ratio=spec.context_ratio,
+            resolution=spec.roi_resolution, freeze_body=True)
+        return jnp.concatenate(flats, axis=1)
     return heads.roi_transform(
         feat[0], rois, obn, spatial_scale, spec.roi_xform_method,
         spec.roi_resolution, spec.roi_sampling_ratio, True)
 
 
-def _head_loss(spec, params, roi_feat, rois, labels_oh, valid, rng):
-    """Stage-1 work: fc towers + two-stream heads + losses for one
-    microbatch (detector._run_body_and_head back half + loss assembly)."""
-    r1 = r2 = None
-    if rng is not None:
-        r1, r2 = jax.random.split(rng)
+def _head_loss(spec, params, roi_feat, mb, rng):
+    """Stage-1 work for one microbatch ``mb``: fc towers + the SAME
+    ``detector.wsl_tail_losses`` the unsharded forward uses (two-stream
+    outputs, refinement ladders, min-entropy, losses)."""
     train = rng is not None
-    fc7_clean = heads._fc_tower(roi_feat, params, '', r1, train)
-    fc7_noisy = None
-    if spec.is_webly:
-        fc7_noisy = heads._fc_tower(roi_feat, params, '_[noisy]_', r2, train)
-    return wsl_losses.wsl_head_losses(spec, params, fc7_clean, fc7_noisy,
-                                      rois, labels_oh, valid)
-
-
-def _aux_keys(spec):
-    if spec.is_webly:
-        return ('accuracy_cls', 'accuracy_cls_noise', 'loss_cls',
-                'loss_cls_noise')
-    return ('accuracy_cls', 'loss_cls')
+    if spec.is_context:
+        rngs = [None] * 3
+        if train:
+            rngs = list(jax.random.split(rng, 3))
+        d = roi_feat.shape[1] // 3
+        fc7_clean = tuple(
+            heads._fc_tower(roi_feat[:, i * d:(i + 1) * d], params, '', r,
+                            train)
+            for i, r in enumerate(rngs))
+        fc7_noisy = None
+    else:
+        r1 = r2 = None
+        if train:
+            r1, r2 = jax.random.split(rng)
+        fc7_clean = heads._fc_tower(roi_feat, params, '', r1, train)
+        fc7_noisy = None
+        if spec.is_webly:
+            fc7_noisy = heads._fc_tower(roi_feat, params, '_[noisy]_', r2,
+                                        train)
+    return detector.wsl_tail_losses(spec, params, mb, fc7_clean, fc7_noisy,
+                                    None, rng)
 
 
 def _make_grads_fn(spec, mesh, dropout):
@@ -106,10 +128,21 @@ def _make_grads_fn(spec, mesh, dropout):
         R = batch['rois'].shape[1]
         feat_dim = (spec.roi_resolution * spec.roi_resolution *
                     spec.body_out_dim)
+        if spec.is_context:
+            feat_dim *= 3  # three concatenated streams cross the pipe
+
+        def microbatch(i):
+            return {k: v[i] for k, v in batch.items()}
 
         zero_buf = jnp.zeros((R, feat_dim), compute_dtype)
         zero_grads = jax.tree.map(jnp.zeros_like, params)
-        zero_aux = {k: jnp.zeros((), jnp.float32) for k in _aux_keys(spec)}
+        # the aux structure follows detector.wsl_tail_losses (ladder /
+        # min-entropy keys appear per spec) — derive it abstractly
+        aux_struct = jax.eval_shape(
+            lambda p, b, m: _head_loss(spec, p, b, m, None)[1],
+            params, zero_buf, microbatch(0))
+        zero_aux = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                aux_struct)
 
         def tick(carry, t):
             buf, gacc, loss_acc, aux_acc = carry
@@ -120,7 +153,8 @@ def _make_grads_fn(spec, mesh, dropout):
                 jnp.logical_and(stage == 0, t < B),
                 lambda: _body_pool(
                     spec, params, batch['image'][i0],
-                    batch['rois'][i0], batch['obn_scores'][i0]
+                    batch['rois'][i0], batch['obn_scores'][i0],
+                    im_hw=(batch['im_hw'][i0] if 'im_hw' in batch else None)
                 ).astype(compute_dtype),
                 lambda: zero_buf)
             # the only collective: pooled features hop stage 0 -> stage 1
@@ -133,11 +167,9 @@ def _make_grads_fn(spec, mesh, dropout):
                 mrng = (jax.random.fold_in(rng, i1) if dropout else None)
 
                 def loss_fn(p):
-                    total, aux = _head_loss(
-                        spec, p, buf, batch['rois'][i1],
-                        batch['labels_oh'][i1], batch['valid_mask'][i1],
-                        mrng)
-                    return total / B, {k: aux[k] / B for k in zero_aux}
+                    total, aux = _head_loss(spec, p, buf, microbatch(i1),
+                                            mrng)
+                    return total / B, jax.tree.map(lambda v: v / B, aux)
 
                 (loss, aux), g = jax.value_and_grad(
                     loss_fn, has_aux=True)(params)

@@ -142,11 +142,15 @@ def forward_train_roi_sharded(spec, params, batch, rng, axis=AXIS):
     """Per-device training forward on the local RoI shard. ``batch`` holds
     the REPLICATED image/labels and the LOCAL rois/obn_scores/valid_mask.
     Returns (total_loss, aux) — both replicated (psum-reduced)."""
-    # same scope gate as the tensor-parallel / pipeline steps (an inline
+    # base gate shared with the tensor-parallel / pipeline steps (an inline
     # copy had drifted: it missed is_fpn, fused_noise_tower, and the
-    # box-head whitelist, letting unsupported specs crash mid-trace)
+    # box-head whitelist, letting unsupported specs crash mid-trace) — plus
+    # the RoI-dim-specific exclusions: the ladders need the full RoI-RoI
+    # IoU matrix and min-entropy/context need cross-shard reductions this
+    # forward does not implement (the TP/pipeline steps admit them)
     from nafwebsod_tpu.parallel.wsl_losses import check_scope
-    check_scope(spec)
+    check_scope(spec, extra_unsupported=(spec.refine_k, spec.is_context,
+                                         spec.cmil, spec.min_entropy_loss))
 
     image = batch['image']
     rois = batch['rois']

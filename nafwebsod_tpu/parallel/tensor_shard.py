@@ -27,10 +27,13 @@ image per data row, hidden shards across the model columns, and a single
 fused psum of the raveled gradient vector over 'data' (same layout as
 ``parallel/train_step._step_body_fused``).
 
-Scope: the plain WSDDN and webly noise-aware heads, like
-``parallel/roi_shard.py`` (refinement ladders / context / CSC / mask
-branches use the data-parallel step). Numerics are pinned against the
-unsharded step on the virtual CPU mesh by tests/test_tensor_shard.py.
+Scope: the WSDDN / webly noise-aware / context heads with the OICR /
+PCL(device) / C-MIL refinement ladders and min-entropy loss — everything
+downstream of the towers reuses ``detector.wsl_tail_losses``, so the
+sharded step's loss assembly is literally the unsharded code (CSC / CPG /
+center-loss / mask / FPN branches use the data-parallel step; see
+``wsl_losses.check_scope``). Numerics are pinned against the unsharded
+step on the virtual CPU mesh by tests/test_tensor_shard.py.
 Enable with ``TPU.TENSOR_SHARDING = m`` (model-axis size).
 """
 
@@ -202,32 +205,50 @@ def forward_train_tp(spec, params, batch, rng, axis=MODEL_AXIS):
     sharded over ``axis``. ``batch`` holds this data-shard's image/rois
     (replicated across the model axis). Returns (total_loss, aux) for THIS
     image — replicated across the model axis; the caller averages over
-    'data'. Loss assembly mirrors detector.forward_train's webly branch
-    (wsl_heads.py:58-67 two-stream + webly_heads.py:132-216 noise split)."""
+    'data'. Only the towers are sharded: everything downstream (two-stream
+    outputs, refinement ladders, min-entropy, losses) is the SAME
+    ``detector.wsl_tail_losses`` the unsharded forward uses, so the
+    admitted families inherit its numerics."""
     _check_scope(spec)
     image = batch['image']
     rois = batch['rois']
     obn = batch['obn_scores']
-    labels_oh = batch['labels_oh']
-    valid = batch['valid_mask']
 
     feat, spatial_scale = detector.body_forward(spec, params, image)
     if spec.freeze_conv_body:
         feat = jax.lax.stop_gradient(feat)
-    roi_feat = heads.roi_transform(
-        feat[0], rois, obn, spatial_scale, spec.roi_xform_method,
-        spec.roi_resolution, spec.roi_sampling_ratio, spec.freeze_conv_body)
+    train = rng is not None
 
-    r1 = r2 = None
-    if rng is not None:
-        r1, r2 = jax.random.split(rng)
-    fc7_clean = _fc_tower_tp(roi_feat, params, '', r1, rng is not None, axis)
-    fc7_noisy = None
-    if spec.is_webly:
-        fc7_noisy = _fc_tower_tp(roi_feat, params, '_[noisy]_', r2,
-                                 rng is not None, axis)
-    return wsl_losses.wsl_head_losses(spec, params, fc7_clean, fc7_noisy,
-                                      rois, labels_oh, valid)
+    if spec.is_context:
+        im_hw = batch.get('im_hw')
+        ih = image.shape[1] if im_hw is None else im_hw[0]
+        iw = image.shape[2] if im_hw is None else im_hw[1]
+        flats = heads.context_pooled_feats(
+            feat, rois, obn, spatial_scale, ih, iw,
+            context_ratio=spec.context_ratio,
+            resolution=spec.roi_resolution,
+            freeze_body=spec.freeze_conv_body)
+        rngs = [None] * 3
+        if train:
+            rngs = list(jax.random.split(rng, 3))
+        fc7_clean = tuple(_fc_tower_tp(x, params, '', r, train, axis)
+                          for x, r in zip(flats, rngs))
+        fc7_noisy = None
+    else:
+        roi_feat = heads.roi_transform(
+            feat[0], rois, obn, spatial_scale, spec.roi_xform_method,
+            spec.roi_resolution, spec.roi_sampling_ratio,
+            spec.freeze_conv_body)
+        r1 = r2 = None
+        if train:
+            r1, r2 = jax.random.split(rng)
+        fc7_clean = _fc_tower_tp(roi_feat, params, '', r1, train, axis)
+        fc7_noisy = None
+        if spec.is_webly:
+            fc7_noisy = _fc_tower_tp(roi_feat, params, '_[noisy]_', r2,
+                                     train, axis)
+    return detector.wsl_tail_losses(spec, params, batch, fc7_clean,
+                                    fc7_noisy, feat, rng)
 
 
 # --------------------------------------------------------------------------- #

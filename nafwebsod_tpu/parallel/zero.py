@@ -67,18 +67,22 @@ def _check_ravel_order(params):
 
 
 def init_state(params, hp, mesh):
-    """Sharded momentum: a flat f32 vector padded to the mesh size, laid
-    out P('data') so each device holds one slice."""
-    if hp.iter_size != 1:
-        raise NotImplementedError(
-            'TPU.ZERO_OPT supports ITER_SIZE == 1 (use TPU.STEPS_PER_CALL '
-            'windows for accumulation-free batching)')
+    """Sharded momentum (and, with iter_size > 1, a sharded gradient
+    accumulator — the accumulator slices exactly like the momentum, so
+    accumulation costs 1/n extra HBM per chip, not a full replica): flat
+    f32 vectors padded to the mesh size, laid out P('data') so each device
+    holds one slice."""
     n = mesh.devices.size
     flat, _ = ravel_pytree(params)
     pad = (-flat.shape[0]) % n
     mom = jnp.zeros((flat.shape[0] + pad,), jnp.float32)
     mom = jax.device_put(mom, NamedSharding(mesh, P(AXIS)))
-    return {'momentum': {'flat': mom}, 'it': jnp.zeros((), jnp.int32)}
+    state = {'momentum': {'flat': mom}, 'it': jnp.zeros((), jnp.int32)}
+    if hp.iter_size > 1:
+        state['grad_acc'] = {'flat': jax.device_put(
+            jnp.zeros((flat.shape[0] + pad,), jnp.float32),
+            NamedSharding(mesh, P(AXIS)))}
+    return state
 
 
 def momentum_to_dict(params, state):
@@ -108,9 +112,10 @@ def make_zero_train_step(spec, hp, mults, mesh, params, donate=False):
     """Jitted ZeRO-1 data-parallel train step: ``step(params, opt_state,
     batch, lr, rngs) -> (params, opt_state, loss, aux)`` with the same
     batch layout as the replicated DP step (leading axis = mesh size, one
-    image per device) and ``opt_state`` from ``zero.init_state``."""
-    if hp.iter_size != 1:
-        raise NotImplementedError('TPU.ZERO_OPT supports ITER_SIZE == 1')
+    image per device) and ``opt_state`` from ``zero.init_state``. With
+    ``hp.iter_size > 1`` gradients accumulate in a SHARDED slice and the
+    momentum update fires every iter_size-th call, mirroring
+    ``sgd.update``'s mean-of-accumulated semantics."""
     if spec.center_loss:
         raise NotImplementedError(
             'TPU.ZERO_OPT does not carry the center-loss accumulators; '
@@ -136,11 +141,14 @@ def make_zero_train_step(spec, hp, mults, mesh, params, donate=False):
     lr_mult_dev = jax.device_put(jnp.asarray(lr_mult), shard)
     wd_dev = jax.device_put(jnp.asarray(wd), shard)
 
+    iter_size = int(hp.iter_size)
+
     @partial(_shard_map, mesh=mesh,
-             in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(),
-                       P(AXIS)),
-             out_specs=(P(), P(AXIS), P(), P()))
-    def step_local(p, pslice, batch, rngs, mom_slice, lr, mult_slices):
+             in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                       P(), P(), P(AXIS)),
+             out_specs=(P(), P(AXIS), P(AXIS), P(), P()))
+    def step_local(p, pslice, batch, rngs, mom_slice, acc_slice, it, lr,
+                   mult_slices):
         lr_mult_s, wd_s = mult_slices
 
         def loss_fn(pp):
@@ -163,6 +171,15 @@ def make_zero_train_step(spec, hp, mults, mesh, params, donate=False):
         # all-reduce; the other half is the param all_gather below)
         gslice = jax.lax.psum_scatter(gflat, AXIS, scatter_dimension=0,
                                       tiled=True)
+        if iter_size > 1:
+            # sgd.update's accumulation semantics on the owned slice:
+            # accumulate every call, fire the momentum update with the
+            # MEAN of the accumulated grads every iter_size-th call
+            acc_slice = acc_slice + gslice
+            fire = (it % iter_size) == 0
+            gslice = acc_slice / float(iter_size)
+        else:
+            fire = jnp.bool_(True)
         # Caffe/ACM momentum update on the owned slice
         # (acm_weightdecay_momentum_sgd_op.h:79-112 semantics). Frozen
         # elements (lr_mult == 0 AND wd == 0) are excluded entirely like
@@ -173,26 +190,36 @@ def make_zero_train_step(spec, hp, mults, mesh, params, donate=False):
         v = momentum * mom_slice + (lr * lr_mult_s) * g
         v = jnp.where(frozen, mom_slice, v)
         new_pslice = jnp.where(frozen, pslice, pslice - v)
+        # held (non-boundary) micro-iterations keep params/momentum as-is
+        v = jnp.where(fire, v, mom_slice)
+        new_pslice = jnp.where(fire, new_pslice, pslice)
+        new_acc = jnp.where(fire, jnp.zeros_like(acc_slice), acc_slice)
         # rebuild the full parameter vector for the next forward
         new_flat = jax.lax.all_gather(new_pslice, AXIS, tiled=True)
         loss = jax.lax.psum(loss, AXIS)
         aux = jax.tree.map(lambda x: jax.lax.psum(x, AXIS), aux)
-        return new_flat, v, loss, aux
+        return new_flat, v, new_acc, loss, aux
 
     def step(p, opt_state, batch, lr, rngs, mult_slices):
         flat_p, _ = ravel_pytree(p)
         if pad:
             flat_p = jnp.concatenate(
                 [flat_p, jnp.zeros((pad,), flat_p.dtype)])
-        new_flat, new_mom, loss, aux = step_local(
-            p, flat_p, batch, rngs, opt_state['momentum']['flat'], lr,
-            mult_slices)
+        it = opt_state['it'] + 1
+        acc = (opt_state['grad_acc']['flat'] if iter_size > 1 else
+               jnp.zeros_like(opt_state['momentum']['flat']))
+        new_flat, new_mom, new_acc, loss, aux = step_local(
+            p, flat_p, batch, rngs, opt_state['momentum']['flat'], acc,
+            it, lr, mult_slices)
         new_params = unravel(new_flat[:total])
-        new_state = {'momentum': {'flat': new_mom},
-                     'it': opt_state['it'] + 1}
+        new_state = {'momentum': {'flat': new_mom}, 'it': it}
+        if iter_size > 1:
+            new_state['grad_acc'] = {'flat': new_acc}
         return new_params, new_state, loss, aux
 
     opt_shardings = {'momentum': {'flat': shard}, 'it': repl}
+    if iter_size > 1:
+        opt_shardings['grad_acc'] = {'flat': shard}
     jitted = jax.jit(
         step,
         in_shardings=(repl, opt_shardings, batch_shard, repl, batch_shard,

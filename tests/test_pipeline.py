@@ -153,3 +153,47 @@ def test_pipeline_multi_step_matches_chained_single_steps():
     for k in ('fc6_w', 'fc7_w', 'fc8c_w'):
         np.testing.assert_allclose(np.asarray(p_m[k]), np.asarray(p_ref[k]),
                                    rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def _family_specs():
+    base = dict(num_classes=5, hidden_dim=16, webly_on=False,
+                webly_entropy=False, box_head='vgg16_2fc',
+                compute_dtype='float32')
+    yield 'oicr', detector.ModelSpec(oicr=True, **base)
+    yield 'cmil', detector.ModelSpec(cmil=True, **base)
+    yield 'min_entropy', detector.ModelSpec(min_entropy_loss=True, **base)
+    yield 'context', detector.ModelSpec(
+        **{**base, 'box_head': 'vgg16_context_2fc'})
+
+
+@pytest.mark.parametrize('name,spec', list(_family_specs()),
+                         ids=[n for n, _ in _family_specs()])
+def test_pipeline_ladder_and_context_match_mean_loss(name, spec):
+    """The newly admitted families through the 2-stage pipe == the mean-loss
+    step (context's three streams cross the pipe as one concat buffer)."""
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    imgs = [_one_image(spec.num_classes, seed=s) for s in (0, 3)]
+
+    def mean_loss(p):
+        totals = [detector.forward_train(spec, p, b, None)[0] for b in imgs]
+        return sum(totals) / len(imgs)
+
+    ref_loss, ref_grads = jax.value_and_grad(mean_loss)(params)
+
+    hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005, iter_size=1)
+    trainable = detector.trainable_param_names(spec, params)
+    mults = sgd.param_multipliers(params, trainable)
+    opt_state = sgd.init_state(params, hp)
+    ref_upd, _ = sgd.update(params, ref_grads, opt_state, np.float32(1e-3),
+                            hp, sgd.freeze_mults(mults))
+
+    mesh = pipeline.make_pipe_mesh()
+    step = pipeline.make_pipeline_step(spec, hp, mults, mesh, dropout=False)
+    p2, s2, loss, aux = step(params, opt_state, _stack(imgs),
+                             np.float32(1e-3), jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-5)
+    for k in sorted(params):
+        np.testing.assert_allclose(np.asarray(p2[k]),
+                                   np.asarray(ref_upd[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)

@@ -196,3 +196,49 @@ def test_tp_multi_step_matches_chained_single_steps():
     for k in ('fc6_w', 'fc7_w', 'fc8c_w'):
         np.testing.assert_allclose(np.asarray(p_m[k]), np.asarray(p_ref[k]),
                                    rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def _family_specs():
+    """The families check_scope newly admits (round 3): everything
+    downstream of the towers runs detector.wsl_tail_losses unchanged."""
+    base = dict(num_classes=5, hidden_dim=16, webly_on=False,
+                webly_entropy=False, box_head='vgg16_2fc',
+                compute_dtype='float32')
+    yield 'oicr', detector.ModelSpec(oicr=True, **base)
+    yield 'pcl_device', detector.ModelSpec(pcl=True, pcl_device=True, **base)
+    yield 'cmil', detector.ModelSpec(cmil=True, **base)
+    yield 'min_entropy', detector.ModelSpec(min_entropy_loss=True, **base)
+    yield 'context', detector.ModelSpec(
+        **{**base, 'box_head': 'vgg16_context_2fc'})
+
+
+@pytest.mark.parametrize('name,spec', list(_family_specs()),
+                         ids=[n for n, _ in _family_specs()])
+def test_tp_ladder_and_context_match_unsharded(name, spec):
+    """8 hidden shards x 1 data row: one TP step == the unsharded step for
+    the OICR / PCL / C-MIL / min-entropy / context families."""
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    img = _one_image(spec.num_classes)
+
+    (ref_loss, _), ref_grads = jax.value_and_grad(
+        lambda p: detector.forward_train(spec, p, img, None),
+        has_aux=True)(params)
+
+    hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005, iter_size=1)
+    trainable = detector.trainable_param_names(spec, params)
+    mults = sgd.param_multipliers(params, trainable)
+    opt_state = sgd.init_state(params, hp)
+    ref_upd, _ = sgd.update(params, ref_grads, opt_state, np.float32(1e-3),
+                            hp, sgd.freeze_mults(mults))
+
+    mesh = tsh.make_tp_mesh(n_model=8, n_data=1)
+    step = tsh.make_tp_train_step(spec, hp, mults, mesh, params,
+                                  dropout=False)
+    p2, s2, loss, aux = step(params, opt_state, _stack([img]),
+                             np.float32(1e-3), jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-5)
+    for k in sorted(params):
+        np.testing.assert_allclose(np.asarray(p2[k]),
+                                   np.asarray(ref_upd[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)

@@ -89,16 +89,42 @@ def test_zero_momentum_is_sharded():
     assert scaled['momentum']['flat'].shape == mom.shape
 
 
-def test_zero_rejects_iter_size():
+def test_zero_iter_size_matches_replicated_dp():
+    """iter_size=2: the SHARDED grad accumulator must reproduce the
+    replicated solver's accumulate-then-fire semantics — params move only
+    on every 2nd micro-iteration, and match the DP step throughout."""
     spec = detector.ModelSpec(num_classes=5, hidden_dim=16,
                               compute_dtype='float32')
     params = detector.init_params(spec, jax.random.PRNGKey(0))
     hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005, iter_size=2)
+    trainable = detector.trainable_param_names(spec, params)
+    mults = sgd.param_multipliers(params, trainable)
+
+    batch = ts.stack_minibatches(_blobs(spec.num_classes, N_DEV),
+                                 size_bucket=16)
+    rngs = ts.device_rngs(jax.random.PRNGKey(1), N_DEV)
+
     mesh = mesh_lib.make_mesh(N_DEV)
-    with pytest.raises(NotImplementedError):
-        zero.init_state(params, hp, mesh)
-    with pytest.raises(NotImplementedError):
-        zero.make_zero_train_step(spec, hp, {}, mesh, params)
+    dp_step = ts.make_train_step(spec, hp, mults, mesh, donate=False)
+    zero_step = zero.make_zero_train_step(spec, hp, mults, mesh, params)
+
+    p_dp, s_dp = params, sgd.init_state(params, hp)
+    p_z, s_z = params, zero.init_state(params, hp, mesh)
+    assert 'grad_acc' in s_z
+    for k in range(4):
+        lr = np.float32(1e-3)
+        p_dp, s_dp, loss_dp, _ = dp_step(p_dp, s_dp, batch, lr, rngs)
+        p_z, s_z, loss_z, _ = zero_step(p_z, s_z, batch, lr, rngs)
+        np.testing.assert_allclose(float(loss_z), float(loss_dp),
+                                   rtol=2e-5, err_msg='step %d' % k)
+        if k == 0:
+            # first micro-iteration only accumulates: no param movement
+            np.testing.assert_array_equal(np.asarray(p_z['fc6_w']),
+                                          np.asarray(params['fc6_w']))
+        for name in ('fc6_w', 'fc7_b', 'fc8c_w', '_[noisy]_fc6_w'):
+            np.testing.assert_allclose(
+                np.asarray(p_z[name]), np.asarray(p_dp[name]),
+                rtol=1e-4, atol=1e-7, err_msg='%s step %d' % (name, k))
 
 
 def test_zero_momentum_checkpoint_roundtrip():
