@@ -19,11 +19,12 @@ TPU-native re-implementations for the MASK_ON branch
     from its signature: per-roi mask labels broadcast from the image labels
     (the behavior of ``roi_data/mask_rcnn_wsl.py:17-41``) and per-roi class
     weights taken from the detection scores.
-  * ``dense_crf``           — mean-field CRF refinement of mask
-    probabilities. The reference's DenseCRF op depends on a densecrf git
-    submodule that is EMPTY in the checkout (CMakeLists.txt:36-38) — it
-    cannot build there. Provided here as a jittable mean-field loop with a
-    separable-Gaussian spatial kernel and a downsampled bilateral term.
+  * ``dense_crf``           — Krähenbühl–Koltun mean-field CRF with true
+    Gaussian + bilateral pairwise terms via in-graph permutohedral-lattice
+    filtering (ops/permutohedral.py). The reference's DenseCRF op depends
+    on a densecrf git submodule that is EMPTY in the checkout
+    (CMakeLists.txt:36-38) — it cannot build there; the published
+    algorithm is implemented with the op's default constants.
 """
 
 import jax
@@ -197,28 +198,59 @@ def _gaussian_blur(x, sigma, truncate=2.0):
     return jnp.swapaxes(xt, -1, -2)
 
 
-def dense_crf(unary, image, num_iters=5, pos_w=3.0, pos_std=3.0,
-              bi_w=4.0, bi_std=49.0, bi_rgb_std=5.0):
-    """Mean-field dense CRF (crf_op.cc capability; see module docstring).
+def dense_crf(unary, image, num_iters=10, pos_w=3.0, pos_std=3.0,
+              bi_w=10.0, bi_std=80.0, bi_rgb_std=13.0, size_std=500.0):
+    """Mean-field dense CRF with TRUE Gaussian + bilateral pairwise terms
+    via in-graph permutohedral-lattice filtering (ops/permutohedral.py).
 
-    unary: (C, H, W) negative log-probabilities; image: (H, W, 3).
-    Returns refined (C, H, W) probabilities. The spatial term is an exact
-    separable Gaussian; the bilateral term is approximated by masking the
-    Gaussian message with color affinity to a blurred reference.
+    unary: (C, H, W) negative log-probabilities; image: (H, W, 3) in the
+    loader's mean-subtracted pixel scale (the bilateral affinity uses
+    color DIFFERENCES, so the mean shift cancels; crf_op.cc:52-66 adds
+    the mean back and quantizes to uint8 — the quantization is skipped).
+    Returns refined (C, H, W) probabilities.
+
+    Semantics follow crf_op.cc:176-196 wrapping DenseCRF2D: Potts
+    pairwise terms with the op's default strengths (POS_W=3, BI_W=10),
+    spatial stds POS_XY_STD=3 / BI_XY_STD=80 divided by
+    ``scale_factor = SIZE_STD / max(H, W)`` (crf_op.h:19-30, :253-255),
+    color std 13, max_iter default 10, and the Krähenbühl–Koltun
+    mean-field update Q = softmax(-U + sum_k w_k * kbar_k(Q)) with
+    symmetric kernel normalization. The upstream densecrf submodule is
+    empty, so bit-parity is impossible (PARITY.md); the published
+    algorithm is implemented and the lattice filter is pinned against
+    brute-force Gaussian filtering in tests/test_permutohedral.py.
     """
+    from nafwebsod_tpu.ops import permutohedral as ph
+
     c, h, w = unary.shape
-    q = jax.nn.softmax(-unary, axis=0)
-    img = image.astype(jnp.float32)
-    color_blur = _gaussian_blur(
-        jnp.moveaxis(img, -1, 0), bi_std / 8.0)          # (3, H, W)
-    color_aff = jnp.exp(-jnp.sum(
-        (jnp.moveaxis(img, -1, 0) - color_blur) ** 2, axis=0) /
-        (2.0 * bi_rgb_std ** 2))                          # (H, W)
+    scale_factor = size_std / float(max(h, w))
+    pos_sigma = pos_std / scale_factor
+    bi_sigma = bi_std / scale_factor
+
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing='ij')
+    coords = jnp.stack([xs, ys], -1).reshape(-1, 2)
+    feat_pos = coords / pos_sigma
+    feat_bi = jnp.concatenate(
+        [coords / bi_sigma,
+         image.astype(jnp.float32).reshape(-1, 3) / bi_rgb_std], axis=-1)
+
+    # lattices built once; each mean-field iteration only pays
+    # segment-sums + gathers (+ the symmetric normalization vectors)
+    lat_pos = ph.build_lattice(feat_pos)
+    lat_bi = ph.build_lattice(feat_bi)
+    norm_pos = jax.lax.rsqrt(jnp.maximum(
+        ph.apply(lat_pos, jnp.ones((h * w, 1), jnp.float32)), 1e-20))
+    norm_bi = jax.lax.rsqrt(jnp.maximum(
+        ph.apply(lat_bi, jnp.ones((h * w, 1), jnp.float32)), 1e-20))
+
+    u = unary.reshape(c, h * w).T                           # (HW, C)
+    q0 = jax.nn.softmax(-u, axis=1)
 
     def step(i, q):
-        msg_pos = _gaussian_blur(q, pos_std)
-        msg_bi = _gaussian_blur(q * color_aff[None], bi_std / 4.0)
-        energy = unary - pos_w * msg_pos - bi_w * msg_bi
-        return jax.nn.softmax(-energy, axis=0)
+        msg = (pos_w * norm_pos * ph.apply(lat_pos, q * norm_pos) +
+               bi_w * norm_bi * ph.apply(lat_bi, q * norm_bi))
+        return jax.nn.softmax(-u + msg, axis=1)
 
-    return jax.lax.fori_loop(0, num_iters, step, q)
+    q = jax.lax.fori_loop(0, num_iters, step, q0)
+    return q.T.reshape(c, h, w)
