@@ -2,7 +2,8 @@
 
 Capability parity with ``detectron/datasets/json_dataset_wsl.py``:
   * roidb entries with boxes / obn_scores / gt_classes / gt_overlaps /
-    is_crowd / box_to_gt_ind_map (ref :142-170)
+    is_crowd / box_to_gt_ind_map (ref :142-170 — the DICT SCHEMA is the
+    preserved contract; minibatch/roidb/eval code reads these keys)
   * gt annotation loading with sanitization, GT_MIN_AREA and 'ignore'
     filtering, and the webly "difficult/truncated-only image zeroing"
     (ref :185-221: if every object is difficult AND truncated, the image
@@ -13,8 +14,15 @@ Capability parity with ``detectron/datasets/json_dataset_wsl.py``:
   * class assignments (max_classes / max_overlaps) and the train-time
     no-class filter (ref :726-758)
 
-gt_overlaps is a dense (N, num_classes) float array (the reference wraps it
-in scipy.sparse; dense is simpler and small at this scale).
+Internal design is NOT the reference's: instead of pre-sizing per-key
+arrays on each entry and appending to them stage by stage, rows
+accumulate in a columnar ``_Rows`` builder (one list per schema column)
+and materialize into the entry dict in one shot — gt loading, pseudo-gt
+injection, and proposal merging all emit rows through the same builder,
+so the schema lives in exactly one table (``_SCHEMA``).
+
+gt_overlaps is a dense (N, num_classes) float array (the reference wraps
+it in scipy.sparse; dense is simpler and small at this scale).
 """
 
 import copy
@@ -32,6 +40,133 @@ from nafwebsod_tpu.utils.io import load_object
 
 logger = logging.getLogger(__name__)
 
+# roidb column -> (dtype, trailing shape); num_classes / num_keypoints
+# placeholders resolve per dataset. THIS is the reference's entry schema
+# (json_dataset_wsl.py:142-170) — the preserved data contract.
+_SCHEMA = {
+    'boxes': (np.float32, (4,)),
+    'obn_scores': (np.float32, (1,)),
+    'gt_classes': (np.int32, ()),
+    'seg_areas': (np.float32, ()),
+    'gt_overlaps': (np.float32, ('num_classes',)),
+    'is_crowd': (bool, ()),
+    'box_to_gt_ind_map': (np.int32, ()),
+}
+
+
+class _Rows:
+    """Columnar block accumulator for roidb box rows. Every ingestion
+    stage (gt, pseudo-gt, proposals) emits row blocks here;
+    ``merge_into`` materializes/extends the entry's arrays in one place.
+    ``track_keypoints``: gt stages carry a keypoint row per box; the
+    proposal stage does NOT (gt_keypoints stays aligned with gt indices,
+    like the reference schema)."""
+
+    def __init__(self, num_classes, num_keypoints=0, track_keypoints=True):
+        self.num_classes = num_classes
+        self.num_keypoints = num_keypoints
+        self.blocks = {k: [] for k in _SCHEMA}
+        self.segms = []
+        self.kp_blocks = [] if (num_keypoints and track_keypoints) else None
+
+    def add(self, box, cls=0, obn_score=0.0, area=0.0, crowd=False,
+            gt_ind=-1, overlaps=None, segm=None, kps=None):
+        """One box row. ``overlaps`` defaults to one-hot at ``cls`` for
+        gt rows (-1 rows for crowds), all-zero for proposals."""
+        if overlaps is None:
+            overlaps = np.zeros(self.num_classes, np.float32)
+            if crowd:
+                overlaps[:] = -1.0
+            elif cls > 0:
+                overlaps[cls] = 1.0
+        self.add_block(
+            np.asarray(box, np.float32)[None],
+            classes=np.asarray([cls]),
+            obn_scores=np.asarray([obn_score]),
+            areas=np.asarray([area]),
+            crowds=np.asarray([crowd]),
+            gt_inds=np.asarray([gt_ind]),
+            overlaps=np.asarray(overlaps, np.float32)[None],
+            segms=[[] if segm is None else segm],
+            kps=None if kps is None else np.asarray(kps)[None])
+
+    def add_block(self, boxes, classes=None, obn_scores=None, areas=None,
+                  crowds=None, gt_inds=None, overlaps=None, segms=None,
+                  kps=None):
+        n = len(boxes)
+
+        def fill(x, default, dtype):
+            if x is None:
+                return np.full((n,), default, dtype)
+            return np.asarray(x).astype(dtype)
+
+        b = self.blocks
+        b['boxes'].append(np.asarray(boxes, np.float32).reshape(n, 4))
+        b['obn_scores'].append(fill(obn_scores, 0.0, np.float32))
+        b['gt_classes'].append(fill(classes, 0, np.int32))
+        b['seg_areas'].append(fill(areas, 0.0, np.float32))
+        b['is_crowd'].append(fill(crowds, False, bool))
+        b['box_to_gt_ind_map'].append(fill(gt_inds, -1, np.int32))
+        if overlaps is None:
+            overlaps = np.zeros((n, self.num_classes), np.float32)
+        b['gt_overlaps'].append(np.asarray(overlaps, np.float32))
+        self.segms.extend([[] for _ in range(n)] if segms is None
+                          else segms)
+        if self.kp_blocks is not None:
+            if kps is None:
+                kps = np.zeros((n, self.num_keypoints, 3), np.float32)
+            self.kp_blocks.append(np.asarray(kps, np.float32))
+
+    def _empty(self, col):
+        dtype, tail = _SCHEMA[col]
+        tail = tuple(self.num_classes if t == 'num_classes' else t
+                     for t in tail)
+        return np.empty((0,) + tail, dtype=dtype)
+
+    def arrays(self):
+        out = {}
+        for col in _SCHEMA:
+            blocks = self.blocks[col]
+            dtype, _ = _SCHEMA[col]
+            out[col] = (np.concatenate(blocks).astype(dtype) if blocks
+                        else self._empty(col))
+        out['obn_scores'] = out['obn_scores'].reshape(-1, 1)
+        return out
+
+    def merge_into(self, entry, replace=False):
+        arrays = self.arrays()
+        for col, arr in arrays.items():
+            if replace or col not in entry:
+                entry[col] = arr
+            else:
+                entry[col] = np.concatenate([entry[col], arr], axis=0)
+        if replace:
+            entry['segms'] = list(self.segms)
+        else:
+            entry.setdefault('segms', []).extend(self.segms)
+        if self.kp_blocks is not None:
+            kp = (np.concatenate(self.kp_blocks) if self.kp_blocks
+                  else np.empty((0, self.num_keypoints, 3), np.float32))
+            if replace or 'gt_keypoints' not in entry:
+                entry['gt_keypoints'] = kp
+            else:
+                entry['gt_keypoints'] = np.concatenate(
+                    [entry['gt_keypoints'], kp], axis=0)
+
+
+def _flip_map(keypoint_names):
+    """left_*/right_* twin indices for horizontal flip
+    (keypoint_utils.get_keypoints flip map)."""
+    idx = {n: i for i, n in enumerate(keypoint_names)}
+    out = np.arange(len(keypoint_names))
+    for i, n in enumerate(keypoint_names):
+        for pre, twin_pre in (('left_', 'right_'), ('right_', 'left_')):
+            if n.startswith(pre):
+                twin = twin_pre + n[len(pre):]
+                if twin in idx:
+                    out[i] = idx[twin]
+    return out
+
 
 class JsonDataset:
     def __init__(self, name):
@@ -40,327 +175,260 @@ class JsonDataset:
         self.image_prefix = ''
         self.COCO = COCOJson(catalog.get_ann_fn(name))
         self.debug = False
-        category_ids = self.COCO.getCatIds()
-        categories = [c['name'] for c in self.COCO.loadCats(category_ids)]
-        self.category_to_id_map = dict(zip(categories, category_ids))
-        self.classes = ['__background__'] + categories
+        cat_ids = self.COCO.getCatIds()
+        cats = self.COCO.loadCats(cat_ids)
+        names = [c['name'] for c in cats]
+        self.category_to_id_map = dict(zip(names, cat_ids))
+        self.classes = ['__background__'] + names
         self.num_classes = len(self.classes)
         self.json_category_id_to_contiguous_id = {
-            v: i + 1 for i, v in enumerate(category_ids)
-        }
+            cid: i + 1 for i, cid in enumerate(cat_ids)}
         self.contiguous_category_id_to_json_id = {
-            v: k for k, v in self.json_category_id_to_contiguous_id.items()
-        }
+            i + 1: cid for i, cid in enumerate(cat_ids)}
         # keypoint metadata (ref json_dataset.py _init_keypoints): present
         # when the category schema carries 'keypoints' (COCO person)
-        cats = self.COCO.loadCats(category_ids)
         self.keypoints = cats[0].get('keypoints') if cats else None
         self.num_keypoints = len(self.keypoints) if self.keypoints else 0
-        # left/right identity swap for horizontal flip
-        # (keypoint_utils.get_keypoints flip map)
-        self.keypoint_flip_map = np.arange(self.num_keypoints)
-        if self.keypoints:
-            name_to_idx = {n: i for i, n in enumerate(self.keypoints)}
-            for i, n in enumerate(self.keypoints):
-                if n.startswith('left_'):
-                    twin = 'right_' + n[len('left_'):]
-                elif n.startswith('right_'):
-                    twin = 'left_' + n[len('right_'):]
-                else:
-                    continue
-                if twin in name_to_idx:
-                    self.keypoint_flip_map[i] = name_to_idx[twin]
+        self.keypoint_flip_map = (_flip_map(self.keypoints)
+                                  if self.keypoints
+                                  else np.arange(0))
 
     # ------------------------------------------------------------------ #
 
     def get_roidb(self, gt=False, proposal_file=None, min_proposal_size=20,
                   proposal_limit=-1, crowd_filter_thresh=0):
-        assert gt is True or crowd_filter_thresh == 0, \
-            'Crowd filter threshold must be 0 if gt annotations are not included'
-        image_ids = sorted(self.COCO.getImgIds())
-        roidb = copy.deepcopy(self.COCO.loadImgs(image_ids))
-        for entry in roidb:
-            self._prep_roidb_entry(entry)
+        if crowd_filter_thresh > 0 and not gt:
+            raise AssertionError(
+                'Crowd filter threshold must be 0 if gt annotations are '
+                'not included')
+        roidb = self._blank_roidb()
         if gt:
             for entry in roidb:
-                self._add_gt_annotations(entry)
+                self._gt_rows(entry).merge_into(entry)
         if cfg.USE_PSEUDO and 'test' not in self.name:
-            pgt_roidb = copy.deepcopy(self.COCO.loadImgs(image_ids))
-            for entry in pgt_roidb:
-                self._prep_roidb_entry(entry)
-            self._add_pseudo_gt_annotations(pgt_roidb, roidb)
-            roidb = pgt_roidb
+            detection_sets = [load_object(p) for p in self._pseudo_paths()]
+            pseudo = self._blank_roidb()
+            for i, (blank, gt_entry) in enumerate(zip(pseudo, roidb)):
+                self._pseudo_gt_rows(blank, gt_entry, detection_sets,
+                                     i).merge_into(blank)
+            roidb = pseudo
         if proposal_file is not None:
-            self._add_proposals_from_file(
-                roidb, proposal_file, min_proposal_size, proposal_limit,
-                crowd_filter_thresh)
-        _add_class_assignments(roidb)
-        if gt:
-            roidb = _filter_no_class(self.name, roidb)
+            self._merge_proposals(roidb, proposal_file, min_proposal_size,
+                                  proposal_limit)
+            if crowd_filter_thresh > 0:
+                for entry in roidb:
+                    _suppress_crowd_proposals(entry, crowd_filter_thresh)
+        for entry in roidb:
+            _assign_classes(entry)
+        if gt and 'test' not in self.name:
+            kept = [e for e in roidb if e['max_classes'].sum() != 0]
+            logger.info('roidb filtered from %d to %d entries', len(roidb),
+                        len(kept))
+            return kept
         return roidb
 
-    def _prep_roidb_entry(self, entry):
-        entry['dataset_name'] = self.name
-        im_path = os.path.join(self.image_directory,
-                               self.image_prefix + entry['file_name'])
-        entry['image'] = im_path
-        entry['flipped'] = False
-        entry['boxes'] = np.empty((0, 4), dtype=np.float32)
-        entry['obn_scores'] = np.empty((0, 1), dtype=np.float32)
-        entry['segms'] = []
-        entry['gt_classes'] = np.empty((0,), dtype=np.int32)
-        entry['seg_areas'] = np.empty((0,), dtype=np.float32)
-        entry['gt_overlaps'] = np.empty((0, self.num_classes), dtype=np.float32)
-        entry['is_crowd'] = np.empty((0,), dtype=bool)
-        entry['box_to_gt_ind_map'] = np.empty((0,), dtype=np.int32)
-        if self.num_keypoints:
-            entry['gt_keypoints'] = np.empty(
-                (0, self.num_keypoints, 3), dtype=np.float32)
-            entry['kp_flip_map'] = self.keypoint_flip_map
-        for k in ('date_captured', 'url', 'license', 'file_name'):
-            entry.pop(k, None)
+    def _blank_roidb(self):
+        """Fresh entries for every image: image path + empty schema
+        columns, COCO bookkeeping keys dropped."""
+        image_ids = sorted(self.COCO.getImgIds())
+        roidb = copy.deepcopy(self.COCO.loadImgs(image_ids))
+        empty = _Rows(self.num_classes, self.num_keypoints)
+        for entry in roidb:
+            entry['dataset_name'] = self.name
+            entry['image'] = os.path.join(
+                self.image_directory,
+                self.image_prefix + entry['file_name'])
+            entry['flipped'] = False
+            empty.merge_into(entry, replace=True)
+            if self.num_keypoints:
+                entry['kp_flip_map'] = self.keypoint_flip_map
+            for k in ('date_captured', 'url', 'license', 'file_name'):
+                entry.pop(k, None)
+        return roidb
 
-    def _add_gt_annotations(self, entry):
+    @staticmethod
+    def _clean_box(obj, width, height):
+        """Valid clipped xyxy box for one annotation, or None when the
+        box is degenerate after clipping (ref :185-221)."""
+        x1, y1, x2, y2 = box_utils.clip_xyxy_to_image(
+            *box_utils.xywh_to_xyxy(obj['bbox']), height, width)
+        if obj.get('area', 0) <= 0 or x2 <= x1 or y2 <= y1:
+            return None
+        return [x1, y1, x2, y2]
+
+    def _gt_rows(self, entry):
+        """Ground-truth rows for one image."""
         objs = self.COCO.loadAnns(self.COCO.getAnnIds(imgIds=entry['id']))
-        valid_objs = []
-        valid_segms = []
         width, height = entry['width'], entry['height']
-        # webly zeroing: if ALL objects are marked difficult AND truncated
-        # (json key 'diffcult' as in the reference data), drop the image's gt
-        all_difficult_truncated = True
+        kept = []
+        # webly zeroing: an image whose every (area/ignore-surviving)
+        # object is marked difficult AND truncated keeps no gt at all
+        # (json key 'diffcult' as in the reference data). The flag check
+        # runs BEFORE box validity, like the reference: a degenerate-box
+        # easy object still rescues the image.
+        easy_seen = False
         for obj in objs:
-            # crowd regions are RLE dicts and pass through as-is; polygon
-            # lists drop degenerate <3-point entries
-            # (json_dataset_wsl.py:186-192)
-            if 'segmentation' in obj and segm_utils.is_poly(
-                    obj['segmentation']):
-                obj['segmentation'] = [
-                    p for p in obj['segmentation'] if len(p) >= 6]
             if obj.get('area', 0) < cfg.TRAIN.GT_MIN_AREA:
                 continue
             if obj.get('ignore', 0) == 1:
                 continue
-            if obj.get('diffcult', None) == 0 or 'diffcult' not in obj:
-                all_difficult_truncated = False
-            if obj.get('truncated', None) == 0 or 'truncated' not in obj:
-                all_difficult_truncated = False
-            x1, y1, x2, y2 = box_utils.xywh_to_xyxy(obj['bbox'])
-            x1, y1, x2, y2 = box_utils.clip_xyxy_to_image(
-                x1, y1, x2, y2, height, width)
-            if obj.get('area', 0) > 0 and x2 > x1 and y2 > y1:
-                obj['clean_bbox'] = [x1, y1, x2, y2]
-                valid_objs.append(obj)
-                valid_segms.append(obj.get('segmentation', []))
-        if all_difficult_truncated:
-            valid_objs, valid_segms = [], []
+            if obj.get('diffcult', 0) == 0 or obj.get('truncated', 0) == 0:
+                easy_seen = True
+            segm = obj.get('segmentation')
+            if segm is not None and segm_utils.is_poly(segm):
+                # polygon lists drop degenerate <3-point entries; crowd
+                # RLE dicts pass through as-is (ref :186-192)
+                segm = [p for p in segm if len(p) >= 6]
+            box = self._clean_box(obj, width, height)
+            if box is None:
+                continue
+            kept.append((obj, box, segm if segm is not None else []))
 
-        n = len(valid_objs)
-        boxes = np.zeros((n, 4), dtype=np.float32)
-        gt_classes = np.zeros((n,), dtype=np.int32)
-        gt_overlaps = np.zeros((n, self.num_classes), dtype=np.float32)
-        seg_areas = np.zeros((n,), dtype=np.float32)
-        is_crowd = np.zeros((n,), dtype=bool)
-        box_to_gt_ind_map = np.zeros((n,), dtype=np.int32)
-        for ix, obj in enumerate(valid_objs):
-            cls = self.json_category_id_to_contiguous_id[obj['category_id']]
-            boxes[ix, :] = obj['clean_bbox']
-            gt_classes[ix] = cls
-            seg_areas[ix] = obj.get('area', 0)
-            is_crowd[ix] = bool(obj.get('iscrowd', 0))
-            box_to_gt_ind_map[ix] = ix
-            if is_crowd[ix]:
-                gt_overlaps[ix, :] = -1.0
-            else:
-                gt_overlaps[ix, cls] = 1.0
-        entry['boxes'] = np.append(entry['boxes'], boxes, axis=0)
-        entry['obn_scores'] = np.append(
-            entry['obn_scores'], np.zeros((n, 1), np.float32), axis=0)
-        entry['segms'].extend(valid_segms)
-        entry['gt_classes'] = np.append(entry['gt_classes'], gt_classes)
-        entry['seg_areas'] = np.append(entry['seg_areas'], seg_areas)
-        entry['gt_overlaps'] = np.append(entry['gt_overlaps'], gt_overlaps,
-                                         axis=0)
-        entry['is_crowd'] = np.append(entry['is_crowd'], is_crowd)
-        entry['box_to_gt_ind_map'] = np.append(
-            entry['box_to_gt_ind_map'], box_to_gt_ind_map)
-        if self.num_keypoints:
-            kps = np.zeros((n, self.num_keypoints, 3), np.float32)
-            for ix, obj in enumerate(valid_objs):
-                raw = obj.get('keypoints')
-                if raw:
-                    kps[ix] = np.asarray(raw, np.float32).reshape(-1, 3)
-            entry['gt_keypoints'] = np.append(
-                entry['gt_keypoints'], kps, axis=0)
+        rows = _Rows(self.num_classes, self.num_keypoints)
+        if not easy_seen:
+            return rows
+        for ind, (obj, box, segm) in enumerate(kept):
+            kps = None
+            if self.num_keypoints and obj.get('keypoints'):
+                kps = np.asarray(obj['keypoints'],
+                                 np.float32).reshape(-1, 3)
+            rows.add(
+                box,
+                cls=self.json_category_id_to_contiguous_id[
+                    obj['category_id']],
+                area=obj.get('area', 0),
+                crowd=bool(obj.get('iscrowd', 0)),
+                gt_ind=ind, segm=segm, kps=kps)
+        return rows
 
-    def _add_pseudo_gt_annotations(self, roidb, gt_roidb):
-        """Inject pseudo gt from prior detection pkls (self-training rounds).
+    @staticmethod
+    def _pseudo_paths():
+        if not len(cfg.PSEUDO_PATH):
+            raise AssertionError('USE_PSEUDO requires PSEUDO_PATH')
+        return cfg.PSEUDO_PATH
 
-        cfg.PSEUDO_PATH entries are detections.pkl files
-        ({'all_boxes': [class][image] -> (n, 5)}); the top detection per
-        image-level gt class becomes a pseudo box (ref :284-491, simplified:
-        score-ranked top-1 per labeled class).
-        """
-        assert len(cfg.PSEUDO_PATH) > 0, 'USE_PSEUDO requires PSEUDO_PATH'
-        all_dets = [load_object(p) for p in cfg.PSEUDO_PATH]
-        for i, (entry, gt_entry) in enumerate(zip(roidb, gt_roidb)):
-            labels = np.unique(
-                gt_entry['gt_classes'][gt_entry['gt_classes'] > 0])
-            boxes, classes = [], []
-            for dets in all_dets:
-                all_boxes = dets['all_boxes']
-                for cls in labels:
-                    cls_dets = all_boxes[cls][i]
-                    if len(cls_dets) == 0:
-                        continue
+    def _pseudo_gt_rows(self, entry, gt_entry, detection_sets, img_index):
+        """Pseudo gt from prior detection pkls (self-training rounds):
+        the top detection per image-level gt class becomes a pseudo box
+        (ref :284-491, simplified: score-ranked top-1 per labeled class);
+        images with no detections fall back to full-image boxes."""
+        labels = np.unique(gt_entry['gt_classes'][gt_entry['gt_classes'] > 0])
+        rows = _Rows(self.num_classes, self.num_keypoints)
+        n_added = 0
+        for dets in detection_sets:
+            for cls in labels:
+                cls_dets = dets['all_boxes'][cls][img_index]
+                if len(cls_dets):
                     best = cls_dets[np.argmax(cls_dets[:, 4])]
-                    boxes.append(best[:4])
-                    classes.append(cls)
-            n = len(boxes)
-            if n == 0:
-                # fall back to the image-level labels with full-image boxes
-                for cls in labels:
-                    boxes.append([0, 0, entry['width'] - 1,
-                                  entry['height'] - 1])
-                    classes.append(cls)
-                n = len(boxes)
-            boxes = np.asarray(boxes, dtype=np.float32).reshape(n, 4)
-            gt_classes = np.asarray(classes, dtype=np.int32)
-            gt_overlaps = np.zeros((n, self.num_classes), dtype=np.float32)
-            gt_overlaps[np.arange(n), gt_classes] = 1.0
-            entry['boxes'] = boxes
-            entry['obn_scores'] = np.zeros((n, 1), np.float32)
-            entry['gt_classes'] = gt_classes
-            entry['gt_overlaps'] = gt_overlaps
-            entry['seg_areas'] = np.zeros((n,), np.float32)
-            entry['is_crowd'] = np.zeros((n,), bool)
-            entry['box_to_gt_ind_map'] = np.arange(n, dtype=np.int32)
+                    rows.add(best[:4], cls=int(cls),
+                             gt_ind=n_added)
+                    n_added += 1
+        if n_added == 0:
+            full = [0, 0, entry['width'] - 1, entry['height'] - 1]
+            for cls in labels:
+                rows.add(full, cls=int(cls), gt_ind=n_added)
+                n_added += 1
+        return rows
 
-    def _add_proposals_from_file(self, roidb, proposal_file,
-                                 min_proposal_size, top_k, crowd_thresh):
+    def _merge_proposals(self, roidb, proposal_file, min_size, top_k):
         logger.info('Loading proposals from: %s', proposal_file)
         proposals = load_object(proposal_file)
         id_field = 'indexes' if 'indexes' in proposals else 'ids'
-        _sort_proposals(proposals, id_field)
-        box_list, score_list = [], []
-        for i, entry in enumerate(roidb):
-            boxes = np.asarray(proposals['boxes'][i], dtype=np.float32)
-            scores = np.asarray(proposals['scores'][i],
-                                dtype=np.float32).reshape(-1, 1)
-            assert entry['id'] == proposals[id_field][i]
-            assert (boxes[:, 0] >= 0).all() and (boxes[:, 1] >= 0).all()
-            assert (boxes[:, 2] >= boxes[:, 0]).all()
-            assert (boxes[:, 3] >= boxes[:, 1]).all()
-            assert (boxes[:, 2] < entry['width']).all(), entry['image']
-            assert (boxes[:, 3] < entry['height']).all(), entry['image']
-            keep = box_utils.unique_boxes(boxes)
-            boxes, scores = boxes[keep, :], scores[keep]
-            keep = box_utils.filter_small_boxes(boxes, min_proposal_size)
-            boxes, scores = boxes[keep, :], scores[keep]
-            order = np.argsort(-scores.flatten())
-            boxes, scores = boxes[order, :], scores[order]
+        order = np.argsort(proposals[id_field])
+        per_image = [
+            (proposals[id_field][i],
+             np.asarray(proposals['boxes'][i], np.float32),
+             np.asarray(proposals['scores'][i], np.float32).ravel())
+            for i in order]
+        if len(per_image) != len(roidb):
+            raise AssertionError('proposal file covers %d images, roidb '
+                                 'has %d' % (len(per_image), len(roidb)))
+        for entry, (pid, boxes, scores) in zip(roidb, per_image):
+            _validate_proposal_boxes(entry, pid, boxes)
+            for keep in (box_utils.unique_boxes(boxes),
+                         box_utils.filter_small_boxes(boxes, min_size)):
+                boxes, scores = boxes[keep], scores[keep]
+            rank = np.argsort(-scores)
             if top_k > 0:
-                boxes, scores = boxes[:top_k, :], scores[:top_k]
-            box_list.append(boxes)
-            score_list.append(scores)
-        _merge_proposal_boxes_into_roidb(roidb, box_list, score_list)
-        if crowd_thresh > 0:
-            _filter_crowd_proposals(roidb, crowd_thresh)
+                rank = rank[:top_k]
+            _merge_proposal_rows(entry, boxes[rank], scores[rank],
+                                 self.num_classes, self.num_keypoints)
 
 
-# --------------------------------------------------------------------------- #
-# module-level helpers (ref json_dataset_wsl.py:633-770)
-# --------------------------------------------------------------------------- #
-
-def _merge_proposal_boxes_into_roidb(roidb, box_list, score_list):
-    assert len(box_list) == len(roidb)
-    for i, entry in enumerate(roidb):
-        boxes = box_list[i]
-        scores = score_list[i]
-        num_boxes = boxes.shape[0]
-        gt_overlaps = np.zeros((num_boxes, entry['gt_overlaps'].shape[1]),
-                               dtype=entry['gt_overlaps'].dtype)
-        box_to_gt_ind_map = -np.ones((num_boxes,),
-                                     dtype=entry['box_to_gt_ind_map'].dtype)
-        gt_inds = np.where(entry['gt_classes'] > 0)[0]
-        if len(gt_inds) > 0:
-            gt_boxes = entry['boxes'][gt_inds, :]
-            gt_classes = entry['gt_classes'][gt_inds]
-            overlaps = box_utils.bbox_overlaps(
-                boxes.astype(np.float32), gt_boxes.astype(np.float32))
-            argmaxes = overlaps.argmax(axis=1)
-            maxes = overlaps.max(axis=1)
-            hit = np.where(maxes > 0)[0]
-            gt_overlaps[hit, gt_classes[argmaxes[hit]]] = maxes[hit]
-            box_to_gt_ind_map[hit] = gt_inds[argmaxes[hit]]
-        entry['boxes'] = np.append(
-            entry['boxes'], boxes.astype(entry['boxes'].dtype), axis=0)
-        entry['obn_scores'] = np.append(
-            entry['obn_scores'], scores.astype(np.float32).reshape(-1, 1),
-            axis=0)
-        entry['gt_classes'] = np.append(
-            entry['gt_classes'], np.zeros((num_boxes,), dtype=np.int32))
-        entry['seg_areas'] = np.append(
-            entry['seg_areas'], np.zeros((num_boxes,), dtype=np.float32))
-        entry['gt_overlaps'] = np.append(entry['gt_overlaps'], gt_overlaps,
-                                         axis=0)
-        entry['is_crowd'] = np.append(
-            entry['is_crowd'], np.zeros((num_boxes,), dtype=bool))
-        entry['box_to_gt_ind_map'] = np.append(
-            entry['box_to_gt_ind_map'], box_to_gt_ind_map)
+def _validate_proposal_boxes(entry, proposal_id, boxes):
+    checks = (
+        (entry['id'] == proposal_id, 'id mismatch'),
+        ((boxes[:, :2] >= 0).all(), 'negative coordinates'),
+        ((boxes[:, 2] >= boxes[:, 0]).all() and
+         (boxes[:, 3] >= boxes[:, 1]).all(), 'inverted boxes'),
+        ((boxes[:, 2] < entry['width']).all() and
+         (boxes[:, 3] < entry['height']).all(), 'out of bounds'),
+    )
+    for ok, what in checks:
+        if not ok:
+            raise AssertionError('%s: %s' % (what, entry['image']))
 
 
-def _filter_crowd_proposals(roidb, crowd_thresh):
+def _merge_proposal_rows(entry, boxes, scores, num_classes, num_keypoints):
+    """Append proposal rows: class 0, overlap row = max IoU against the
+    entry's gt boxes scattered into the matched gt's class column
+    (ref :633-686 semantics via the shared row builder)."""
+    gt_inds = np.where(entry['gt_classes'] > 0)[0]
+    n = boxes.shape[0]
+    overlap_rows = np.zeros((n, num_classes), np.float32)
+    matched_gt = np.full(n, -1, np.int32)
+    if len(gt_inds) and n:
+        ious = box_utils.bbox_overlaps(
+            boxes.astype(np.float32),
+            entry['boxes'][gt_inds].astype(np.float32))
+        best = ious.argmax(axis=1)
+        best_iou = ious.max(axis=1)
+        hit = best_iou > 0
+        cls_of_best = entry['gt_classes'][gt_inds][best]
+        overlap_rows[hit, cls_of_best[hit]] = best_iou[hit]
+        matched_gt[hit] = gt_inds[best[hit]]
+    rows = _Rows(num_classes, num_keypoints, track_keypoints=False)
+    rows.add_block(boxes, obn_scores=scores, gt_inds=matched_gt,
+                   overlaps=overlap_rows)
+    rows.merge_into(entry)
+
+
+def _suppress_crowd_proposals(entry, crowd_thresh):
     """Mark proposals inside crowd regions with overlap -1 (excluded).
 
-    Uses intersection-over-proposal-area against crowd boxes (the pycocotools
-    'iscrowd' IoU definition)."""
-    for entry in roidb:
-        gt_overlaps = entry['gt_overlaps']
-        crowd_inds = np.where(entry['is_crowd'] == 1)[0]
-        non_gt_inds = np.where(entry['gt_classes'] == 0)[0]
-        if len(crowd_inds) == 0 or len(non_gt_inds) == 0:
-            continue
-        crowd = entry['boxes'][crowd_inds, :]
-        props = entry['boxes'][non_gt_inds, :]
-        # iou with crowd flag: intersection / area(proposal)
-        iw = (np.minimum(props[:, None, 2], crowd[None, :, 2]) -
-              np.maximum(props[:, None, 0], crowd[None, :, 0]) + 1).clip(0)
-        ih = (np.minimum(props[:, None, 3], crowd[None, :, 3]) -
-              np.maximum(props[:, None, 1], crowd[None, :, 1]) + 1).clip(0)
-        inter = iw * ih
-        areas = ((props[:, 2] - props[:, 0] + 1) *
-                 (props[:, 3] - props[:, 1] + 1))[:, None]
-        ious = inter / np.maximum(areas, 1e-12)
-        bad = np.where(ious.max(axis=1) > crowd_thresh)[0]
-        gt_overlaps[non_gt_inds[bad], :] = -1
+    Uses intersection-over-proposal-area against crowd boxes (the
+    pycocotools 'iscrowd' IoU definition)."""
+    crowd_sel = np.where(entry['is_crowd'] == 1)[0]
+    prop_sel = np.where(entry['gt_classes'] == 0)[0]
+    if not len(crowd_sel) or not len(prop_sel):
+        return
+    crowd = entry['boxes'][crowd_sel]
+    props = entry['boxes'][prop_sel]
+    iw = (np.minimum(props[:, None, 2], crowd[None, :, 2]) -
+          np.maximum(props[:, None, 0], crowd[None, :, 0]) + 1).clip(0)
+    ih = (np.minimum(props[:, None, 3], crowd[None, :, 3]) -
+          np.maximum(props[:, None, 1], crowd[None, :, 1]) + 1).clip(0)
+    areas = ((props[:, 2] - props[:, 0] + 1) *
+             (props[:, 3] - props[:, 1] + 1))[:, None]
+    frac = iw * ih / np.maximum(areas, 1e-12)
+    covered = frac.max(axis=1) > crowd_thresh
+    entry['gt_overlaps'][prop_sel[covered], :] = -1
 
 
-def _add_class_assignments(roidb):
-    for entry in roidb:
-        gt_overlaps = entry['gt_overlaps']
-        if gt_overlaps.shape[0] == 0:
-            entry['max_classes'] = np.zeros((0,), dtype=np.int32)
-            entry['max_overlaps'] = np.zeros((0,), dtype=np.float32)
-            continue
-        entry['max_overlaps'] = gt_overlaps.max(axis=1)
-        entry['max_classes'] = gt_overlaps.argmax(axis=1)
-        zero_inds = np.where(entry['max_overlaps'] == 0)[0]
-        assert all(entry['max_classes'][zero_inds] == 0)
-        nonzero_inds = np.where(entry['max_overlaps'] > 0)[0]
-        assert all(entry['max_classes'][nonzero_inds] != 0)
-
-
-def _filter_no_class(name, roidb):
-    """Drop train images with no class assignment at all (ref :744-758)."""
-    if 'test' in name:
-        return roidb
-    new_roidb = [e for e in roidb if np.sum(e['max_classes']) != 0]
-    logger.info('roidb filtered from %d to %d entries', len(roidb),
-                len(new_roidb))
-    return new_roidb
-
-
-def _sort_proposals(proposals, id_field):
-    order = np.argsort(proposals[id_field])
-    for k in ('boxes', id_field, 'scores'):
-        proposals[k] = [proposals[k][i] for i in order]
+def _assign_classes(entry):
+    """max_classes / max_overlaps per box, with the reference's
+    consistency invariants (ref :726-742)."""
+    ov = entry['gt_overlaps']
+    if not ov.shape[0]:
+        entry['max_classes'] = np.zeros((0,), np.int32)
+        entry['max_overlaps'] = np.zeros((0,), np.float32)
+        return
+    entry['max_overlaps'] = ov.max(axis=1)
+    entry['max_classes'] = ov.argmax(axis=1)
+    # background boxes must score 0; any positive-overlap box must carry
+    # a foreground class
+    bg = entry['max_overlaps'] == 0
+    if (entry['max_classes'][bg] != 0).any():
+        raise AssertionError('background box with nonzero class')
+    if (entry['max_classes'][~bg & (entry['max_overlaps'] > 0)] == 0).any():
+        raise AssertionError('foreground overlap assigned to background')
