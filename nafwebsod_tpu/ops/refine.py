@@ -39,7 +39,7 @@ from nafwebsod_tpu.ops import boxes as box_ops
 
 def roi_label(scores, iou, labels_oh, fg_thresh=0.5, bg_thresh_hi=0.5,
               bg_thresh_lo=-1.0, num_pos=9999, num_neg=9999, top_k=1,
-              class_weights=None, valid_mask=None):
+              class_weights=None, valid_mask=None, cap_rng=None):
     """OICR-style pseudo labels. scores: (R, C) or (R, C+1) RoI scores;
     iou: (R, R); labels_oh: (1, C). Returns (labels int32 (R,), weights (R,)).
 
@@ -48,6 +48,16 @@ def roi_label(scores, iou, labels_oh, fg_thresh=0.5, bg_thresh_hi=0.5,
     sites, wsl_heads.py:468-478,525-531); when given, a labeled RoI's loss
     weight is ``class_weights[assign_c]`` instead of its seed's score
     (roi_label_op.cc:104 CWdata branch).
+
+    ``cap_rng``: optional PRNG key selecting the reference's RANDOM-ORDER
+    fg/bg caps — RoIs are visited in a shuffled order and labeling stops
+    past the cap (roi_label_op.cc:76-89 std::random_shuffle; one shared
+    visit order for both caps, like the single C++ loop). Default (None)
+    keeps the deterministic highest-IoU cap. The caps only bind for
+    C-MIL's 32/96 settings — OICR's 9999 never caps — so this mode exists
+    to reproduce the reference's cap selection exactly when comparing
+    ladder numerics (the reference itself seeds with time(0), so ITS runs
+    are not reproducible; the key makes ours host-seeded).
 
     Padded RoIs (valid_mask False) get weight 0 and label 0.
     """
@@ -101,13 +111,23 @@ def roi_label(scores, iou, labels_oh, fg_thresh=0.5, bg_thresh_hi=0.5,
     is_bg = (max_iou >= bg_thresh_lo) & (max_iou < bg_thresh_hi)
 
     # fg/bg caps: the reference visits RoIs in random order and stops
-    # labeling past the cap; here the cap keeps the highest-IoU ones
-    # (deterministic, XLA-friendly — deviation documented in PARITY.md).
+    # labeling past the cap; the default here keeps the highest-IoU ones
+    # (deterministic, XLA-friendly — deviation documented in PARITY.md),
+    # and ``cap_rng`` switches to the reference's random visit order.
     # The reference's `num_pos <= num_pos_` pre-increment check admits
     # cap+1 rois (roi_label_op.cc:105,112), reproduced with limit+1.
+    if cap_rng is not None:
+        visit_rank = jax.random.permutation(cap_rng, r)
+
     def cap(mask, limit):
         if limit >= r:
             return mask
+        if cap_rng is not None:
+            order = jnp.argsort(visit_rank)
+            m_s = mask[order]
+            before = jnp.cumsum(m_s) - m_s
+            admitted = m_s & (before < limit)
+            return jnp.zeros_like(mask).at[order].set(admitted)
         order_key = jnp.where(mask, max_iou, -jnp.inf)
         kth = jax.lax.top_k(order_key, limit)[0][-1]
         return mask & (order_key >= kth)

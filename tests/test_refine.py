@@ -53,6 +53,62 @@ class TestRoILabel:
             elif max_iou >= -1.0 and max_iou < 0.5:
                 assert lbl[n] == 0 and w[n] == pytest.approx(p, rel=1e-5)
 
+    def test_random_order_caps_match_cc_loop(self):
+        """cap_rng mode == a literal numpy transcription of the
+        roi_label_op.cc:76-126 capped loop fed the SAME visit order
+        (C-MIL's 32/96-style caps scaled down so they bind)."""
+        rng = np.random.RandomState(4)
+        R, C = 24, 4
+        fg_th, bg_hi, bg_lo = 0.6, 0.4, 0.1
+        n_pos, n_neg = 3, 5
+        scores = rng.rand(R, C).astype(np.float32)
+        rois = _rand_rois(rng, R)
+        iou = np.asarray(roi_iou(jnp.asarray(rois)))
+        labels_oh = np.zeros((1, C), np.float32)
+        labels_oh[0, [0, 2]] = 1
+
+        key = jax.random.PRNGKey(7)
+        lbl, w = refine.roi_label(
+            jnp.asarray(scores), jnp.asarray(iou), jnp.asarray(labels_oh),
+            fg_thresh=fg_th, bg_thresh_hi=bg_hi, bg_thresh_lo=bg_lo,
+            num_pos=n_pos, num_neg=n_neg, cap_rng=key)
+        lbl, w = np.asarray(lbl), np.asarray(w)
+
+        # the device op's visit order (rank per roi -> visit sequence)
+        visit_rank = np.asarray(jax.random.permutation(key, R))
+        visit_seq = np.argsort(visit_rank)
+
+        # literal transcription of the capped C++ loop
+        seeds = []
+        for c in range(C):
+            if labels_oh[0, c] != 1:
+                continue
+            n = int(np.argmax(scores[:, c]))
+            seeds.append((n, c, scores[n, c]))
+        exp_lbl = np.zeros(R, np.int64)
+        exp_w = np.zeros(R, np.float64)
+        num_pos = num_neg = 0
+        for n in visit_seq:
+            ious = [iou[n, g] for g, _, _ in seeds]
+            i = int(np.argmax(ious))
+            _, c, p = seeds[i]
+            max_iou = ious[i]
+            if max_iou >= fg_th and num_pos <= n_pos:
+                exp_lbl[n] = c + 1
+                exp_w[n] = p
+                num_pos += 1
+            elif bg_lo <= max_iou < bg_hi and num_neg <= n_neg:
+                exp_lbl[n] = 0
+                exp_w[n] = p
+                num_neg += 1
+            else:
+                exp_lbl[n] = c + 1
+                exp_w[n] = 0.0
+        np.testing.assert_array_equal(lbl, exp_lbl)
+        np.testing.assert_allclose(w, exp_w, rtol=1e-5)
+        # the caps bound (otherwise this test is vacuous)
+        assert num_pos > n_pos or num_neg > n_neg
+
     def test_padding_and_offset(self):
         rng = np.random.RandomState(1)
         R, C = 8, 3
