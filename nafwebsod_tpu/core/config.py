@@ -417,6 +417,11 @@ __C.TPU = AttrDict()
 __C.TPU.COMPUTE_DTYPE = 'float32'
 # Pad RoI count to this multiple for static XLA shapes.
 __C.TPU.ROI_PAD_MULTIPLE = 256
+# Max gt classes per image given CPG/CSC backward passes (static scan
+# capacity; each active class costs one conv backward — set to
+# NUM_CLASSES-1 for the reference's unbounded behavior, default 4 covers
+# the observed per-image label cardinality of the WSOD datasets).
+__C.TPU.CPG_MAX_GT = 4
 # Bucketed image sizes are rounded up to this multiple to bound recompiles.
 __C.TPU.SIZE_BUCKET_MULTIPLE = 64
 # Use the Pallas fused RoI pooling kernel when on TPU.

@@ -373,6 +373,7 @@ def spec_from_cfg(cfg):
         csc=cfg.WSL.CSC,
         cpg_tau=cfg.WSL.CPG_TAU,
         csc_fg_threshold=cfg.WSL.CSC_FG_THRESHOLD,
+        max_gt_cpg=cfg.TPU.CPG_MAX_GT,
         center_loss=cfg.WSL.CENTER_LOSS,
         center_loss_number=cfg.WSL.CENTER_LOSS_NUMBER,
         center_loss_top_k=cfg.WSL.CENTER_LOSS_TOP_K,
