@@ -179,13 +179,17 @@ def train_model(roidb=None, max_iters=None):
         # mesh (parallel/zero.py) — psum_scatter grads, slice update,
         # all_gather params. Same batch layout as the replicated DP step.
         from nafwebsod_tpu.parallel import zero
-        assert steps_per_call == 1, (
-            'TPU.ZERO_OPT does not support TPU.STEPS_PER_CALL > 1')
         zmesh = mesh_lib.make_mesh(num_devices)
         opt_state = zero.momentum_from_dict(params, hp, zmesh,
                                             momentum or {})
         step_fn = zero.make_zero_train_step(spec, hp, mults, zmesh,
                                             params, donate=True)
+        if steps_per_call > 1:
+            # factors always applied in-graph: the rescale touches only
+            # the SHARDED momentum slice (|params|/n per chip), so the
+            # factor-free specialization the DP path needs is moot here
+            multi_step_fn = zero.make_zero_multi_train_step(
+                spec, hp, mults, zmesh, params, donate=True)
     else:
         m = mesh_lib.make_mesh(num_devices)
         mesh_obj = m

@@ -108,14 +108,9 @@ def momentum_from_dict(params, hp, mesh, momentum_dict):
     return state
 
 
-def make_zero_train_step(spec, hp, mults, mesh, params, donate=False):
-    """Jitted ZeRO-1 data-parallel train step: ``step(params, opt_state,
-    batch, lr, rngs) -> (params, opt_state, loss, aux)`` with the same
-    batch layout as the replicated DP step (leading axis = mesh size, one
-    image per device) and ``opt_state`` from ``zero.init_state``. With
-    ``hp.iter_size > 1`` gradients accumulate in a SHARDED slice and the
-    momentum update fires every iter_size-th call, mirroring
-    ``sgd.update``'s mean-of-accumulated semantics."""
+def _build_step(spec, hp, mults, mesh, params):
+    """Shared un-jitted ZeRO step + sharding metadata for the single-step
+    and scan-of-K drivers."""
     if spec.center_loss:
         raise NotImplementedError(
             'TPU.ZERO_OPT does not carry the center-loss accumulators; '
@@ -220,18 +215,80 @@ def make_zero_train_step(spec, hp, mults, mesh, params, donate=False):
     opt_shardings = {'momentum': {'flat': shard}, 'it': repl}
     if iter_size > 1:
         opt_shardings['grad_acc'] = {'flat': shard}
+    return {
+        'step': step,
+        'opt_shardings': opt_shardings,
+        'repl': repl,
+        'shard': shard,
+        'batch_shard': batch_shard,
+        'mults_dev': (lr_mult_dev, wd_dev),
+        'mesh': mesh,
+    }
+
+
+def make_zero_train_step(spec, hp, mults, mesh, params, donate=False):
+    """Jitted ZeRO-1 data-parallel train step: ``step(params, opt_state,
+    batch, lr, rngs) -> (params, opt_state, loss, aux)`` with the same
+    batch layout as the replicated DP step (leading axis = mesh size, one
+    image per device) and ``opt_state`` from ``zero.init_state``. With
+    ``hp.iter_size > 1`` gradients accumulate in a SHARDED slice and the
+    momentum update fires every iter_size-th call, mirroring
+    ``sgd.update``'s mean-of-accumulated semantics."""
+    b = _build_step(spec, hp, mults, mesh, params)
+    repl, opt_shardings = b['repl'], b['opt_shardings']
     jitted = jax.jit(
-        step,
-        in_shardings=(repl, opt_shardings, batch_shard, repl, batch_shard,
-                      (shard, shard)),
+        b['step'],
+        in_shardings=(repl, opt_shardings, b['batch_shard'], repl,
+                      b['batch_shard'], (b['shard'], b['shard'])),
         out_shardings=(repl, opt_shardings, repl, repl),
         # donate params + momentum buffers (the modes built to SAVE HBM
         # must not double-buffer a 536 MB param vector per step)
         donate_argnums=(0, 1) if donate else (),
     )
+    mults_dev = b['mults_dev']
 
     def run(p, opt_state, batch, lr, rngs):
-        return jitted(p, opt_state, batch, lr, rngs,
-                      (lr_mult_dev, wd_dev))
+        return jitted(p, opt_state, batch, lr, rngs, mults_dev)
+
+    return run
+
+
+def make_zero_multi_train_step(spec, hp, mults, mesh, params, donate=False):
+    """K chained ZeRO steps per device call via ``lax.scan``
+    (TPU.STEPS_PER_CALL; the same dispatch-amortization contract as
+    ``train_step.make_multi_train_step``): ``multi(params, opt_state,
+    batches, lrs, factors, rngs)`` with batch leaves stacked
+    (K, n_dev, ...), ``lrs``/``factors`` (K,), ``rngs`` (K, n_dev, ...).
+    Momentum-correction factors rescale the SHARDED flat momentum slice
+    in-graph before each step (``sgd.scale_momentum`` semantics)."""
+    b = _build_step(spec, hp, mults, mesh, params)
+    step = b['step']
+    repl, opt_shardings = b['repl'], b['opt_shardings']
+    mults_dev = b['mults_dev']
+
+    def multi(p, opt_state, batches, lrs, factors, rngs, mult_slices):
+        def one(carry, xs):
+            p, s = carry
+            batch, lr, factor, rng = xs
+            s = dict(s)
+            s['momentum'] = {'flat': s['momentum']['flat'] * factor}
+            p, s, loss, aux = step(p, s, batch, lr, rng, mult_slices)
+            return (p, s), (loss, aux)
+
+        (p, s), (losses, auxs) = jax.lax.scan(
+            one, (p, opt_state), (batches, lrs, factors, rngs))
+        return p, s, losses, auxs
+
+    batch_scan = NamedSharding(b['mesh'], P(None, AXIS))
+    jitted = jax.jit(
+        multi,
+        in_shardings=(repl, opt_shardings, batch_scan, repl, repl,
+                      batch_scan, (b['shard'], b['shard'])),
+        out_shardings=(repl, opt_shardings, repl, repl),
+        donate_argnums=(0, 1) if donate else (),
+    )
+
+    def run(p, opt_state, batches, lrs, factors, rngs):
+        return jitted(p, opt_state, batches, lrs, factors, rngs, mults_dev)
 
     return run

@@ -52,6 +52,10 @@ VARIANTS = {
     'seg': dict(webly_on=False, webly_entropy=False, box_head='vgg16_2fc',
                 mask_on=True, mask_head='fcn', mask_resolution=7,
                 mask_dim_reduced=256),
+    # ASPP head + CPG saliency + the in-graph permutohedral DenseCRF
+    'deeplab': dict(webly_on=False, webly_entropy=False,
+                    box_head='vgg16_2fc', mask_on=True,
+                    mask_head='deeplab'),
 }
 
 

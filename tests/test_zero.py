@@ -142,3 +142,50 @@ def test_zero_momentum_checkpoint_roundtrip():
     assert set(back) == set(mom_dict)
     for k in mom_dict:
         np.testing.assert_array_equal(back[k], mom_dict[k])
+
+
+def test_zero_multi_step_matches_sequential():
+    """Scan-of-K ZeRO window == K host-driven single steps, including an
+    in-window momentum-correction factor."""
+    spec = detector.ModelSpec(num_classes=5, hidden_dim=16,
+                              compute_dtype='float32')
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005, iter_size=1)
+    trainable = detector.trainable_param_names(spec, params)
+    mults = sgd.param_multipliers(params, trainable)
+    mesh = mesh_lib.make_mesh(N_DEV)
+
+    K = 3
+    batches = [ts.stack_minibatches(_blobs(spec.num_classes, N_DEV, seed=s),
+                                    size_bucket=16) for s in range(K)]
+    stacked = {k: jnp.stack([b[k] for b in batches]) for k in batches[0]}
+    rngs = jnp.stack([ts.device_rngs(jax.random.PRNGKey(10 + s), N_DEV)
+                      for s in range(K)])
+    lrs = jnp.asarray([1e-3, 1e-3, 5e-4], jnp.float32)
+    factors = jnp.asarray([1.0, 1.0, 0.5], jnp.float32)
+
+    single = zero.make_zero_train_step(spec, hp, mults, mesh, params)
+    p_ref, s_ref = params, zero.init_state(params, hp, mesh)
+    ref_losses = []
+    for k in range(K):
+        s_ref = dict(s_ref)
+        s_ref['momentum'] = {
+            'flat': s_ref['momentum']['flat'] * factors[k]}
+        p_ref, s_ref, loss, _ = single(p_ref, s_ref,
+                                       {kk: v[k] for kk, v in
+                                        stacked.items()},
+                                       lrs[k], rngs[k])
+        ref_losses.append(float(loss))
+
+    multi = zero.make_zero_multi_train_step(spec, hp, mults, mesh, params)
+    p_m, s_m, losses, _ = multi(params, zero.init_state(params, hp, mesh),
+                                stacked, lrs, factors, rngs)
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(ref_losses),
+                               rtol=1e-5)
+    for name in ('fc6_w', 'fc7_b', 'fc8c_w'):
+        np.testing.assert_allclose(np.asarray(p_m[name]),
+                                   np.asarray(p_ref[name]),
+                                   rtol=1e-5, atol=1e-7, err_msg=name)
+    np.testing.assert_allclose(np.asarray(s_m['momentum']['flat']),
+                               np.asarray(s_ref['momentum']['flat']),
+                               rtol=1e-5, atol=1e-7)
