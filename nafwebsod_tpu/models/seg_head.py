@@ -246,7 +246,7 @@ def deeplab_losses(mask_fc8, cpg, labels_oh, cls_prob, image, tau=0.7,
     the CPGSW saliency switch (wsl_seg_heads.py:193-214): per confident
     class, the learned mask replaces the CPG map as the pseudo-label source,
     with the reference's cur_iter cutoff. None = disabled."""
-    from nafwebsod_tpu.ops.misc import kl_loss
+    from nafwebsod_tpu.ops.misc import kl_balanced
     from nafwebsod_tpu.ops.misc import sigmoid_cross_entropy_with_logits_wsl
     from nafwebsod_tpu.ops import seg as seg_ops
     from nafwebsod_tpu.ops.seg import (dense_crf, deeplab_utility_sigmoid,
@@ -269,19 +269,21 @@ def deeplab_losses(mask_fc8, cpg, labels_oh, cls_prob, image, tau=0.7,
     losses = {'mask_seed_loss': seed_loss}
     if run_crf:
         sig, probs, unary = deeplab_outputs(mask_fc8)
-        # the CRF runs on the mask grid (the reference refines at image
-        # resolution after UpsampleBilinearWSL; PARITY.md documents the
-        # grid deviation) — the color-affinity image must be RESAMPLED to
-        # that grid so cell (i, j) reads the pixels it covers, not the
-        # top-left image corner
+        # the CRF runs on the mask grid with the image resampled to that
+        # grid — exactly the reference head's layout (wsl_seg_heads.py:126
+        # UpsampleBilinearWSL(['data', 'mask_fc8_unary']) resizes the
+        # IMAGE to the unary grid before DenseCRF), so cell (i, j) reads
+        # the pixels it covers
         im_small = jax.image.resize(
             image[0], (mask_fc8.shape[1], mask_fc8.shape[2],
                        image.shape[-1]), method='linear')
         q = dense_crf(jnp.moveaxis(unary[0], -1, 0), im_small)
         crf_fg = jnp.moveaxis(q[1:], 0, -1)[None]        # (1, h, w, C-1)
-        losses['mask_constraint_loss'] = kl_loss(
-            jax.lax.stop_gradient(crf_fg).reshape(-1, crf_fg.shape[-1]),
-            sig.reshape(-1, sig.shape[-1]))
+        # consistency loss: the reference KL op's balanced kernel with the
+        # call site's (sigmoid-probs-as-logit, crf-target) slotting
+        # (wsl_seg_heads.py:341; CRF target is constant — NO_GRADIENT)
+        div = kl_balanced(sig, jax.lax.stop_gradient(crf_fg))
+        losses['mask_constraint_loss'] = jnp.mean(div)
     return losses
 
 

@@ -10,8 +10,10 @@
     ``roi_score_pool_op`` (dormant alternative to the ReduceSum image score,
     wsl_heads.py:216-225): (R, C) scores -> (B, R_max, C) and max/avg-pool
     over the RoI axis.
-  * ``kl_loss``          — ``kl_op.{cc,cu}``: KL(label || pred) over
-    probability rows with the reference's 1e-20 clamp.
+  * ``kl_balanced``      — ``kl_op.cu:11-17,54-85``: the reference KL
+    op's ACTUAL kernel (pos/neg-balanced sigmoid-xent-style divergence
+    with ignore at 0.5); ``kl_loss`` is the plain KL(label || pred)
+    utility variant with the 1e-20 clamp.
   * ``label_cross_entropy_wsl`` — ``cross_entropy_wsl_op.cu:82-121``
     (CLASSWISE): per-(image, class) CE of per-pixel probabilities at gt-label
     pixels, normalized by the image's pos/neg pixel counts; gradient is the
@@ -93,7 +95,8 @@ def roi_score_pool(scores_3d, method='sum', valid_mask=None):
 
 def kl_loss(pred, label, valid_mask=None):
     """KL(label || pred) = sum label * (log label - log pred), averaged over
-    rows (kl_op semantics with the 1e-20 clamps)."""
+    rows (plain divergence with the 1e-20 clamps; the reference's KL *op*
+    is the balanced form below — this variant is kept for utility use)."""
     p = jnp.maximum(pred, KLOG_THRESHOLD)
     q = jnp.maximum(label, KLOG_THRESHOLD)
     elem = label * (jnp.log(q) - jnp.log(p))
@@ -103,6 +106,35 @@ def kl_loss(pred, label, valid_mask=None):
     else:
         n = pred.shape[0]
     return jnp.sum(elem) / n
+
+
+def kl_balanced(p, q, ignore_value=0.5):
+    """The reference KL op's actual kernel (kl_op.cu:11-17,54-85 — the op
+    is CUDA-only and its sole call site feeds the un-buildable DenseCRF,
+    so the kernel text is the spec): per outer index,
+
+        out_i = -sum_{q != ignore} q * log(1/q * sigmoid(p)) / denom
+
+    with ``denom`` the count of non-ignored targets on that element's side
+    of 0.5 (pos/neg class balancing), ``p`` consumed as a sigmoid LOGIT —
+    the deeplab call site passes sigmoid PROBABILITIES in that slot
+    (wsl_seg_heads.py:341), faithfully reproduced. ``q`` is clamped at the
+    CRF's own 1e-4 output floor (crf_op.cc result_process) so q*log(q)
+    stays finite. p: (B, ...) ; q same shape. Returns (B,) divergences.
+    """
+    b = p.shape[0]
+    pf = p.reshape(b, -1)
+    qf = jnp.maximum(q.reshape(b, -1), 1e-4)
+    keep = q.reshape(b, -1) != ignore_value
+    pos_side = qf > 0.5
+    pos = jnp.sum(keep & pos_side, axis=1).astype(pf.dtype)
+    neg = jnp.sum(keep & ~pos_side, axis=1).astype(pf.dtype)
+    denom = jnp.where(pos_side, pos[:, None], neg[:, None])
+    # tgt * log(1/tgt/(1+exp(-lgt))) == -tgt * (log tgt + softplus(-lgt))
+    term = -qf * (jnp.log(qf) + jax.nn.softplus(-pf))
+    term = jnp.where(keep & (denom > 0), term / jnp.maximum(denom, 1.0),
+                     0.0)
+    return -jnp.sum(term, axis=1)
 
 
 def label_cross_entropy_wsl(probs, labels, ignore_value=-1.0):

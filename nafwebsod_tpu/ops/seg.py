@@ -253,4 +253,7 @@ def dense_crf(unary, image, num_iters=10, pos_w=3.0, pos_std=3.0,
         return jax.nn.softmax(-u + msg, axis=1)
 
     q = jax.lax.fori_loop(0, num_iters, step, q0)
+    # crf_op.cc result_process: clamp at min_prob=1e-4 and renormalize
+    q = jnp.maximum(q, 1e-4)
+    q = q / jnp.sum(q, axis=1, keepdims=True)
     return q.T.reshape(c, h, w)

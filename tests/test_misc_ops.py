@@ -138,6 +138,45 @@ class TestSegOps:
         assert out[0, 1, 0] == -1  # between thresholds -> ignore
         assert out[0, 1, 1] == 0
 
+    def test_kl_balanced_matches_cu_kernel(self):
+        """kl_balanced == a literal numpy transcription of kl_op.cu's
+        KLKernel/BalanceWSLKernel (pos/neg balancing, ignore at 0.5,
+        input 0 consumed as a sigmoid logit)."""
+        rng = np.random.RandomState(11)
+        b, n = 2, 64
+        p = rng.rand(b, n).astype(np.float32)          # "logit" slot
+        q = rng.rand(b, n).astype(np.float32)          # targets
+        q[0, 5] = 0.5                                  # exact ignore hits
+        q[1, 7] = 0.5
+        out = np.asarray(misc.kl_balanced(jnp.asarray(p), jnp.asarray(q)))
+
+        def xent_fwd(lgt, tgt):
+            return tgt * np.log(1.0 / tgt / (1.0 + np.exp(-lgt)))
+
+        for i in range(b):
+            pos = sum(1 for j in range(n)
+                      if q[i, j] != 0.5 and q[i, j] > 0.5)
+            neg = sum(1 for j in range(n)
+                      if q[i, j] != 0.5 and q[i, j] <= 0.5)
+            val = 0.0
+            for j in range(n):
+                if q[i, j] == 0.5:
+                    continue
+                d = pos if q[i, j] > 0.5 else neg
+                val += xent_fwd(p[i, j], q[i, j]) / d
+            assert out[i] == pytest.approx(-val, rel=1e-5)
+
+    def test_kl_balanced_gradient_side(self):
+        """Gradient flows into the p slot only (the CRF target is
+        NO_GRADIENT upstream) and matches tgt*(1-sigmoid(p))/denom signs
+        (kl_op.cu sigmoid_xent_backward)."""
+        rng = np.random.RandomState(12)
+        p = jnp.asarray(rng.rand(1, 16).astype(np.float32))
+        q = jnp.asarray(rng.rand(1, 16).astype(np.float32))
+        g = jax.grad(lambda x: jnp.sum(misc.kl_balanced(x, q)))(p)
+        # d(-q*log(sigmoid-part))/dp = -q*(1-sigmoid(p))/denom <= 0
+        assert np.all(np.asarray(g) <= 0)
+
     def test_dense_crf_sharpens(self):
         rng = np.random.RandomState(0)
         c, h, w = 3, 24, 24
