@@ -182,14 +182,16 @@ def train_model(roidb=None, max_iters=None):
         zmesh = mesh_lib.make_mesh(num_devices)
         opt_state = zero.momentum_from_dict(params, hp, zmesh,
                                             momentum or {})
-        step_fn = zero.make_zero_train_step(spec, hp, mults, zmesh,
-                                            params, donate=True)
+        step_fn = zero.make_zero_train_step(
+            spec, hp, mults, zmesh, params, donate=True,
+            center_update_period=max(128 // num_devices, 1))
         if steps_per_call > 1:
             # factors always applied in-graph: the rescale touches only
             # the SHARDED momentum slice (|params|/n per chip), so the
             # factor-free specialization the DP path needs is moot here
             multi_step_fn = zero.make_zero_multi_train_step(
-                spec, hp, mults, zmesh, params, donate=True)
+                spec, hp, mults, zmesh, params, donate=True,
+                center_update_period=max(128 // num_devices, 1))
     else:
         m = mesh_lib.make_mesh(num_devices)
         mesh_obj = m

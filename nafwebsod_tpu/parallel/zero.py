@@ -16,9 +16,9 @@ semantics, incl. the 'gn' special weight decay) are baked into two flat
 per-ELEMENT vectors at build time, so the sliced update stays elementwise.
 Numerics match the replicated-solver DP step exactly (same reduction
 order as the fused psum path up to scatter/gather association), pinned by
-tests/test_zero.py. Enable with ``TPU.ZERO_OPT``. iter_size > 1 is not
-supported (the accumulator would defeat the sharding; use
-TPU.STEPS_PER_CALL windows instead).
+tests/test_zero.py. Enable with ``TPU.ZERO_OPT``. iter_size > 1
+accumulates in a SHARDED slice (1/n extra HBM per chip); center loss
+rides along with replicated ~0.4 MB accumulators (see ``_build_step``).
 """
 
 from functools import partial
@@ -82,6 +82,12 @@ def init_state(params, hp, mesh):
         state['grad_acc'] = {'flat': jax.device_put(
             jnp.zeros((flat.shape[0] + pad,), jnp.float32),
             NamedSharding(mesh, P(AXIS)))}
+    if 'center_feature' in params:
+        # center-loss dCF/ndCF accumulators (replicated — ~0.4 MB; the DP
+        # analogue is engine/train.py's opt_state entries)
+        cf = params['center_feature']
+        state['center_dcf'] = jnp.zeros(cf.shape, jnp.float32)
+        state['center_ndcf'] = jnp.zeros(cf.shape[:2], jnp.float32)
     return state
 
 
@@ -108,13 +114,17 @@ def momentum_from_dict(params, hp, mesh, momentum_dict):
     return state
 
 
-def _build_step(spec, hp, mults, mesh, params):
+def _build_step(spec, hp, mults, mesh, params, center_update_period=128):
     """Shared un-jitted ZeRO step + sharding metadata for the single-step
-    and scan-of-K drivers."""
-    if spec.center_loss:
-        raise NotImplementedError(
-            'TPU.ZERO_OPT does not carry the center-loss accumulators; '
-            'use the replicated-solver DP step')
+    and scan-of-K drivers.
+
+    Center loss rides along: the CF centers are a COMPUTED param
+    (lr_mult == wd == 0, so the flat momentum update leaves them frozen)
+    and the dCF/ndCF accumulators stay REPLICATED in the opt state —
+    they are (C-1, M, D) ≈ 0.4 MB, n-fold sharding would save nothing —
+    with the per-step deltas psum'd across the mesh exactly like the DP
+    step (the reference's explicit NCCL allreduce in
+    cpg_utils.Center_loss_surgery)."""
     mults_t = sgd.freeze_mults(mults) if isinstance(mults, dict) else mults
     n = mesh.devices.size
     _check_ravel_order(params)
@@ -141,7 +151,7 @@ def _build_step(spec, hp, mults, mesh, params):
     @partial(_shard_map, mesh=mesh,
              in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
                        P(), P(), P(AXIS)),
-             out_specs=(P(), P(AXIS), P(AXIS), P(), P()))
+             out_specs=(P(), P(AXIS), P(AXIS), P(), P(), P()))
     def step_local(p, pslice, batch, rngs, mom_slice, acc_slice, it, lr,
                    mult_slices):
         lr_mult_s, wd_s = mult_slices
@@ -151,11 +161,15 @@ def _build_step(spec, hp, mults, mesh, params):
             # conditionals — see train_step._vmap_forward_train)
             from nafwebsod_tpu.parallel.train_step import _vmap_forward_train
             totals, auxs = _vmap_forward_train(spec, pp, batch, rngs)
+            # '__'-prefixed entries are cross-device SUM deltas (center
+            # accumulators); plain metrics are means (train_step._step_body)
+            deltas = {k: jnp.sum(v, axis=0)
+                      for k, v in auxs.items() if k.startswith('__')}
             metrics = {k: jnp.sum(v) / n for k, v in auxs.items()
                        if not k.startswith('__')}
-            return jnp.sum(totals) / n, metrics
+            return jnp.sum(totals) / n, (metrics, deltas)
 
-        (loss, aux), grads = jax.value_and_grad(
+        (loss, (aux, deltas)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(p)
         gflat = ravel_pytree(grads)[0]
         if pad:
@@ -193,7 +207,8 @@ def _build_step(spec, hp, mults, mesh, params):
         new_flat = jax.lax.all_gather(new_pslice, AXIS, tiled=True)
         loss = jax.lax.psum(loss, AXIS)
         aux = jax.tree.map(lambda x: jax.lax.psum(x, AXIS), aux)
-        return new_flat, v, new_acc, loss, aux
+        deltas = jax.tree.map(lambda x: jax.lax.psum(x, AXIS), deltas)
+        return new_flat, v, new_acc, loss, aux, deltas
 
     def step(p, opt_state, batch, lr, rngs, mult_slices):
         flat_p, _ = ravel_pytree(p)
@@ -203,18 +218,37 @@ def _build_step(spec, hp, mults, mesh, params):
         it = opt_state['it'] + 1
         acc = (opt_state['grad_acc']['flat'] if iter_size > 1 else
                jnp.zeros_like(opt_state['momentum']['flat']))
-        new_flat, new_mom, new_acc, loss, aux = step_local(
+        new_flat, new_mom, new_acc, loss, aux, deltas = step_local(
             p, flat_p, batch, rngs, opt_state['momentum']['flat'], acc,
             it, lr, mult_slices)
         new_params = unravel(new_flat[:total])
         new_state = {'momentum': {'flat': new_mom}, 'it': it}
         if iter_size > 1:
             new_state['grad_acc'] = {'flat': new_acc}
+        if spec.center_loss:
+            # periodic center move on the psum'd deltas — identical to the
+            # DP step's tail (train_step._step_body); CF itself was frozen
+            # through the flat update (lr_mult == wd == 0)
+            from nafwebsod_tpu.ops import center as center_ops
+            accum = {'center_dcf': opt_state['center_dcf'],
+                     'center_ndcf': opt_state['center_ndcf']}
+            cf, accum = center_ops.center_update(
+                new_params['center_feature'], accum,
+                {'center_dcf': deltas['__center_dcf'],
+                 'center_ndcf': deltas['__center_ndcf']},
+                it, spec.center_loss_top_k,
+                update=center_update_period)
+            new_params['center_feature'] = cf
+            new_state['center_dcf'] = accum['center_dcf']
+            new_state['center_ndcf'] = accum['center_ndcf']
         return new_params, new_state, loss, aux
 
     opt_shardings = {'momentum': {'flat': shard}, 'it': repl}
     if iter_size > 1:
         opt_shardings['grad_acc'] = {'flat': shard}
+    if spec.center_loss:
+        opt_shardings['center_dcf'] = repl
+        opt_shardings['center_ndcf'] = repl
     return {
         'step': step,
         'opt_shardings': opt_shardings,
@@ -226,7 +260,8 @@ def _build_step(spec, hp, mults, mesh, params):
     }
 
 
-def make_zero_train_step(spec, hp, mults, mesh, params, donate=False):
+def make_zero_train_step(spec, hp, mults, mesh, params, donate=False,
+                         center_update_period=128):
     """Jitted ZeRO-1 data-parallel train step: ``step(params, opt_state,
     batch, lr, rngs) -> (params, opt_state, loss, aux)`` with the same
     batch layout as the replicated DP step (leading axis = mesh size, one
@@ -234,7 +269,8 @@ def make_zero_train_step(spec, hp, mults, mesh, params, donate=False):
     ``hp.iter_size > 1`` gradients accumulate in a SHARDED slice and the
     momentum update fires every iter_size-th call, mirroring
     ``sgd.update``'s mean-of-accumulated semantics."""
-    b = _build_step(spec, hp, mults, mesh, params)
+    b = _build_step(spec, hp, mults, mesh, params,
+                    center_update_period=center_update_period)
     repl, opt_shardings = b['repl'], b['opt_shardings']
     jitted = jax.jit(
         b['step'],
@@ -253,7 +289,8 @@ def make_zero_train_step(spec, hp, mults, mesh, params, donate=False):
     return run
 
 
-def make_zero_multi_train_step(spec, hp, mults, mesh, params, donate=False):
+def make_zero_multi_train_step(spec, hp, mults, mesh, params, donate=False,
+                               center_update_period=128):
     """K chained ZeRO steps per device call via ``lax.scan``
     (TPU.STEPS_PER_CALL; the same dispatch-amortization contract as
     ``train_step.make_multi_train_step``): ``multi(params, opt_state,
@@ -261,7 +298,8 @@ def make_zero_multi_train_step(spec, hp, mults, mesh, params, donate=False):
     (K, n_dev, ...), ``lrs``/``factors`` (K,), ``rngs`` (K, n_dev, ...).
     Momentum-correction factors rescale the SHARDED flat momentum slice
     in-graph before each step (``sgd.scale_momentum`` semantics)."""
-    b = _build_step(spec, hp, mults, mesh, params)
+    b = _build_step(spec, hp, mults, mesh, params,
+                    center_update_period=center_update_period)
     step = b['step']
     repl, opt_shardings = b['repl'], b['opt_shardings']
     mults_dev = b['mults_dev']

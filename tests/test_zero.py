@@ -127,6 +127,68 @@ def test_zero_iter_size_matches_replicated_dp():
                 rtol=1e-4, atol=1e-7, err_msg='%s step %d' % (name, k))
 
 
+def test_zero_center_loss_matches_replicated_dp():
+    """Center loss under ZeRO-1: CF is frozen through the flat momentum
+    update (lr_mult == wd == 0), the dCF/ndCF deltas psum like the DP
+    step, and the periodic center move fires identically — params AND
+    centers must track the replicated DP step through an update
+    boundary."""
+    spec = detector.ModelSpec(
+        num_classes=5, hidden_dim=16, webly_on=False, webly_entropy=False,
+        box_head='vgg16_2fc', center_loss=True, center_loss_number=3,
+        center_loss_top_k=2, compute_dtype='float32')
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005, iter_size=1)
+    trainable = detector.trainable_param_names(spec, params)
+    assert 'center_feature' not in trainable
+    mults = sgd.param_multipliers(params, trainable)
+
+    batch = ts.stack_minibatches(_blobs(spec.num_classes, N_DEV),
+                                 size_bucket=16)
+    rngs = ts.device_rngs(jax.random.PRNGKey(1), N_DEV)
+
+    mesh = mesh_lib.make_mesh(N_DEV)
+    dp_step = ts.make_train_step(spec, hp, mults, mesh, donate=False,
+                                 center_update_period=2)
+    zero_step = zero.make_zero_train_step(spec, hp, mults, mesh, params,
+                                          center_update_period=2)
+
+    p_dp, s_dp = params, sgd.init_state(params, hp)
+    s_dp['center_dcf'] = jnp.zeros_like(params['center_feature'])
+    s_dp['center_ndcf'] = jnp.zeros(
+        params['center_feature'].shape[:2], jnp.float32)
+    p_z, s_z = params, zero.init_state(params, hp, mesh)
+    assert 'center_dcf' in s_z
+
+    cf0 = np.asarray(params['center_feature'])
+    for k in range(3):
+        lr = np.float32(1e-3)
+        p_dp, s_dp, loss_dp, aux_dp = dp_step(p_dp, s_dp, batch, lr, rngs)
+        p_z, s_z, loss_z, aux_z = zero_step(p_z, s_z, batch, lr, rngs)
+        np.testing.assert_allclose(float(loss_z), float(loss_dp),
+                                   rtol=2e-5, err_msg='step %d' % k)
+        np.testing.assert_allclose(
+            float(aux_z['loss_center']), float(aux_dp['loss_center']),
+            rtol=2e-5, err_msg='loss_center step %d' % k)
+        np.testing.assert_allclose(
+            np.asarray(p_z['center_feature']),
+            np.asarray(p_dp['center_feature']),
+            rtol=1e-4, atol=1e-7, err_msg='center_feature step %d' % k)
+        np.testing.assert_allclose(
+            np.asarray(s_z['center_dcf']), np.asarray(s_dp['center_dcf']),
+            rtol=1e-4, atol=1e-6, err_msg='center_dcf step %d' % k)
+        if k == 0:
+            # before the period-2 boundary: centers have not moved yet
+            np.testing.assert_array_equal(
+                np.asarray(p_z['center_feature']), cf0)
+    # the update boundary fired inside the loop: centers moved under both
+    assert not np.allclose(np.asarray(p_z['center_feature']), cf0)
+    for name in ('fc6_w', 'fc7_b', 'fc8c_w'):
+        np.testing.assert_allclose(np.asarray(p_z[name]),
+                                   np.asarray(p_dp[name]),
+                                   rtol=1e-4, atol=1e-7, err_msg=name)
+
+
 def test_zero_momentum_checkpoint_roundtrip():
     """flat sharded momentum <-> reference per-param dict, exact."""
     spec = detector.ModelSpec(num_classes=5, hidden_dim=16,
