@@ -123,9 +123,10 @@ def train_model(roidb=None, max_iters=None):
         # stream through a ppermute schedule; one step trains B images.
         from nafwebsod_tpu.parallel import pipeline
         pipe_mesh = pipeline.make_pipe_mesh()
-        inner_step = pipeline.make_pipeline_step(spec, hp, mults,
-                                                 pipe_mesh, donate=True)
         num_devices = max(int(cfg.TPU.PIPELINE_MICROBATCHES), 1)
+        inner_step = pipeline.make_pipeline_step(
+            spec, hp, mults, pipe_mesh, donate=True,
+            center_update_period=max(128 // num_devices, 1))
         # cur_iter feeds the C-MIL continuation schedule, im_hw the context
         # head's true-canvas ring clipping — pass them through when present
         _keys = ('image', 'rois', 'obn_scores', 'valid_mask', 'labels_oh',
@@ -137,7 +138,8 @@ def train_model(roidb=None, max_iters=None):
 
         if steps_per_call > 1:
             inner_multi = pipeline.make_pipeline_multi_step(
-                spec, hp, mults, pipe_mesh, donate=True)
+                spec, hp, mults, pipe_mesh, donate=True,
+                center_update_period=max(128 // num_devices, 1))
 
             def multi_step_fn(params, opt_state, batches, lrs, factors,
                               rngs):
@@ -157,7 +159,8 @@ def train_model(roidb=None, max_iters=None):
                                             n_data=num_devices // m)
         num_devices = num_devices // m  # images per step = data rows
         inner_step = tensor_shard.make_tp_train_step(
-            spec, hp, mults, tp_mesh, params, donate=True)
+            spec, hp, mults, tp_mesh, params, donate=True,
+            center_update_period=max(128 // num_devices, 1))
         _keys = ('image', 'rois', 'obn_scores', 'valid_mask', 'labels_oh',
                  'cur_iter', 'im_hw')
 
@@ -167,7 +170,8 @@ def train_model(roidb=None, max_iters=None):
 
         if steps_per_call > 1:
             inner_multi = tensor_shard.make_tp_multi_train_step(
-                spec, hp, mults, tp_mesh, params, donate=True)
+                spec, hp, mults, tp_mesh, params, donate=True,
+                center_update_period=max(128 // num_devices, 1))
 
             def multi_step_fn(params, opt_state, batches, lrs, factors,
                               rngs):

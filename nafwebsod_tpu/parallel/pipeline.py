@@ -17,8 +17,10 @@ Unfrozen bodies are rejected (the data-parallel / tensor-parallel steps
 cover them).
 
 Scope: the WSDDN / webly / context 2fc heads with the OICR / PCL(device) /
-C-MIL ladders and min-entropy loss (``wsl_losses.check_scope``, shared
-with ``parallel/tensor_shard.py``); stage 1 reuses
+C-MIL ladders, min-entropy loss, and center loss (``wsl_losses.check_scope``,
+shared with ``parallel/tensor_shard.py``; the center dCF/ndCF accumulators
+ride replicated in the opt state with the per-microbatch deltas summed over
+ticks — ``wsl_losses.center_tail``); stage 1 reuses
 ``detector.wsl_tail_losses`` so loss assembly is literally the unsharded
 code. The context head's three pooled streams concatenate into one
 cross-pipe buffer. Gradients accumulate over the microbatches as a mean —
@@ -56,7 +58,10 @@ def make_pipe_mesh(num_devices=N_STAGES):
 
 
 def _check_scope(spec):
-    wsl_losses.check_scope(spec)
+    # center loss is admitted: this step threads the replicated dCF/ndCF
+    # accumulators through its opt state, with the per-microbatch deltas
+    # summed over ticks (and the stage-0 zeros psum'd away)
+    wsl_losses.check_scope(spec, allow_center=True)
     if not spec.freeze_conv_body:
         raise NotImplementedError(
             'the 2-stage pipeline requires FREEZE_CONV_BODY (the flagship '
@@ -119,7 +124,7 @@ def _make_grads_fn(spec, mesh, dropout):
     shared by the single-step and scan-of-K drivers."""
 
     @partial(_shard_map, mesh=mesh, in_specs=(P(), P(), P()),
-             out_specs=(P(), P(), P()))
+             out_specs=(P(), P(), P(), P()))
     def grads_fn(params, batch, rng):
         stage = jax.lax.axis_index(AXIS)
         B = batch['image'].shape[0]
@@ -137,15 +142,20 @@ def _make_grads_fn(spec, mesh, dropout):
         zero_buf = jnp.zeros((R, feat_dim), compute_dtype)
         zero_grads = jax.tree.map(jnp.zeros_like, params)
         # the aux structure follows detector.wsl_tail_losses (ladder /
-        # min-entropy keys appear per spec) — derive it abstractly
+        # min-entropy keys appear per spec) — derive it abstractly;
+        # '__'-prefixed entries are cross-image SUM deltas (center
+        # accumulators) and accumulate un-normalized
         aux_struct = jax.eval_shape(
             lambda p, b, m: _head_loss(spec, p, b, m, None)[1],
             params, zero_buf, microbatch(0))
-        zero_aux = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
-                                aux_struct)
+        zero_aux = {k: jnp.zeros(s.shape, s.dtype)
+                    for k, s in aux_struct.items()
+                    if not k.startswith('__')}
+        zero_deltas = {k: jnp.zeros(s.shape, s.dtype)
+                       for k, s in aux_struct.items() if k.startswith('__')}
 
         def tick(carry, t):
-            buf, gacc, loss_acc, aux_acc = carry
+            buf, gacc, loss_acc, aux_acc, delta_acc = carry
 
             # ---- stage 0: features for microbatch t (while valid) ----
             i0 = jnp.clip(t, 0, B - 1)
@@ -169,24 +179,31 @@ def _make_grads_fn(spec, mesh, dropout):
                 def loss_fn(p):
                     total, aux = _head_loss(spec, p, buf, microbatch(i1),
                                             mrng)
-                    return total / B, jax.tree.map(lambda v: v / B, aux)
+                    deltas = {k: v for k, v in aux.items()
+                              if k.startswith('__')}
+                    metrics = {k: v / B for k, v in aux.items()
+                               if not k.startswith('__')}
+                    return total / B, (metrics, deltas)
 
-                (loss, aux), g = jax.value_and_grad(
+                (loss, (aux, deltas)), g = jax.value_and_grad(
                     loss_fn, has_aux=True)(params)
-                return g, loss, aux
+                return g, loss, aux, deltas
 
-            g, loss, aux = jax.lax.cond(
+            g, loss, aux, deltas = jax.lax.cond(
                 jnp.logical_and(stage == N_STAGES - 1, t >= 1),
                 head_grads,
-                lambda: (zero_grads, jnp.zeros((), jnp.float32), zero_aux))
+                lambda: (zero_grads, jnp.zeros((), jnp.float32), zero_aux,
+                         zero_deltas))
 
             gacc = jax.tree.map(jnp.add, gacc, g)
             loss_acc = loss_acc + loss
             aux_acc = {k: aux_acc[k] + aux[k] for k in aux_acc}
-            return (recv, gacc, loss_acc, aux_acc), None
+            delta_acc = {k: delta_acc[k] + deltas[k] for k in delta_acc}
+            return (recv, gacc, loss_acc, aux_acc, delta_acc), None
 
-        init = (zero_buf, zero_grads, jnp.zeros((), jnp.float32), zero_aux)
-        (_, gacc, loss, aux), _ = jax.lax.scan(
+        init = (zero_buf, zero_grads, jnp.zeros((), jnp.float32), zero_aux,
+                zero_deltas)
+        (_, gacc, loss, aux, deltas), _ = jax.lax.scan(
             tick, init, jnp.arange(T))
 
         # replicate the (stage-1-only) results: stage 0 contributes zeros
@@ -194,13 +211,14 @@ def _make_grads_fn(spec, mesh, dropout):
         grads = unravel(jax.lax.psum(flat, AXIS))
         loss = jax.lax.psum(loss, AXIS)
         aux = jax.tree.map(lambda v: jax.lax.psum(v, AXIS), aux)
-        return loss, aux, grads
+        deltas = jax.tree.map(lambda v: jax.lax.psum(v, AXIS), deltas)
+        return loss, aux, deltas, grads
 
     return grads_fn
 
 
 def make_pipeline_step(spec, hp, mults, mesh, dropout=True,
-                       donate=False):
+                       donate=False, center_update_period=128):
     """Jitted 2-stage pipeline train step.
 
     ``step(params, opt_state, batch, lr, rng) -> (params, opt_state, loss,
@@ -216,9 +234,12 @@ def make_pipeline_step(spec, hp, mults, mesh, dropout=True,
     grads_fn = _make_grads_fn(spec, mesh, dropout)
 
     def step(params, opt_state, batch, lr, rng):
-        loss, aux, grads = grads_fn(params, batch, rng)
+        loss, aux, deltas, grads = grads_fn(params, batch, rng)
         params, opt_state = sgd.update(params, grads, opt_state, lr, hp,
                                        mults)
+        if spec.center_loss:
+            params, opt_state = wsl_losses.center_tail(
+                spec, params, opt_state, deltas, center_update_period)
         return params, opt_state, loss, aux
 
     return jax.jit(
@@ -230,7 +251,7 @@ def make_pipeline_step(spec, hp, mults, mesh, dropout=True,
 
 
 def make_pipeline_multi_step(spec, hp, mults, mesh, dropout=True,
-                             donate=False):
+                             donate=False, center_update_period=128):
     """K chained pipeline steps per device call via ``lax.scan``
     (TPU.STEPS_PER_CALL; dispatch amortization as in
     ``train_step.make_multi_train_step``, momentum-correction factors
@@ -247,8 +268,11 @@ def make_pipeline_multi_step(spec, hp, mults, mesh, dropout=True,
             p, s = carry
             batch, lr, factor, rng = xs
             s = sgd.scale_momentum(s, factor)
-            loss, aux, grads = grads_fn(p, batch, rng)
+            loss, aux, deltas, grads = grads_fn(p, batch, rng)
             p, s = sgd.update(p, grads, s, lr, hp, mults)
+            if spec.center_loss:
+                p, s = wsl_losses.center_tail(spec, p, s, deltas,
+                                              center_update_period)
             return (p, s), (loss, aux)
 
         (p, s), (losses, auxs) = jax.lax.scan(

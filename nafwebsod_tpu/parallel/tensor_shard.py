@@ -28,12 +28,15 @@ fused psum of the raveled gradient vector over 'data' (same layout as
 ``parallel/train_step._step_body_fused``).
 
 Scope: the WSDDN / webly noise-aware / context heads with the OICR /
-PCL(device) / C-MIL refinement ladders and min-entropy loss — everything
-downstream of the towers reuses ``detector.wsl_tail_losses``, so the
-sharded step's loss assembly is literally the unsharded code (CSC / CPG /
-center-loss / mask / FPN branches use the data-parallel step; see
-``wsl_losses.check_scope``). Numerics are pinned against the unsharded
-step on the virtual CPU mesh by tests/test_tensor_shard.py.
+PCL(device) / C-MIL refinement ladders, min-entropy loss, and center loss
+— everything downstream of the towers reuses ``detector.wsl_tail_losses``,
+so the sharded step's loss assembly is literally the unsharded code (CSC /
+CPG / mask / FPN branches use the data-parallel step; see
+``wsl_losses.check_scope``). Center loss threads the replicated dCF/ndCF
+accumulators through the opt state with the per-image deltas summed over
+the data axis — the same contract as the DP tail. Numerics are pinned
+against the unsharded step on the virtual CPU mesh by
+tests/test_tensor_shard.py.
 Enable with ``TPU.TENSOR_SHARDING = m`` (model-axis size).
 """
 
@@ -197,7 +200,10 @@ def _fc_tower_tp(feat_flat, params, prefix, rng, train, axis):
 # Training forward (plain WSDDN / webly noise-aware scope)
 # --------------------------------------------------------------------------- #
 
-_check_scope = wsl_losses.check_scope
+# center loss is admitted HERE (not in the shared gate): this step threads
+# the replicated dCF/ndCF accumulators through its opt state and sums the
+# per-image deltas over the data axis, exactly like the DP step's tail
+_check_scope = partial(wsl_losses.check_scope, allow_center=True)
 
 
 def forward_train_tp(spec, params, batch, rng, axis=MODEL_AXIS):
@@ -261,7 +267,7 @@ def _make_grads_fn(spec, mesh, pspecs, n_data, dropout):
 
     @partial(_shard_map, mesh=mesh,
              in_specs=(pspecs, P(DATA_AXIS), P()),
-             out_specs=(P(), P(), pspecs))
+             out_specs=(P(), P(), P(), pspecs))
     def grads_fn(p, batch, rng):
         local = jax.tree.map(lambda x: x[0], batch)  # this row's one image
         rng = (jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
@@ -269,10 +275,15 @@ def _make_grads_fn(spec, mesh, pspecs, n_data, dropout):
 
         def loss_fn(pp):
             total, aux = forward_train_tp(spec, pp, local, rng)
-            # local total / global image count == this row's mean share
-            return total / n_data, jax.tree.map(lambda v: v / n_data, aux)
+            # '__'-prefixed entries are cross-image SUM deltas (the center
+            # accumulators — train_step._step_body contract); plain
+            # metrics are means over the global image count
+            deltas = {k: v for k, v in aux.items() if k.startswith('__')}
+            metrics = {k: v / n_data for k, v in aux.items()
+                       if not k.startswith('__')}
+            return total / n_data, (metrics, deltas)
 
-        ((loss, aux), grads) = jax.value_and_grad(
+        ((loss, (aux, deltas)), grads) = jax.value_and_grad(
             loss_fn, has_aux=True)(p)
         # ONE fused all-reduce over 'data' (the custom-VJP GEMMs already
         # produced full gradients on every model rank, so no 'model'
@@ -281,13 +292,17 @@ def _make_grads_fn(spec, mesh, pspecs, n_data, dropout):
         grads = unravel(jax.lax.psum(flat, DATA_AXIS))
         loss = jax.lax.psum(loss, DATA_AXIS)
         aux = jax.tree.map(lambda v: jax.lax.psum(v, DATA_AXIS), aux)
-        return loss, aux, grads
+        deltas = jax.tree.map(lambda v: jax.lax.psum(v, DATA_AXIS), deltas)
+        return loss, aux, deltas, grads
 
     return grads_fn
 
 
+_center_tail = wsl_losses.center_tail
+
+
 def make_tp_train_step(spec, hp, mults, mesh, params, dropout=True,
-                       donate=False):
+                       donate=False, center_update_period=128):
     """Jitted tensor-parallel (x data-parallel) train step over a 2-D
     ``('data', 'model')`` mesh.
 
@@ -307,9 +322,12 @@ def make_tp_train_step(spec, hp, mults, mesh, params, dropout=True,
     grads_fn = _make_grads_fn(spec, mesh, pspecs, n_data, dropout)
 
     def step(params, opt_state, batch, lr, rng):
-        loss, aux, grads = grads_fn(params, batch, rng)
+        loss, aux, deltas, grads = grads_fn(params, batch, rng)
         params, opt_state = sgd.update(params, grads, opt_state, lr, hp,
                                        mults)
+        if spec.center_loss:
+            params, opt_state = _center_tail(spec, params, opt_state,
+                                             deltas, center_update_period)
         return params, opt_state, loss, aux
 
     param_shardings = {k: NamedSharding(mesh, s) for k, s in pspecs.items()}
@@ -320,6 +338,11 @@ def make_tp_train_step(spec, hp, mults, mesh, params, dropout=True,
         k: ({n: param_shardings[n] for n in v}
             if k in ('momentum', 'grad_acc') else repl)
         for k, v in probe.items()}
+    if spec.center_loss:
+        # dCF/ndCF accumulators (engine/train.py adds them to opt_state):
+        # ~0.4 MB, replicated
+        opt_in['center_dcf'] = repl
+        opt_in['center_ndcf'] = repl
 
     batch_shard = NamedSharding(mesh, P(DATA_AXIS))
     return jax.jit(
@@ -331,7 +354,7 @@ def make_tp_train_step(spec, hp, mults, mesh, params, dropout=True,
 
 
 def make_tp_multi_train_step(spec, hp, mults, mesh, params, dropout=True,
-                             donate=False):
+                             donate=False, center_update_period=128):
     """K chained tensor-parallel steps per device call via ``lax.scan``
     (TPU.STEPS_PER_CALL; same dispatch-amortization contract as
     ``train_step.make_multi_train_step``, with the momentum-correction
@@ -355,8 +378,11 @@ def make_tp_multi_train_step(spec, hp, mults, mesh, params, dropout=True,
             p, s = carry
             batch, lr, factor, rng = xs
             s = sgd.scale_momentum(s, factor)
-            loss, aux, grads = grads_fn(p, batch, rng)
+            loss, aux, deltas, grads = grads_fn(p, batch, rng)
             p, s = sgd.update(p, grads, s, lr, hp, mults)
+            if spec.center_loss:
+                p, s = _center_tail(spec, p, s, deltas,
+                                    center_update_period)
             return (p, s), (loss, aux)
 
         (p, s), (losses, auxs) = jax.lax.scan(
@@ -369,6 +395,9 @@ def make_tp_multi_train_step(spec, hp, mults, mesh, params, dropout=True,
         k: ({n: param_shardings[n] for n in v}
             if k in ('momentum', 'grad_acc') else repl)
         for k, v in probe.items()}
+    if spec.center_loss:
+        opt_in['center_dcf'] = repl
+        opt_in['center_ndcf'] = repl
     batch_shard = NamedSharding(mesh, P(None, DATA_AXIS))
     return jax.jit(
         multi,

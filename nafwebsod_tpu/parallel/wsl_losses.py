@@ -8,16 +8,19 @@ unsharded forward runs downstream of the towers.
 """
 
 
-def check_scope(spec, extra_unsupported=()):
+def check_scope(spec, extra_unsupported=(), allow_center=False):
     """Raise unless ``spec`` is within the sharded-step scope shared by the
     tensor-parallel and pipeline steps: the WSDDN / webly 2fc and context
     heads, with the OICR / PCL(device) / C-MIL refinement ladders and the
     min-entropy loss admitted (all downstream of the shared fc towers —
     they reuse ``detector.wsl_tail_losses``). Branches that re-run the conv
-    body under a nested grad (CSC/CPG/deeplab), carry cross-step state
-    (center loss), or pool from other feature layouts (FPN, mask) use the
-    data-parallel step."""
-    unsupported = (spec.csc or spec.cpg or spec.center_loss or
+    body under a nested grad (CSC/CPG/deeplab) or pool from other feature
+    layouts (FPN, mask) use the data-parallel step. Center loss carries
+    cross-step accumulator state; steps that thread it (the tensor-parallel
+    step does — replicated dCF/ndCF in the opt state, deltas summed over
+    the data axis) pass ``allow_center=True``."""
+    unsupported = (spec.csc or spec.cpg or
+                   (spec.center_loss and not allow_center) or
                    spec.mask_on or spec.supervised or
                    spec.is_fpn or spec.fused_noise_tower or
                    (spec.pcl and not spec.pcl_device) or
@@ -27,5 +30,28 @@ def check_scope(spec, extra_unsupported=()):
         raise NotImplementedError(
             'this sharded step supports the WSDDN / webly / context 2fc '
             'heads with the OICR / PCL(device) / C-MIL ladders; '
-            'CSC/CPG/center/mask/FPN/supervised branches use the '
+            'CSC/CPG/mask/FPN/supervised branches (and center loss where '
+            'the step does not thread its accumulators) use the '
             'data-parallel step')
+
+
+def center_tail(spec, params, opt_state, deltas, center_update_period):
+    """Post-SGD center move shared by the sharded steps — identical to the
+    DP step's tail (train_step._step_body): accumulate the globally-summed
+    dCF/ndCF deltas and fire the periodic center update; the CF param
+    itself was frozen through ``sgd.update`` (lr_mult == wd == 0)."""
+    from nafwebsod_tpu.ops import center as center_ops
+    accum = {'center_dcf': opt_state['center_dcf'],
+             'center_ndcf': opt_state['center_ndcf']}
+    cf, accum = center_ops.center_update(
+        params['center_feature'], accum,
+        {'center_dcf': deltas['__center_dcf'],
+         'center_ndcf': deltas['__center_ndcf']},
+        opt_state['it'], spec.center_loss_top_k,
+        update=center_update_period)
+    params = dict(params)
+    params['center_feature'] = cf
+    opt_state = dict(opt_state)
+    opt_state['center_dcf'] = accum['center_dcf']
+    opt_state['center_ndcf'] = accum['center_ndcf']
+    return params, opt_state

@@ -77,6 +77,79 @@ def test_pipeline_step_matches_mean_loss_step(spec_idx):
                                   np.asarray(params['conv1_1_w']))
 
 
+def test_pipeline_center_loss_matches_mean_loss_step():
+    """Center loss through the pipeline: per-microbatch dCF/ndCF deltas
+    must SUM over ticks (stage-0 zeros psum'd away) and the periodic
+    center move must fire exactly like the DP tail."""
+    from nafwebsod_tpu.ops import center as center_ops
+
+    spec = detector.ModelSpec(
+        num_classes=5, hidden_dim=16, webly_on=False, webly_entropy=False,
+        box_head='vgg16_2fc', center_loss=True, center_loss_number=3,
+        center_loss_top_k=2, compute_dtype='float32')
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    imgs = [_one_image(spec.num_classes, seed=s) for s in (0, 3, 4)]
+    hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005, iter_size=1)
+    trainable = detector.trainable_param_names(spec, params)
+    mults = sgd.param_multipliers(params, trainable)
+    frozen = sgd.freeze_mults(mults)
+
+    def ref_loss_fn(p):
+        outs = [detector.forward_train(spec, p, b, None) for b in imgs]
+        total = sum(t for t, _ in outs) / len(imgs)
+        deltas = {k: sum(a[k] for _, a in outs)
+                  for k in ('__center_dcf', '__center_ndcf')}
+        return total, deltas
+
+    mesh = pipeline.make_pipe_mesh()
+    step = pipeline.make_pipeline_step(spec, hp, mults, mesh, dropout=False,
+                                       center_update_period=2)
+    opt0 = sgd.init_state(params, hp)
+    opt0['center_dcf'] = jnp.zeros_like(params['center_feature'])
+    opt0['center_ndcf'] = jnp.zeros(
+        params['center_feature'].shape[:2], jnp.float32)
+
+    cf0 = np.asarray(params['center_feature'])
+    p_ref, s_ref = params, dict(opt0)
+    accum = {'center_dcf': opt0['center_dcf'],
+             'center_ndcf': opt0['center_ndcf']}
+    p_pp, s_pp = params, opt0
+    batch = _stack(imgs)
+    for k in range(3):
+        lr = np.float32(1e-3)
+        (ref_loss, deltas), ref_grads = jax.value_and_grad(
+            ref_loss_fn, has_aux=True)(p_ref)
+        p_ref, s_ref = sgd.update(p_ref, ref_grads, s_ref, lr, hp, frozen)
+        cf, accum = center_ops.center_update(
+            p_ref['center_feature'], accum,
+            {'center_dcf': deltas['__center_dcf'],
+             'center_ndcf': deltas['__center_ndcf']},
+            s_ref['it'], spec.center_loss_top_k, update=2)
+        p_ref = dict(p_ref)
+        p_ref['center_feature'] = cf
+
+        p_pp, s_pp, loss, aux = step(p_pp, s_pp, batch, lr,
+                                     jax.random.PRNGKey(1))
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-5,
+                                   err_msg='step %d' % k)
+        assert not any(n.startswith('__') for n in aux)
+        np.testing.assert_allclose(
+            np.asarray(p_pp['center_feature']),
+            np.asarray(p_ref['center_feature']),
+            rtol=1e-4, atol=1e-7, err_msg='center_feature step %d' % k)
+        np.testing.assert_allclose(
+            np.asarray(s_pp['center_dcf']), np.asarray(accum['center_dcf']),
+            rtol=1e-4, atol=1e-6, err_msg='center_dcf step %d' % k)
+        if k == 0:
+            np.testing.assert_array_equal(
+                np.asarray(p_pp['center_feature']), cf0)
+    assert not np.allclose(np.asarray(p_pp['center_feature']), cf0)
+    for name in ('fc6_w', 'fc7_b', 'fc8c_w'):
+        np.testing.assert_allclose(np.asarray(p_pp[name]),
+                                   np.asarray(p_ref[name]),
+                                   rtol=1e-4, atol=1e-6, err_msg=name)
+
+
 def test_pipeline_step_learns_with_dropout():
     spec = list(_specs())[1]
     params = detector.init_params(spec, jax.random.PRNGKey(0))

@@ -198,6 +198,102 @@ def test_tp_multi_step_matches_chained_single_steps():
                                    rtol=1e-4, atol=1e-6, err_msg=k)
 
 
+def test_tp_center_loss_matches_unsharded():
+    """Center loss under TP (2 data rows x 4 hidden shards): the dCF/ndCF
+    deltas must SUM over the data axis and the periodic center move must
+    fire exactly like the DP tail (train_step._step_body semantics); the
+    scan-of-K driver must carry the accumulators identically."""
+    from nafwebsod_tpu.ops import center as center_ops
+
+    spec = detector.ModelSpec(
+        num_classes=5, hidden_dim=16, webly_on=False, webly_entropy=False,
+        box_head='vgg16_2fc', center_loss=True, center_loss_number=3,
+        center_loss_top_k=2, compute_dtype='float32')
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    imgs = [_one_image(spec.num_classes, seed=3),
+            _one_image(spec.num_classes, seed=4)]
+    hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005, iter_size=1)
+    trainable = detector.trainable_param_names(spec, params)
+    assert 'center_feature' not in trainable
+    mults = sgd.param_multipliers(params, trainable)
+    frozen = sgd.freeze_mults(mults)
+
+    def ref_loss_fn(p):
+        outs = [detector.forward_train(spec, p, b, None) for b in imgs]
+        total = sum(t for t, _ in outs) / len(imgs)
+        deltas = {k: sum(a[k] for _, a in outs)
+                  for k in ('__center_dcf', '__center_ndcf')}
+        return total, deltas
+
+    mesh = tsh.make_tp_mesh(n_model=4, n_data=2)
+    step = tsh.make_tp_train_step(spec, hp, mults, mesh, params,
+                                  dropout=False, center_update_period=2)
+    opt0 = sgd.init_state(params, hp)
+    opt0['center_dcf'] = jnp.zeros_like(params['center_feature'])
+    opt0['center_ndcf'] = jnp.zeros(
+        params['center_feature'].shape[:2], jnp.float32)
+
+    cf0 = np.asarray(params['center_feature'])
+    p_ref, s_ref = params, dict(opt0)
+    accum = {'center_dcf': opt0['center_dcf'],
+             'center_ndcf': opt0['center_ndcf']}
+    p_tp, s_tp = params, opt0
+    batch = _stack(imgs)
+    K = 3
+    lrs = np.asarray([1e-3, 1e-3, 5e-4], np.float32)
+    tp_losses, tp_snapshots = [], []
+    for k in range(K):
+        # reference: mean grads over the 2 images + the DP center tail
+        (ref_loss, deltas), ref_grads = jax.value_and_grad(
+            ref_loss_fn, has_aux=True)(p_ref)
+        p_ref, s_ref = sgd.update(p_ref, ref_grads, s_ref, lrs[k], hp,
+                                  frozen)
+        cf, accum = center_ops.center_update(
+            p_ref['center_feature'], accum,
+            {'center_dcf': deltas['__center_dcf'],
+             'center_ndcf': deltas['__center_ndcf']},
+            s_ref['it'], spec.center_loss_top_k, update=2)
+        p_ref = dict(p_ref)
+        p_ref['center_feature'] = cf
+
+        p_tp, s_tp, loss, aux = step(p_tp, s_tp, batch, lrs[k],
+                                     jax.random.PRNGKey(1))
+        tp_losses.append(float(loss))
+        tp_snapshots.append(np.asarray(p_tp['center_feature']))
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-5,
+                                   err_msg='step %d' % k)
+        assert not any(n.startswith('__') for n in aux)
+        np.testing.assert_allclose(
+            np.asarray(p_tp['center_feature']),
+            np.asarray(p_ref['center_feature']),
+            rtol=1e-4, atol=1e-7, err_msg='center_feature step %d' % k)
+        np.testing.assert_allclose(
+            np.asarray(s_tp['center_dcf']),
+            np.asarray(accum['center_dcf']),
+            rtol=1e-4, atol=1e-6, err_msg='center_dcf step %d' % k)
+        if k == 0:
+            np.testing.assert_array_equal(
+                np.asarray(p_tp['center_feature']), cf0)
+    assert not np.allclose(np.asarray(p_tp['center_feature']), cf0)
+    for name in ('fc6_w', 'fc7_b', 'fc8c_w'):
+        np.testing.assert_allclose(np.asarray(p_tp[name]),
+                                   np.asarray(p_ref[name]),
+                                   rtol=1e-4, atol=1e-6, err_msg=name)
+
+    # scan-of-K driver carries the center accumulators identically
+    multi = tsh.make_tp_multi_train_step(spec, hp, mults, mesh, params,
+                                         dropout=False,
+                                         center_update_period=2)
+    stacked = {k: jnp.stack([batch[k]] * K) for k in batch}
+    p_m, s_m, losses, _ = multi(params, opt0, stacked, jnp.asarray(lrs),
+                                jnp.ones((K,), jnp.float32),
+                                jnp.stack([jax.random.PRNGKey(1)] * K))
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(tp_losses),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_m['center_feature']),
+                               tp_snapshots[-1], rtol=1e-5, atol=1e-7)
+
+
 def _family_specs():
     """The families check_scope newly admits (round 3): everything
     downstream of the towers runs detector.wsl_tail_losses unchanged."""
