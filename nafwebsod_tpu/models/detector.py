@@ -1507,9 +1507,11 @@ def wsl_tail_losses(spec: ModelSpec, params, batch, fc7_clean,
             (1, spec.num_classes - 1) + maps.shape[1:], jnp.float32)
         cpg_full = cpg_full.at[0, jnp.maximum(idx, 0)].set(
             jnp.where(keep[:, None, None], maps, 0.0))
+        # the head computes at the body's compute dtype (bf16 on TPU) and
+        # returns f32 logits — see deeplab_head_forward
         mask_fc8 = seg_head.deeplab_head_forward(
-            params, feat.astype(jnp.float32),
-            freeze_body=spec.freeze_conv_body, train=True, rng=rng)
+            params, feat, freeze_body=spec.freeze_conv_body, train=True,
+            rng=rng)
         sw_active = (batch.get('cur_iter', jnp.zeros(())) < spec.cpg_max_iter
                      if spec.cpg_max_iter > 0 else None)
         dl = seg_head.deeplab_losses(

@@ -196,7 +196,14 @@ def _dropout(x, rate, rng):
 def deeplab_head_forward(params, feat, *, freeze_body=True, train=False,
                          rng=None):
     """feat: (1, H, W, 512) conv5 features. Returns summed mask logits
-    (1, H, W, C[-1])."""
+    (1, H, W, C[-1]) in float32.
+
+    Computes at ``feat.dtype`` with f32 master weights cast per-use —
+    the same mixed-precision convention as the fc towers
+    (heads._fc_tower); the 12 ASPP 3x3/1x1 convs at the conv5 grid are
+    the deeplab family's dominant GEMM cost and ran f32 before this
+    (round-3 profile: ~18 ms/step of the 105 ms step at 704px)."""
+    dt = feat.dtype
     # _[mask]_pool5: 3x3 stride-1 maxpool pad 1 (wsl_seg_heads.py:469-471)
     x = jnp.pad(feat, ((0, 0), (1, 1), (1, 1), (0, 0)),
                 constant_values=-jnp.inf)
@@ -210,16 +217,18 @@ def deeplab_head_forward(params, feat, *, freeze_body=True, train=False,
     out = None
     for i, hole in enumerate(ASPP_HOLES):
         k = i + 1
-        h = jax.nn.relu(_conv_nhwc(x, params['fc6_{}_w'.format(k)],
-                                   params['fc6_{}_b'.format(k)], hole))
+        h = jax.nn.relu(_conv_nhwc(x, params['fc6_{}_w'.format(k)].astype(dt),
+                                   params['fc6_{}_b'.format(k)].astype(dt),
+                                   hole))
         h = _dropout(h, 0.5, rngs[2 * i]) if train else h
-        h = jax.nn.relu(_conv_nhwc(h, params['fc7_{}_w'.format(k)],
-                                   params['fc7_{}_b'.format(k)]))
+        h = jax.nn.relu(_conv_nhwc(h, params['fc7_{}_w'.format(k)].astype(dt),
+                                   params['fc7_{}_b'.format(k)].astype(dt)))
         h = _dropout(h, 0.5, rngs[2 * i + 1]) if train else h
-        logit = _conv_nhwc(h, params['mask_fc8_{}_w'.format(k)],
-                           params['mask_fc8_{}_b'.format(k)])
+        logit = _conv_nhwc(h, params['mask_fc8_{}_w'.format(k)].astype(dt),
+                           params['mask_fc8_{}_b'.format(k)].astype(dt))
         out = logit if out is None else out + logit
-    return out
+    # losses / CRF tail run f32 (deeplab_outputs' log/softmax chain)
+    return out.astype(jnp.float32)
 
 
 def deeplab_outputs(mask_fc8):
