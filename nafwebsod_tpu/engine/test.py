@@ -921,7 +921,7 @@ def im_detect_all(spec, params, im, box_proposals, obn_scores, timers=None,
                                     obn_scores)
         timers['im_detect_bbox'].toc()
         cls_segms = None
-        if getattr(spec, 'mask_on', False) and spec.mask_head != 'deeplab':
+        if getattr(spec, 'mask_on', False):
             timers['im_detect_mask'].tic()
             cls_segms = im_detect_mask(spec, params, im, cls_boxes)
             timers['im_detect_mask'].toc()
@@ -947,7 +947,7 @@ def im_detect_all(spec, params, im, box_proposals, obn_scores, timers=None,
     timers['misc_bbox'].toc()
 
     cls_segms = None
-    if getattr(spec, 'mask_on', False) and spec.mask_head != 'deeplab':
+    if getattr(spec, 'mask_on', False):
         timers['im_detect_mask'].tic()
         cls_segms = im_detect_mask(spec, params, im, cls_boxes)
         timers['im_detect_mask'].toc()
@@ -971,14 +971,51 @@ def _final_boxes(cls_boxes):
     return boxes, [len(d) for d in per_cls]
 
 
-def segm_results(cls_boxes, masks, ref_boxes, im_h, im_w):
-    """Paste per-RoI soft masks into the image and RLE-encode
-    (test_wsl.py:segm_results — padded-by-1 resize to kill border
-    artifacts, THRESH_BINARIZE, COCO-compressed RLE from utils/segms)."""
+def segm_results_deeplab(cls_boxes, masks, ref_boxes, im_h, im_w):
+    """Deeplab image-level masks -> per-detection RLEs
+    (test_wsl.py:segm_results_deeplab:866-916): the SOFT class grid is
+    resized to the image, binarized at MRCNN.THRESH_BINARIZE, and each
+    detection keeps only the pixels inside its box. ``masks`` is the
+    (1, h, w, C) bg/fg grid from forward_deeplab_masks — channel j is fg
+    class j (channel 0 = bg), the reference's masks[0, j] indexing."""
     import cv2
 
     from nafwebsod_tpu.utils.segms import mask_to_rle
 
+    num_classes = cfg.MODEL.NUM_CLASSES
+    cls_segms = [[] for _ in range(num_classes)]
+    mask_ind = 0
+    for j in range(1, num_classes):
+        cls_ch = j if cfg.MRCNN.CLS_SPECIFIC_MASK else 0
+        soft = cv2.resize(np.ascontiguousarray(masks[0, :, :, cls_ch]),
+                          (im_w, im_h))
+        binarized = (soft > cfg.MRCNN.THRESH_BINARIZE).astype(np.uint8)
+        segms = []
+        for _ in range(len(np.asarray(cls_boxes[j]).reshape(-1, 5))):
+            box = ref_boxes[mask_ind]
+            im_mask = np.zeros((im_h, im_w), np.uint8)
+            x0, x1 = int(max(box[0], 0)), int(min(box[2] + 1, im_w))
+            y0, y1 = int(max(box[1], 0)), int(min(box[3] + 1, im_h))
+            if x1 > x0 and y1 > y0:
+                im_mask[y0:y1, x0:x1] = binarized[y0:y1, x0:x1]
+            segms.append(mask_to_rle(im_mask))
+            mask_ind += 1
+        cls_segms[j] = segms
+    return cls_segms
+
+
+def segm_results(cls_boxes, masks, ref_boxes, im_h, im_w):
+    """Paste per-RoI soft masks into the image and RLE-encode
+    (test_wsl.py:segm_results — padded-by-1 resize to kill border
+    artifacts, THRESH_BINARIZE, COCO-compressed RLE from utils/segms).
+    Dispatches to ``segm_results_deeplab`` for the image-level deeplab
+    grid (test_wsl.py:920-921's 'deeplab' in ROI_MASK_HEAD gate)."""
+    import cv2
+
+    from nafwebsod_tpu.utils.segms import mask_to_rle
+
+    if 'deeplab' in cfg.MRCNN.ROI_MASK_HEAD:
+        return segm_results_deeplab(cls_boxes, masks, ref_boxes, im_h, im_w)
     num_classes = cfg.MODEL.NUM_CLASSES
     cls_segms = [[] for _ in range(num_classes)]
     mask_ind = 0
@@ -1010,10 +1047,22 @@ def segm_results(cls_boxes, masks, ref_boxes, im_h, im_w):
 
 def _mask_forward(spec, params, im, boxes, target_scale, target_max_size):
     """Soft masks (R, M, M, C) for the given original-image boxes at one
-    image scale (ref test.py:im_detect_mask:373-413, NHWC here)."""
+    image scale (ref test.py:im_detect_mask:373-413, NHWC here).
+
+    The deeplab head is image-level, not per-RoI: ONE (1, h, w, C) bg/fg
+    grid per image (test_wsl.py:im_detect_mask_deeplab:366-405), cropped
+    to the true image extent so a padded canvas never leaks into the
+    per-detection resize (the reference feeds unpadded blobs)."""
     im_blob, im_scale = prep_im_for_blob(
         im, cfg.PIXEL_MEANS, target_scale, target_max_size, cfg.PIXEL_STDS)
     im_in = pad_image_to_bucket(im_blob, cfg.TPU.SIZE_BUCKET_MULTIPLE)
+    if spec.mask_head == 'deeplab':
+        grid = np.asarray(detector.forward_deeplab_masks(
+            spec, params, jnp.asarray(im_in[None])))
+        s = detector.body_spatial_scale(spec)
+        gh = max(int(np.ceil(im_blob.shape[0] * s)), 1)
+        gw = max(int(np.ceil(im_blob.shape[1] * s)), 1)
+        return grid[:, :gh, :gw, :]
     rois5 = np.hstack([np.zeros((len(boxes), 1), np.float32),
                        boxes * im_scale]).astype(np.float32)
     rois_p, _, valid = _pad_rois(rois5, np.ones((len(boxes), 1)),
@@ -1085,6 +1134,18 @@ def im_detect_mask_aug(spec, params, im, boxes):
         if cfg.TEST.MASK_AUG.ASPECT_RATIO_H_FLIP:
             masks_ts.append(im_detect_mask_aspect_ratio(
                 spec, params, im, aspect_ratio, boxes, hflip=True))
+
+    if spec.mask_head == 'deeplab':
+        # image-level grids: scale/aspect transforms change the grid
+        # extent — resize every grid (per class channel) to the identity
+        # transform's before combining (test_wsl.py:509-521)
+        import cv2
+        h0, w0 = masks_ts[0].shape[1:3]
+        masks_ts = [
+            m if m.shape[1:3] == (h0, w0) else
+            np.stack([cv2.resize(m[0, :, :, c], (w0, h0))
+                      for c in range(m.shape[-1])], axis=-1)[None]
+            for m in masks_ts]
 
     heur = cfg.TEST.MASK_AUG.HEUR
     if heur == 'SOFT_AVG':

@@ -1192,6 +1192,23 @@ def forward_masks(spec: ModelSpec, params, image, rois):
 
 
 @partial(jax.jit, static_argnames=('spec',))
+def forward_deeplab_masks(spec: ModelSpec, params, image):
+    """Test-time deeplab masks: ONE image-level bg/fg grid, not per-RoI
+    (test_wsl.py:im_detect_mask_deeplab:366-405 fetches 'mask_fc8_bgfg' —
+    wsl_seg_heads.py:add_deeplab_outputs:104-114 concat([1 - max_c
+    sigmoid(mask_fc8), sigmoid(mask_fc8)])). Returns (1, h, w, C) f32 at
+    the head grid; segm_results_deeplab resizes/binarizes per detection."""
+    from nafwebsod_tpu.models import seg_head
+
+    feat, _ = body_forward(spec, params, image)
+    mask_fc8 = seg_head.deeplab_head_forward(
+        params, feat, freeze_body=True, train=False)
+    sig = jax.nn.sigmoid(mask_fc8)                       # (1, h, w, C-1)
+    bg = 1.0 - jnp.max(sig, axis=-1, keepdims=True)
+    return jnp.concatenate([bg, sig], axis=-1)
+
+
+@partial(jax.jit, static_argnames=('spec',))
 def forward_keypoints(spec: ModelSpec, params, image, rois):
     """Keypoint heatmaps for given (final-detection) rois
     (test.py im_detect_keypoints upstream). Returns (R, Hh, Wh, K)."""
@@ -1517,7 +1534,8 @@ def wsl_tail_losses(spec: ModelSpec, params, batch, fc7_clean,
         dl = seg_head.deeplab_losses(
             mask_fc8, jax.lax.stop_gradient(cpg_full), labels_oh,
             jax.lax.stop_gradient(cls_prob), image, tau=spec.cpg_tau,
-            cpg_sw_active=sw_active)
+            cpg_sw_active=sw_active,
+            crf_filter_dtype=jnp.dtype(spec.compute_dtype))
         losses['mask_seed_loss'] = dl['mask_seed_loss']
         losses['mask_constraint_loss'] = dl['mask_constraint_loss']
     elif spec.mask_on:
