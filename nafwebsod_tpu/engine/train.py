@@ -114,9 +114,11 @@ def train_model(roidb=None, max_iters=None):
         inner_step = roi_shard.make_roi_sharded_train_step(
             spec, hp, mults, roi_mesh, donate=True)
 
+        _roi_keys = ('image', 'rois', 'obn_scores', 'valid_mask',
+                     'labels_oh') + (('im_hw',) if spec.is_context else ())
+
         def step_fn(params, opt_state, batch, lr, rngs):
-            b = {k: batch[k][0] for k in ('image', 'rois', 'obn_scores',
-                                          'valid_mask', 'labels_oh')}
+            b = {k: batch[k][0] for k in _roi_keys}
             return inner_step(params, opt_state, b, lr, rngs[0])
     elif cfg.TPU.PIPELINE_PARALLEL:
         # 2-stage body|head pipeline (parallel/pipeline.py): microbatches

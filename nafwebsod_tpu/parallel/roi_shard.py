@@ -18,9 +18,14 @@ device as the data-parallel step does:
 
 Numerics match the unsharded forward to fp32 summation-order tolerance
 (pinned by tests/test_roi_shard.py on the virtual 8-device CPU mesh).
-Supported for the plain WSDDN and webly noise-aware heads (the refinement
-ladders / context / CSC / mask branches keep the data-parallel path).
-Enable with TPU.ROI_SHARDING (mesh axis 'roi').
+Supported for the plain WSDDN / webly noise-aware / CONTEXT heads with the
+OICR refinement ladder and min-entropy loss: seeds come from GLOBAL
+argmaxes (pmax + first-occurrence pmin tie-break + one psum'd seed box per
+class), per-RoI labeling is local rows vs the tiny seed table, and
+SoftmaxWithLossN normalizes by psum'd weight-sum/count
+(softmax_with_loss_n_sharded). C-MIL's clique growth and PCL's clustering
+span all RoIs and keep the data-parallel / tensor-parallel paths, as do
+CSC and mask. Enable with TPU.ROI_SHARDING (mesh axis 'roi').
 """
 
 from functools import partial
@@ -138,19 +143,168 @@ def spatial_entropy_weights_sharded(rois_pred_local, cls_prob, rois_local,
             jax.lax.stop_gradient(class_weight_noise))
 
 
+def softmax_with_loss_n_sharded(logits, labels, roi_weights, axis):
+    """``ops/losses.softmax_with_loss_n`` over RoIs sharded on ``axis``:
+    forward normalizes by the GLOBAL weight sum, the hand-written backward
+    by the GLOBAL count of nonzero-weight rows (the reference op's
+    intentional asymmetry, softmax_with_loss_n_op.cc:209-360).
+
+    The backward multiplies by the axis size: the caller's grads_fn runs
+    under check_vma=False where every NON-custom psum transposes to a
+    psum (n-fold inflating each device's grads) and recovers the truth
+    with one outer ``pmean`` — a custom VJP blocks that transpose, so it
+    must bake the n factor in itself to stay consistent (pinned vs the
+    unsharded ladder in tests/test_roi_shard.py)."""
+    return _swln_sharded(logits, labels, roi_weights, axis)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _swln_sharded(logits, labels, roi_weights, axis):
+    logp = jax.nn.log_softmax(logits, axis=1)
+    picked = logp[jnp.arange(logits.shape[0]), labels]
+    total_w = jax.lax.psum(jnp.sum(roi_weights), axis)
+    loss = jax.lax.psum(-jnp.sum(roi_weights * picked), axis)
+    return jnp.where(total_w != 0, loss / total_w, 0.0)
+
+
+def _swln_sharded_fwd(logits, labels, roi_weights, axis):
+    return (_swln_sharded(logits, labels, roi_weights, axis),
+            (logits, labels, roi_weights))
+
+
+def _swln_sharded_bwd(axis, res, g):
+    logits, labels, roi_weights = res
+    r, c = logits.shape
+    p = jax.nn.softmax(logits, axis=1)
+    onehot = jax.nn.one_hot(labels, c, dtype=p.dtype)
+    count = jax.lax.psum(jnp.sum(roi_weights != 0), axis)
+    n = jax.lax.psum(jnp.ones((), p.dtype), axis)  # axis size
+    scale = jnp.where(count > 0, g * n / count, 0.0)
+    return roi_weights[:, None] * (p - onehot) * scale, None, None
+
+
+_swln_sharded.defvjp(_swln_sharded_fwd, _swln_sharded_bwd)
+
+
+def min_entropy_loss_sharded(rois_pred_local, labels_oh, valid_local, axis):
+    """Sharded ``ops/losses.min_entropy_loss`` (min_entropy_loss_op.cc:7-46):
+    per-class entropy sums and the valid-RoI count psum across the axis."""
+    p = jnp.maximum(rois_pred_local, loss_ops.KLOG_THRESHOLD)
+    ent = -p * jnp.log(p) * valid_local.astype(p.dtype)[:, None]
+    per_class = jax.lax.psum(jnp.sum(ent, axis=0), axis)        # (C,)
+    r_count = jax.lax.psum(
+        jnp.sum(valid_local.astype(p.dtype)), axis)
+    gt = labels_oh[0]
+    num = jnp.sum(per_class * gt)
+    count = jnp.maximum(jnp.sum(gt) * r_count, 1.0)
+    return num / count
+
+
+def _roi_label_sharded(prev_local, rois_local, labels_oh, valid_local,
+                       class_weights, axis):
+    """``ops/refine.roi_label`` with the RoIs sharded on ``axis`` — the
+    OICR settings only (fg 0.5 / bg [−1, 0.5), uncapped, top_k=1;
+    roi_label_op.cc semantics; the C-MIL capped variant stays on the
+    unsharded paths). Seeds are GLOBAL argmaxes chosen sequentially per
+    gt class with global de-dup: pmax finds each class's best score,
+    the owner resolves first-occurrence ties by global row index (pmin),
+    and one psum broadcasts the 4-vector seed box; every other step is
+    local rows vs the (C, 4) seed table."""
+    rl, num_class_s = prev_local.shape
+    num_class = labels_oh.shape[1]
+    offset = num_class_s - num_class
+    fg_scores = prev_local[:, offset:]
+    gt = labels_oh[0]
+    valid = valid_local.astype(bool)
+    gid = jax.lax.axis_index(axis) * rl + jnp.arange(rl)
+    int_max = jnp.iinfo(jnp.int32).max
+
+    masked = jnp.where(valid[:, None], fg_scores, -jnp.inf)
+    chosen = jnp.zeros((rl,), bool)
+    seed_boxes, seed_gidx, seed_cls, seed_ok = [], [], [], []
+    for c_i in range(num_class):
+        col = jnp.where(chosen, -jnp.inf, masked[:, c_i])
+        li = jnp.argmax(col)
+        lmax = col[li]
+        gmax = jax.lax.pmax(lmax, axis)
+        cand = jnp.where(lmax == gmax, gid[li].astype(jnp.int32), int_max)
+        gidx = jax.lax.pmin(cand, axis)
+        ok = (gt[c_i] > 0) & jnp.isfinite(gmax)
+        owns = gid[li].astype(jnp.int32) == gidx
+        chosen = chosen.at[li].set(chosen[li] | (ok & owns))
+        box = jnp.where(ok & owns,
+                        jnp.floor(rois_local[li, 1:5]).astype(jnp.float32),
+                        0.0)
+        seed_boxes.append(jax.lax.psum(box, axis))
+        seed_gidx.append(gidx)
+        seed_cls.append(c_i)
+        seed_ok.append(ok)
+    seed_boxes = jnp.stack(seed_boxes)                     # (C, 4)
+    seed_gidx = jnp.stack(seed_gidx)                       # (C,)
+    seed_cls = jnp.asarray(seed_cls, jnp.int32)
+    seed_valid = jnp.stack(seed_ok)                        # (C,)
+
+    # local IoU rows vs the seed table with roi_iou semantics
+    # (int-truncated coords, exact-1 self-IoU at the seed's own row)
+    boxes_l = jnp.floor(rois_local[:, 1:5]).astype(jnp.float32)
+    iou_to_seeds = iou_matrix(boxes_l, seed_boxes)         # (Rl, C)
+    self_row = gid[:, None].astype(jnp.int32) == seed_gidx[None, :]
+    iou_to_seeds = jnp.where(self_row, 1.0, iou_to_seeds)
+    iou_to_seeds = jnp.where(seed_valid[None, :], iou_to_seeds, -jnp.inf)
+
+    best = jnp.argmax(iou_to_seeds, axis=1)
+    max_iou = jnp.max(iou_to_seeds, axis=1)
+    assign_c = seed_cls[best]
+    assign_w = class_weights[assign_c]
+
+    is_fg = max_iou >= 0.5
+    is_bg = (max_iou >= -1.0) & (max_iou < 0.5)
+    labels = jnp.where(is_fg, assign_c + 1,
+                       jnp.where(is_bg, 0, assign_c + 1)).astype(jnp.int32)
+    weights = jnp.where(is_fg | is_bg, assign_w, 0.0)
+    labels = jnp.where(valid, labels, 0)
+    weights = jnp.where(valid, weights, 0.0)
+    weights = jnp.where(jnp.sum(seed_valid) == 0, 0.0, weights)
+    return labels, weights
+
+
+def _refinement_losses_sharded(spec, params, fc7_local, rois_local, out,
+                               cls_prob, labels_oh, valid_local, axis):
+    """The OICR refinement ladder over sharded RoIs
+    (detector._refinement_losses' RoILabel + SoftmaxWithLossN branch,
+    wsl_heads.py:456-607; PCL/C-MIL keep the unsharded paths — their
+    pseudo-labeling clusters/cliques span all RoIs)."""
+    sg = jax.lax.stop_gradient
+    c = spec.num_classes
+    losses = {}
+    prev = sg(out['rois_pred'])
+    cw = sg(cls_prob[0])
+    for k in range(1, spec.refine_k + 1):
+        lbl, w = _roi_label_sharded(prev, rois_local, labels_oh,
+                                    valid_local, cw, axis)
+        logits = heads.refine_score(params, fc7_local, k)
+        loss_k = softmax_with_loss_n_sharded(logits, lbl, w, axis)
+        if not spec.mean_loss:
+            loss_k = loss_k * float(c - 1)
+        losses['loss_cls{}'.format(k)] = loss_k
+        prev = sg(jax.nn.softmax(logits, axis=1))
+    return losses
+
+
 def forward_train_roi_sharded(spec, params, batch, rng, axis=AXIS):
     """Per-device training forward on the local RoI shard. ``batch`` holds
-    the REPLICATED image/labels and the LOCAL rois/obn_scores/valid_mask.
+    the REPLICATED image/labels and the LOCAL rois/obn_scores/valid_mask
+    (plus a replicated 'im_hw' for the context head's ring clipping).
     Returns (total_loss, aux) — both replicated (psum-reduced)."""
     # base gate shared with the tensor-parallel / pipeline steps (an inline
     # copy had drifted: it missed is_fpn, fused_noise_tower, and the
-    # box-head whitelist, letting unsupported specs crash mid-trace) — plus
-    # the RoI-dim-specific exclusions: the ladders need the full RoI-RoI
-    # IoU matrix and min-entropy/context need cross-shard reductions this
-    # forward does not implement (the TP/pipeline steps admit them)
+    # box-head whitelist, letting unsupported specs crash mid-trace).
+    # RoI-dim-specific exclusions: C-MIL's clique growth and PCL's
+    # clustering span all RoIs (unsharded paths); the OICR ladder, the
+    # context head, and min-entropy are admitted with their cross-shard
+    # reductions implemented below.
     from nafwebsod_tpu.parallel.wsl_losses import check_scope
-    check_scope(spec, extra_unsupported=(spec.refine_k, spec.is_context,
-                                         spec.cmil, spec.min_entropy_loss))
+    check_scope(spec, extra_unsupported=(spec.cmil, spec.pcl))
 
     image = batch['image']
     rois = batch['rois']
@@ -162,10 +316,29 @@ def forward_train_roi_sharded(spec, params, batch, rng, axis=AXIS):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
 
     fc7_clean, fc7_noisy, _ = detector._run_body_and_head(
-        spec, params, image, rois, obn, train=True, rng=rng)
+        spec, params, image, rois, obn, train=True, rng=rng,
+        im_hw=batch.get('im_hw'))
+    fc7_main = fc7_clean[0] if spec.is_context else fc7_clean
 
     losses, aux = {}, {}
-    if spec.is_webly:
+    if spec.is_context:
+        # context two-stream (heads.wsl_context_outputs): fc8c from the
+        # plain stream, fc8d = FC(frame) - FC(context) with shared
+        # 'fc8d_frame' weights; the RoI softmax goes global
+        fc7, fc7_frame, fc7_ctx = fc7_clean
+        fc8c = heads._fc(fc7, params, 'fc8c', out_dtype=jnp.float32)
+        fc8d = (heads._fc(fc7_frame, params, 'fc8d_frame',
+                          out_dtype=jnp.float32) -
+                heads._fc(fc7_ctx, params, 'fc8d_frame',
+                          out_dtype=jnp.float32))
+        rois_pred = _two_stream_sharded(fc8c, fc8d, valid, axis)
+        out = {'fc8c': fc8c, 'fc8d': fc8d, 'rois_pred': rois_pred}
+        cls_prob = cls_pred_sharded(rois_pred, axis)
+        losses['loss_cls'] = loss_ops.cross_entropy_with_logits(
+            cls_prob, labels_oh, spec.mean_loss)
+        aux['accuracy_cls'] = loss_ops.multilabel_accuracy(cls_prob,
+                                                           labels_oh)
+    elif spec.is_webly:
         out = webly_outputs_sharded(params, fc7_clean, fc7_noisy, valid,
                                     axis)
         cls_prob = cls_pred_sharded(out['rois_pred'], axis)
@@ -186,12 +359,22 @@ def forward_train_roi_sharded(spec, params, batch, rng, axis=AXIS):
         aux['accuracy_cls_noise'] = loss_ops.multilabel_accuracy(
             cls_prob_noise, labels_oh)
     else:
-        out = wsl_outputs_sharded(params, fc7_clean, valid, axis)
+        out = wsl_outputs_sharded(params, fc7_main, valid, axis)
         cls_prob = cls_pred_sharded(out['rois_pred'], axis)
         losses['loss_cls'] = loss_ops.cross_entropy_with_logits(
             cls_prob, labels_oh, spec.mean_loss)
         aux['accuracy_cls'] = loss_ops.multilabel_accuracy(cls_prob,
                                                            labels_oh)
+
+    if spec.refine_k:
+        losses.update(_refinement_losses_sharded(
+            spec, params, fc7_main, rois, out, cls_prob, labels_oh, valid,
+            axis))
+
+    if spec.min_entropy_loss:
+        # weight 0.1 (wsl_heads.py:279-290 get_loss_gradients_weighted)
+        losses['loss_entropy'] = 0.1 * min_entropy_loss_sharded(
+            out['rois_pred'], labels_oh, valid, axis)
 
     total = sum(losses.values())
     aux.update(losses)
@@ -211,10 +394,13 @@ def make_roi_sharded_train_step(spec, hp, mults, mesh, donate=False):
     # ShapeDtypeStructs (no vma annotation), and the psum-transpose
     # semantics under the legacy mode match the explicit grads psum below
     # (pinned exact vs the unsharded grads in tests/test_roi_shard.py)
+    batch_specs = {'image': P(), 'rois': P(AXIS), 'obn_scores': P(AXIS),
+                   'valid_mask': P(AXIS), 'labels_oh': P()}
+    if spec.is_context:
+        batch_specs['im_hw'] = P()  # true-canvas ring clipping
+
     @partial(_shard_map, mesh=mesh,
-             in_specs=(P(), {'image': P(), 'rois': P(AXIS),
-                             'obn_scores': P(AXIS), 'valid_mask': P(AXIS),
-                             'labels_oh': P()}, P()),
+             in_specs=(P(), batch_specs, P()),
              out_specs=(P(), P(), P()))
     def grads_fn(params, batch, rng):
         (loss, aux), grads = jax.value_and_grad(
@@ -235,6 +421,8 @@ def make_roi_sharded_train_step(spec, hp, mults, mesh, donate=False):
 
     batch_shardings = {'image': repl, 'rois': shard, 'obn_scores': shard,
                        'valid_mask': shard, 'labels_oh': repl}
+    if spec.is_context:
+        batch_shardings['im_hw'] = repl
     return jax.jit(step,
                    in_shardings=(repl, repl, batch_shardings, repl, repl),
                    out_shardings=(repl, repl, repl, repl),

@@ -134,3 +134,88 @@ def test_sharded_rejects_unsupported_branches():
     with pytest.raises(NotImplementedError):
         roi_shard.forward_train_roi_sharded(
             spec, params, _batch(spec.num_classes), None)
+
+
+def _family_specs():
+    """Families the RoI-sharded step admits beyond plain WSDDN/webly
+    (round-3 widening): OICR ladder, min-entropy, context head."""
+    base = dict(num_classes=5, hidden_dim=16, webly_on=False,
+                webly_entropy=False, box_head='vgg16_2fc',
+                compute_dtype='float32')
+    yield 'oicr', detector.ModelSpec(oicr=True, **base)
+    yield 'min_entropy', detector.ModelSpec(min_entropy_loss=True, **base)
+    yield 'context', detector.ModelSpec(
+        **{**base, 'box_head': 'vgg16_context_2fc'})
+
+
+@pytest.mark.parametrize('name,spec', list(_family_specs()),
+                         ids=[n for n, _ in _family_specs()])
+def test_sharded_family_forward_matches_unsharded(name, spec):
+    """RoI-sharded OICR / min-entropy / context forward == unsharded
+    (global seed argmax + psum'd SoftmaxWithLossN normalizers; the
+    context head's global RoI softmax)."""
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    batch = dict(_batch(spec.num_classes, seed=5))
+    if spec.is_context:
+        batch['im_hw'] = jnp.asarray([48, 48], jnp.int32)
+
+    ref_loss, ref_aux = detector.forward_train(spec, params, batch, None)
+
+    mesh = roi_shard.make_roi_mesh(8)
+    from jax.sharding import PartitionSpec as P
+
+    specs = {'image': P(), 'rois': P(roi_shard.AXIS),
+             'obn_scores': P(roi_shard.AXIS),
+             'valid_mask': P(roi_shard.AXIS), 'labels_oh': P()}
+    if spec.is_context:
+        specs['im_hw'] = P()
+
+    @jax.jit
+    def fwd(params, batch):
+        return jax.shard_map(
+            lambda p, b: roi_shard.forward_train_roi_sharded(spec, p, b,
+                                                             None),
+            mesh=mesh, in_specs=(P(), specs), out_specs=(P(), P()),
+            check_vma=False,
+        )(params, batch)
+
+    with mesh:
+        loss, aux = fwd(params, batch)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-5)
+    for k in ref_aux:
+        np.testing.assert_allclose(float(aux[k]), float(ref_aux[k]),
+                                   rtol=2e-5, atol=1e-6, err_msg=k)
+
+
+def test_sharded_oicr_step_grads_match_unsharded():
+    """The ladder's custom-VJP loss must stay consistent with the step's
+    pmean-of-inflated-grads convention: one OICR step == the unsharded
+    update, including the cls_score{k} refinement classifiers."""
+    spec = detector.ModelSpec(num_classes=5, hidden_dim=16, oicr=True,
+                              webly_on=False, webly_entropy=False,
+                              box_head='vgg16_2fc', compute_dtype='float32')
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    batch = _batch(spec.num_classes, seed=6)
+
+    (_, _), ref_grads = jax.value_and_grad(
+        lambda p: detector.forward_train(spec, p, batch, None),
+        has_aux=True)(params)
+
+    hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005, iter_size=1)
+    trainable = detector.trainable_param_names(spec, params)
+    mults = sgd.param_multipliers(params, trainable)
+    opt_state = sgd.init_state(params, hp)
+    mesh = roi_shard.make_roi_mesh(8)
+    step = roi_shard.make_roi_sharded_train_step(spec, hp, mults, mesh)
+    p2, s2, loss, aux = step(params, opt_state, batch, np.float32(1e-3),
+                             None)
+    assert np.isfinite(float(loss))
+    assert 'loss_cls3' in aux
+
+    ref_upd, _ = sgd.update(params, ref_grads, opt_state, np.float32(1e-3),
+                            hp, sgd.freeze_mults(mults))
+    for k in ('fc8c_w', 'fc8d_w', 'fc6_w', 'cls_score1_w', 'cls_score2_w',
+              'cls_score3_w'):
+        np.testing.assert_allclose(np.asarray(p2[k]),
+                                   np.asarray(ref_upd[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
