@@ -1531,11 +1531,14 @@ def wsl_tail_losses(spec: ModelSpec, params, batch, fc7_clean,
             rng=rng)
         sw_active = (batch.get('cur_iter', jnp.zeros(())) < spec.cpg_max_iter
                      if spec.cpg_max_iter > 0 else None)
+        # crf_filter_dtype deliberately NOT set: bf16 lattice filtering
+        # measured SLOWER on v5e (blur row-gathers 6.2 -> 9.0 ms/step —
+        # bf16 tiles pack 2 rows per sublane-pair, so row gathers lose,
+        # not win; BASELINE.md negative results)
         dl = seg_head.deeplab_losses(
             mask_fc8, jax.lax.stop_gradient(cpg_full), labels_oh,
             jax.lax.stop_gradient(cls_prob), image, tau=spec.cpg_tau,
-            cpg_sw_active=sw_active,
-            crf_filter_dtype=jnp.dtype(spec.compute_dtype))
+            cpg_sw_active=sw_active)
         losses['mask_seed_loss'] = dl['mask_seed_loss']
         losses['mask_constraint_loss'] = dl['mask_constraint_loss']
     elif spec.mask_on:

@@ -245,7 +245,7 @@ def deeplab_outputs(mask_fc8):
 
 
 def deeplab_losses(mask_fc8, cpg, labels_oh, cls_prob, image, tau=0.7,
-                   run_crf=True, cpg_sw_active=None):
+                   run_crf=True, cpg_sw_active=None, crf_filter_dtype=None):
     """add_deeplab_losses (wsl_seg_heads.py:288-370), sigmoid variant: seed
     loss = SigmoidCrossEntropyWithLogitsWSL vs DeeplabUtility targets at
     image resolution; CRF-consistency loss = KL(sigmoid probs, CRF-refined
@@ -254,7 +254,10 @@ def deeplab_losses(mask_fc8, cpg, labels_oh, cls_prob, image, tau=0.7,
     ``cpg_sw_active``: traced bool (``cur_iter < WSL.CPG_MAX_ITER``) enabling
     the CPGSW saliency switch (wsl_seg_heads.py:193-214): per confident
     class, the learned mask replaces the CPG map as the pseudo-label source,
-    with the reference's cur_iter cutoff. None = disabled."""
+    with the reference's cur_iter cutoff. None = disabled.
+    ``crf_filter_dtype``: bilateral-lattice filtering dtype for the CRF
+    target (seg.dense_crf) — the caller passes the model's compute dtype
+    so bf16 specs get the halved-bandwidth filter."""
     from nafwebsod_tpu.ops.misc import kl_balanced
     from nafwebsod_tpu.ops.misc import sigmoid_cross_entropy_with_logits_wsl
     from nafwebsod_tpu.ops import seg as seg_ops
@@ -286,7 +289,8 @@ def deeplab_losses(mask_fc8, cpg, labels_oh, cls_prob, image, tau=0.7,
         im_small = jax.image.resize(
             image[0], (mask_fc8.shape[1], mask_fc8.shape[2],
                        image.shape[-1]), method='linear')
-        q = dense_crf(jnp.moveaxis(unary[0], -1, 0), im_small)
+        q = dense_crf(jnp.moveaxis(unary[0], -1, 0), im_small,
+                      filter_dtype=crf_filter_dtype)
         crf_fg = jnp.moveaxis(q[1:], 0, -1)[None]        # (1, h, w, C-1)
         # consistency loss: the reference KL op's balanced kernel with the
         # call site's (sigmoid-probs-as-logit, crf-target) slotting

@@ -199,7 +199,8 @@ def _gaussian_blur(x, sigma, truncate=2.0):
 
 
 def dense_crf(unary, image, num_iters=10, pos_w=3.0, pos_std=3.0,
-              bi_w=10.0, bi_std=80.0, bi_rgb_std=13.0, size_std=500.0):
+              bi_w=10.0, bi_std=80.0, bi_rgb_std=13.0, size_std=500.0,
+              filter_dtype=None):
     """Mean-field dense CRF with TRUE Gaussian + bilateral pairwise terms:
     the spatial kernel as an EXACT separable Gaussian blur on the pixel
     grid, the 5-D bilateral kernel via in-graph permutohedral-lattice
@@ -221,6 +222,16 @@ def dense_crf(unary, image, num_iters=10, pos_w=3.0, pos_std=3.0,
     empty, so bit-parity is impossible (PARITY.md); the published
     algorithm is implemented and the lattice filter is pinned against
     brute-force Gaussian filtering in tests/test_permutohedral.py.
+
+    ``filter_dtype``: dtype for the BILATERAL lattice filtering (None =
+    f32, the default everywhere). Hypothesis was that bf16 would halve
+    the (M, C)-padded-to-128-lane splat/blur/slice HBM traffic; MEASURED
+    SLOWER on v5e (blur row-gathers 6.2 -> 9.0 ms/step at the 88x88 mask
+    grid: bf16 T(8,128)(2,1) tiles pack two rows per sublane-pair, so a
+    row gather does packed sub-word access and loses more than the
+    bandwidth saves — BASELINE.md negative results). The knob stays for
+    other backends; tests/test_permutohedral.py pins bf16-vs-f32
+    agreement either way.
     """
     from nafwebsod_tpu.ops import permutohedral as ph
 
@@ -257,9 +268,16 @@ def dense_crf(unary, image, num_iters=10, pos_w=3.0, pos_std=3.0,
     u = unary.reshape(c, h * w).T                           # (HW, C)
     q0 = jax.nn.softmax(-u, axis=1)
 
+    fd = jnp.dtype(filter_dtype) if filter_dtype is not None else None
+
     def step(i, q):
+        qb = q * norm_bi
+        if fd is not None and fd != qb.dtype:
+            filt = ph.apply(lat_bi, qb.astype(fd)).astype(q.dtype)
+        else:
+            filt = ph.apply(lat_bi, qb)
         msg = (pos_w * norm_pos * blur_pos(q * norm_pos) +
-               bi_w * norm_bi * ph.apply(lat_bi, q * norm_bi))
+               bi_w * norm_bi * filt)
         return jax.nn.softmax(-u + msg, axis=1)
 
     q = jax.lax.fori_loop(0, num_iters, step, q0)

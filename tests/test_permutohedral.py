@@ -172,6 +172,29 @@ class TestDenseCRF:
         assert np.abs(out[inner] - old[inner]).mean() < 0.01
         assert np.abs(out[inner] - old[inner]).max() < 0.06
 
+    def test_bf16_filter_dtype_matches_f32(self):
+        """filter_dtype=bfloat16 (the TPU bandwidth path for the bilateral
+        lattice) must stay within bf16 rounding of the f32 CRF: the
+        output is a stop-gradient'd pseudo-label target in the deeplab
+        family, so agreement is a target-quality bound, not bit parity."""
+        c, h, w = 4, 20, 20
+        rng = np.random.RandomState(3)
+        img = _smooth_image(h, w, seed=5)
+        probs = rng.dirichlet(np.ones(c) * 2, size=h * w).T.reshape(
+            c, h, w).astype(np.float32)
+        unary = -np.log(np.maximum(probs, 1e-4))
+        q32 = np.asarray(seg.dense_crf(jnp.asarray(unary), jnp.asarray(img),
+                                       num_iters=10))
+        q16 = np.asarray(seg.dense_crf(jnp.asarray(unary), jnp.asarray(img),
+                                       num_iters=10,
+                                       filter_dtype=jnp.bfloat16))
+        assert q16.dtype == np.float32  # filtering dtype is internal
+        np.testing.assert_allclose(q16.sum(0), np.ones((h, w)), rtol=1e-4)
+        agree = (q16.argmax(0) == q32.argmax(0)).mean()
+        assert agree > 0.97, agree
+        assert np.median(np.abs(q16 - q32)) < 0.002
+        assert np.abs(q16 - q32).mean() < 0.01
+
     def test_crf_respects_color_edges(self):
         """The true bilateral term must stop label bleed at a color edge —
         the qualitative property the approximated bilateral was weakest
