@@ -107,8 +107,6 @@ def train_model(roidb=None, max_iters=None):
         # step with its proposals split over the mesh — the memory/FLOP
         # scale-out for the R x 25088 tower axis (SURVEY.md §5.7).
         from nafwebsod_tpu.parallel import roi_shard
-        assert steps_per_call == 1, (
-            'TPU.ROI_SHARDING does not support TPU.STEPS_PER_CALL > 1')
         roi_mesh = roi_shard.make_roi_mesh(num_devices)
         num_devices = 1  # one logical image per step; devices hold rois
         inner_step = roi_shard.make_roi_sharded_train_step(
@@ -120,6 +118,16 @@ def train_model(roidb=None, max_iters=None):
         def step_fn(params, opt_state, batch, lr, rngs):
             b = {k: batch[k][0] for k in _roi_keys}
             return inner_step(params, opt_state, b, lr, rngs[0])
+
+        if steps_per_call > 1:
+            inner_multi = roi_shard.make_roi_sharded_multi_train_step(
+                spec, hp, mults, roi_mesh, donate=True)
+
+            def multi_step_fn(params, opt_state, batches, lrs, factors,
+                              rngs):
+                b = {k: batches[k][:, 0] for k in _roi_keys}
+                return inner_multi(params, opt_state, b, lrs, factors,
+                                   rngs[:, 0])
     elif cfg.TPU.PIPELINE_PARALLEL:
         # 2-stage body|head pipeline (parallel/pipeline.py): microbatches
         # stream through a ppermute schedule; one step trains B images.

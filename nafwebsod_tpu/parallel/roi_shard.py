@@ -381,19 +381,14 @@ def forward_train_roi_sharded(spec, params, batch, rng, axis=AXIS):
     return total, aux
 
 
-def make_roi_sharded_train_step(spec, hp, mults, mesh, donate=False):
-    """Jitted train step with RoIs sharded over the mesh axis 'roi':
-    ``step(params, opt_state, batch, lr, rng) -> (params, opt_state, loss,
-    aux)``. ``batch['rois'/'obn_scores'/'valid_mask']`` are global (R, ...)
-    arrays sharded on axis 0; image/labels are replicated."""
-    mults = sgd.freeze_mults(mults) if isinstance(mults, dict) else mults
-    repl = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P(AXIS))
+def _make_grads_fn(spec, mesh):
+    """The shard_map'd loss/grad computation shared by the single-step and
+    scan-of-K drivers.
 
-    # check_vma=False: the FFI RoIPool's ffi_call declares plain
-    # ShapeDtypeStructs (no vma annotation), and the psum-transpose
-    # semantics under the legacy mode match the explicit grads psum below
-    # (pinned exact vs the unsharded grads in tests/test_roi_shard.py)
+    check_vma=False: the FFI RoIPool's ffi_call declares plain
+    ShapeDtypeStructs (no vma annotation), and the psum-transpose
+    semantics under the legacy mode match the explicit grads pmean below
+    (pinned exact vs the unsharded grads in tests/test_roi_shard.py)."""
     batch_specs = {'image': P(), 'rois': P(AXIS), 'obn_scores': P(AXIS),
                    'valid_mask': P(AXIS), 'labels_oh': P()}
     if spec.is_context:
@@ -413,17 +408,70 @@ def make_roi_sharded_train_step(spec, hp, mults, mesh, donate=False):
         grads = jax.lax.pmean(grads, AXIS)
         return loss, aux, grads
 
+    return grads_fn
+
+
+def _batch_shardings(spec, mesh, scan=False):
+    lead = (None,) if scan else ()
+    repl = NamedSharding(mesh, P(*lead))
+    shard = NamedSharding(mesh, P(*(lead + (AXIS,))))
+    out = {'image': repl, 'rois': shard, 'obn_scores': shard,
+           'valid_mask': shard, 'labels_oh': repl}
+    if spec.is_context:
+        out['im_hw'] = repl
+    return out
+
+
+def make_roi_sharded_train_step(spec, hp, mults, mesh, donate=False):
+    """Jitted train step with RoIs sharded over the mesh axis 'roi':
+    ``step(params, opt_state, batch, lr, rng) -> (params, opt_state, loss,
+    aux)``. ``batch['rois'/'obn_scores'/'valid_mask']`` are global (R, ...)
+    arrays sharded on axis 0; image/labels are replicated."""
+    mults = sgd.freeze_mults(mults) if isinstance(mults, dict) else mults
+    repl = NamedSharding(mesh, P())
+    grads_fn = _make_grads_fn(spec, mesh)
+
     def step(params, opt_state, batch, lr, rng):
         loss, aux, grads = grads_fn(params, batch, rng)
         params, opt_state = sgd.update(params, grads, opt_state, lr, hp,
                                        mults)
         return params, opt_state, loss, aux
 
-    batch_shardings = {'image': repl, 'rois': shard, 'obn_scores': shard,
-                       'valid_mask': shard, 'labels_oh': repl}
-    if spec.is_context:
-        batch_shardings['im_hw'] = repl
     return jax.jit(step,
-                   in_shardings=(repl, repl, batch_shardings, repl, repl),
+                   in_shardings=(repl, repl, _batch_shardings(spec, mesh),
+                                 repl, repl),
                    out_shardings=(repl, repl, repl, repl),
                    donate_argnums=(0, 1) if donate else ())
+
+
+def make_roi_sharded_multi_train_step(spec, hp, mults, mesh, donate=False):
+    """K chained RoI-sharded steps per device call via ``lax.scan``
+    (TPU.STEPS_PER_CALL; the same dispatch-amortization contract as
+    ``train_step.make_multi_train_step``): ``multi(params, opt_state,
+    batches, lrs, factors, rngs)`` with every batch leaf stacked
+    (K, ...) — rois/obn/valid sharded on their RoI axis — ``lrs`` /
+    ``factors`` (K,) and ``rngs`` (K,) keys; momentum-correction factors
+    apply in-graph before each step (``sgd.scale_momentum``)."""
+    mults = sgd.freeze_mults(mults) if isinstance(mults, dict) else mults
+    repl = NamedSharding(mesh, P())
+    grads_fn = _make_grads_fn(spec, mesh)
+
+    def multi(params, opt_state, batches, lrs, factors, rngs):
+        def one(carry, xs):
+            p, s = carry
+            batch, lr, factor, rng = xs
+            s = sgd.scale_momentum(s, factor)
+            loss, aux, grads = grads_fn(p, batch, rng)
+            p, s = sgd.update(p, grads, s, lr, hp, mults)
+            return (p, s), (loss, aux)
+
+        (p, s), (losses, auxs) = jax.lax.scan(
+            one, (params, opt_state), (batches, lrs, factors, rngs))
+        return p, s, losses, auxs
+
+    return jax.jit(
+        multi,
+        in_shardings=(repl, repl, _batch_shardings(spec, mesh, scan=True),
+                      repl, repl, repl),
+        out_shardings=(repl, repl, repl, repl),
+        donate_argnums=(0, 1) if donate else ())

@@ -219,3 +219,44 @@ def test_sharded_oicr_step_grads_match_unsharded():
         np.testing.assert_allclose(np.asarray(p2[k]),
                                    np.asarray(ref_upd[k]),
                                    rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_sharded_multi_step_matches_chained_single_steps():
+    """scan-of-K RoI-sharded driver == K host-driven single steps,
+    including an in-window momentum-correction factor (the
+    TPU.STEPS_PER_CALL contract the other sharded steps already honor)."""
+    spec = detector.ModelSpec(num_classes=5, hidden_dim=16, oicr=True,
+                              webly_on=False, webly_entropy=False,
+                              box_head='vgg16_2fc', compute_dtype='float32')
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005, iter_size=1)
+    trainable = detector.trainable_param_names(spec, params)
+    mults = sgd.param_multipliers(params, trainable)
+    mesh = roi_shard.make_roi_mesh(8)
+
+    K = 3
+    batches = [_batch(spec.num_classes, seed=20 + k) for k in range(K)]
+    rngs = jax.random.split(jax.random.PRNGKey(9), K)
+    lrs = jnp.asarray([1e-3, 1e-3, 5e-4], jnp.float32)
+    factors = jnp.asarray([1.0, 1.0, 0.5], jnp.float32)
+
+    single = roi_shard.make_roi_sharded_train_step(spec, hp, mults, mesh)
+    p_ref, s_ref = params, sgd.init_state(params, hp)
+    ref_losses = []
+    for k in range(K):
+        s_ref = sgd.scale_momentum(s_ref, factors[k])
+        p_ref, s_ref, loss, _ = single(p_ref, s_ref, batches[k], lrs[k],
+                                       rngs[k])
+        ref_losses.append(float(loss))
+
+    multi = roi_shard.make_roi_sharded_multi_train_step(spec, hp, mults,
+                                                        mesh)
+    stacked = {k: jnp.stack([b[k] for b in batches]) for k in batches[0]}
+    p_m, s_m, losses, _ = multi(params, sgd.init_state(params, hp),
+                                stacked, lrs, factors, rngs)
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(ref_losses),
+                               rtol=1e-5)
+    for name in ('fc6_w', 'fc8c_w', 'cls_score1_w'):
+        np.testing.assert_allclose(np.asarray(p_m[name]),
+                                   np.asarray(p_ref[name]),
+                                   rtol=1e-4, atol=1e-6, err_msg=name)
