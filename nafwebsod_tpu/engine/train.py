@@ -112,8 +112,10 @@ def train_model(roidb=None, max_iters=None):
         inner_step = roi_shard.make_roi_sharded_train_step(
             spec, hp, mults, roi_mesh, donate=True)
 
-        _roi_keys = ('image', 'rois', 'obn_scores', 'valid_mask',
-                     'labels_oh') + (('im_hw',) if spec.is_context else ())
+        _roi_keys = (('image', 'rois', 'obn_scores', 'valid_mask',
+                      'labels_oh') +
+                     (('im_hw',) if spec.is_context else ()) +
+                     (('cur_iter',) if spec.cmil else ()))
 
         def step_fn(params, opt_state, batch, lr, rngs):
             b = {k: batch[k][0] for k in _roi_keys}

@@ -19,13 +19,18 @@ device as the data-parallel step does:
 Numerics match the unsharded forward to fp32 summation-order tolerance
 (pinned by tests/test_roi_shard.py on the virtual 8-device CPU mesh).
 Supported for the plain WSDDN / webly noise-aware / CONTEXT heads with the
-OICR refinement ladder and min-entropy loss: seeds come from GLOBAL
-argmaxes (pmax + first-occurrence pmin tie-break + one psum'd seed box per
-class), per-RoI labeling is local rows vs the tiny seed table, and
-SoftmaxWithLossN normalizes by psum'd weight-sum/count
-(softmax_with_loss_n_sharded). C-MIL's clique growth and PCL's clustering
-span all RoIs and keep the data-parallel / tensor-parallel paths, as do
-CSC and mask. Enable with TPU.ROI_SHARDING (mesh axis 'roi').
+OICR / PCL(device) / C-MIL refinement ladders and min-entropy loss. OICR
+stays fully sharded: seeds come from GLOBAL argmaxes (pmax +
+first-occurrence pmin tie-break + one psum'd seed box per class), per-RoI
+labeling is local rows vs the tiny seed table, and SoftmaxWithLossN
+normalizes by psum'd weight-sum/count (softmax_with_loss_n_sharded).
+PCL's clustering and C-MIL's clique growth span all RoIs but operate on
+CLASS-dim (R, C)-scale tables — tiny next to the sharded (R, 25088)
+towers — so those ladders all_gather the local refine/fc8 logits
+DIFFERENTIABLY and run the unsharded target + loss ops replicated
+(_refinement_losses_pcl_sharded, _cmil_losses_sharded). CSC and mask
+still re-run the conv body and keep the data-parallel step. Enable with
+TPU.ROI_SHARDING (mesh axis 'roi').
 """
 
 from functools import partial
@@ -291,6 +296,107 @@ def _refinement_losses_sharded(spec, params, fc7_local, rois_local, out,
     return losses
 
 
+def _refinement_losses_pcl_sharded(spec, params, fc7_local, rois_local, out,
+                                   labels_oh, valid_local, axis):
+    """PCL proposal-cluster ladder over sharded RoIs (the PCL branch of
+    detector._refinement_losses; pcl.py + pcl_loss_op.cc). The clustering
+    and PCLLoss act on (R, C)-scale tables — tiny next to the sharded fc
+    towers — so each stage's LOCAL refine softmax is all_gather'd
+    DIFFERENTIABLY and the unsharded device-target + custom-VJP loss code
+    runs replicated on every device. The gather's psum_scatter transpose
+    re-shards the loss cotangent onto local rows; because each device
+    contributes an identical replicated copy, the summed grads inflate
+    n-fold exactly like the plain psums under check_vma=False — recovered
+    by grads_fn's outer pmean (pinned vs the unsharded grads in
+    tests/test_roi_shard.py). Requires the device pseudo-labeling path
+    (WSL.PCL_DEVICE — a host callback cannot run inside shard_map; the
+    shared check_scope enforces this)."""
+    from nafwebsod_tpu.ops import refine as refine_ops
+    sg = jax.lax.stop_gradient
+    losses = {}
+    rois_g = jax.lax.all_gather(rois_local, axis, tiled=True)
+    valid_g = jax.lax.all_gather(valid_local, axis,
+                                 tiled=True).astype(bool)
+    prev = jax.lax.all_gather(sg(out['rois_pred']), axis, tiled=True)
+    n_valid = jnp.sum(valid_g.astype(jnp.float32))
+    for k in range(1, spec.refine_k + 1):
+        logits_l = heads.refine_score(params, fc7_local, k)
+        probs_g = jax.lax.all_gather(jax.nn.softmax(logits_l, axis=1),
+                                     axis, tiled=True)
+        targets = refine_ops.pcl_targets_device(
+            sg(rois_g[:, 1:5]), prev, labels_oh, sg(probs_g), valid_g)
+        losses['loss_cls{}'.format(k)] = refine_ops.pcl_loss_full(
+            probs_g, *targets, n_valid)
+        prev = sg(probs_g)
+    return losses
+
+
+def _cmil_losses_sharded(spec, params, fc7_local, rois_local, labels_oh,
+                         valid_local, cur_iter, axis):
+    """C-MIL continuation branch over sharded RoIs (heads.cmil_outputs +
+    the C-MIL settings of detector._refinement_losses; roi_merge_op.cc).
+    The clique growth and merged two-stream act on (R, C) logits: fc8c /
+    fc8d / cls_score{k} are computed on LOCAL fc7 rows (sharded GEMMs),
+    all_gather'd differentiably, and the UNSHARDED ops (roi_merge,
+    heads._two_stream, roi_label, softmax_with_loss_n) run replicated on
+    the gathered tables — same inflate-then-pmean gradient convention as
+    the PCL ladder above. Returns the full (losses, aux) for the branch:
+    C-MIL's image loss comes from the MERGED two-stream, so the caller
+    skips the sharded main two-stream entirely (mirrors wsl_tail_losses'
+    cmil dispatch)."""
+    from nafwebsod_tpu.ops import refine as refine_ops
+    from nafwebsod_tpu.ops.jbox import roi_iou
+    sg = jax.lax.stop_gradient
+    c = spec.num_classes
+    fc8c = jax.lax.all_gather(
+        heads._fc(fc7_local, params, 'fc8c', out_dtype=jnp.float32),
+        axis, tiled=True)
+    fc8d = jax.lax.all_gather(
+        heads._fc(fc7_local, params, 'fc8d', out_dtype=jnp.float32),
+        axis, tiled=True)
+    rois_g = jax.lax.all_gather(rois_local, axis, tiled=True)
+    valid_g = jax.lax.all_gather(valid_local, axis,
+                                 tiled=True).astype(bool)
+
+    lam = refine_ops.cmil_lambda(
+        cur_iter, spec.size_epoch, max(spec.max_iter // spec.size_epoch, 1))
+    cmil_rois_pred = heads._two_stream(fc8c, fc8d, valid_g)
+    obn = jnp.max(cmil_rois_pred, axis=1, keepdims=True)
+    iou = roi_iou(rois_g)
+    mc, md, _, _, merged_valid = refine_ops.roi_merge(
+        obn, iou, fc8c, fc8d, lam, valid_g)
+    rois_pred = heads._two_stream(mc, md, merged_valid)
+    cls_prob = heads.cls_pred(rois_pred)
+    losses = {'loss_cls': loss_ops.cross_entropy_with_logits(
+        cls_prob, labels_oh, spec.mean_loss)}
+    aux = {'accuracy_cls': loss_ops.multilabel_accuracy(cls_prob,
+                                                        labels_oh)}
+
+    # ladder with the C-MIL RoILabel settings (wsl_heads.py:525-531)
+    label_kwargs = dict(fg_thresh=0.6, bg_thresh_hi=0.4, bg_thresh_lo=0.1,
+                        num_pos=32, num_neg=96)
+    prev = sg(cmil_rois_pred)
+    cw = sg(cls_prob[0])
+    for k in range(1, spec.refine_k + 1):
+        lbl, w = refine_ops.roi_label(prev, iou, labels_oh,
+                                      valid_mask=valid_g, class_weights=cw,
+                                      **label_kwargs)
+        logits_g = jax.lax.all_gather(
+            heads.refine_score(params, fc7_local, k), axis, tiled=True)
+        loss_k = loss_ops.softmax_with_loss_n(logits_g, lbl, w)
+        if not spec.mean_loss:
+            loss_k = loss_k * float(c - 1)
+        losses['loss_cls{}'.format(k)] = loss_k
+        prev = sg(jax.nn.softmax(logits_g, axis=1))
+
+    if spec.min_entropy_loss:
+        # the unsharded tail feeds the MERGED rois_pred with the original
+        # valid mask (wsl_tail_losses min-entropy branch)
+        losses['loss_entropy'] = 0.1 * loss_ops.min_entropy_loss(
+            rois_pred, labels_oh, valid_g)
+    return losses, aux
+
+
 def forward_train_roi_sharded(spec, params, batch, rng, axis=AXIS):
     """Per-device training forward on the local RoI shard. ``batch`` holds
     the REPLICATED image/labels and the LOCAL rois/obn_scores/valid_mask
@@ -299,12 +405,11 @@ def forward_train_roi_sharded(spec, params, batch, rng, axis=AXIS):
     # base gate shared with the tensor-parallel / pipeline steps (an inline
     # copy had drifted: it missed is_fpn, fused_noise_tower, and the
     # box-head whitelist, letting unsupported specs crash mid-trace).
-    # RoI-dim-specific exclusions: C-MIL's clique growth and PCL's
-    # clustering span all RoIs (unsharded paths); the OICR ladder, the
-    # context head, and min-entropy are admitted with their cross-shard
-    # reductions implemented below.
+    # The OICR ladder, context head, and min-entropy run with cross-shard
+    # reductions; the PCL(device) and C-MIL ladders run replicated on
+    # differentiably-gathered class-dim tables (see the module docstring).
     from nafwebsod_tpu.parallel.wsl_losses import check_scope
-    check_scope(spec, extra_unsupported=(spec.cmil, spec.pcl))
+    check_scope(spec)
 
     image = batch['image']
     rois = batch['rois']
@@ -321,6 +426,15 @@ def forward_train_roi_sharded(spec, params, batch, rng, axis=AXIS):
     fc7_main = fc7_clean[0] if spec.is_context else fc7_clean
 
     losses, aux = {}, {}
+    if spec.cmil:
+        # the C-MIL branch replaces the main two-stream: its image loss
+        # comes from the MERGED logits (ladder + min-entropy included)
+        losses, aux = _cmil_losses_sharded(
+            spec, params, fc7_main, rois, labels_oh, valid,
+            batch.get('cur_iter', jnp.zeros(())), axis)
+        total = sum(losses.values())
+        aux.update(losses)
+        return total, aux
     if spec.is_context:
         # context two-stream (heads.wsl_context_outputs): fc8c from the
         # plain stream, fc8d = FC(frame) - FC(context) with shared
@@ -367,9 +481,13 @@ def forward_train_roi_sharded(spec, params, batch, rng, axis=AXIS):
                                                            labels_oh)
 
     if spec.refine_k:
-        losses.update(_refinement_losses_sharded(
-            spec, params, fc7_main, rois, out, cls_prob, labels_oh, valid,
-            axis))
+        if spec.pcl:
+            losses.update(_refinement_losses_pcl_sharded(
+                spec, params, fc7_main, rois, out, labels_oh, valid, axis))
+        else:
+            losses.update(_refinement_losses_sharded(
+                spec, params, fc7_main, rois, out, cls_prob, labels_oh,
+                valid, axis))
 
     if spec.min_entropy_loss:
         # weight 0.1 (wsl_heads.py:279-290 get_loss_gradients_weighted)
@@ -393,6 +511,8 @@ def _make_grads_fn(spec, mesh):
                    'valid_mask': P(AXIS), 'labels_oh': P()}
     if spec.is_context:
         batch_specs['im_hw'] = P()  # true-canvas ring clipping
+    if spec.cmil:
+        batch_specs['cur_iter'] = P()  # continuation schedule lambda(t)
 
     @partial(_shard_map, mesh=mesh,
              in_specs=(P(), batch_specs, P()),
@@ -419,6 +539,8 @@ def _batch_shardings(spec, mesh, scan=False):
            'valid_mask': shard, 'labels_oh': repl}
     if spec.is_context:
         out['im_hw'] = repl
+    if spec.cmil:
+        out['cur_iter'] = repl
     return out
 
 

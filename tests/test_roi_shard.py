@@ -138,7 +138,8 @@ def test_sharded_rejects_unsupported_branches():
 
 def _family_specs():
     """Families the RoI-sharded step admits beyond plain WSDDN/webly
-    (round-3 widening): OICR ladder, min-entropy, context head."""
+    (round-3 widening): OICR ladder, min-entropy, context head, plus the
+    gathered-table PCL(device) and C-MIL ladders."""
     base = dict(num_classes=5, hidden_dim=16, webly_on=False,
                 webly_entropy=False, box_head='vgg16_2fc',
                 compute_dtype='float32')
@@ -146,6 +147,8 @@ def _family_specs():
     yield 'min_entropy', detector.ModelSpec(min_entropy_loss=True, **base)
     yield 'context', detector.ModelSpec(
         **{**base, 'box_head': 'vgg16_context_2fc'})
+    yield 'pcl', detector.ModelSpec(pcl=True, pcl_device=True, **base)
+    yield 'cmil', detector.ModelSpec(cmil=True, **base)
 
 
 @pytest.mark.parametrize('name,spec', list(_family_specs()),
@@ -158,6 +161,8 @@ def test_sharded_family_forward_matches_unsharded(name, spec):
     batch = dict(_batch(spec.num_classes, seed=5))
     if spec.is_context:
         batch['im_hw'] = jnp.asarray([48, 48], jnp.int32)
+    if spec.cmil:
+        batch['cur_iter'] = jnp.asarray(120.0, jnp.float32)
 
     ref_loss, ref_aux = detector.forward_train(spec, params, batch, None)
 
@@ -169,6 +174,8 @@ def test_sharded_family_forward_matches_unsharded(name, spec):
              'valid_mask': P(roi_shard.AXIS), 'labels_oh': P()}
     if spec.is_context:
         specs['im_hw'] = P()
+    if spec.cmil:
+        specs['cur_iter'] = P()
 
     @jax.jit
     def fwd(params, batch):
@@ -216,6 +223,43 @@ def test_sharded_oicr_step_grads_match_unsharded():
                             hp, sgd.freeze_mults(mults))
     for k in ('fc8c_w', 'fc8d_w', 'fc6_w', 'cls_score1_w', 'cls_score2_w',
               'cls_score3_w'):
+        np.testing.assert_allclose(np.asarray(p2[k]),
+                                   np.asarray(ref_upd[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+@pytest.mark.parametrize('family', ['pcl', 'cmil'])
+def test_sharded_gathered_ladder_step_grads_match_unsharded(family):
+    """The PCL / C-MIL ladders run replicated on differentiably-gathered
+    class-dim tables: the all_gather transpose's n-fold inflation must
+    cancel against the step's outer pmean so one sharded step == the
+    unsharded update, including the cls_score{k} refinement towers."""
+    spec = dict(_family_specs())[family]
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    batch = dict(_batch(spec.num_classes, seed=11))
+    if spec.cmil:
+        batch['cur_iter'] = jnp.asarray(120.0, jnp.float32)
+
+    (_, _), ref_grads = jax.value_and_grad(
+        lambda p: detector.forward_train(spec, p, batch, None),
+        has_aux=True)(params)
+
+    hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005, iter_size=1)
+    trainable = detector.trainable_param_names(spec, params)
+    mults = sgd.param_multipliers(params, trainable)
+    opt_state = sgd.init_state(params, hp)
+    mesh = roi_shard.make_roi_mesh(8)
+    step = roi_shard.make_roi_sharded_train_step(spec, hp, mults, mesh)
+    p2, s2, loss, aux = step(params, opt_state, batch, np.float32(1e-3),
+                             None)
+    assert np.isfinite(float(loss))
+    assert 'loss_cls{}'.format(spec.refine_k) in aux
+
+    ref_upd, _ = sgd.update(params, ref_grads, opt_state, np.float32(1e-3),
+                            hp, sgd.freeze_mults(mults))
+    names = ['fc8c_w', 'fc8d_w', 'fc6_w'] + [
+        'cls_score{}_w'.format(k) for k in range(1, spec.refine_k + 1)]
+    for k in names:
         np.testing.assert_allclose(np.asarray(p2[k]),
                                    np.asarray(ref_upd[k]),
                                    rtol=1e-4, atol=1e-6, err_msg=k)
