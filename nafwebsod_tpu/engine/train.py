@@ -115,7 +115,8 @@ def train_model(roidb=None, max_iters=None):
         _roi_keys = (('image', 'rois', 'obn_scores', 'valid_mask',
                       'labels_oh') +
                      (('im_hw',) if spec.is_context else ()) +
-                     (('cur_iter',) if spec.cmil else ()))
+                     (('cur_iter',)
+                      if spec.cmil or spec.center_loss else ()))
 
         def step_fn(params, opt_state, batch, lr, rngs):
             b = {k: batch[k][0] for k in _roi_keys}

@@ -48,7 +48,6 @@ def center_loss(labels_oh, rois_pred, features, cf, top_k, valid_mask=None):
     labels_oh: (1, C-1); rois_pred: (R, C-1); features: (R, D); cf:
     (C-1, M, D).
     """
-    cm1, m, dfeat = cf.shape
     gt = labels_oh[0] >= 0.5                       # (C-1,)
     scores = rois_pred
     if valid_mask is not None:
@@ -56,7 +55,16 @@ def center_loss(labels_oh, rois_pred, features, cf, top_k, valid_mask=None):
     _, idx = jax.lax.top_k(scores.T, top_k)        # (C-1, K)
     idx = jax.lax.stop_gradient(idx)
     f_sel = features[idx]                          # (C-1, K, D)
+    return center_loss_from_selected(gt, f_sel, cf, top_k)
 
+
+def center_loss_from_selected(gt, f_sel, cf, top_k):
+    """The center-loss tail on already-selected top-k features: nearest
+    center per gt class, loss, dCF/ndCF deltas (center_loss_op.cu:118-244).
+    Split out so the RoI-sharded step can re-select the global top-k from
+    gathered per-device candidates (parallel/roi_shard.center_loss_sharded)
+    and share this exact tail. gt: (C-1,) bool; f_sel: (C-1, K, D)."""
+    cm1, m, dfeat = cf.shape
     cf_sg = jax.lax.stop_gradient(cf)
     diffs = f_sel[:, None, :, :] - cf_sg[:, :, None, :]   # (C-1, M, K, D)
     dist = jnp.sum(jnp.square(diffs), axis=(2, 3))        # (C-1, M)

@@ -205,6 +205,38 @@ def min_entropy_loss_sharded(rois_pred_local, labels_oh, valid_local, axis):
     return num / count
 
 
+def center_loss_sharded(labels_oh, rois_pred_local, features_local, cf,
+                        top_k, valid_local, axis):
+    """``ops/center.center_loss`` over sharded RoIs: each device selects its
+    LOCAL per-class top-k candidates (scores + feature rows), the (n*K, D)
+    candidate table — tiny next to the sharded (R, D) feature matrix — is
+    all_gather'd, and the GLOBAL top-k is re-selected from the merged
+    candidates before the shared (C-1, K, D) center tail
+    (ops/center.center_loss_from_selected) runs replicated. Exact vs the
+    unsharded op: every global top-k row is contained in its device's local
+    top-k, and the device-major merge order preserves lax.top_k's
+    first-occurrence (lowest global row index) tie-break."""
+    from nafwebsod_tpu.ops import center as center_ops
+    cm1 = rois_pred_local.shape[1]
+    gt = labels_oh[0] >= 0.5
+    scores = rois_pred_local
+    if valid_local is not None:
+        scores = jnp.where(valid_local[:, None], scores, -jnp.inf)
+    k = top_k
+    sc_l, idx_l = jax.lax.top_k(scores.T, k)              # (C-1, K)
+    f_l = features_local[jax.lax.stop_gradient(idx_l)]    # (C-1, K, D)
+    sc_g = jax.lax.all_gather(sc_l, axis)                 # (n, C-1, K)
+    f_g = jax.lax.all_gather(f_l, axis)                   # (n, C-1, K, D)
+    n = sc_g.shape[0]
+    d = f_g.shape[-1]
+    sc_m = jnp.transpose(sc_g, (1, 0, 2)).reshape(cm1, n * k)
+    f_m = jnp.transpose(f_g, (1, 0, 2, 3)).reshape(cm1, n * k, d)
+    _, sel = jax.lax.top_k(sc_m, k)                       # (C-1, K)
+    f_sel = jnp.take_along_axis(
+        f_m, jax.lax.stop_gradient(sel)[:, :, None], axis=1)
+    return center_ops.center_loss_from_selected(gt, f_sel, cf, top_k)
+
+
 def _roi_label_sharded(prev_local, rois_local, labels_oh, valid_local,
                        class_weights, axis):
     """``ops/refine.roi_label`` with the RoIs sharded on ``axis`` — the
@@ -409,7 +441,10 @@ def forward_train_roi_sharded(spec, params, batch, rng, axis=AXIS):
     # reductions; the PCL(device) and C-MIL ladders run replicated on
     # differentiably-gathered class-dim tables (see the module docstring).
     from nafwebsod_tpu.parallel.wsl_losses import check_scope
-    check_scope(spec)
+    # center loss is admitted: this step threads the dCF/ndCF accumulators
+    # through the opt state like the TP/pipeline/ZeRO steps (the C-MIL
+    # combination stays excluded — merged global scores vs local features)
+    check_scope(spec, allow_center=not spec.cmil)
 
     image = batch['image']
     rois = batch['rois']
@@ -494,6 +529,19 @@ def forward_train_roi_sharded(spec, params, batch, rng, axis=AXIS):
         losses['loss_entropy'] = 0.1 * min_entropy_loss_sharded(
             out['rois_pred'], labels_oh, valid, axis)
 
+    if spec.center_loss:
+        # mirror wsl_tail_losses' center branch: CSC_MAX_ITER gate, 0.4096
+        # grad weight, '__'-prefixed deltas for the step's center tail
+        loss_center, deltas = center_loss_sharded(
+            labels_oh, out['rois_pred'], fc7_main.astype(jnp.float32),
+            params['center_feature'], spec.center_loss_top_k, valid, axis)
+        active = batch.get('cur_iter', jnp.zeros(())) < spec.csc_max_iter
+        loss_center = jnp.where(active, loss_center, 0.0)
+        losses['loss_center'] = 0.4096 * loss_center
+        gate = jnp.where(active, 1.0, 0.0)
+        aux['__center_dcf'] = gate * deltas['center_dcf']
+        aux['__center_ndcf'] = gate * deltas['center_ndcf']
+
     total = sum(losses.values())
     aux.update(losses)
     return total, aux
@@ -511,12 +559,13 @@ def _make_grads_fn(spec, mesh):
                    'valid_mask': P(AXIS), 'labels_oh': P()}
     if spec.is_context:
         batch_specs['im_hw'] = P()  # true-canvas ring clipping
-    if spec.cmil:
-        batch_specs['cur_iter'] = P()  # continuation schedule lambda(t)
+    if spec.cmil or spec.center_loss:
+        # C-MIL continuation lambda(t) / center-loss CSC_MAX_ITER gate
+        batch_specs['cur_iter'] = P()
 
     @partial(_shard_map, mesh=mesh,
              in_specs=(P(), batch_specs, P()),
-             out_specs=(P(), P(), P()))
+             out_specs=(P(), P(), P(), P()))
     def grads_fn(params, batch, rng):
         (loss, aux), grads = jax.value_and_grad(
             lambda p: forward_train_roi_sharded(spec, p, batch, rng),
@@ -526,7 +575,12 @@ def _make_grads_fn(spec, mesh):
         # grads SUM to n x the true gradient: pmean recovers it (pinned
         # exactly vs the unsharded grads in tests/test_roi_shard.py)
         grads = jax.lax.pmean(grads, AXIS)
-        return loss, aux, grads
+        # '__'-prefixed aux entries are the center dCF/ndCF deltas
+        # (train_step._step_body contract) — already replicated here (one
+        # image per step), consumed by the step's center tail
+        deltas = {k: v for k, v in aux.items() if k.startswith('__')}
+        aux = {k: v for k, v in aux.items() if not k.startswith('__')}
+        return loss, aux, deltas, grads
 
     return grads_fn
 
@@ -539,24 +593,32 @@ def _batch_shardings(spec, mesh, scan=False):
            'valid_mask': shard, 'labels_oh': repl}
     if spec.is_context:
         out['im_hw'] = repl
-    if spec.cmil:
+    if spec.cmil or spec.center_loss:
         out['cur_iter'] = repl
     return out
 
 
-def make_roi_sharded_train_step(spec, hp, mults, mesh, donate=False):
+def make_roi_sharded_train_step(spec, hp, mults, mesh, donate=False,
+                                center_update_period=128):
     """Jitted train step with RoIs sharded over the mesh axis 'roi':
     ``step(params, opt_state, batch, lr, rng) -> (params, opt_state, loss,
     aux)``. ``batch['rois'/'obn_scores'/'valid_mask']`` are global (R, ...)
-    arrays sharded on axis 0; image/labels are replicated."""
+    arrays sharded on axis 0; image/labels are replicated. With
+    ``spec.center_loss`` the opt state carries the replicated dCF/ndCF
+    accumulators and the step applies the shared center tail (one image
+    per step, so the default period stays the reference's 128 images)."""
     mults = sgd.freeze_mults(mults) if isinstance(mults, dict) else mults
     repl = NamedSharding(mesh, P())
     grads_fn = _make_grads_fn(spec, mesh)
 
     def step(params, opt_state, batch, lr, rng):
-        loss, aux, grads = grads_fn(params, batch, rng)
+        loss, aux, deltas, grads = grads_fn(params, batch, rng)
         params, opt_state = sgd.update(params, grads, opt_state, lr, hp,
                                        mults)
+        if spec.center_loss:
+            from nafwebsod_tpu.parallel.wsl_losses import center_tail
+            params, opt_state = center_tail(spec, params, opt_state,
+                                            deltas, center_update_period)
         return params, opt_state, loss, aux
 
     return jax.jit(step,
@@ -566,7 +628,8 @@ def make_roi_sharded_train_step(spec, hp, mults, mesh, donate=False):
                    donate_argnums=(0, 1) if donate else ())
 
 
-def make_roi_sharded_multi_train_step(spec, hp, mults, mesh, donate=False):
+def make_roi_sharded_multi_train_step(spec, hp, mults, mesh, donate=False,
+                                      center_update_period=128):
     """K chained RoI-sharded steps per device call via ``lax.scan``
     (TPU.STEPS_PER_CALL; the same dispatch-amortization contract as
     ``train_step.make_multi_train_step``): ``multi(params, opt_state,
@@ -583,8 +646,12 @@ def make_roi_sharded_multi_train_step(spec, hp, mults, mesh, donate=False):
             p, s = carry
             batch, lr, factor, rng = xs
             s = sgd.scale_momentum(s, factor)
-            loss, aux, grads = grads_fn(p, batch, rng)
+            loss, aux, deltas, grads = grads_fn(p, batch, rng)
             p, s = sgd.update(p, grads, s, lr, hp, mults)
+            if spec.center_loss:
+                from nafwebsod_tpu.parallel.wsl_losses import center_tail
+                p, s = center_tail(spec, p, s, deltas,
+                                   center_update_period)
             return (p, s), (loss, aux)
 
         (p, s), (losses, auxs) = jax.lax.scan(

@@ -149,6 +149,9 @@ def _family_specs():
         **{**base, 'box_head': 'vgg16_context_2fc'})
     yield 'pcl', detector.ModelSpec(pcl=True, pcl_device=True, **base)
     yield 'cmil', detector.ModelSpec(cmil=True, **base)
+    yield 'center', detector.ModelSpec(center_loss=True,
+                                       center_loss_number=3,
+                                       center_loss_top_k=2, **base)
 
 
 @pytest.mark.parametrize('name,spec', list(_family_specs()),
@@ -190,7 +193,9 @@ def test_sharded_family_forward_matches_unsharded(name, spec):
         loss, aux = fwd(params, batch)
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-5)
     for k in ref_aux:
-        np.testing.assert_allclose(float(aux[k]), float(ref_aux[k]),
+        # center deltas ('__center_dcf' etc.) are arrays
+        np.testing.assert_allclose(np.asarray(aux[k]),
+                                   np.asarray(ref_aux[k]),
                                    rtol=2e-5, atol=1e-6, err_msg=k)
 
 
@@ -263,6 +268,53 @@ def test_sharded_gathered_ladder_step_grads_match_unsharded(family):
         np.testing.assert_allclose(np.asarray(p2[k]),
                                    np.asarray(ref_upd[k]),
                                    rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_sharded_center_step_matches_unsharded():
+    """Center loss under RoI sharding: the global top-k is re-selected from
+    gathered per-device candidates, the tower grads match the unsharded
+    update, and the period-1 center tail moves CF by the reference rule
+    from the (replicated) deltas."""
+    spec = dict(_family_specs())['center']
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    batch = dict(_batch(spec.num_classes, seed=13))
+    batch['cur_iter'] = jnp.asarray(0.0, jnp.float32)
+
+    ((_, ref_aux), ref_grads) = jax.value_and_grad(
+        lambda p: detector.forward_train(spec, p, batch, None),
+        has_aux=True)(params)
+
+    hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005, iter_size=1)
+    trainable = detector.trainable_param_names(spec, params)
+    mults = sgd.param_multipliers(params, trainable)
+    opt_state = sgd.init_state(params, hp)
+    cf = np.asarray(params['center_feature'])
+    opt_state['center_dcf'] = jnp.zeros_like(params['center_feature'])
+    opt_state['center_ndcf'] = jnp.zeros(cf.shape[:2], jnp.float32)
+    mesh = roi_shard.make_roi_mesh(8)
+    step = roi_shard.make_roi_sharded_train_step(spec, hp, mults, mesh,
+                                                 center_update_period=1)
+    p2, s2, loss, aux = step(params, opt_state, batch, np.float32(1e-3),
+                             None)
+    assert np.isfinite(float(loss))
+    np.testing.assert_allclose(float(aux['loss_center']),
+                               float(ref_aux['loss_center']), rtol=2e-5)
+
+    ref_upd, _ = sgd.update(params, ref_grads, opt_state, np.float32(1e-3),
+                            hp, sgd.freeze_mults(mults))
+    for k in ('fc8c_w', 'fc8d_w', 'fc6_w'):
+        np.testing.assert_allclose(np.asarray(p2[k]),
+                                   np.asarray(ref_upd[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+    # period-1 tail: CF -= 0.5 * dCF / (ndCF * K + 1) with the fresh deltas
+    dcf = np.asarray(ref_aux['__center_dcf'])
+    ndcf = np.asarray(ref_aux['__center_ndcf'])
+    expect = cf - 0.5 * dcf / (ndcf * spec.center_loss_top_k + 1.0)[..., None]
+    np.testing.assert_allclose(np.asarray(p2['center_feature']), expect,
+                               rtol=1e-5, atol=1e-7)
+    # and the accumulators reset after firing
+    assert float(np.abs(np.asarray(s2['center_ndcf'])).max()) == 0.0
 
 
 def test_sharded_multi_step_matches_chained_single_steps():
