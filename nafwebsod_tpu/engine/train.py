@@ -112,8 +112,10 @@ def train_model(roidb=None, max_iters=None):
         inner_step = roi_shard.make_roi_sharded_train_step(
             spec, hp, mults, roi_mesh, donate=True)
 
-        _roi_keys = (('image', 'rois', 'obn_scores', 'valid_mask',
-                      'labels_oh') +
+        _roi_keys = (('image', 'rois', 'obn_scores', 'valid_mask') +
+                     (('labels_int32', 'bbox_targets',
+                       'bbox_inside_weights', 'bbox_outside_weights')
+                      if spec.supervised else ('labels_oh',)) +
                      (('im_hw',) if spec.is_context else ()) +
                      (('cur_iter',)
                       if spec.cmil or spec.center_loss else ()))
@@ -143,7 +145,9 @@ def train_model(roidb=None, max_iters=None):
         # cur_iter feeds the C-MIL continuation schedule, im_hw the context
         # head's true-canvas ring clipping — pass them through when present
         _keys = ('image', 'rois', 'obn_scores', 'valid_mask', 'labels_oh',
-                 'cur_iter', 'im_hw')
+                 'cur_iter', 'im_hw', 'labels_int32', 'bbox_targets',
+                 'bbox_inside_weights', 'bbox_outside_weights',
+                 'im_info', 'gt_boxes', 'gt_classes', 'gt_valid')
 
         def step_fn(params, opt_state, batch, lr, rngs):
             b = {k: batch[k] for k in _keys if k in batch}
@@ -175,7 +179,9 @@ def train_model(roidb=None, max_iters=None):
             spec, hp, mults, tp_mesh, params, donate=True,
             center_update_period=max(128 // num_devices, 1))
         _keys = ('image', 'rois', 'obn_scores', 'valid_mask', 'labels_oh',
-                 'cur_iter', 'im_hw')
+                 'cur_iter', 'im_hw', 'labels_int32', 'bbox_targets',
+                 'bbox_inside_weights', 'bbox_outside_weights',
+                 'im_info', 'gt_boxes', 'gt_classes', 'gt_valid')
 
         def step_fn(params, opt_state, batch, lr, rngs):
             b = {k: batch[k] for k in _keys if k in batch}

@@ -1365,6 +1365,20 @@ def _refinement_losses(spec, params, fc7, rois, out, cls_prob, labels_oh,
     return losses
 
 
+def fast_rcnn_tail_losses(spec: ModelSpec, params, batch, fc7):
+    """Supervised Fast R-CNN tail downstream of the fc tower: cls_score /
+    bbox_pred outputs + losses on precomputed-proposal blobs
+    (fast_rcnn_heads.py:45-93). Shared by ``forward_train`` and the
+    tensor-parallel / pipeline sharded steps (parallel/), which compute
+    ``fc7`` their own way and reuse this exact tail so the supervised
+    family inherits the unsharded numerics."""
+    logits, bbox_pred = _fast_rcnn_outputs(spec, params, fc7)
+    return _fast_rcnn_losses(
+        spec, logits, bbox_pred, batch['labels_int32'],
+        batch['bbox_targets'], batch['bbox_inside_weights'],
+        batch['bbox_outside_weights'], batch.get('valid_mask'))
+
+
 def wsl_tail_losses(spec: ModelSpec, params, batch, fc7_clean,
                     fc7_noisy, feat, rng):
     """WSL losses downstream of the fc towers (wsl_heads.py:456-607
@@ -1573,8 +1587,8 @@ def wsl_tail_losses(spec: ModelSpec, params, batch, fc7_clean,
     return total, aux
 
 
-@partial(jax.jit, static_argnames=('spec',))
-def forward_train(spec: ModelSpec, params, batch, rng):
+@partial(jax.jit, static_argnames=('spec', 'tower_fn'))
+def forward_train(spec: ModelSpec, params, batch, rng, tower_fn=None):
     """Per-image training forward + losses.
 
     batch: dict with
@@ -1585,11 +1599,18 @@ def forward_train(spec: ModelSpec, params, batch, rng):
       valid_mask (R,) bool for padded rois
     Returns (total_loss, aux dict of losses/metrics).
     Matches webly_heads.add_webly_losses / wsl_heads.add_wsl_losses.
+
+    ``tower_fn``: optional fc-tower replacement (``heads._fc_tower``
+    signature) threaded to the supported call sites — the tensor-parallel
+    step injects its hidden-sharded tower for the end-to-end Faster R-CNN
+    branch so every other op in the forward stays this exact code.
     """
     image = batch['image']
     rois = batch['rois']
     obn = batch['obn_scores']
-    labels_oh = batch['labels_oh']
+    # image-level labels drive the WSL / RetinaNet paths; the supervised
+    # precomputed-proposal blobs carry per-RoI labels_int32 instead
+    labels_oh = batch.get('labels_oh')
     valid = batch.get('valid_mask')
 
     if spec.retinanet:
@@ -1629,7 +1650,15 @@ def forward_train(spec: ModelSpec, params, batch, rng):
         from nafwebsod_tpu.ops import rpn_device
 
         sg = jax.lax.stop_gradient
-        rng_rpn, rng_prop, rng_head = jax.random.split(rng, 3)
+        if rng is None:
+            # rng=None means "deterministic": anchor/proposal sampling runs
+            # on a fixed key and dropout is off — the sharded-step parity
+            # tests rely on this (dropout masks differ per layout, but the
+            # sampled blobs must agree bit-for-bit)
+            rng_rpn, rng_prop = jax.random.split(jax.random.PRNGKey(0))
+            rng_head = None
+        else:
+            rng_rpn, rng_prop, rng_head = jax.random.split(rng, 3)
         im_info = batch['im_info']
         if spec.is_fpn:
             levels, scales = body_forward_fpn(spec, params, image)
@@ -1704,7 +1733,7 @@ def forward_train(spec: ModelSpec, params, batch, rng):
                     resolution=spec.roi_resolution,
                     sampling_ratio=spec.roi_sampling_ratio,
                     freeze_body=spec.freeze_conv_body, train=True,
-                    rng=rng_head)
+                    rng=rng_head, tower_fn=tower_fn)
             logits, bbox_pred = _fast_rcnn_outputs(spec, params, fc7)
         total, aux = _fast_rcnn_losses(
             spec, logits, bbox_pred, blobs['labels_int32'],
@@ -1773,11 +1802,7 @@ def forward_train(spec: ModelSpec, params, batch, rng):
         spec, params, image, rois, obn, train=True, rng=rng, im_hw=im_hw)
     if spec.supervised:
         # Fast R-CNN supervised losses on precomputed-proposal blobs
-        logits, bbox_pred = _fast_rcnn_outputs(spec, params, fc7_clean)
-        total, aux = _fast_rcnn_losses(
-            spec, logits, bbox_pred, batch['labels_int32'],
-            batch['bbox_targets'], batch['bbox_inside_weights'],
-            batch['bbox_outside_weights'], valid)
+        total, aux = fast_rcnn_tail_losses(spec, params, batch, fc7_clean)
         if spec.mask_on and 'mask_rois' in batch:
             # supervised Mask R-CNN loss on loader-sampled fg rois
             # (mask_rcnn_heads.add_mask_rcnn_losses; padded rows carry -1

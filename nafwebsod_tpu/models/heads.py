@@ -202,10 +202,16 @@ def xconv1fc_gn_head(params, pooled, *, num_convs=4):
 
 def vgg16_roi_2fc_head(params, feat, rois, obn_scores, spatial_scale, *,
                        method='RoIPoolF', resolution=7, sampling_ratio=2,
-                       freeze_body=True, train=False, rng=None):
+                       freeze_body=True, train=False, rng=None,
+                       tower_fn=None):
+    """``tower_fn``: optional replacement for ``_fc_tower`` with the same
+    (feat_flat, params, prefix, rng, train) signature — the tensor-parallel
+    step injects its hidden-sharded tower here so the rest of the forward
+    (pooling, tails) stays the unsharded code."""
     roi_feat = roi_transform(feat[0], rois, obn_scores, spatial_scale,
                              method, resolution, sampling_ratio, freeze_body)
-    return _fc_tower(roi_feat, params, '', rng, train), roi_feat
+    tower = _fc_tower if tower_fn is None else tower_fn
+    return tower(roi_feat, params, '', rng, train), roi_feat
 
 
 def vgg16_roi_2fc_noise_head(params, feat, rois, obn_scores, spatial_scale, *,

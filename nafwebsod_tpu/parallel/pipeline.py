@@ -20,9 +20,11 @@ Scope: the WSDDN / webly / context 2fc heads with the OICR / PCL(device) /
 C-MIL ladders, min-entropy loss, and center loss (``wsl_losses.check_scope``,
 shared with ``parallel/tensor_shard.py``; the center dCF/ndCF accumulators
 ride replicated in the opt state with the per-microbatch deltas summed over
-ticks — ``wsl_losses.center_tail``); stage 1 reuses
-``detector.wsl_tail_losses`` so loss assembly is literally the unsharded
-code. The context head's three pooled streams concatenate into one
+ticks — ``wsl_losses.center_tail``), plus the supervised
+precomputed-proposal Fast R-CNN 2fc head (stage 1 tail =
+``detector.fast_rcnn_tail_losses``); stage 1 reuses
+``detector.wsl_tail_losses`` for the WSL families so loss assembly is
+literally the unsharded code. The context head's three pooled streams concatenate into one
 cross-pipe buffer. Gradients accumulate over the microbatches as a mean —
 numerically the same step as the data-parallel mean over B images, pinned
 by tests/test_pipeline.py.
@@ -60,8 +62,11 @@ def make_pipe_mesh(num_devices=N_STAGES):
 def _check_scope(spec):
     # center loss is admitted: this step threads the replicated dCF/ndCF
     # accumulators through its opt state, with the per-microbatch deltas
-    # summed over ticks (and the stage-0 zeros psum'd away)
-    wsl_losses.check_scope(spec, allow_center=True)
+    # summed over ticks (and the stage-0 zeros psum'd away). The supervised
+    # precomputed-proposal Fast R-CNN 2fc head is admitted too: stage 0
+    # pools the same flat RoI features, stage 1 switches the tail to
+    # detector.fast_rcnn_tail_losses (see _head_loss).
+    wsl_losses.check_scope(spec, allow_center=True, allow_supervised=True)
     if not spec.freeze_conv_body:
         raise NotImplementedError(
             'the 2-stage pipeline requires FREEZE_CONV_BODY (the flagship '
@@ -115,6 +120,10 @@ def _head_loss(spec, params, roi_feat, mb, rng):
         if spec.is_webly:
             fc7_noisy = heads._fc_tower(roi_feat, params, '_[noisy]_', r2,
                                         train)
+    if spec.supervised:
+        # Fast R-CNN tail on precomputed-proposal blobs (stage-1 code is
+        # literally the unsharded tail)
+        return detector.fast_rcnn_tail_losses(spec, params, mb, fc7_clean)
     return detector.wsl_tail_losses(spec, params, mb, fc7_clean, fc7_noisy,
                                     None, rng)
 

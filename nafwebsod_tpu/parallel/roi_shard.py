@@ -28,7 +28,10 @@ PCL's clustering and C-MIL's clique growth span all RoIs but operate on
 CLASS-dim (R, C)-scale tables — tiny next to the sharded (R, 25088)
 towers — so those ladders all_gather the local refine/fc8 logits
 DIFFERENTIABLY and run the unsharded target + loss ops replicated
-(_refinement_losses_pcl_sharded, _cmil_losses_sharded). CSC and mask
+(_refinement_losses_pcl_sharded, _cmil_losses_sharded). The supervised
+precomputed-proposal Fast R-CNN 2fc head is admitted too: both of its
+losses are valid-count-normalized per-row sums, sharded by psum'ing the
+local numerators and the count (fast_rcnn_losses_sharded). CSC and mask
 still re-run the conv body and keep the data-parallel step. Enable with
 TPU.ROI_SHARDING (mesh axis 'roi').
 """
@@ -189,6 +192,36 @@ def _swln_sharded_bwd(axis, res, g):
 
 
 _swln_sharded.defvjp(_swln_sharded_fwd, _swln_sharded_bwd)
+
+
+def fast_rcnn_losses_sharded(spec, logits, bbox_pred, batch, valid_local,
+                             axis):
+    """Sharded ``detector._fast_rcnn_losses`` (fast_rcnn_heads.py:75-93)
+    over the RoI axis: both losses are per-row sums normalized by the
+    valid-RoI count, so the local numerators and the count psum across the
+    shard. Plain autodiff (no custom VJP) — under the caller's
+    check_vma=False shard_map the psum transposes re-broadcast and the
+    outer grads ``pmean`` recovers the truth, like every other
+    non-custom-VJP loss here."""
+    labels = batch['labels_int32']
+    v = valid_local.astype(jnp.float32)
+    n = jnp.maximum(jax.lax.psum(jnp.sum(v), axis), 1.0)
+    logp = jax.nn.log_softmax(logits, axis=1)
+    picked = logp[jnp.arange(logits.shape[0]), labels] * v
+    loss_cls = -jax.lax.psum(jnp.sum(picked), axis) / n
+    # smooth-L1 (beta=1) of inside_weights * (pred - target), scaled by
+    # outside_weights — ops/losses.smooth_l1_loss semantics
+    d = batch['bbox_inside_weights'] * (bbox_pred - batch['bbox_targets'])
+    ad = jnp.abs(d)
+    elem = jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5)
+    elem = elem * batch['bbox_outside_weights'] * v[:, None]
+    loss_bbox = jax.lax.psum(jnp.sum(elem), axis) / n
+    acc = jax.lax.psum(
+        jnp.sum((jnp.argmax(logits, 1) == labels) * v), axis) / n
+    losses = {'loss_cls': loss_cls, 'loss_bbox': loss_bbox}
+    aux = dict(losses)
+    aux['accuracy_cls'] = acc
+    return loss_cls + loss_bbox, aux
 
 
 def min_entropy_loss_sharded(rois_pred_local, labels_oh, valid_local, axis):
@@ -443,13 +476,14 @@ def forward_train_roi_sharded(spec, params, batch, rng, axis=AXIS):
     from nafwebsod_tpu.parallel.wsl_losses import check_scope
     # center loss is admitted: this step threads the dCF/ndCF accumulators
     # through the opt state like the TP/pipeline/ZeRO steps (the C-MIL
-    # combination stays excluded — merged global scores vs local features)
-    check_scope(spec, allow_center=not spec.cmil)
+    # combination stays excluded — merged global scores vs local features).
+    # The supervised Fast R-CNN 2fc head is admitted: both its losses are
+    # valid-count-normalized row sums (fast_rcnn_losses_sharded).
+    check_scope(spec, allow_center=not spec.cmil, allow_supervised=True)
 
     image = batch['image']
     rois = batch['rois']
     obn = batch['obn_scores']
-    labels_oh = batch['labels_oh']
     valid = batch['valid_mask']
     if rng is not None:
         # per-device mask streams (different local rows)
@@ -459,6 +493,17 @@ def forward_train_roi_sharded(spec, params, batch, rng, axis=AXIS):
         spec, params, image, rois, obn, train=True, rng=rng,
         im_hw=batch.get('im_hw'))
     fc7_main = fc7_clean[0] if spec.is_context else fc7_clean
+
+    if spec.supervised:
+        # supervised Fast R-CNN: logits/deltas on the local rows, losses
+        # psum-normalized by the global valid count
+        logits, bbox_pred = detector._fast_rcnn_outputs(spec, params,
+                                                        fc7_main)
+        total, aux = fast_rcnn_losses_sharded(spec, logits, bbox_pred,
+                                              batch, valid, axis)
+        return total, aux
+
+    labels_oh = batch['labels_oh']
 
     losses, aux = {}, {}
     if spec.cmil:
@@ -556,7 +601,14 @@ def _make_grads_fn(spec, mesh):
     semantics under the legacy mode match the explicit grads pmean below
     (pinned exact vs the unsharded grads in tests/test_roi_shard.py)."""
     batch_specs = {'image': P(), 'rois': P(AXIS), 'obn_scores': P(AXIS),
-                   'valid_mask': P(AXIS), 'labels_oh': P()}
+                   'valid_mask': P(AXIS)}
+    if spec.supervised:
+        # per-RoI supervised targets shard with their rows
+        for k in ('labels_int32', 'bbox_targets', 'bbox_inside_weights',
+                  'bbox_outside_weights'):
+            batch_specs[k] = P(AXIS)
+    else:
+        batch_specs['labels_oh'] = P()
     if spec.is_context:
         batch_specs['im_hw'] = P()  # true-canvas ring clipping
     if spec.cmil or spec.center_loss:
@@ -590,7 +642,13 @@ def _batch_shardings(spec, mesh, scan=False):
     repl = NamedSharding(mesh, P(*lead))
     shard = NamedSharding(mesh, P(*(lead + (AXIS,))))
     out = {'image': repl, 'rois': shard, 'obn_scores': shard,
-           'valid_mask': shard, 'labels_oh': repl}
+           'valid_mask': shard}
+    if spec.supervised:
+        for k in ('labels_int32', 'bbox_targets', 'bbox_inside_weights',
+                  'bbox_outside_weights'):
+            out[k] = shard
+    else:
+        out['labels_oh'] = repl
     if spec.is_context:
         out['im_hw'] = repl
     if spec.cmil or spec.center_loss:

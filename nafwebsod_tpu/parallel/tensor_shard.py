@@ -30,9 +30,11 @@ fused psum of the raveled gradient vector over 'data' (same layout as
 Scope: the WSDDN / webly noise-aware / context heads with the OICR /
 PCL(device) / C-MIL refinement ladders, min-entropy loss, and center loss
 — everything downstream of the towers reuses ``detector.wsl_tail_losses``,
-so the sharded step's loss assembly is literally the unsharded code (CSC /
-CPG / mask / FPN branches use the data-parallel step; see
-``wsl_losses.check_scope``). Center loss threads the replicated dCF/ndCF
+so the sharded step's loss assembly is literally the unsharded code — plus
+the supervised precomputed-proposal Fast R-CNN 2fc head (same towers;
+tail = ``detector.fast_rcnn_tail_losses``). CSC / CPG / mask / FPN /
+RPN-in-graph branches use the data-parallel step; see
+``wsl_losses.check_scope``. Center loss threads the replicated dCF/ndCF
 accumulators through the opt state with the per-image deltas summed over
 the data axis — the same contract as the DP tail. Numerics are pinned
 against the unsharded step on the virtual CPU mesh by
@@ -202,8 +204,16 @@ def _fc_tower_tp(feat_flat, params, prefix, rng, train, axis):
 
 # center loss is admitted HERE (not in the shared gate): this step threads
 # the replicated dCF/ndCF accumulators through its opt state and sums the
-# per-image deltas over the data axis, exactly like the DP step's tail
-_check_scope = partial(wsl_losses.check_scope, allow_center=True)
+# per-image deltas over the data axis, exactly like the DP step's tail.
+# The supervised Fast R-CNN 2fc family is admitted too: precomputed
+# proposals (same towers, tail switched to detector.fast_rcnn_tail_losses
+# below) AND end-to-end Faster R-CNN (RPN in-graph) — for the latter the
+# whole unsharded forward runs with the hidden-sharded tower INJECTED
+# (detector.forward_train(tower_fn=...)); the RPN head, device proposal
+# generation/labeling, and losses are all replicated across the model
+# axis, so every rank computes them identically.
+_check_scope = partial(wsl_losses.check_scope, allow_center=True,
+                       allow_supervised=True, allow_faster_rcnn=True)
 
 
 def forward_train_tp(spec, params, batch, rng, axis=MODEL_AXIS):
@@ -216,6 +226,16 @@ def forward_train_tp(spec, params, batch, rng, axis=MODEL_AXIS):
     ``detector.wsl_tail_losses`` the unsharded forward uses, so the
     admitted families inherit its numerics."""
     _check_scope(spec)
+    if spec.faster_rcnn:
+        # end-to-end Faster R-CNN: run the UNSHARDED forward with the
+        # hidden-sharded tower injected — RPN, proposal generation/labeling
+        # and the losses are replicated across the model axis (identical on
+        # every rank); only the fc-tower GEMMs are sharded
+        def tower(x, p, prefix, r, train):
+            return _fc_tower_tp(x, p, prefix, r, train, axis)
+
+        return detector.forward_train(spec, params, batch, rng,
+                                      tower_fn=tower)
     image = batch['image']
     rois = batch['rois']
     obn = batch['obn_scores']
@@ -253,6 +273,11 @@ def forward_train_tp(spec, params, batch, rng, axis=MODEL_AXIS):
         if spec.is_webly:
             fc7_noisy = _fc_tower_tp(roi_feat, params, '_[noisy]_', r2,
                                      train, axis)
+    if spec.supervised:
+        # Fast R-CNN tail on precomputed-proposal blobs — fc7 is replicated
+        # after the row-parallel psum, so the tail (cls_score/bbox_pred +
+        # losses) is literally the unsharded code
+        return detector.fast_rcnn_tail_losses(spec, params, batch, fc7_clean)
     return detector.wsl_tail_losses(spec, params, batch, fc7_clean,
                                     fc7_noisy, feat, rng)
 

@@ -8,31 +8,50 @@ unsharded forward runs downstream of the towers.
 """
 
 
-def check_scope(spec, extra_unsupported=(), allow_center=False):
+def check_scope(spec, extra_unsupported=(), allow_center=False,
+                allow_supervised=False, allow_faster_rcnn=False):
     """Raise unless ``spec`` is within the sharded-step scope shared by the
     tensor-parallel and pipeline steps: the WSDDN / webly 2fc and context
     heads, with the OICR / PCL(device) / C-MIL refinement ladders and the
     min-entropy loss admitted (all downstream of the shared fc towers —
-    they reuse ``detector.wsl_tail_losses``). Branches that re-run the conv
-    body under a nested grad (CSC/CPG/deeplab) or pool from other feature
-    layouts (FPN, mask) use the data-parallel step. Center loss carries
-    cross-step accumulator state; steps that thread it (the tensor-parallel
-    step does — replicated dCF/ndCF in the opt state, deltas summed over
-    the data axis) pass ``allow_center=True``."""
-    unsupported = (spec.csc or spec.cpg or
-                   (spec.center_loss and not allow_center) or
-                   spec.mask_on or spec.supervised or
-                   spec.is_fpn or spec.fused_noise_tower or
-                   (spec.pcl and not spec.pcl_device) or
-                   spec.box_head not in ('vgg16_2fc', 'vgg16_2fc_noise',
-                                         'vgg16_context_2fc'))
+    they reuse ``detector.wsl_tail_losses``), plus — for steps that pass
+    ``allow_supervised=True`` — the supervised precomputed-proposal Fast
+    R-CNN 2fc head (same towers; its tail is
+    ``detector.fast_rcnn_tail_losses``). Branches that re-run the conv
+    body under a nested grad (CSC/CPG/deeplab), pool from other feature
+    layouts (FPN, mask, res5/Xconv), or run head networks on the body
+    itself (RPN-in-graph Faster R-CNN, RetinaNet) use the data-parallel
+    step. Center loss carries cross-step accumulator state; steps that
+    thread it (the tensor-parallel step does — replicated dCF/ndCF in the
+    opt state, deltas summed over the data axis) pass
+    ``allow_center=True``."""
+    if spec.supervised:
+        # end-to-end Faster R-CNN (RPN in-graph) only where the step
+        # injects its tower into the unsharded forward (allow_faster_rcnn:
+        # the tensor-parallel step; everything outside the towers is
+        # replicated across the model axis)
+        unsupported = (not allow_supervised or
+                       (spec.faster_rcnn and not allow_faster_rcnn) or
+                       spec.rfcn or spec.mask_on or spec.keypoints_on or
+                       spec.rpn_only or spec.is_fpn or
+                       spec.box_head != 'vgg16_2fc')
+    else:
+        unsupported = (spec.csc or spec.cpg or
+                       (spec.center_loss and not allow_center) or
+                       spec.mask_on or spec.retinanet or
+                       spec.retinanet_wsl or spec.rpn_only or
+                       spec.is_fpn or spec.fused_noise_tower or
+                       (spec.pcl and not spec.pcl_device) or
+                       spec.box_head not in ('vgg16_2fc', 'vgg16_2fc_noise',
+                                             'vgg16_context_2fc'))
     if unsupported or any(extra_unsupported):
         raise NotImplementedError(
             'this sharded step supports the WSDDN / webly / context 2fc '
-            'heads with the OICR / PCL(device) / C-MIL ladders; '
-            'CSC/CPG/mask/FPN/supervised branches (and center loss where '
-            'the step does not thread its accumulators) use the '
-            'data-parallel step')
+            'heads with the OICR / PCL(device) / C-MIL ladders, plus the '
+            'supervised precomputed-proposal Fast R-CNN 2fc head where the '
+            'step threads its tail; CSC/CPG/mask/FPN/RPN-in-graph/RetinaNet '
+            'branches (and center loss where the step does not thread its '
+            'accumulators) use the data-parallel step')
 
 
 def center_tail(spec, params, opt_state, deltas, center_update_period):

@@ -270,3 +270,64 @@ def test_pipeline_ladder_and_context_match_mean_loss(name, spec):
         np.testing.assert_allclose(np.asarray(p2[k]),
                                    np.asarray(ref_upd[k]),
                                    rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_pipeline_supervised_matches_mean_loss_step():
+    """Supervised Fast R-CNN 2fc head through the 2-stage pipe: stage 0
+    pools the same flat RoI features, stage 1 runs
+    detector.fast_rcnn_tail_losses — must equal the DP mean-loss step."""
+    spec = detector.ModelSpec(
+        num_classes=4, box_head='vgg16_2fc', webly_on=False,
+        webly_entropy=False, hidden_dim=16, supervised=True,
+        freeze_conv_body=True, compute_dtype='float32')
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+
+    def _supervised_image(seed):
+        rng = np.random.RandomState(seed)
+        r, c = 64, spec.num_classes
+        x1 = rng.uniform(0, 20, r)
+        y1 = rng.uniform(0, 20, r)
+        return {
+            'image': jnp.asarray(
+                rng.randn(1, 48, 48, 3).astype(np.float32)),
+            'rois': jnp.asarray(np.stack(
+                [np.zeros(r), x1, y1, x1 + 16, y1 + 16],
+                1).astype(np.float32)),
+            'obn_scores': jnp.asarray(np.ones((r, 1), np.float32)),
+            'labels_int32': jnp.asarray(
+                rng.randint(0, c, r).astype(np.int32)),
+            'bbox_targets': jnp.asarray(
+                rng.randn(r, 4 * c).astype(np.float32)),
+            'bbox_inside_weights': jnp.asarray(
+                (rng.rand(r, 4 * c) > 0.8).astype(np.float32)),
+            'bbox_outside_weights': jnp.asarray(
+                np.ones((r, 4 * c), np.float32)),
+            'valid_mask': jnp.asarray(np.arange(r) < r - 5),
+        }
+
+    imgs = [_supervised_image(s) for s in (0, 3)]
+
+    def mean_loss(p):
+        totals = [detector.forward_train(spec, p, b, None)[0] for b in imgs]
+        return sum(totals) / len(imgs)
+
+    ref_loss, ref_grads = jax.value_and_grad(mean_loss)(params)
+
+    hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005, iter_size=1)
+    trainable = detector.trainable_param_names(spec, params)
+    mults = sgd.param_multipliers(params, trainable)
+    opt_state = sgd.init_state(params, hp)
+    ref_upd, _ = sgd.update(params, ref_grads, opt_state, np.float32(1e-3),
+                            hp, sgd.freeze_mults(mults))
+
+    mesh = pipeline.make_pipe_mesh()
+    step = pipeline.make_pipeline_step(spec, hp, mults, mesh, dropout=False)
+    p2, s2, loss, aux = step(params, opt_state, _stack(imgs),
+                             np.float32(1e-3), jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-5)
+    assert 'loss_bbox' in aux
+    for k in sorted(params):
+        np.testing.assert_allclose(np.asarray(p2[k]),
+                                   np.asarray(ref_upd[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)

@@ -356,3 +356,58 @@ def test_sharded_multi_step_matches_chained_single_steps():
         np.testing.assert_allclose(np.asarray(p_m[name]),
                                    np.asarray(p_ref[name]),
                                    rtol=1e-4, atol=1e-6, err_msg=name)
+
+
+def test_roi_shard_supervised_matches_unsharded():
+    """Supervised Fast R-CNN 2fc head with the RoI axis sharded: the
+    psum-normalized losses (fast_rcnn_losses_sharded) and the step's
+    parameter update must match the unsharded detector.forward_train."""
+    spec = detector.ModelSpec(
+        num_classes=4, box_head='vgg16_2fc', webly_on=False,
+        webly_entropy=False, hidden_dim=16, supervised=True,
+        freeze_conv_body=True, compute_dtype='float32')
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    r, c = 64, spec.num_classes
+    x1 = rng.uniform(0, 20, r)
+    y1 = rng.uniform(0, 20, r)
+    batch = {
+        'image': jnp.asarray(rng.randn(1, 48, 48, 3).astype(np.float32)),
+        'rois': jnp.asarray(np.stack(
+            [np.zeros(r), x1, y1, x1 + 16, y1 + 16], 1).astype(np.float32)),
+        'obn_scores': jnp.asarray(np.ones((r, 1), np.float32)),
+        'labels_int32': jnp.asarray(rng.randint(0, c, r).astype(np.int32)),
+        'bbox_targets': jnp.asarray(rng.randn(r, 4 * c).astype(np.float32)),
+        'bbox_inside_weights': jnp.asarray(
+            (rng.rand(r, 4 * c) > 0.8).astype(np.float32)),
+        'bbox_outside_weights': jnp.asarray(
+            np.ones((r, 4 * c), np.float32)),
+        'valid_mask': jnp.asarray(np.arange(r) < r - 5),
+    }
+
+    (ref_loss, ref_aux), ref_grads = jax.value_and_grad(
+        lambda p: detector.forward_train(spec, p, batch, None),
+        has_aux=True)(params)
+
+    hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005, iter_size=1)
+    trainable = detector.trainable_param_names(spec, params)
+    mults = sgd.param_multipliers(params, trainable)
+    opt_state = sgd.init_state(params, hp)
+    ref_upd, _ = sgd.update(params, ref_grads, opt_state, np.float32(1e-3),
+                            hp, sgd.freeze_mults(mults))
+
+    mesh = roi_shard.make_roi_mesh(8)
+    step = roi_shard.make_roi_sharded_train_step(spec, hp, mults, mesh)
+    p2, s2, loss, aux = step(params, opt_state, batch, np.float32(1e-3),
+                             None)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-5)
+    for k in ('loss_cls', 'loss_bbox', 'accuracy_cls'):
+        np.testing.assert_allclose(float(aux[k]), float(ref_aux[k]),
+                                   rtol=2e-5, atol=1e-6, err_msg=k)
+    for k in ('fc6_w', 'fc7_w', 'cls_score_w', 'cls_score_b',
+              'bbox_pred_w', 'bbox_pred_b'):
+        np.testing.assert_allclose(np.asarray(p2[k]),
+                                   np.asarray(ref_upd[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)

@@ -294,6 +294,85 @@ def test_tp_center_loss_matches_unsharded():
                                tp_snapshots[-1], rtol=1e-5, atol=1e-7)
 
 
+def _supervised_batch(num_classes=4, r=64, seed=0):
+    """Precomputed-proposal Fast R-CNN blobs (data/fast_rcnn.py schema)."""
+    rng = np.random.RandomState(seed)
+    x1 = rng.uniform(0, 20, r)
+    y1 = rng.uniform(0, 20, r)
+    return {
+        'image': jnp.asarray(rng.randn(1, 48, 48, 3).astype(np.float32)),
+        'rois': jnp.asarray(np.stack(
+            [np.zeros(r), x1, y1, x1 + 16, y1 + 16], 1).astype(np.float32)),
+        'obn_scores': jnp.asarray(np.ones((r, 1), np.float32)),
+        'labels_int32': jnp.asarray(
+            rng.randint(0, num_classes, r).astype(np.int32)),
+        'bbox_targets': jnp.asarray(
+            rng.randn(r, 4 * num_classes).astype(np.float32)),
+        'bbox_inside_weights': jnp.asarray(
+            (rng.rand(r, 4 * num_classes) > 0.8).astype(np.float32)),
+        'bbox_outside_weights': jnp.asarray(
+            np.ones((r, 4 * num_classes), np.float32)),
+        'valid_mask': jnp.asarray(np.arange(r) < r - 5),
+    }
+
+
+def _supervised_spec():
+    return detector.ModelSpec(
+        num_classes=4, box_head='vgg16_2fc', webly_on=False,
+        webly_entropy=False, hidden_dim=16, supervised=True,
+        freeze_conv_body=True, compute_dtype='float32')
+
+
+def test_tp_supervised_matches_unsharded():
+    """Supervised Fast R-CNN 2fc head under TP (8 hidden shards): same
+    towers, tail switched to detector.fast_rcnn_tail_losses — one TP step
+    must equal the unsharded step."""
+    spec = _supervised_spec()
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    batch = _supervised_batch(spec.num_classes)
+
+    (ref_loss, ref_aux), ref_grads = jax.value_and_grad(
+        lambda p: detector.forward_train(spec, p, batch, None),
+        has_aux=True)(params)
+
+    hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005, iter_size=1)
+    trainable = detector.trainable_param_names(spec, params)
+    mults = sgd.param_multipliers(params, trainable)
+    opt_state = sgd.init_state(params, hp)
+    ref_upd, _ = sgd.update(params, ref_grads, opt_state, np.float32(1e-3),
+                            hp, sgd.freeze_mults(mults))
+
+    mesh = tsh.make_tp_mesh(n_model=8, n_data=1)
+    step = tsh.make_tp_train_step(spec, hp, mults, mesh, params,
+                                  dropout=False)
+    p2, s2, loss, aux = step(params, opt_state, _stack([batch]),
+                             np.float32(1e-3), jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-5)
+    for k in ('loss_cls', 'loss_bbox', 'accuracy_cls'):
+        np.testing.assert_allclose(float(aux[k]), float(ref_aux[k]),
+                                   rtol=2e-5, atol=1e-6, err_msg=k)
+    for k in ('fc6_w', 'fc6_b', 'fc7_w', 'fc7_b', 'cls_score_w',
+              'cls_score_b', 'bbox_pred_w', 'bbox_pred_b'):
+        np.testing.assert_allclose(np.asarray(p2[k]), np.asarray(ref_upd[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_tp_rejects_supervised_variants_outside_scope():
+    """mask/keypoint/res5 supervised variants stay on the DP step
+    (end-to-end Faster R-CNN itself IS admitted — tower injection)."""
+    base = dict(num_classes=4, box_head='vgg16_2fc', webly_on=False,
+                webly_entropy=False, hidden_dim=16, supervised=True,
+                freeze_conv_body=True)
+    for bad in (dict(mask_on=True), dict(keypoints_on=True),
+                dict(box_head='res5_head')):
+        spec = detector.ModelSpec(**{**base, **bad})
+        # the gate fires before params are touched
+        with pytest.raises(NotImplementedError):
+            tsh.forward_train_tp(spec, {},
+                                 _supervised_batch(spec.num_classes), None)
+
+
 def _family_specs():
     """The families check_scope newly admits (round 3): everything
     downstream of the towers runs detector.wsl_tail_losses unchanged."""
@@ -337,4 +416,65 @@ def test_tp_ladder_and_context_match_unsharded(name, spec):
     for k in sorted(params):
         np.testing.assert_allclose(np.asarray(p2[k]),
                                    np.asarray(ref_upd[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_tp_faster_rcnn_matches_unsharded():
+    """End-to-end Faster R-CNN (RPN in-graph) under TP: the unsharded
+    forward runs with the hidden-sharded tower injected
+    (detector.forward_train(tower_fn=...)) — one TP step must equal the
+    unsharded step (rng=None: deterministic proposal sampling, no
+    dropout)."""
+    spec = detector.ModelSpec(
+        num_classes=4, hidden_dim=32, supervised=True, faster_rcnn=True,
+        conv_body='vgg16_c5', box_head='vgg16_2fc', webly_on=False,
+        webly_entropy=False, dilation=2, freeze_conv_body=False, freeze_at=0,
+        rpn_stride=8, rpn_sizes=(16, 32), rpn_pre_nms_top_n=96,
+        rpn_post_nms_top_n=16, rpn_test_pre_nms_top_n=96,
+        rpn_test_post_nms_top_n=8, frcnn_batch_size=16,
+        frcnn_fg_fraction=0.5, compute_dtype='float32')
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    gt = np.zeros((4, 4), np.float32)
+    gt[0] = [12, 12, 44, 44]
+    gc = np.zeros((4,), np.int32)
+    gc[0] = 2
+    gv = np.zeros((4,), bool)
+    gv[0] = True
+    batch = {
+        'image': jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32)),
+        'rois': jnp.zeros((1, 5), jnp.float32),
+        'obn_scores': jnp.ones((1, 1), jnp.float32),
+        'valid_mask': jnp.zeros((1,), bool),
+        'gt_boxes': jnp.asarray(gt), 'gt_classes': jnp.asarray(gc),
+        'gt_valid': jnp.asarray(gv),
+        'im_info': jnp.asarray([64.0, 64.0, 1.0], jnp.float32),
+    }
+
+    (ref_loss, ref_aux), ref_grads = jax.value_and_grad(
+        lambda p: detector.forward_train(spec, p, batch, None),
+        has_aux=True)(params)
+
+    hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005, iter_size=1)
+    trainable = detector.trainable_param_names(spec, params)
+    mults = sgd.param_multipliers(params, trainable)
+    opt_state = sgd.init_state(params, hp)
+    ref_upd, _ = sgd.update(params, ref_grads, opt_state, np.float32(1e-3),
+                            hp, sgd.freeze_mults(mults))
+
+    mesh = tsh.make_tp_mesh(n_model=8, n_data=1)
+    step = tsh.make_tp_train_step(spec, hp, mults, mesh, params,
+                                  dropout=False)
+    p2, s2, loss, aux = step(params, opt_state, _stack([batch]),
+                             np.float32(1e-3), jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-5)
+    for k in ('loss_cls', 'loss_bbox', 'loss_rpn_cls', 'loss_rpn_bbox'):
+        np.testing.assert_allclose(float(aux[k]), float(ref_aux[k]),
+                                   rtol=2e-5, atol=1e-6, err_msg=k)
+    # sharded towers, replicated RPN head + outputs + trainable conv body
+    for k in ('fc6_w', 'fc7_w', 'cls_score_w', 'bbox_pred_w',
+              'conv_rpn_w', 'rpn_cls_logits_w', 'conv5_3_w'):
+        np.testing.assert_allclose(np.asarray(p2[k]), np.asarray(ref_upd[k]),
                                    rtol=1e-4, atol=1e-6, err_msg=k)
