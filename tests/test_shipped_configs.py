@@ -166,3 +166,60 @@ def test_family_config_end_to_end(rel, tmp_path):
                              float(value) + 5.0]]
     assert task_evaluation.check_expected_results(
         {'synth_test': metrics}) is False
+
+
+# configs/distributed/: the same flagship operating point driven through
+# each sharded training step (parallel/) — these exercise the ENGINE
+# integration (engine/train.py TPU.* branches: mesh build, batch-key
+# threading, scan-of-K drivers), not just the parallel/ modules that the
+# unit tests pin. NUM_GPUS per exemplar (virtual CPU mesh in tests).
+DISTRIBUTED = [
+    ('distributed/na_wsddn_V-16-C5_tp2x4.yaml', 8),
+    ('distributed/na_wsddn_V-16-C5_roishard8.yaml', 8),
+    ('distributed/na_wsddn_V-16-C5_pipeline.yaml', 2),
+    ('distributed/na_wsddn_V-16-C5_zero1.yaml', 8),
+    ('distributed/e2e_faster_rcnn_V-16-C5_tp.yaml', 8),
+]
+
+
+def test_every_distributed_config_is_gated():
+    dist = [p for p in SHIPPED if p.startswith('distributed/')]
+    gated = [p for p, _ in DISTRIBUTED]
+    for p in dist:
+        assert p in gated, p + ' is shipped but not e2e-gated'
+    for p in gated:
+        assert p in SHIPPED, p + ' is gated but not shipped'
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('rel,n_gpus', DISTRIBUTED,
+                         ids=[p.split('/')[-1][:-5] for p, _ in DISTRIBUTED])
+def test_distributed_config_end_to_end(rel, n_gpus, tmp_path):
+    """Each distributed exemplar trains from YAML through the real engine
+    on the virtual mesh: train_model() picks the sharded step from the
+    TPU.* keys, writes snapshots + model_final.pkl, losses stay finite.
+    The tp2x4 exemplar also round-trips its (sharded-in-HBM) checkpoint
+    through run_inference to prove the reference pkl schema survives the
+    sharded layouts."""
+    merge_cfg_from_file(os.path.join(CFG_DIR, rel))
+    info = fixtures.make_coco_dataset(str(tmp_path), n_images=4,
+                                      width=96, height=64)
+    catalog.register_dataset('synth_train', info['image_dir'],
+                             info['ann_file'])
+    catalog.register_dataset('synth_test', info['image_dir'],
+                             info['ann_file'])
+    _apply_tiny_overrides(info, tmp_path)
+    cfg.NUM_GPUS = n_gpus
+    assert_and_infer_cfg(make_immutable=False)
+
+    from nafwebsod_tpu.engine import train as train_engine
+    ckpts, losses = train_engine.train_model()
+    assert 'final' in ckpts and os.path.exists(ckpts['final'])
+    assert losses and np.isfinite(losses).all()
+
+    if 'tp2x4' in rel:
+        from nafwebsod_tpu.engine import test_engine
+        results = test_engine.run_inference(ckpts['final'])
+        metrics = {k: v for k, v in results['synth_test'].items()
+                   if isinstance(v, (int, float, np.floating))}
+        assert metrics and all(np.isfinite(v) for v in metrics.values())
