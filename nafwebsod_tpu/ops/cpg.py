@@ -48,13 +48,24 @@ def select_gt_classes(labels_oh, max_gt):
     return jnp.where(valid, idx, -1), valid
 
 
-def cpg_maps(cls_prob_fn, image, labels_oh, cls_prob, tau=0.7, max_gt=4):
+def cpg_maps(cls_prob_fn, image, labels_oh, cls_prob, tau=0.7, max_gt=4,
+             grad_reduce=None):
     """Saliency maps for up to ``max_gt`` gt classes.
 
     cls_prob_fn: image -> (1, C-1) image-level scores WITHOUT the frozen-body
     stop-gradient (the reference's cpg net backprops through the frozen conv
     body to the data blob). Returns (maps (max_gt, H, W), class_idx
     (max_gt,), valid (max_gt,)).
+
+    ``grad_reduce``: optional hook applied to each seed's raw image
+    gradient before the channel-max — the RoI-sharded step passes
+    ``lambda g: psum(g, axis) / n`` here, because with the RoI axis
+    sharded each device's vjp covers only its local rois (and the
+    check_vma=False psum transpose n-inflates it); reducing the RAW
+    gradient (before abs/max) keeps |sum| != sum|...| correct, and the
+    /n preserves the exact CPGScale keep-gate (``max_val != 1.0``). The
+    hook sits OUTSIDE the lax.cond so no collective lives in a
+    conditional branch (psum of the inactive branch's zeros is zeros).
     """
     idx, valid = select_gt_classes(labels_oh, max_gt)
     pred = cls_prob[0]
@@ -82,6 +93,8 @@ def cpg_maps(cls_prob_fn, image, labels_oh, cls_prob, tau=0.7, max_gt=4):
             lambda s: vjp(s)[0],
             lambda s: jnp.zeros(image.shape, image.dtype),
             seed)
+        if grad_reduce is not None:
+            grad = grad_reduce(grad)
         # channel-max of |grad| over the image's channel axis (cpg_op.cu:58)
         return None, jnp.max(jnp.abs(grad[0]), axis=-1)
 
@@ -190,17 +203,23 @@ def _normalize_class(scores):
 
 
 def csc_weights(maps, class_idx, class_keep, rois, labels_oh, cls_prob,
-                fg_threshold=0.1, context_scale=1.8, valid_mask=None):
+                fg_threshold=0.1, context_scale=1.8, valid_mask=None,
+                normalize_fn=None):
     """Full CSC: (R, C-1) weights W (default 1), plus
-    (labels_pos, labels_neg) = (labels_oh, zeros) (csc_op.cu:315-323)."""
+    (labels_pos, labels_neg) = (labels_oh, zeros) (csc_op.cu:315-323).
+
+    ``normalize_fn``: optional replacement for the per-class [-1, 1]
+    normalization — the RoI-sharded step passes a pmax/pmin variant so
+    the max/min span ALL rois, not just the local shard."""
     r = rois.shape[0]
     c = labels_oh.shape[1]
+    normalize = _normalize_class if normalize_fn is None else normalize_fn
 
     def one(m, ci, keep):
         raw = csc_scores_one_class(m, rois, fg_threshold, context_scale)
         if valid_mask is not None:
             raw = jnp.where(valid_mask, raw, KMIN_SCORE)
-        norm = _normalize_class(raw)
+        norm = normalize(raw)
         pred = cls_prob[0, jnp.maximum(ci, 0)]
         blended = pred * norm + (1.0 - pred)
         return jnp.where(keep, blended, jnp.ones_like(blended))

@@ -31,8 +31,12 @@ DIFFERENTIABLY and run the unsharded target + loss ops replicated
 (_refinement_losses_pcl_sharded, _cmil_losses_sharded). The supervised
 precomputed-proposal Fast R-CNN 2fc head is admitted too: both of its
 losses are valid-count-normalized per-row sums, sharded by psum'ing the
-local numerators and the count (fast_rcnn_losses_sharded). CSC and mask
-still re-run the conv body and keep the data-parallel step. Enable with
+local numerators and the count (fast_rcnn_losses_sharded). CSC runs fully
+sharded (_csc_losses_sharded): the CPG saliency is the image-vjp of the
+SHARDED forward with the raw per-seed gradients psum'd across the shard
+before the channel-max, contrastive scores stay on local roi rows, and
+the per-class [-1,1] normalization takes its max/min via pmax/pmin.
+Deeplab/mask heads keep the data-parallel step. Enable with
 TPU.ROI_SHARDING (mesh axis 'roi').
 """
 
@@ -222,6 +226,93 @@ def fast_rcnn_losses_sharded(spec, logits, bbox_pred, batch, valid_local,
     aux = dict(losses)
     aux['accuracy_cls'] = acc
     return loss_cls + loss_bbox, aux
+
+
+def _normalize_class_sharded(scores_local, axis):
+    """``ops/cpg._normalize_class`` with the per-class max/min spanning the
+    GLOBAL RoI axis (pmax/pmin over the shard): normalization to [-1, 1]
+    per csc_op.cu:410-448."""
+    from nafwebsod_tpu.ops.cpg import KMIN_SCORE
+    is_min = scores_local == KMIN_SCORE
+    max_v = jnp.maximum(jax.lax.pmax(jnp.max(scores_local), axis), 0.0)
+    min_v = jnp.minimum(
+        jax.lax.pmin(jnp.min(jnp.where(is_min, 0.0, scores_local)), axis),
+        0.0)
+
+    def pos_neg(s):
+        return jnp.where(is_min, -1.0,
+                         jnp.where(s > 0, s / max_v, s / (-min_v)))
+
+    def pos_only(s):
+        return jnp.where(is_min, -1.0, s / max_v)
+
+    return jnp.where(
+        (max_v > 0) & (min_v < 0), pos_neg(scores_local),
+        jnp.where((max_v > 0) & (min_v == 0), pos_only(scores_local),
+                  jnp.ones_like(scores_local)))
+
+
+def _csc_losses_sharded(spec, params, out, image, rois_local, obn_local,
+                        labels_oh, valid_local, cls_prob, cur_iter, rng,
+                        im_hw, axis):
+    """Sharded CSC branch (detector.wsl_tail_losses `spec.csc` arm): CPG
+    saliency via the image-vjp of the SHARDED two-stream forward (raw
+    gradients psum'd across the RoI shard before the channel-max — see
+    ``cpg_maps(grad_reduce=...)``), per-RoI contrastive scores on the
+    local rows with pmax/pmin class normalization, polar-split rois_pred
+    -> psum'd image scores -> CE vs labels / zeros."""
+    from dataclasses import replace as dc_replace
+
+    from nafwebsod_tpu.ops import cpg as cpg_ops
+
+    unfrozen = dc_replace(spec, freeze_conv_body=False, freeze_at=0,
+                          csc=False, cpg=False)
+    # CSC weights are constants downstream (stop_gradient on w) — the CPG
+    # computation must be opaque to the outer training grad (same Pallas
+    # pool-backward JVP argument as the unsharded branch)
+    params_sg = jax.tree.map(jax.lax.stop_gradient, params)
+    n = jax.lax.psum(jnp.ones(()), axis)
+
+    def cls_prob_fn(im):
+        fc7l, _, _ = detector._run_body_and_head(
+            unfrozen, params_sg, im, rois_local, obn_local, train=True,
+            rng=rng, im_hw=im_hw)
+        o = wsl_outputs_sharded(params_sg, fc7l, valid_local, axis)
+        return cls_pred_sharded(o['rois_pred'], axis)
+
+    active = cur_iter < spec.csc_max_iter
+
+    def compute_w(_):
+        maps, idx, keep = cpg_ops.cpg_maps(
+            cls_prob_fn, image, labels_oh,
+            jax.lax.stop_gradient(cls_prob), tau=spec.cpg_tau,
+            max_gt=spec.max_gt_cpg,
+            grad_reduce=lambda g: jax.lax.psum(g, axis) / n)
+        w, _, _ = cpg_ops.csc_weights(
+            maps, idx, keep, rois_local, labels_oh,
+            jax.lax.stop_gradient(cls_prob),
+            fg_threshold=spec.csc_fg_threshold, context_scale=1.8,
+            valid_mask=valid_local,
+            normalize_fn=lambda s: _normalize_class_sharded(s, axis))
+        return w
+
+    w = jax.lax.cond(
+        active, compute_w,
+        lambda _: jnp.ones((rois_local.shape[0], spec.num_classes - 1),
+                           jnp.float32), None)
+    w = jax.lax.stop_gradient(w)
+    pos = cls_pred_sharded(
+        cpg_ops.csc_constraint(out['rois_pred'], w, True), axis)
+    neg = cls_pred_sharded(
+        cpg_ops.csc_constraint(out['rois_pred'], w, False), axis)
+    losses = {
+        'loss_cls_pos': loss_ops.cross_entropy_with_logits(
+            pos, labels_oh, spec.mean_loss),
+        'loss_cls_neg': loss_ops.cross_entropy_with_logits(
+            neg, jnp.zeros_like(labels_oh), spec.mean_loss),
+    }
+    aux = {'accuracy_cls': loss_ops.multilabel_accuracy(pos, labels_oh)}
+    return losses, aux
 
 
 def min_entropy_loss_sharded(rois_pred_local, labels_oh, valid_local, axis):
@@ -479,7 +570,8 @@ def forward_train_roi_sharded(spec, params, batch, rng, axis=AXIS):
     # combination stays excluded — merged global scores vs local features).
     # The supervised Fast R-CNN 2fc head is admitted: both its losses are
     # valid-count-normalized row sums (fast_rcnn_losses_sharded).
-    check_scope(spec, allow_center=not spec.cmil, allow_supervised=True)
+    check_scope(spec, allow_center=not spec.cmil, allow_supervised=True,
+                allow_csc=True)
 
     image = batch['image']
     rois = batch['rois']
@@ -555,10 +647,20 @@ def forward_train_roi_sharded(spec, params, batch, rng, axis=AXIS):
     else:
         out = wsl_outputs_sharded(params, fc7_main, valid, axis)
         cls_prob = cls_pred_sharded(out['rois_pred'], axis)
-        losses['loss_cls'] = loss_ops.cross_entropy_with_logits(
-            cls_prob, labels_oh, spec.mean_loss)
-        aux['accuracy_cls'] = loss_ops.multilabel_accuracy(cls_prob,
-                                                           labels_oh)
+        if spec.csc:
+            # CSC replaces the plain CE with the pos/neg constrained pair
+            # (wsl_tail_losses `spec.csc` arm, sharded)
+            csc_losses, csc_aux = _csc_losses_sharded(
+                spec, params, out, image, rois, obn, labels_oh, valid,
+                cls_prob, batch.get('cur_iter', jnp.zeros(())), rng,
+                batch.get('im_hw'), axis)
+            losses.update(csc_losses)
+            aux.update(csc_aux)
+        else:
+            losses['loss_cls'] = loss_ops.cross_entropy_with_logits(
+                cls_prob, labels_oh, spec.mean_loss)
+            aux['accuracy_cls'] = loss_ops.multilabel_accuracy(cls_prob,
+                                                               labels_oh)
 
     if spec.refine_k:
         if spec.pcl:
@@ -611,8 +713,8 @@ def _make_grads_fn(spec, mesh):
         batch_specs['labels_oh'] = P()
     if spec.is_context:
         batch_specs['im_hw'] = P()  # true-canvas ring clipping
-    if spec.cmil or spec.center_loss:
-        # C-MIL continuation lambda(t) / center-loss CSC_MAX_ITER gate
+    if spec.cmil or spec.center_loss or spec.csc:
+        # C-MIL continuation lambda(t) / center-loss + CSC CSC_MAX_ITER gate
         batch_specs['cur_iter'] = P()
 
     @partial(_shard_map, mesh=mesh,
@@ -651,7 +753,7 @@ def _batch_shardings(spec, mesh, scan=False):
         out['labels_oh'] = repl
     if spec.is_context:
         out['im_hw'] = repl
-    if spec.cmil or spec.center_loss:
+    if spec.cmil or spec.center_loss or spec.csc:
         out['cur_iter'] = repl
     return out
 

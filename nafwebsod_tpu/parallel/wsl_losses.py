@@ -9,7 +9,8 @@ unsharded forward runs downstream of the towers.
 
 
 def check_scope(spec, extra_unsupported=(), allow_center=False,
-                allow_supervised=False, allow_faster_rcnn=False):
+                allow_supervised=False, allow_faster_rcnn=False,
+                allow_csc=False):
     """Raise unless ``spec`` is within the sharded-step scope shared by the
     tensor-parallel and pipeline steps: the WSDDN / webly 2fc and context
     heads, with the OICR / PCL(device) / C-MIL refinement ladders and the
@@ -36,7 +37,11 @@ def check_scope(spec, extra_unsupported=(), allow_center=False,
                        spec.rpn_only or spec.is_fpn or
                        spec.box_head != 'vgg16_2fc')
     else:
-        unsupported = (spec.csc or spec.cpg or
+        # CPG rides along with CSC (the reference's CSC configs set both);
+        # standalone CPG belongs to the seg family (mask heads), which
+        # stays on the data-parallel step
+        unsupported = ((spec.csc and not allow_csc) or
+                       (spec.cpg and not (spec.csc and allow_csc)) or
                        (spec.center_loss and not allow_center) or
                        spec.mask_on or spec.retinanet or
                        spec.retinanet_wsl or spec.rpn_only or

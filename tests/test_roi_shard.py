@@ -411,3 +411,55 @@ def test_roi_shard_supervised_matches_unsharded():
         np.testing.assert_allclose(np.asarray(p2[k]),
                                    np.asarray(ref_upd[k]),
                                    rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_roi_shard_csc_matches_unsharded():
+    """CSC under RoI sharding: the CPG saliency comes from the image-vjp
+    of the SHARDED forward (raw per-seed grads psum'd before the
+    channel-max, /n for the exact CPGScale keep gate), contrastive scores
+    live on local roi rows with pmax/pmin class normalization — one step
+    must match the unsharded CSC step."""
+    spec = detector.ModelSpec(num_classes=5, hidden_dim=16, webly_on=False,
+                              webly_entropy=False, box_head='vgg16_2fc',
+                              csc=True, cpg=True, max_gt_cpg=2,
+                              compute_dtype='float32')
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    batch = _batch(spec.num_classes, seed=5)
+    batch['cur_iter'] = jnp.zeros(())
+
+    (ref_loss, ref_aux), ref_grads = jax.value_and_grad(
+        lambda p: detector.forward_train(spec, p, batch, None),
+        has_aux=True)(params)
+
+    hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005, iter_size=1)
+    trainable = detector.trainable_param_names(spec, params)
+    mults = sgd.param_multipliers(params, trainable)
+    opt_state = sgd.init_state(params, hp)
+    ref_upd, _ = sgd.update(params, ref_grads, opt_state, np.float32(1e-3),
+                            hp, sgd.freeze_mults(mults))
+
+    mesh = roi_shard.make_roi_mesh(8)
+    step = roi_shard.make_roi_sharded_train_step(spec, hp, mults, mesh)
+    p2, s2, loss, aux = step(params, opt_state, batch, np.float32(1e-3),
+                             None)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-5)
+    for k in ('loss_cls_pos', 'loss_cls_neg', 'accuracy_cls'):
+        np.testing.assert_allclose(float(aux[k]), float(ref_aux[k]),
+                                   rtol=2e-5, atol=1e-6, err_msg=k)
+    for k in ('fc6_w', 'fc7_w', 'fc8c_w', 'fc8d_w'):
+        np.testing.assert_allclose(np.asarray(p2[k]),
+                                   np.asarray(ref_upd[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+    # past CSC_MAX_ITER the constraint deactivates (w == 1): pos CE ==
+    # the plain CE and neg goes to the all-ones-weight value, matching
+    # the unsharded inactive branch
+    late = dict(batch)
+    late['cur_iter'] = jnp.asarray(float(spec.csc_max_iter), jnp.float32)
+    ref_late, ref_aux_late = detector.forward_train(spec, params, late,
+                                                    None)
+    _, _, loss_late, aux_late = step(params, opt_state, late,
+                                     np.float32(1e-3), None)
+    np.testing.assert_allclose(float(loss_late), float(ref_late),
+                               rtol=2e-5)
