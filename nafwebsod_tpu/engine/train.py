@@ -118,7 +118,8 @@ def train_model(roidb=None, max_iters=None):
                       if spec.supervised else ('labels_oh',)) +
                      (('im_hw',) if spec.is_context else ()) +
                      (('cur_iter',)
-                      if spec.cmil or spec.center_loss or spec.csc
+                      if (spec.cmil or spec.center_loss or spec.csc or
+                          spec.mask_on)
                       else ()))
 
         def step_fn(params, opt_state, batch, lr, rngs):

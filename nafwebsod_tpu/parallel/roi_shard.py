@@ -36,8 +36,12 @@ sharded (_csc_losses_sharded): the CPG saliency is the image-vjp of the
 SHARDED forward with the raw per-seed gradients psum'd across the shard
 before the channel-max, contrastive scores stay on local roi rows, and
 the per-class [-1,1] normalization takes its max/min via pmax/pmin.
-Deeplab/mask heads keep the data-parallel step. Enable with
-TPU.ROI_SHARDING (mesh axis 'roi').
+The WSL seg heads are admitted too (the last family that was DP-only):
+the fcn MIL mask branch pools/classifies LOCAL rows with a psum-normalized
+AveragedLoss (mask_losses_sharded), and the deeplab branch reuses the CSC
+image-vjp machinery for its CPG pseudo-labels while the image-level
+ASPP/DeeplabUtility/CRF losses run replicated (_deeplab_losses_sharded).
+Enable with TPU.ROI_SHARDING (mesh axis 'roi').
 """
 
 from functools import partial
@@ -315,6 +319,85 @@ def _csc_losses_sharded(spec, params, out, image, rois_local, obn_local,
     return losses, aux
 
 
+def mask_losses_sharded(spec, params, feat, rois_local, rois_pred_local,
+                        labels_oh, valid_local, axis):
+    """Sharded ``wsl_tail_losses`` fcn-mask arm (add_seg_losses,
+    wsl_seg_heads.py:169-191): the MIL mask CE is per-RoI — MaskUtility's
+    weights/labels are row-local — so the mask head runs on the LOCAL
+    pooled rows and only the AveragedLoss normalization goes global
+    (psum'd numerator / psum'd valid count)."""
+    from nafwebsod_tpu.models import seg_head
+    from nafwebsod_tpu.ops import seg as seg_ops
+    pooled = detector._mask_pooled(spec, params, feat, rois_local)
+    mask_logits = detector._apply_mask_head(spec, params, pooled)
+    mask_w, _, mask_labels = seg_ops.mask_utility(
+        jax.lax.stop_gradient(rois_pred_local), rois_local, labels_oh)
+    cls_logits = jnp.max(mask_logits, axis=(1, 2))        # (R_local, C-1)
+    xent = seg_head.weighted_sigmoid_cross_entropy_with_logits(
+        cls_logits, mask_labels, mask_w)
+    num = jax.lax.psum(jnp.sum(xent * valid_local), axis)
+    den = jax.lax.psum(jnp.sum(valid_local.astype(xent.dtype)), axis)
+    return spec.mask_loss_weight * num / jnp.maximum(den, 1.0)
+
+
+def _deeplab_losses_sharded(spec, params, feat, image, rois_local,
+                            obn_local, labels_oh, valid_local, cls_prob,
+                            cur_iter, rng_local, rng_repl, im_hw, axis):
+    """Sharded ``wsl_tail_losses`` deeplab arm (add_deeplab_losses,
+    wsl_seg_heads.py:288-370): the CPG saliency is the image-vjp of the
+    SHARDED two-stream forward — the same ``cpg_maps(grad_reduce=psum/n)``
+    machinery as ``_csc_losses_sharded`` — while everything downstream
+    (ASPP head on the replicated conv features, DeeplabUtility targets,
+    CRF-consistency) is image-level and runs replicated; its parameter
+    gradients are identical per device, which the step's outer pmean
+    preserves. ``rng_repl`` is the PRE-fold_in key: the deeplab head's
+    dropout must draw the SAME masks on every device for the branch to
+    stay replicated (the folded ``rng_local`` serves the inner forward's
+    local rows)."""
+    from dataclasses import replace as dc_replace
+
+    from nafwebsod_tpu.models import seg_head
+    from nafwebsod_tpu.ops import cpg as cpg_ops
+
+    unfrozen = dc_replace(spec, freeze_conv_body=False, freeze_at=0,
+                          csc=False, cpg=False, mask_on=False)
+    # CPG maps are stop-gradient'd constants downstream — the inner vjp
+    # must stay opaque to the outer training grad (same Pallas
+    # pool-backward JVP argument as the CSC branches)
+    params_sg = jax.tree.map(jax.lax.stop_gradient, params)
+    n = jax.lax.psum(jnp.ones(()), axis)
+
+    def cls_prob_fn(im):
+        fc7l, _, _ = detector._run_body_and_head(
+            unfrozen, params_sg, im, rois_local, obn_local, train=True,
+            rng=rng_local, im_hw=im_hw)
+        f7m = fc7l[0] if spec.is_context else fc7l
+        o = wsl_outputs_sharded(params_sg, f7m, valid_local, axis)
+        return cls_pred_sharded(o['rois_pred'], axis)
+
+    maps, idx, keep = cpg_ops.cpg_maps(
+        cls_prob_fn, image, labels_oh, jax.lax.stop_gradient(cls_prob),
+        tau=spec.cpg_tau, max_gt=spec.max_gt_cpg,
+        grad_reduce=lambda g: jax.lax.psum(g, axis) / n)
+    # scatter the selected-class maps into the (1, C-1, H, W) cpg tensor
+    # (the unsharded wsl_tail_losses deeplab arm does the same)
+    cpg_full = jnp.zeros(
+        (1, spec.num_classes - 1) + maps.shape[1:], jnp.float32)
+    cpg_full = cpg_full.at[0, jnp.maximum(idx, 0)].set(
+        jnp.where(keep[:, None, None], maps, 0.0))
+    mask_fc8 = seg_head.deeplab_head_forward(
+        params, feat, freeze_body=spec.freeze_conv_body, train=True,
+        rng=rng_repl)
+    sw_active = (cur_iter < spec.cpg_max_iter
+                 if spec.cpg_max_iter > 0 else None)
+    dl = seg_head.deeplab_losses(
+        mask_fc8, jax.lax.stop_gradient(cpg_full), labels_oh,
+        jax.lax.stop_gradient(cls_prob), image, tau=spec.cpg_tau,
+        cpg_sw_active=sw_active)
+    return {'mask_seed_loss': dl['mask_seed_loss'],
+            'mask_constraint_loss': dl['mask_constraint_loss']}
+
+
 def min_entropy_loss_sharded(rois_pred_local, labels_oh, valid_local, axis):
     """Sharded ``ops/losses.min_entropy_loss`` (min_entropy_loss_op.cc:7-46):
     per-class entropy sums and the valid-RoI count psum across the axis."""
@@ -567,21 +650,26 @@ def forward_train_roi_sharded(spec, params, batch, rng, axis=AXIS):
     from nafwebsod_tpu.parallel.wsl_losses import check_scope
     # center loss is admitted: this step threads the dCF/ndCF accumulators
     # through the opt state like the TP/pipeline/ZeRO steps (the C-MIL
-    # combination stays excluded — merged global scores vs local features).
+    # combinations stay excluded — merged global scores vs local features).
     # The supervised Fast R-CNN 2fc head is admitted: both its losses are
-    # valid-count-normalized row sums (fast_rcnn_losses_sharded).
+    # valid-count-normalized row sums (fast_rcnn_losses_sharded). The WSL
+    # seg heads are admitted too (mask_losses_sharded /
+    # _deeplab_losses_sharded) — this is the only sharded step that
+    # threads them.
     check_scope(spec, allow_center=not spec.cmil, allow_supervised=True,
-                allow_csc=True)
+                allow_csc=True, allow_seg=not spec.cmil,
+                extra_unsupported=(spec.cmil and spec.mask_on,))
 
     image = batch['image']
     rois = batch['rois']
     obn = batch['obn_scores']
     valid = batch['valid_mask']
+    rng_repl = rng  # un-folded: replicated branches (deeplab head dropout)
     if rng is not None:
         # per-device mask streams (different local rows)
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
 
-    fc7_clean, fc7_noisy, _ = detector._run_body_and_head(
+    fc7_clean, fc7_noisy, feat = detector._run_body_and_head(
         spec, params, image, rois, obn, train=True, rng=rng,
         im_hw=batch.get('im_hw'))
     fc7_main = fc7_clean[0] if spec.is_context else fc7_clean
@@ -671,6 +759,19 @@ def forward_train_roi_sharded(spec, params, batch, rng, axis=AXIS):
                 spec, params, fc7_main, rois, out, cls_prob, labels_oh,
                 valid, axis))
 
+    if spec.mask_on and spec.mask_head == 'deeplab':
+        # deeplab seg branch (wsl_tail_losses deeplab arm, sharded): CPG
+        # via the sharded image-vjp, ASPP/CRF losses replicated
+        losses.update(_deeplab_losses_sharded(
+            spec, params, feat, image, rois, obn, labels_oh, valid,
+            cls_prob, batch.get('cur_iter', jnp.zeros(())), rng, rng_repl,
+            batch.get('im_hw'), axis))
+    elif spec.mask_on:
+        # fcn MIL mask branch: local pooled rows, psum-normalized CE
+        losses['mask_loss_cls'] = mask_losses_sharded(
+            spec, params, feat, rois, out['rois_pred'], labels_oh, valid,
+            axis)
+
     if spec.min_entropy_loss:
         # weight 0.1 (wsl_heads.py:279-290 get_loss_gradients_weighted)
         losses['loss_entropy'] = 0.1 * min_entropy_loss_sharded(
@@ -713,8 +814,9 @@ def _make_grads_fn(spec, mesh):
         batch_specs['labels_oh'] = P()
     if spec.is_context:
         batch_specs['im_hw'] = P()  # true-canvas ring clipping
-    if spec.cmil or spec.center_loss or spec.csc:
-        # C-MIL continuation lambda(t) / center-loss + CSC CSC_MAX_ITER gate
+    if spec.cmil or spec.center_loss or spec.csc or spec.mask_on:
+        # C-MIL continuation lambda(t) / center-loss + CSC CSC_MAX_ITER
+        # gate / the deeplab CPGSW cur_iter cutoff
         batch_specs['cur_iter'] = P()
 
     @partial(_shard_map, mesh=mesh,
@@ -753,7 +855,7 @@ def _batch_shardings(spec, mesh, scan=False):
         out['labels_oh'] = repl
     if spec.is_context:
         out['im_hw'] = repl
-    if spec.cmil or spec.center_loss or spec.csc:
+    if spec.cmil or spec.center_loss or spec.csc or spec.mask_on:
         out['cur_iter'] = repl
     return out
 

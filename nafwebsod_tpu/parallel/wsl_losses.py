@@ -10,7 +10,7 @@ unsharded forward runs downstream of the towers.
 
 def check_scope(spec, extra_unsupported=(), allow_center=False,
                 allow_supervised=False, allow_faster_rcnn=False,
-                allow_csc=False):
+                allow_csc=False, allow_seg=False):
     """Raise unless ``spec`` is within the sharded-step scope shared by the
     tensor-parallel and pipeline steps: the WSDDN / webly 2fc and context
     heads, with the OICR / PCL(device) / C-MIL refinement ladders and the
@@ -19,10 +19,12 @@ def check_scope(spec, extra_unsupported=(), allow_center=False,
     ``allow_supervised=True`` — the supervised precomputed-proposal Fast
     R-CNN 2fc head (same towers; its tail is
     ``detector.fast_rcnn_tail_losses``). Branches that re-run the conv
-    body under a nested grad (CSC/CPG/deeplab), pool from other feature
-    layouts (FPN, mask, res5/Xconv), or run head networks on the body
-    itself (RPN-in-graph Faster R-CNN, RetinaNet) use the data-parallel
-    step. Center loss carries cross-step accumulator state; steps that
+    body under a nested grad (CSC/CPG/deeplab) are admitted only where
+    the step passes ``allow_csc`` / ``allow_seg`` (the RoI-sharded step
+    threads both); other feature layouts (FPN, res5/Xconv) and head
+    networks on the body itself (RPN-in-graph Faster R-CNN, RetinaNet)
+    use the data-parallel step. Center loss carries cross-step
+    accumulator state; steps that
     thread it (the tensor-parallel step does — replicated dCF/ndCF in the
     opt state, deltas summed over the data axis) pass
     ``allow_center=True``."""
@@ -37,13 +39,19 @@ def check_scope(spec, extra_unsupported=(), allow_center=False,
                        spec.rpn_only or spec.is_fpn or
                        spec.box_head != 'vgg16_2fc')
     else:
-        # CPG rides along with CSC (the reference's CSC configs set both);
-        # standalone CPG belongs to the seg family (mask heads), which
-        # stays on the data-parallel step
+        # CPG rides along with CSC (the reference's CSC configs set both)
+        # and with the deeplab seg head (the WSL seg configs set WSL.CPG);
+        # standalone CPG outside those families stays on the data-parallel
+        # step. ``allow_seg`` admits the WSL mask branches — the per-RoI
+        # MIL fcn head and the image-level deeplab head (the RoI-sharded
+        # step threads both; v0up/v0upshare are ResNet res5 heads outside
+        # the vgg16_2fc tower scope).
+        seg_ok = allow_seg and spec.mask_head in ('fcn', 'deeplab')
         unsupported = ((spec.csc and not allow_csc) or
-                       (spec.cpg and not (spec.csc and allow_csc)) or
+                       (spec.cpg and not ((spec.csc and allow_csc) or
+                                          (spec.mask_on and seg_ok))) or
                        (spec.center_loss and not allow_center) or
-                       spec.mask_on or spec.retinanet or
+                       (spec.mask_on and not seg_ok) or spec.retinanet or
                        spec.retinanet_wsl or spec.rpn_only or
                        spec.is_fpn or spec.fused_noise_tower or
                        (spec.pcl and not spec.pcl_device) or
@@ -55,8 +63,8 @@ def check_scope(spec, extra_unsupported=(), allow_center=False,
             'heads with the OICR / PCL(device) / C-MIL ladders, plus the '
             'supervised precomputed-proposal Fast R-CNN 2fc head where the '
             'step threads its tail; CSC/CPG/mask/FPN/RPN-in-graph/RetinaNet '
-            'branches (and center loss where the step does not thread its '
-            'accumulators) use the data-parallel step')
+            'branches (and center loss / the fcn+deeplab seg heads where '
+            'the step does not thread them) use the data-parallel step')
 
 
 def center_tail(spec, params, opt_state, deltas, center_update_period):

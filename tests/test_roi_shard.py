@@ -128,12 +128,20 @@ def test_sharded_step_learns():
 
 
 def test_sharded_rejects_unsupported_branches():
-    spec = detector.ModelSpec(num_classes=5, hidden_dim=16, csc=True,
-                              webly_on=False, box_head='vgg16_2fc')
-    params = detector.init_params(spec, jax.random.PRNGKey(0))
-    with pytest.raises(NotImplementedError):
-        roi_shard.forward_train_roi_sharded(
-            spec, params, _batch(spec.num_classes), None)
+    """Specs outside the sharded-step scope raise at the gate (CSC and the
+    seg heads are ADMITTED by this step — standalone CPG, host-path PCL,
+    and C-MIL+mask are not)."""
+    base = dict(num_classes=5, hidden_dim=16, webly_on=False,
+                box_head='vgg16_2fc')
+    for bad in (detector.ModelSpec(cpg=True, **base),           # standalone CPG
+                detector.ModelSpec(pcl=True, oicr=True,
+                                   pcl_device=False, **base),   # host-path PCL
+                detector.ModelSpec(cmil=True, mask_on=True,
+                                   mask_head='fcn', **base)):   # C-MIL + mask
+        params = detector.init_params(bad, jax.random.PRNGKey(0))
+        with pytest.raises(NotImplementedError):
+            roi_shard.forward_train_roi_sharded(
+                bad, params, _batch(bad.num_classes), None)
 
 
 def _family_specs():
@@ -408,6 +416,92 @@ def test_roi_shard_supervised_matches_unsharded():
                                    rtol=2e-5, atol=1e-6, err_msg=k)
     for k in ('fc6_w', 'fc7_w', 'cls_score_w', 'cls_score_b',
               'bbox_pred_w', 'bbox_pred_b'):
+        np.testing.assert_allclose(np.asarray(p2[k]),
+                                   np.asarray(ref_upd[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_roi_shard_fcn_mask_matches_unsharded():
+    """The WSL fcn MIL mask branch under RoI sharding: the mask head runs
+    on the local pooled rows and the AveragedLoss normalization is psum'd
+    — one step must match the unsharded mask_loss_cls and the mask-tower
+    parameter update."""
+    spec = detector.ModelSpec(num_classes=5, hidden_dim=16, webly_on=False,
+                              webly_entropy=False, box_head='vgg16_2fc',
+                              mask_on=True, mask_head='fcn',
+                              mask_num_convs=2, mask_resolution=7,
+                              compute_dtype='float32')
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    batch = dict(_batch(spec.num_classes, seed=17))
+    batch['cur_iter'] = jnp.zeros(())
+
+    (ref_loss, ref_aux), ref_grads = jax.value_and_grad(
+        lambda p: detector.forward_train(spec, p, batch, None),
+        has_aux=True)(params)
+
+    hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005, iter_size=1)
+    trainable = detector.trainable_param_names(spec, params)
+    mults = sgd.param_multipliers(params, trainable)
+    opt_state = sgd.init_state(params, hp)
+    ref_upd, _ = sgd.update(params, ref_grads, opt_state, np.float32(1e-3),
+                            hp, sgd.freeze_mults(mults))
+
+    mesh = roi_shard.make_roi_mesh(8)
+    step = roi_shard.make_roi_sharded_train_step(spec, hp, mults, mesh)
+    p2, s2, loss, aux = step(params, opt_state, batch, np.float32(1e-3),
+                             None)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-5)
+    for k in ('loss_cls', 'mask_loss_cls', 'accuracy_cls'):
+        np.testing.assert_allclose(float(aux[k]), float(ref_aux[k]),
+                                   rtol=2e-5, atol=1e-6, err_msg=k)
+    for k in ('fc6_w', 'fc8c_w', 'fc8d_w', '_[mask]_fcn1_w',
+              '_[mask]_fcn2_w', 'mask_fcn_logits_w'):
+        if k not in p2:
+            continue
+        np.testing.assert_allclose(np.asarray(p2[k]),
+                                   np.asarray(ref_upd[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_roi_shard_deeplab_matches_unsharded():
+    """The WSL deeplab seg branch under RoI sharding: CPG pseudo-labels
+    come from the image-vjp of the SHARDED forward (psum'd raw gradients,
+    the CSC machinery), the image-level ASPP/CRF losses run replicated —
+    one step must match the unsharded update including the ASPP towers."""
+    spec = detector.ModelSpec(num_classes=5, hidden_dim=16, webly_on=False,
+                              webly_entropy=False, box_head='vgg16_2fc',
+                              mask_on=True, mask_head='deeplab',
+                              cpg=True, max_gt_cpg=2,
+                              compute_dtype='float32')
+    params = detector.init_params(spec, jax.random.PRNGKey(0))
+    batch = dict(_batch(spec.num_classes, seed=19))
+    batch['cur_iter'] = jnp.zeros(())
+
+    (ref_loss, ref_aux), ref_grads = jax.value_and_grad(
+        lambda p: detector.forward_train(spec, p, batch, None),
+        has_aux=True)(params)
+
+    hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005, iter_size=1)
+    trainable = detector.trainable_param_names(spec, params)
+    mults = sgd.param_multipliers(params, trainable)
+    opt_state = sgd.init_state(params, hp)
+    ref_upd, _ = sgd.update(params, ref_grads, opt_state, np.float32(1e-3),
+                            hp, sgd.freeze_mults(mults))
+
+    mesh = roi_shard.make_roi_mesh(8)
+    step = roi_shard.make_roi_sharded_train_step(spec, hp, mults, mesh)
+    p2, s2, loss, aux = step(params, opt_state, batch, np.float32(1e-3),
+                             None)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-5)
+    for k in ('loss_cls', 'mask_seed_loss', 'mask_constraint_loss',
+              'accuracy_cls'):
+        np.testing.assert_allclose(float(aux[k]), float(ref_aux[k]),
+                                   rtol=2e-5, atol=1e-6, err_msg=k)
+    # the box towers see sharded rows; the ASPP towers train replicated
+    for k in ('fc6_w', 'fc8c_w', 'fc8d_w', 'fc6_1_w', 'fc7_1_w',
+              'mask_fc8_1_w', 'mask_fc8_4_w'):
         np.testing.assert_allclose(np.asarray(p2[k]),
                                    np.asarray(ref_upd[k]),
                                    rtol=1e-4, atol=1e-6, err_msg=k)

@@ -179,6 +179,7 @@ DISTRIBUTED = [
     ('distributed/na_wsddn_V-16-C5_pipeline.yaml', 2),
     ('distributed/na_wsddn_V-16-C5_zero1.yaml', 8),
     ('distributed/e2e_faster_rcnn_V-16-C5_tp.yaml', 8),
+    ('distributed/seg_V-16-C5_roishard8.yaml', 8),
 ]
 
 
