@@ -212,8 +212,19 @@ def _fc_tower_tp(feat_flat, params, prefix, rng, train, axis):
 # (detector.forward_train(tower_fn=...)); the RPN head, device proposal
 # generation/labeling, and losses are all replicated across the model
 # axis, so every rank computes them identically.
-_check_scope = partial(wsl_losses.check_scope, allow_center=True,
-                       allow_supervised=True, allow_faster_rcnn=True)
+def _check_scope(spec):
+    # The fcn MIL mask branch is admitted (allow_seg): wsl_tail_losses
+    # receives the replicated conv features, the mask tower params are
+    # replicated across the model axis and its per-RoI loss is row-local,
+    # so the branch is identical on every model rank — the same situation
+    # as the replicated fc8 heads. The deeplab branch is NOT: its CPG
+    # pseudo-labels re-run the fc towers UNSHARDED inside an inner vjp
+    # (wsl_tail_losses' cls_prob_fn), which cannot consume hidden-sharded
+    # weights — deeplab trains on the data-parallel or RoI-sharded steps.
+    wsl_losses.check_scope(
+        spec, allow_center=True, allow_supervised=True,
+        allow_faster_rcnn=True, allow_seg=True,
+        extra_unsupported=(spec.mask_on and spec.mask_head == 'deeplab',))
 
 
 def forward_train_tp(spec, params, batch, rng, axis=MODEL_AXIS):

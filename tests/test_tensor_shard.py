@@ -143,12 +143,19 @@ def test_tp_step_learns_with_dropout():
 
 
 def test_tp_rejects_unsupported_branches():
-    spec = detector.ModelSpec(num_classes=5, hidden_dim=16, csc=True,
-                              webly_on=False, box_head='vgg16_2fc')
-    params = detector.init_params(spec, jax.random.PRNGKey(0))
-    with pytest.raises(NotImplementedError):
-        tsh.forward_train_tp(spec, params, _one_image(spec.num_classes),
-                             None)
+    # CSC re-runs the towers unsharded in its CPG inner vjp; so does the
+    # deeplab seg branch — both stay out of the TP scope (the RoI-sharded
+    # step threads them)
+    for bad in (detector.ModelSpec(num_classes=5, hidden_dim=16, csc=True,
+                                   webly_on=False, box_head='vgg16_2fc'),
+                detector.ModelSpec(num_classes=5, hidden_dim=16,
+                                   mask_on=True, mask_head='deeplab',
+                                   cpg=True, webly_on=False,
+                                   box_head='vgg16_2fc')):
+        params = detector.init_params(bad, jax.random.PRNGKey(0))
+        with pytest.raises(NotImplementedError):
+            tsh.forward_train_tp(bad, params, _one_image(bad.num_classes),
+                                 None)
 
 
 def test_tp_rejects_indivisible_hidden():
@@ -385,13 +392,20 @@ def _family_specs():
     yield 'min_entropy', detector.ModelSpec(min_entropy_loss=True, **base)
     yield 'context', detector.ModelSpec(
         **{**base, 'box_head': 'vgg16_context_2fc'})
+    # fcn MIL mask branch (round-3 continuation): replicated conv feats +
+    # replicated mask tower, row-local loss — identical on every model
+    # rank like the fc8 heads (the deeplab branch stays rejected: its CPG
+    # inner vjp re-runs the towers unsharded)
+    yield 'seg_fcn', detector.ModelSpec(mask_on=True, mask_head='fcn',
+                                        mask_num_convs=2, mask_resolution=7,
+                                        **base)
 
 
 @pytest.mark.parametrize('name,spec', list(_family_specs()),
                          ids=[n for n, _ in _family_specs()])
 def test_tp_ladder_and_context_match_unsharded(name, spec):
     """8 hidden shards x 1 data row: one TP step == the unsharded step for
-    the OICR / PCL / C-MIL / min-entropy / context families."""
+    the OICR / PCL / C-MIL / min-entropy / context / fcn-mask families."""
     params = detector.init_params(spec, jax.random.PRNGKey(0))
     img = _one_image(spec.num_classes)
 
