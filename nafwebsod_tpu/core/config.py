@@ -649,26 +649,36 @@ def _to_plain_dict(d):
 
 
 def _merge_a_into_b(a, b, stack=None):
-    assert isinstance(a, AttrDict), 'Argument `a` must be an AttrDict'
-    assert isinstance(b, AttrDict), 'Argument `b` must be an AttrDict'
-    for k, v_ in a.items():
-        full_key = '.'.join(stack) + '.' + k if stack is not None else k
-        if k not in b:
-            if _key_is_deprecated(full_key):
-                continue
-            if _key_is_renamed(full_key):
-                _raise_key_rename_error(full_key)
-            if stack is None and k in _IGNORED_SUBTREES:
-                continue
-            raise KeyError('Non-existent config key: {}'.format(full_key))
-        v = copy.deepcopy(v_)
-        v = _decode_cfg_value(v)
-        v = _check_and_coerce_cfg_value_type(v, b[k], k, full_key)
-        if isinstance(v, AttrDict):
-            stack_push = [k] if stack is None else stack + [k]
-            _merge_a_into_b(v, b[k], stack=stack_push)
-        else:
-            b[k] = v
+    """Merge config ``a`` into ``b`` with an explicit worklist (no recursion).
+
+    Behavior parity with the reference merge (``detectron/core/config.py``
+    ``_merge_a_into_b``): unknown keys raise unless deprecated (skipped) or
+    renamed (explanatory error); values are decoded then type-coerced against
+    the default already in ``b``. Top-level subtrees in ``_IGNORED_SUBTREES``
+    (reference key groups this rebuild intentionally drops) are skipped.
+    """
+    if not (isinstance(a, AttrDict) and isinstance(b, AttrDict)):
+        raise TypeError(
+            f'merge expects AttrDicts, got {type(a).__name__}/{type(b).__name__}')
+    worklist = [('.'.join(stack) if stack else '', a, b)]
+    while worklist:
+        prefix, src, dst = worklist.pop()
+        for key, raw in src.items():
+            dotted = f'{prefix}.{key}' if prefix else key
+            if key not in dst:
+                if _key_is_deprecated(dotted):
+                    continue
+                if _key_is_renamed(dotted):
+                    _raise_key_rename_error(dotted)
+                if not prefix and key in _IGNORED_SUBTREES:
+                    continue
+                raise KeyError(f'Non-existent config key: {dotted}')
+            value = _check_and_coerce_cfg_value_type(
+                _decode_cfg_value(copy.deepcopy(raw)), dst[key], key, dotted)
+            if isinstance(value, AttrDict):
+                worklist.append((dotted, value, dst[key]))
+            else:
+                dst[key] = value
 
 
 def _key_is_deprecated(full_key):
@@ -680,50 +690,58 @@ def _key_is_renamed(full_key):
 
 
 def _raise_key_rename_error(full_key):
-    new_key = _RENAMED_KEYS[full_key]
     raise KeyError(
-        'Key {} was renamed to {}; please update your config'.format(full_key, new_key)
-    )
+        f'Key {full_key} was renamed to {_RENAMED_KEYS[full_key]}; '
+        'please update your config')
 
 
 def _decode_cfg_value(v):
-    """Decode a raw config value (e.g. from YAML or a string) into a Python object."""
-    if isinstance(v, dict) and not isinstance(v, AttrDict):
-        return AttrDict(_to_attr_dict(v))
+    """Decode a raw config value (from YAML or the CLI) into a Python object.
+
+    Plain dicts become AttrDicts; strings are parsed as Python literals when
+    they are one ("[1, 2]", "0.5", "True"), and pass through otherwise (bare
+    words and paths raise inside ``literal_eval`` and stay strings).
+    """
     if isinstance(v, AttrDict):
         return v
-    if not isinstance(v, str):
-        return v
-    try:
-        return literal_eval(v)
-    except (ValueError, SyntaxError):
-        return v
+    if isinstance(v, dict):
+        return _to_attr_dict(v)
+    if isinstance(v, str):
+        try:
+            return literal_eval(v)
+        except (ValueError, SyntaxError):
+            pass
+    return v
 
 
-def _check_and_coerce_cfg_value_type(value_a, value_b, key, full_key):
-    """Coerce value_a to the type of value_b when sensible; raise otherwise."""
-    type_a, type_b = type(value_a), type(value_b)
-    if type_a is type_b:
-        return value_a
-    # numpy arrays accept lists
-    if isinstance(value_b, np.ndarray):
-        return np.array(value_a, dtype=value_b.dtype)
-    # exact yaml-ambiguity coercions
-    if isinstance(value_b, str):
-        return str(value_a)
-    if isinstance(value_a, tuple) and isinstance(value_b, list):
-        return list(value_a)
-    if isinstance(value_a, list) and isinstance(value_b, tuple):
-        return tuple(value_a)
-    if isinstance(value_b, float) and isinstance(value_a, int):
-        return float(value_a)
-    if isinstance(value_a, AttrDict) and isinstance(value_b, AttrDict):
-        return value_a
+# (predicate(new, old) -> bool, convert(new, old) -> coerced) rule table for
+# the YAML-ambiguity coercions the reference merge allows; first hit wins.
+_COERCION_RULES = (
+    (lambda n, o: isinstance(o, np.ndarray),
+     lambda n, o: np.array(n, dtype=o.dtype)),
+    (lambda n, o: isinstance(o, str),
+     lambda n, o: str(n)),
+    (lambda n, o: isinstance(n, tuple) and isinstance(o, list),
+     lambda n, o: list(n)),
+    (lambda n, o: isinstance(n, list) and isinstance(o, tuple),
+     lambda n, o: tuple(n)),
+    (lambda n, o: isinstance(o, float) and isinstance(n, int),
+     lambda n, o: float(n)),
+    (lambda n, o: isinstance(n, AttrDict) and isinstance(o, AttrDict),
+     lambda n, o: n),
+)
+
+
+def _check_and_coerce_cfg_value_type(new, old, key, full_key):
+    """Return ``new`` coerced to ``old``'s type when a rule allows it."""
+    if type(new) is type(old):
+        return new
+    for matches, convert in _COERCION_RULES:
+        if matches(new, old):
+            return convert(new, old)
     raise ValueError(
-        'Type mismatch ({} vs. {}) with values ({} vs. {}) for config key: {}'.format(
-            type_b, type_a, value_b, value_a, full_key
-        )
-    )
+        f'Type mismatch ({type(old)} vs. {type(new)}) with values '
+        f'({old} vs. {new}) for config key: {full_key}')
 
 
 # Snapshot defaults for reset_cfg(); keep at module end.

@@ -3,7 +3,8 @@
 Capability parity with ``detectron/roi_data/loader_wsl.py``:
   * N loader threads building minibatches into a bounded host queue
     (ref :99-115,279-330), coordinator-based shutdown and SIGINT handling
-  * deque-rotation shuffling with aspect-ratio grouping (ref :172-210)
+  * per-epoch shuffling with aspect-ratio grouping (ref :172-210) via a
+    stably-partitioned permutation and an epoch cursor
   * bagging-mixup: class->image index (ref :80-93); with probability 0.2 a
     second same-class image is sampled and blended with lambda ~ Beta(a, a)
     (ref :136-169)
@@ -15,11 +16,10 @@ with the jitted step; multi-chip sharding happens in parallel/train_step).
 
 import logging
 import queue
-import random
 import signal
 import threading
 import time
-from collections import deque
+from collections import defaultdict
 
 import numpy as np
 
@@ -31,13 +31,18 @@ from nafwebsod_tpu.utils.coordinator import (Coordinator, coordinated_get,
 logger = logging.getLogger(__name__)
 
 
+def _image_label(entry):
+    """First positive image-level class; mixup partners must share it."""
+    return int(entry['gt_classes'][entry['gt_classes'] > 0][0])
+
+
 class RoIDataLoader:
     def __init__(self, roidb, num_loaders=4, minibatch_queue_size=64,
                  pad_rois_to=None, size_bucket=None):
         self._roidb = roidb
         self._lock = threading.Lock()
-        self._perm = deque(range(len(roidb)))
-        self._cur = 0
+        self._order = []
+        self._pos = 0
         self._minibatch_queue = queue.Queue(maxsize=minibatch_queue_size)
         self._num_loaders = num_loaders
         self._pad_rois_to = pad_rois_to
@@ -47,32 +52,27 @@ class RoIDataLoader:
 
         self._mixup_on = cfg.WEBLY.WEBLY_ON and cfg.WEBLY.BAGGING_MIXUP
         if self._mixup_on:
-            self._class2idx = {}
+            by_class = defaultdict(list)
             for im_i, entry in enumerate(roidb):
-                gt_inds = np.where(entry['gt_classes'] > 0)[0]
-                gt_classes = entry['gt_classes'][gt_inds]
-                key = int(gt_classes[0])
-                self._class2idx.setdefault(key, []).append(im_i)
+                by_class[_image_label(entry)].append(im_i)
+            self._class2idx = dict(by_class)
 
-        self._shuffle_roidb_inds()
+        self._begin_epoch()
 
     # ------------------------------------------------------------------ #
 
-    def get_next_minibatch(self):
+    def build_minibatch(self):
         """Build the next minibatch (thread safe). Applies bagging-mixup with
         probability 0.2 using a same-class partner image."""
-        db_inds = self._get_next_minibatch_inds()
-        entry = self._roidb[db_inds[0]]
+        entry = self._roidb[self._next_index()]
         rng = np.random
         target_size = cfg.TRAIN.SCALES[rng.randint(0, len(cfg.TRAIN.SCALES))]
         blobs = get_minibatch(entry, rng=rng, pad_rois_to=self._pad_rois_to,
                               size_bucket=self._size_bucket,
                               target_size=target_size)
         if self._mixup_on and rng.random_sample() > 0.8:
-            gt_inds = np.where(entry['gt_classes'] > 0)[0]
-            key = int(entry['gt_classes'][gt_inds][0])
-            partner_idx = random.sample(self._class2idx[key], 1)[0]
-            partner = self._roidb[partner_idx]
+            same_class = self._class2idx[_image_label(entry)]
+            partner = self._roidb[same_class[rng.randint(len(same_class))]]
             # the reference builds both images through the same get_minibatch
             # call (independent random scales); replicate with a second call
             blobs_b = get_minibatch(partner, rng=rng,
@@ -88,55 +88,57 @@ class RoIDataLoader:
                     blobs['data'][0], self._size_bucket)[None]
         return blobs
 
-    def _shuffle_roidb_inds(self):
-        """Deque-rotation shuffle with aspect grouping (ref :172-196)."""
-        if cfg.TRAIN.ASPECT_GROUPING:
-            widths = np.array([r['width'] for r in self._roidb])
-            heights = np.array([r['height'] for r in self._roidb])
-            horz = (widths >= heights)
-            vert = np.logical_not(horz)
-            horz_inds = np.where(horz)[0]
-            vert_inds = np.where(vert)[0]
-            horz_inds = np.random.permutation(horz_inds)
-            vert_inds = np.random.permutation(vert_inds)
-            inds = np.hstack((horz_inds, vert_inds))
-        else:
-            inds = np.random.permutation(np.arange(len(self._roidb)))
-        self._perm = deque(inds.tolist())
-        self._cur = 0
+    def _begin_epoch(self):
+        """Start a new epoch order (aspect grouping per ref :172-196).
 
-    def _get_next_minibatch_inds(self):
-        """Rotate the deque under a lock (ref :198-210)."""
+        One random permutation is drawn; under ``TRAIN.ASPECT_GROUPING`` it is
+        stably partitioned so landscape images precede portrait ones. Each
+        orientation group stays uniformly shuffled, matching the distribution
+        of the reference's independent per-group permutations.
+        """
+        order = np.random.permutation(len(self._roidb))
+        if cfg.TRAIN.ASPECT_GROUPING:
+            landscape = np.fromiter(
+                (self._roidb[i]['width'] >= self._roidb[i]['height']
+                 for i in order),
+                dtype=bool, count=len(order))
+            order = np.concatenate([order[landscape], order[~landscape]])
+        self._order = [int(i) for i in order]
+        self._pos = 0
+
+    def _next_index(self):
+        """Advance the epoch cursor under the lock (ref :198-210)."""
         with self._lock:
-            db_inds = [self._perm[0]]
-            self._perm.rotate(-1)
-            self._cur += 1
-            if self._cur >= len(self._roidb):
-                self._shuffle_roidb_inds()
-        return db_inds
+            if self._pos >= len(self._order):
+                self._begin_epoch()
+            idx = self._order[self._pos]
+            self._pos += 1
+        return idx
 
     # ------------------------------------------------------------------ #
 
     def _loader_thread(self):
-        with self.coordinator.stop_on_exception():
-            while not self.coordinator.should_stop():
-                blobs = self.get_next_minibatch()
-                coordinated_put(self.coordinator, self._minibatch_queue, blobs)
-        logger.info('Stopping mini-batch loading thread')
+        coord = self.coordinator
+        with coord.stop_on_exception():
+            while not coord.should_stop():
+                coordinated_put(coord, self._minibatch_queue,
+                                self.build_minibatch())
+        logger.info('mini-batch loader thread exiting')
 
     def start(self, prefill=False):
         for _ in range(self._num_loaders):
             t = threading.Thread(target=self._loader_thread, daemon=True)
             t.start()
             self._threads.append(t)
-        if prefill:
-            while self._minibatch_queue.qsize() < min(
-                    4, self._minibatch_queue.maxsize):
-                if self.coordinator.should_stop():
-                    break
-                # yield the core to the loader threads we are waiting on
-                # (a bare spin starves them on few-core hosts)
-                time.sleep(0.01)
+        if not prefill:
+            return
+        while self._minibatch_queue.qsize() < min(
+                4, self._minibatch_queue.maxsize):
+            if self.coordinator.should_stop():
+                break
+            # yield the core to the loader threads we are waiting on
+            # (a bare spin starves them on few-core hosts)
+            time.sleep(0.01)
 
     def get(self, timeout=None):
         """Pop one host minibatch for the training loop. With ``timeout``
@@ -168,7 +170,7 @@ class RoIDataLoader:
             t.join(timeout=5.0)
 
     def register_sigint_handler(self):
-        def signal_handler(signum, frame):
+        def _on_sigint(signum, frame):
             logger.info('SIGINT: shutting down RoIDataLoader threads')
             self.shutdown()
-        signal.signal(signal.SIGINT, signal_handler)
+        signal.signal(signal.SIGINT, _on_sigint)
