@@ -418,10 +418,13 @@ __C.TPU.COMPUTE_DTYPE = 'float32'
 # Pad RoI count to this multiple for static XLA shapes.
 __C.TPU.ROI_PAD_MULTIPLE = 256
 # Max gt classes per image given CPG/CSC backward passes (static scan
-# capacity; each active class costs one conv backward — set to
-# NUM_CLASSES-1 for the reference's unbounded behavior, default 4 covers
-# the observed per-image label cardinality of the WSOD datasets).
-__C.TPU.CPG_MAX_GT = 4
+# capacity; each active class costs one conv backward). 0 = reference-
+# faithful: NUM_CLASSES-1, i.e. every gt class gets a saliency map like
+# the reference's dynamic loop (cpg_op.cu:149-213). The shipped TPU
+# CPG/CSC configs set 4 explicitly — it covers the observed per-image
+# label cardinality of the WSOD datasets and bounds compile-time scan
+# capacity; inactive capacity costs nothing at run time either way.
+__C.TPU.CPG_MAX_GT = 0
 # Bucketed image sizes are rounded up to this multiple to bound recompiles.
 __C.TPU.SIZE_BUCKET_MULTIPLE = 64
 # Use the Pallas fused RoI pooling kernel when on TPU.

@@ -373,7 +373,8 @@ def spec_from_cfg(cfg):
         csc=cfg.WSL.CSC,
         cpg_tau=cfg.WSL.CPG_TAU,
         csc_fg_threshold=cfg.WSL.CSC_FG_THRESHOLD,
-        max_gt_cpg=cfg.TPU.CPG_MAX_GT,
+        # 0 = reference-faithful unbounded (every gt class gets a map)
+        max_gt_cpg=(cfg.TPU.CPG_MAX_GT or cfg.MODEL.NUM_CLASSES - 1),
         center_loss=cfg.WSL.CENTER_LOSS,
         center_loss_number=cfg.WSL.CENTER_LOSS_NUMBER,
         center_loss_top_k=cfg.WSL.CENTER_LOSS_TOP_K,

@@ -11,6 +11,7 @@ supports family X" into "a user can run family X" (reference analogue:
 cfg.EXPECTED_RESULTS end-to-end gates, test_engine_wsl.py:114-120)."""
 
 import glob
+import json
 import os
 
 import numpy as np
@@ -25,6 +26,23 @@ import fixtures
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CFG_DIR = os.path.join(REPO, 'configs')
+
+# Pinned per-family expected metrics on the deterministic fixture
+# (seed-0 images, RNG_SEED param init + loader draws). Regenerate with
+#   NAFWEBSOD_REGEN_GOLDENS=1 pytest -m slow tests/test_shipped_configs.py
+# after an INTENDED numerics change; any unintended change in a family's
+# numerics fails its gate (reference analogue: stored cfg.EXPECTED_RESULTS,
+# detectron/core/config.py:1077-1088).
+GOLDEN_EXPECTED = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), 'golden',
+    'shipped_expected.json')
+
+
+def _load_expected():
+    if os.path.exists(GOLDEN_EXPECTED):
+        with open(GOLDEN_EXPECTED) as f:
+            return json.load(f)
+    return {}
 
 SHIPPED = sorted(
     os.path.relpath(p, CFG_DIR)
@@ -141,29 +159,53 @@ def test_family_config_end_to_end(rel, tmp_path):
                              info['ann_file'])
     _apply_tiny_overrides(info, tmp_path)
     assert_and_infer_cfg(make_immutable=False)
+    # CLI entry points seed numpy (tools/train_net.py); do the same here so
+    # the loader's scale/distortion/mixup draws are reproducible and the
+    # pinned expectations below are exact.
+    np.random.seed(cfg.RNG_SEED)
 
     # --- train: same entry point tools/train_net.py calls ---
     from nafwebsod_tpu.engine import train as train_engine
-    ckpts, _ = train_engine.train_model()
+    ckpts, losses = train_engine.train_model()
     assert 'final' in ckpts and os.path.exists(ckpts['final'])
+    assert losses and np.isfinite(losses).all()
 
     # --- test + evaluate: same entry point tools/test_net.py calls ---
     from nafwebsod_tpu.engine import test_engine
     results = test_engine.run_inference(ckpts['final'])
     assert 'synth_test' in results
-    metrics = {k: v for k, v in results['synth_test'].items()
+    metrics = {k: float(v) for k, v in sorted(results['synth_test'].items())
                if isinstance(v, (int, float, np.floating))}
     assert metrics, 'evaluator returned no scalar metrics'
-    metric, value = sorted(metrics.items())[0]
-    assert np.isfinite(value)
+    assert all(np.isfinite(v) for v in metrics.values())
 
-    # --- EXPECTED_RESULTS regression gate (ref test_engine_wsl.py:114-120)
+    if os.environ.get('NAFWEBSOD_REGEN_GOLDENS'):
+        expected = _load_expected()
+        expected[rel] = {'final_loss': float(losses[-1]), 'metrics': metrics}
+        with open(GOLDEN_EXPECTED, 'w') as f:
+            json.dump(expected, f, indent=1, sort_keys=True)
+        pytest.skip('regenerated pinned expectations for ' + rel)
+
+    expected = _load_expected().get(rel)
+    assert expected is not None, (
+        rel + ' has no pinned expectations; regenerate with '
+        'NAFWEBSOD_REGEN_GOLDENS=1')
+    # numerics gate: the final training loss is the most regression-
+    # sensitive scalar the family produces (2% covers cross-version
+    # XLA-CPU fusion jitter; a real numerics break moves it far more)
+    assert losses[-1] == pytest.approx(expected['final_loss'],
+                                       rel=0.02, abs=1e-4), \
+        rel + ' final train loss drifted from its pinned value'
+    # --- EXPECTED_RESULTS gate with STORED values through the real
+    # mechanism (ref test_engine_wsl.py:114-120, config.py:1080-1088)
     from nafwebsod_tpu.data import task_evaluation
-    cfg.EXPECTED_RESULTS = [['synth_test', 'box', metric, float(value)]]
+    cfg.EXPECTED_RESULTS = [['synth_test', 'box', m, v]
+                            for m, v in expected['metrics'].items()]
     assert task_evaluation.check_expected_results(
         {'synth_test': metrics}) is True
-    cfg.EXPECTED_RESULTS = [['synth_test', 'box', metric,
-                             float(value) + 5.0]]
+    # and the gate must actually be able to FAIL
+    cfg.EXPECTED_RESULTS = [['synth_test', 'box', m, v + 5.0]
+                            for m, v in expected['metrics'].items()]
     assert task_evaluation.check_expected_results(
         {'synth_test': metrics}) is False
 
@@ -212,11 +254,26 @@ def test_distributed_config_end_to_end(rel, n_gpus, tmp_path):
     _apply_tiny_overrides(info, tmp_path)
     cfg.NUM_GPUS = n_gpus
     assert_and_infer_cfg(make_immutable=False)
+    np.random.seed(cfg.RNG_SEED)
 
     from nafwebsod_tpu.engine import train as train_engine
     ckpts, losses = train_engine.train_model()
     assert 'final' in ckpts and os.path.exists(ckpts['final'])
     assert losses and np.isfinite(losses).all()
+
+    if os.environ.get('NAFWEBSOD_REGEN_GOLDENS'):
+        expected = _load_expected()
+        expected[rel] = {'final_loss': float(losses[-1])}
+        with open(GOLDEN_EXPECTED, 'w') as f:
+            json.dump(expected, f, indent=1, sort_keys=True)
+    else:
+        expected = _load_expected().get(rel)
+        assert expected is not None, (
+            rel + ' has no pinned expectations; regenerate with '
+            'NAFWEBSOD_REGEN_GOLDENS=1')
+        assert losses[-1] == pytest.approx(expected['final_loss'],
+                                           rel=0.02, abs=1e-4), \
+            rel + ' final train loss drifted from its pinned value'
 
     if 'tp2x4' in rel:
         from nafwebsod_tpu.engine import test_engine
