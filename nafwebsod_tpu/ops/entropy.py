@@ -53,9 +53,11 @@ def spatial_entropy_weights(rois_pred, cls_prob, rois, labels_oh,
     hat_e = e * g
     hat_e_sum = jnp.sum(hat_e, axis=0, keepdims=True)  # (1, C)
 
-    # clamp before log (kLOG_THRESHOLD, as the reference's CE ops do): an
-    # underflowed cls_prob == 0 would give (logN - (-inf)) * 0 = NaN
-    log_y = jnp.log(jnp.maximum(cls_prob, 1e-20))
+    # guard the log at the smallest normal float32: exact reference values
+    # for every representable nonzero cls_prob, while an underflowed
+    # cls_prob == 0 (which would give (logN - (-inf)) * 0 = NaN) stays
+    # finite (the reference graph has no guard and would emit NaN there)
+    log_y = jnp.log(jnp.maximum(cls_prob, jnp.finfo(jnp.float32).tiny))
     y_norm = (jnp.log(n_valid) - log_y) * cls_prob     # (1, C)
     norm = jnp.where(y_norm != 0, hat_e_sum / y_norm, 0.0)
     norm = jnp.clip(norm, 0.0, 1.0)

@@ -43,9 +43,29 @@ SMOKE_FILES = {
     'test_vis.py',           # visualization paths
 }
 
+# Per-test smoke picks: the sharded training steps and the inference
+# engine are too slow as whole files for the <5-min tier, but each gets
+# its cheapest representative test (round-4: fast signal for the
+# subsystems most likely to break). Keyed by (file, test-name prefix).
+SMOKE_TESTS = {
+    ('test_zero.py', 'test_zero_momentum_is_sharded'),
+    ('test_pipeline.py', 'test_pipeline_step_matches_mean_loss_step'),
+    ('test_tensor_shard.py', 'test_tp_step_matches_unsharded'),
+    ('test_roi_shard.py', 'test_sharded_forward_matches_unsharded'),
+    ('test_engine.py', 'TestNmsAndLimit'),
+    ('test_engine.py', 'TestFusedDetect::test_fused_matches_two_call_path'),
+}
+
 
 def pytest_collection_modifyitems(config, items):
     import pytest as _pytest
     for item in items:
-        if os.path.basename(str(item.fspath)) in SMOKE_FILES:
+        fname = os.path.basename(str(item.fspath))
+        if fname in SMOKE_FILES:
             item.add_marker(_pytest.mark.smoke)
+            continue
+        for f, prefix in SMOKE_TESTS:
+            if fname == f and item.nodeid.split('::', 1)[-1].startswith(
+                    prefix):
+                item.add_marker(_pytest.mark.smoke)
+                break

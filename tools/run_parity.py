@@ -1,0 +1,368 @@
+#!/usr/bin/env python
+"""Real-data accuracy-parity runbook driver.
+
+Executes, end to end, the claim the framework makes against the reference
+(shenyunhang/NA-fWebSOD): *converted reference weights produce the same
+numbers through this stack*. On a data-equipped rig (VGG16 caffemodel +
+flickr_voc images/proposals + voc_2007_test devkit) one command runs the
+whole ladder; on a rig without the data each stage states exactly what it
+needs and the goldens stage still runs self-contained.
+
+Stages (``--stage all`` runs them in order):
+
+  convert   caffemodel -> reference-schema pkl
+            (tools/pickle_caffe_blobs.py; scripts/convert_vgg16.sh flow)
+  goldens   per-stage numeric parity of the JAX model vs the numpy oracle
+            transcribed from the reference Caffe2 sources
+            (tests/oracle_numpy.py) ON THE CONVERTED WEIGHTS, at the
+            SURVEY §7 tolerance ladder:
+              checkpoint round-trip ..... bit-exact
+              conv body ................. atol 2e-4 (fp32 conv reassociation)
+              RoIPoolF + boost .......... bit-exact on identical features
+              fc towers ................. rtol 1e-4 (25088-term fp32 dots)
+              per-roi class scores ...... atol 1e-4
+              entropy weights ........... atol/rtol 1e-5
+              weighted CE loss + grad ... rtol 1e-6 / 1e-5
+  train     tools/train_net.py on the flagship config (full schedule, or
+            --max-iter for a shortened run)
+  eval      tools/test_net.py on TEST.DATASETS; gates mAP via
+            EXPECTED_RESULTS at --map-tol (north star: VOC07 mAP +-0.2,
+            BASELINE.json; reference gate mechanism
+            detectron/core/config.py:1077-1088)
+
+Reference anchors: scripts/convert_vgg16.sh, tools/pickle_caffe_blobs.py,
+detectron/core/test_engine_wsl.py:114-120.
+
+Examples:
+  # full run on a data-equipped rig
+  python tools/run_parity.py --stage all \
+      --caffemodel ~/models/VGG_ILSVRC_16_layers.caffemodel \
+      --expected-map 32.5
+  # stage-parity only (works on any rig; heads random-init where the
+  # ImageNet pkl has no fc8c/fc8d)
+  python tools/run_parity.py --stage goldens --weights models/VGG/VGG_ILSVRC_16_layers_v1.pkl
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, 'tests'))
+
+from nafwebsod_tpu.utils.env import apply_platform_override  # noqa: E402
+
+apply_platform_override()  # must run before any jax device query
+
+DEFAULT_CFG = os.path.join(REPO, 'configs', 'flickr_voc',
+                           'na_wsddn_V-16-C5_1x.yaml')
+
+_RESULTS = []
+
+
+def _record(stage, ok, detail=''):
+    _RESULTS.append((stage, ok, detail))
+    print('[run_parity] %-28s %s %s' % (stage, 'PASS' if ok else 'FAIL',
+                                        detail))
+    return ok
+
+
+# ------------------------------------------------------------------ #
+# convert
+# ------------------------------------------------------------------ #
+
+def stage_convert(args):
+    if not args.caffemodel:
+        print('[run_parity] convert: no --caffemodel given; assuming '
+              '--weights %s already exists' % args.weights)
+        return os.path.exists(args.weights)
+    cmd = ['bash', os.path.join(REPO, 'scripts', 'convert_vgg16.sh'),
+           args.caffemodel, args.weights]
+    rc = subprocess.call(cmd)
+    return _record('convert caffemodel->pkl', rc == 0, args.weights)
+
+
+# ------------------------------------------------------------------ #
+# goldens: JAX stack vs the numpy oracle on the converted weights
+# ------------------------------------------------------------------ #
+
+def _max_err(a, b):
+    import numpy as np
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    abs_err = float(np.max(np.abs(a - b))) if a.size else 0.0
+    denom = np.maximum(np.abs(b), 1e-12)
+    rel_err = float(np.max(np.abs(a - b) / denom)) if a.size else 0.0
+    return abs_err, rel_err
+
+
+def _check(stage, a, b, atol=0.0, rtol=0.0, exact=False):
+    """Tolerance compare; NaNs must appear at the SAME positions on both
+    sides (the reference graph genuinely emits NaN on degenerate inputs —
+    0-entropy classes in the weight Div, webly_heads.py:282-283 — and
+    parity means reproducing that too)."""
+    import numpy as np
+    if exact:
+        ok = np.array_equal(np.asarray(a), np.asarray(b))
+        return _record(stage, ok, '(bit-exact)' if ok else '(MISMATCH)')
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    if not np.array_equal(np.isnan(a), np.isnan(b)):
+        return _record(stage, False, '(NaN positions differ)')
+    mask = ~np.isnan(a)
+    abs_err, rel_err = _max_err(a[mask], b[mask])
+    ok = bool(np.allclose(a[mask], b[mask], atol=atol, rtol=rtol))
+    note = ' [%d NaN, positions match]' % (~mask).sum() if (~mask).any() else ''
+    return _record(stage, ok,
+                   'max abs %.3g (atol %.0e) rel %.3g (rtol %.0e)%s'
+                   % (abs_err, atol, rel_err, rtol, note))
+
+
+def stage_goldens(args):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from nafwebsod_tpu.core.config import (assert_and_infer_cfg, cfg,
+                                           merge_cfg_from_file)
+    from nafwebsod_tpu.models import detector, heads
+    from nafwebsod_tpu.ops import roi_pool as rp
+    from nafwebsod_tpu.utils import checkpoint
+    import oracle_numpy as oracle
+
+    merge_cfg_from_file(args.cfg)
+    if args.hidden_dim:
+        cfg.TPU.HEAD_HIDDEN_DIM = args.hidden_dim
+    if cfg.TPU.COMPUTE_DTYPE != 'float32':
+        # the ladder is an fp32 parity claim (the reference computes fp32);
+        # bfloat16 is this framework's TPU performance mode, benched apart
+        print('[run_parity] goldens: overriding TPU.COMPUTE_DTYPE %s -> '
+              'float32 for the fp32 parity ladder' % cfg.TPU.COMPUTE_DTYPE)
+        cfg.TPU.COMPUTE_DTYPE = 'float32'
+    assert_and_infer_cfg(make_immutable=False)
+    spec = detector.spec_from_cfg(cfg)
+    print('[run_parity] goldens: spec num_classes=%d hidden=%d from %s'
+          % (spec.num_classes, spec.hidden_dim, os.path.basename(args.cfg)))
+
+    params0 = detector.init_params(spec, jax.random.PRNGKey(cfg.RNG_SEED))
+    if os.path.exists(args.weights):
+        params, _, unmatched = checkpoint.initialize_params_from_weights_file(
+            dict(params0), args.weights)
+        matched = len(params0) - len(unmatched)
+        print('[run_parity] goldens: %d/%d params from %s (the rest stay '
+              'seeded init — expected for an ImageNet pkl without heads)'
+              % (matched, len(params0), args.weights))
+        if matched == 0:
+            return _record('goldens load', False,
+                           'no param matched ' + args.weights)
+    else:
+        print('[run_parity] goldens: %s missing — running the ladder on '
+              'seeded random weights (stage parity holds for ANY weights; '
+              'provide --weights for the converted-checkpoint claim)'
+              % args.weights)
+        params = params0
+
+    # One pkl round trip so the oracle consumes the exact reference-layout
+    # blobs a user's checkpoint would carry (bit-exactness of the
+    # translation is part of the ladder).
+    work_pkl = os.path.join(args.workdir, 'parity_weights.pkl')
+    os.makedirs(args.workdir, exist_ok=True)
+    checkpoint.save_params_to_weights_file(work_pkl, params)
+    template = {k: np.zeros_like(np.asarray(v)) for k, v in params.items()}
+    params_rt, _, unmatched = checkpoint.initialize_params_from_weights_file(
+        template, work_pkl)
+    ok = not unmatched and all(
+        np.array_equal(np.asarray(params[k]), np.asarray(params_rt[k]))
+        for k in params)
+    if not _record('checkpoint round-trip', ok, '(bit-exact)'):
+        return False
+    blobs, _ = checkpoint.load_weights_pkl(work_pkl)
+
+    # fixed probe image + off-grid / degenerate / corner rois
+    rng = np.random.RandomState(3)
+    h, w = args.probe_size
+    im = rng.randn(1, h, w, 3).astype(np.float32) * 40.0
+    rois = np.array([
+        [0, 0, 0, w - 1, h - 1],
+        [0, 8, 8, 31, 31],
+        [0, 3.7, 5.2, min(44.9, w - 1.0), min(20.1, h - 1.0)],
+        [0, 30, 20, 33, 23],
+        [0, 10, 10, 10, 10],
+        [0, w - 16, h - 12, w - 1, h - 1],
+    ], np.float32)
+    obn = (rng.rand(len(rois), 1).astype(np.float32) + 1.0)
+    labels = np.zeros((1, spec.num_classes - 1), np.float32)
+    labels[0, :2] = 1.0
+
+    st = oracle.forward_test(blobs, im.transpose(0, 3, 1, 2), rois, obn,
+                             resolution=spec.roi_resolution,
+                             dilation=spec.dilation, webly=spec.webly_on)
+
+    feat, scale = detector.body_forward(spec, params, jnp.asarray(im))
+    all_ok = _check('conv body (13 convs, dilated)',
+                    np.asarray(feat).transpose(0, 3, 1, 2), st['conv5'],
+                    atol=2e-4, rtol=1e-4)
+
+    feat_ref_hwc = jnp.asarray(st['conv5'][0].transpose(1, 2, 0))
+    pooled = rp.roi_pool(feat_ref_hwc, jnp.asarray(rois),
+                         spec.roi_resolution, spec.roi_resolution, scale)
+    pooled = np.asarray(pooled) * obn.reshape(-1, 1, 1, 1)
+    all_ok &= _check('RoIPoolF + RoIFeatureBoost',
+                     pooled, st['roi_feat'].transpose(0, 2, 3, 1),
+                     exact=True)
+
+    feat_nhwc = jnp.asarray(st['conv5'].transpose(0, 2, 3, 1))
+    if spec.webly_on:
+        (fc7_c, fc7_n), _ = heads.vgg16_roi_2fc_noise_head(
+            params, feat_nhwc, jnp.asarray(rois), jnp.asarray(obn), scale,
+            method=spec.roi_xform_method, resolution=spec.roi_resolution,
+            train=False)
+        all_ok &= _check('fc towers (clean)', np.asarray(fc7_c), st['fc7'],
+                         atol=1e-4, rtol=1e-4)
+        all_ok &= _check('fc towers (noisy)', np.asarray(fc7_n),
+                         st['fc7_noisy'], atol=1e-4, rtol=1e-4)
+
+    out = detector.forward_test(spec, params, jnp.asarray(im),
+                                jnp.asarray(rois), jnp.asarray(obn),
+                                jnp.ones((len(rois),), bool))
+    scores = np.asarray(out['scores']).reshape(len(rois), -1)
+    all_ok &= _check('per-roi class scores', scores, st['cls_prob_roi'],
+                     atol=1e-4)
+    all_ok &= _check('image-level MIL score',
+                     scores[:, 1:].sum(axis=0), st['cls_prob_img'][0],
+                     atol=1e-4)
+
+    if spec.webly_on:
+        tst = oracle.forward_train(blobs, im.transpose(0, 3, 1, 2), rois,
+                                   obn, labels,
+                                   resolution=spec.roi_resolution,
+                                   dilation=spec.dilation,
+                                   is_mean=spec.mean_loss)
+        from nafwebsod_tpu.ops.entropy import spatial_entropy_weights
+        cw, cwn = spatial_entropy_weights(
+            jnp.asarray(tst['rois_pred']), jnp.asarray(tst['cls_prob']),
+            jnp.asarray(rois), jnp.asarray(labels))
+        # Documented deviation (ops/entropy.py): where the reference's
+        # weight graph divides 0/0 on zero-entropy classes and emits NaN
+        # (webly_heads.py:282-283 has no ReplaceNaN after the Div), this
+        # framework guards the division so training cannot be poisoned.
+        # Parity therefore holds on the oracle-finite positions; guarded
+        # sites are reported, and OUR side must be finite everywhere.
+        ref_cw = np.asarray(tst['class_weight'], np.float64)
+        ours_cw = np.asarray(cw, np.float64)
+        guarded = int(np.isnan(ref_cw).sum())
+        fin = ~np.isnan(ref_cw)
+        ok = (bool(np.allclose(ours_cw[fin], ref_cw[fin], atol=1e-5,
+                               rtol=1e-5))
+              and bool(np.isfinite(ours_cw).all()))
+        all_ok &= _record(
+            'spatial-entropy weights', ok,
+            'max abs %.3g (atol 1e-05)%s' % (
+                _max_err(ours_cw[fin], ref_cw[fin])[0],
+                ' [%d ref-NaN sites guarded: documented deviation]'
+                % guarded if guarded else ''))
+        from nafwebsod_tpu.ops import losses as loss_ops
+        ref_loss = oracle.cross_entropy_with_logits(
+            tst['cls_prob'], labels, w=tst['class_weight'],
+            is_mean=spec.mean_loss)
+        ref_grad = oracle.cross_entropy_with_logits_grad(
+            tst['cls_prob'], labels, w=tst['class_weight'],
+            is_mean=spec.mean_loss)
+        f = lambda p: loss_ops.weighted_cross_entropy_with_logits(
+            p, jnp.asarray(labels), jnp.asarray(tst['class_weight']),
+            spec.mean_loss)
+        val, grad = jax.value_and_grad(f)(jnp.asarray(tst['cls_prob']))
+        all_ok &= _check('weighted CE loss', float(val), ref_loss,
+                         rtol=1e-6, atol=1e-12)
+        all_ok &= _check('weighted CE gradient', np.asarray(grad), ref_grad,
+                         rtol=1e-5, atol=1e-7)
+    return all_ok
+
+
+# ------------------------------------------------------------------ #
+# train / eval
+# ------------------------------------------------------------------ #
+
+def stage_train(args):
+    cmd = [sys.executable, os.path.join(REPO, 'tools', 'train_net.py'),
+           '--cfg', args.cfg, '--skip-test',
+           'TRAIN.WEIGHTS', args.weights, 'OUTPUT_DIR', args.workdir]
+    if args.max_iter:
+        cmd += ['SOLVER.MAX_ITER', str(args.max_iter)]
+    print('[run_parity] train:', ' '.join(cmd))
+    rc = subprocess.call(cmd)
+    return _record('train (tools/train_net.py)', rc == 0)
+
+
+def _final_pkl(args):
+    for root, _, files in os.walk(args.workdir):
+        if 'model_final.pkl' in files:
+            return os.path.join(root, 'model_final.pkl')
+    return None
+
+
+def stage_eval(args):
+    final = args.eval_weights or _final_pkl(args)
+    if not final:
+        return _record('eval', False,
+                       'no model_final.pkl under ' + args.workdir +
+                       ' (run --stage train, or pass --eval-weights)')
+    cmd = [sys.executable, os.path.join(REPO, 'tools', 'test_net.py'),
+           '--cfg', args.cfg, 'TEST.WEIGHTS', final,
+           'OUTPUT_DIR', args.workdir]
+    if args.expected_map is not None:
+        # the reference's own runtime gate (config.py:1077-1088) at the
+        # north-star tolerance
+        exp = [[d, 'box', args.map_metric, args.expected_map]
+               for d in ('voc_2007_test',)]
+        cmd += ['EXPECTED_RESULTS', repr(exp),
+                'EXPECTED_RESULTS_ATOL', str(args.map_tol),
+                'EXPECTED_RESULTS_RTOL', '0.0']
+    print('[run_parity] eval:', ' '.join(cmd))
+    rc = subprocess.call(cmd)
+    return _record('eval (tools/test_net.py + gate)', rc == 0)
+
+
+# ------------------------------------------------------------------ #
+
+def main():
+    ap = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument('--stage', default='all',
+                    choices=['convert', 'goldens', 'train', 'eval', 'all'])
+    ap.add_argument('--cfg', default=DEFAULT_CFG)
+    ap.add_argument('--caffemodel', default='')
+    ap.add_argument('--weights',
+                    default=os.path.join(REPO, 'models', 'VGG',
+                                         'VGG_ILSVRC_16_layers_v1.pkl'))
+    ap.add_argument('--eval-weights', default='',
+                    help='trained model_final.pkl for --stage eval')
+    ap.add_argument('--workdir', default='/tmp/nafwebsod_parity')
+    ap.add_argument('--max-iter', type=int, default=0,
+                    help='override SOLVER.MAX_ITER for a shortened train')
+    ap.add_argument('--hidden-dim', type=int, default=0,
+                    help='shrink fc towers (self-test on weak hosts)')
+    ap.add_argument('--probe-size', type=int, nargs=2, default=(40, 56),
+                    help='goldens probe image (H W)')
+    ap.add_argument('--expected-map', type=float, default=None,
+                    help='published VOC07 mAP to gate against (e.g. 32.5)')
+    ap.add_argument('--map-metric', default='AP50')
+    ap.add_argument('--map-tol', type=float, default=0.2,
+                    help='north-star tolerance (BASELINE.json: +-0.2)')
+    args = ap.parse_args()
+
+    stages = ([args.stage] if args.stage != 'all'
+              else ['convert', 'goldens', 'train', 'eval'])
+    ok = True
+    for s in stages:
+        ok = {'convert': stage_convert, 'goldens': stage_goldens,
+              'train': stage_train, 'eval': stage_eval}[s](args) and ok
+        if not ok and args.stage == 'all':
+            print('[run_parity] stopping: stage %s failed' % s)
+            break
+    print('[run_parity] %s' % ('ALL STAGES PASS' if ok else 'FAILED'))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == '__main__':
+    main()
