@@ -106,6 +106,7 @@ def train_model(roidb=None, max_iters=None):
         # RoI-dimension sharding (parallel/roi_shard.py): ONE image per
         # step with its proposals split over the mesh — the memory/FLOP
         # scale-out for the R x 25088 tower axis (SURVEY.md §5.7).
+        from nafwebsod_tpu.parallel import multihost as _mh
         from nafwebsod_tpu.parallel import roi_shard
         roi_mesh = roi_shard.make_roi_mesh(num_devices)
         num_devices = 1  # one logical image per step; devices hold rois
@@ -121,10 +122,16 @@ def train_model(roidb=None, max_iters=None):
                       if (spec.cmil or spec.center_loss or spec.csc or
                           spec.mask_on)
                       else ()))
+        # multi-controller: every host built the identical full batch
+        # (full-batch mode); lift each leaf under the step's own input
+        # sharding and replicate the dropout key
+        _roi_shardings = roi_shard._batch_shardings(spec, roi_mesh)
 
         def step_fn(params, opt_state, batch, lr, rngs):
             b = {k: batch[k][0] for k in _roi_keys}
-            return inner_step(params, opt_state, b, lr, rngs[0])
+            b = _mh.lift_full_batch(_roi_shardings, b)
+            rng0 = _mh.replicate_global(roi_mesh, rngs[0])
+            return inner_step(params, opt_state, b, lr, rng0)
 
         if steps_per_call > 1:
             inner_multi = roi_shard.make_roi_sharded_multi_train_step(
@@ -138,6 +145,7 @@ def train_model(roidb=None, max_iters=None):
     elif cfg.TPU.PIPELINE_PARALLEL:
         # 2-stage body|head pipeline (parallel/pipeline.py): microbatches
         # stream through a ppermute schedule; one step trains B images.
+        from nafwebsod_tpu.parallel import multihost as _mh
         from nafwebsod_tpu.parallel import pipeline
         pipe_mesh = pipeline.make_pipe_mesh()
         num_devices = max(int(cfg.TPU.PIPELINE_MICROBATCHES), 1)
@@ -153,7 +161,12 @@ def train_model(roidb=None, max_iters=None):
 
         def step_fn(params, opt_state, batch, lr, rngs):
             b = {k: batch[k] for k in _keys if k in batch}
-            return inner_step(params, opt_state, b, lr, rngs[0])
+            # multi-controller full-batch mode: every pipeline input is
+            # REPLICATED (both stages see the whole microbatch stream), so
+            # the numpy batch leaves pass through jit's trivial-sharding
+            # path; only the typed rng key needs explicit global placement
+            rng0 = _mh.replicate_global(pipe_mesh, rngs[0])
+            return inner_step(params, opt_state, b, lr, rng0)
 
         if steps_per_call > 1:
             inner_multi = pipeline.make_pipeline_multi_step(
@@ -169,6 +182,8 @@ def train_model(roidb=None, max_iters=None):
         # Hidden-dim (tensor) parallelism for the fc towers
         # (parallel/tensor_shard.py): devices//m data rows x m hidden
         # shards; params/opt state stay resident in the sharded layout.
+        from jax.sharding import NamedSharding, PartitionSpec
+        from nafwebsod_tpu.parallel import multihost as _mh
         from nafwebsod_tpu.parallel import tensor_shard
         m = int(cfg.TPU.TENSOR_SHARDING)
         assert num_devices % m == 0, (
@@ -184,10 +199,32 @@ def train_model(roidb=None, max_iters=None):
                  'cur_iter', 'im_hw', 'labels_int32', 'bbox_targets',
                  'bbox_inside_weights', 'bbox_outside_weights',
                  'im_info', 'gt_boxes', 'gt_classes', 'gt_valid')
+        # multi-controller full-batch mode: every leaf rides the data axis
+        # (the step's single batch in_sharding), the key is replicated
+        _tp_shard = NamedSharding(tp_mesh,
+                                  PartitionSpec(tensor_shard.DATA_AXIS))
+        if _mh.is_multihost():
+            # params/momentum live RESIDENT in the hidden-shard layout;
+            # jit rejects host numpy under non-trivial shardings in
+            # multi-process runs, so lift the (host-identical) initial
+            # state into global arrays once up front
+            _p_shardings = {
+                k: NamedSharding(tp_mesh, tensor_shard.param_pspec(k))
+                for k in params}
+            _repl = NamedSharding(tp_mesh, PartitionSpec())
+            _o_shardings = {
+                k: ({n: _p_shardings[n] for n in v}
+                    if k in ('momentum', 'grad_acc') else _repl)
+                for k, v in opt_state.items()}
+            params = _mh.lift_tree_global(_p_shardings, params)
+            opt_state = _mh.lift_tree_global(_o_shardings, opt_state)
 
         def step_fn(params, opt_state, batch, lr, rngs):
             b = {k: batch[k] for k in _keys if k in batch}
-            return inner_step(params, opt_state, b, lr, rngs[0])
+            b = _mh.lift_full_batch(
+                {k: _tp_shard for k in b}, b)
+            rng0 = _mh.replicate_global(tp_mesh, rngs[0])
+            return inner_step(params, opt_state, b, lr, rng0)
 
         if steps_per_call > 1:
             inner_multi = tensor_shard.make_tp_multi_train_step(
@@ -205,6 +242,9 @@ def train_model(roidb=None, max_iters=None):
         # all_gather params. Same batch layout as the replicated DP step.
         from nafwebsod_tpu.parallel import zero
         zmesh = mesh_lib.make_mesh(num_devices)
+        # same batch layout as DP -> the multi-host data path (strided
+        # roidb, form_global_batch/rngs over 'data') applies unchanged
+        mesh_obj = zmesh
         opt_state = zero.momentum_from_dict(params, hp, zmesh,
                                             momentum or {})
         step_fn = zero.make_zero_train_step(
@@ -254,23 +294,37 @@ def train_model(roidb=None, max_iters=None):
     # ----- data -----
     # Multi-host: each process owns a strided roidb slice + its own loader
     # threads and contributes its chips' share of the global batch
-    # (parallel/multihost.py). The exotic sharding modes stay single-host.
+    # (parallel/multihost.py).
     from nafwebsod_tpu.parallel import multihost as mh
+    # RoI-shard / tensor-parallel / pipeline run multi-process in
+    # FULL-BATCH mode: every controller builds the identical global batch
+    # from the host-identical rng stream (roidb NOT strided), and the
+    # step_fn closures above lift each leaf under the step's own input
+    # sharding (mh.lift_full_batch; pipeline inputs are replicated, so its
+    # numpy leaves ride jit's trivial-sharding path). ZeRO shares the DP
+    # step's batch layout and rides the strided per-host input pipeline
+    # unchanged (mesh_obj).
+    full_batch_mode = mh.is_multihost() and (cfg.TPU.ROI_SHARDING or
+                                             cfg.TPU.TENSOR_SHARDING or
+                                             cfg.TPU.PIPELINE_PARALLEL)
     if mh.is_multihost():
-        assert not (cfg.TPU.ROI_SHARDING or cfg.TPU.PIPELINE_PARALLEL or
-                    cfg.TPU.TENSOR_SHARDING or cfg.TPU.ZERO_OPT), (
-            'multi-process training supports the plain data-parallel step')
-        # the data mesh must span every process: a NUM_GPUS smaller than
+        assert steps_per_call == 1 or not full_batch_mode, (
+            'multi-process RoI-shard/tensor-parallel/pipeline run with '
+            'TPU.STEPS_PER_CALL=1 (the window drivers do not lift '
+            'full-batch leaves)')
+        # the mesh must span every process: a NUM_GPUS smaller than
         # the pod builds a host-0-only mesh while other hosts still try to
         # contribute batch shards they own no devices for
-        assert num_devices == len(jax.devices()), (
+        assert cfg.NUM_GPUS == len(jax.devices()), (
             'multi-host training requires NUM_GPUS ({}) == the global '
-            'device count ({})'.format(num_devices, len(jax.devices())))
-    local_per_step = mh.local_device_count(num_devices)
+            'device count ({})'.format(cfg.NUM_GPUS, len(jax.devices())))
+    local_per_step = (num_devices if full_batch_mode
+                      else mh.local_device_count(num_devices))
     if roidb is None:
         roidb = combined_roidb_for_training(
             cfg.TRAIN.DATASETS, cfg.TRAIN.PROPOSAL_FILES)
-    roidb = mh.shard_roidb(roidb)
+    if not full_batch_mode:
+        roidb = mh.shard_roidb(roidb)
     pad_rois_to = _round_up(cfg.TRAIN.BATCH_SIZE_PER_IM,
                             cfg.TPU.ROI_PAD_MULTIPLE)
     loader = RoIDataLoader(
@@ -341,15 +395,18 @@ def train_model(roidb=None, max_iters=None):
             batch['cur_iter'] = iters_arr
             rng, sub = jax.random.split(rng)
             # the rng stream is host-identical (same seed); each process
-            # takes the rows for its own devices
+            # takes the rows for its own devices (full-batch mode keeps
+            # the whole stream — the step_fn replicates the key itself)
             rngs_global = ts.device_rngs(sub, w * num_devices)
-            rngs = mh.local_device_rngs(rngs_global, w, num_devices)
+            rngs = (rngs_global if full_batch_mode else
+                    mh.local_device_rngs(rngs_global, w, num_devices))
             if w == 1:
                 if factors[0] != 1.0:
                     opt_state = sgd.scale_momentum(
                         opt_state, np.float32(factors[0]))
-                batch = mh.form_global_batch(mesh_obj, batch)
-                rngs = mh.form_global_rngs(mesh_obj, rngs)
+                if mesh_obj is not None:
+                    batch = mh.form_global_batch(mesh_obj, batch)
+                    rngs = mh.form_global_rngs(mesh_obj, rngs)
                 params, opt_state, loss, aux = step_fn(
                     params, opt_state, batch, np.float32(lrs[0]), rngs)
             else:
@@ -509,23 +566,42 @@ def jnp_asarray(x):
     return jnp.asarray(x)
 
 
+def _host_fetch(tree):
+    """``np.asarray`` every leaf of a flat dict; leaves sharded across
+    process boundaries (TP params/momentum, multihost) are first
+    collectively replicated over their mesh — EVERY process must call
+    this (the jit identity is a co-dispatched collective), which is why
+    ``_save`` fetches before its host-0-only early return."""
+    import jax as _jax
+    from jax.sharding import NamedSharding as _NS, PartitionSpec as _P
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, _jax.Array) and not v.is_fully_addressable:
+            v = _jax.jit(lambda x: x, out_shardings=_NS(
+                v.sharding.mesh, _P()))(v)
+        out[k] = np.asarray(v)
+    return out
+
+
 def _save(path, params, opt_state):
     import jax as _jax
-    if _jax.process_index() != 0:
-        # multi-host: params/opt state are replicated; host 0 writes the
-        # checkpoint (the analogue of the reference's GPU0-owns-weights
-        # convention, net_wsl.py:183-207)
-        return path
-    logger.info('Saving checkpoint to %s', path)
-    host_params = {k: np.asarray(v) for k, v in params.items()}
+    # Multi-controller: any leaf still sharded over the global mesh (ZeRO
+    # flat momentum, TP params/momentum) needs a COLLECTIVE gather that
+    # every process co-dispatches — all host fetches happen before the
+    # host-0-only write below.
     if set(opt_state['momentum']) == {'flat'}:
         # ZeRO-1 state (parallel/zero.py): gather the sharded vector back
         # into the reference per-param momentum schema
         from nafwebsod_tpu.parallel import zero
         host_mom = zero.momentum_to_dict(params, opt_state)
     else:
-        host_mom = {k: np.asarray(v)
-                    for k, v in opt_state['momentum'].items()}
+        host_mom = _host_fetch(opt_state['momentum'])
+    host_params = _host_fetch(params)
+    if _jax.process_index() != 0:
+        # multi-host: host 0 writes the checkpoint (the analogue of the
+        # reference's GPU0-owns-weights convention, net_wsl.py:183-207)
+        return path
+    logger.info('Saving checkpoint to %s', path)
     ckpt.save_params_to_weights_file(
         path, host_params, momentum=host_mom, cfg_yaml=dump_cfg())
     return path

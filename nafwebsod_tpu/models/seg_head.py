@@ -284,8 +284,9 @@ def deeplab_losses(mask_fc8, cpg, labels_oh, cls_prob, image, tau=0.7,
         # the CRF runs on the mask grid with the image resampled to that
         # grid — exactly the reference head's layout (wsl_seg_heads.py:126
         # UpsampleBilinearWSL(['data', 'mask_fc8_unary']) resizes the
-        # IMAGE to the unary grid before DenseCRF), so cell (i, j) reads
-        # the pixels it covers
+        # IMAGE to the unary grid before DenseCRF: upsample_wsl_op.cc:10-23
+        # takes output dims from Input(1)), so cell (i, j) reads the
+        # pixels it covers
         im_small = jax.image.resize(
             image[0], (mask_fc8.shape[1], mask_fc8.shape[2],
                        image.shape[-1]), method='linear')

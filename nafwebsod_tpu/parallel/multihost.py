@@ -112,6 +112,66 @@ def form_global_batch(mesh, local_batch, batch_axis=0):
     }
 
 
+def lift_full_batch(shardings, batch):
+    """Lift a FULL (globally identical) host batch into global arrays.
+
+    The exotic sharded layouts (RoI-shard / tensor-parallel) run
+    multi-process in full-batch mode: every controller builds the whole
+    global batch from the host-identical rng stream, and each leaf is
+    placed by ``jax.make_array_from_callback`` under its step's input
+    sharding (each process fills only its addressable shards — no
+    cross-host data movement). ``shardings`` maps leaf name ->
+    ``NamedSharding``; leaves without an entry raise (the step would
+    silently mis-shard them). Identity when single-process."""
+    if not is_multihost():
+        return batch
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        out[k] = jax.make_array_from_callback(
+            v.shape, shardings[k], lambda idx, v=v: v[idx])
+    return out
+
+
+def lift_tree_global(shardings, tree):
+    """Lift a pytree of HOST-IDENTICAL leaves (params / opt state built
+    from the same seed or checkpoint on every controller) into global
+    ``jax.Array``s under a matching pytree of ``NamedSharding``s — the
+    resident-layout analogue of ``lift_full_batch`` (jit rejects numpy
+    inputs under non-trivial shardings in multi-process runs). Each
+    process fills only its addressable shards. Identity when
+    single-process."""
+    if not is_multihost():
+        return tree
+
+    def one(s, v):
+        v = np.asarray(v)
+        return jax.make_array_from_callback(v.shape, s,
+                                            lambda idx, v=v: v[idx])
+
+    return jax.tree.map(one, shardings, tree)
+
+
+def replicate_global(mesh, value):
+    """Replicated global array from a host-identical value (keys included).
+    Identity when single-process."""
+    if not is_multihost():
+        return value
+    from jax import random as jr
+    from jax.sharding import NamedSharding as NS
+    sharding = NS(mesh, P())
+    if hasattr(value, 'dtype') and jax.numpy.issubdtype(
+            value.dtype, jax.dtypes.prng_key):
+        impl = jr.key_impl(value)
+        data = np.asarray(jr.key_data(value))
+        g = jax.make_array_from_callback(data.shape, sharding,
+                                         lambda idx: data[idx])
+        return jr.wrap_key_data(g, impl=impl)
+    v = np.asarray(value)
+    return jax.make_array_from_callback(v.shape, sharding,
+                                        lambda idx: v[idx])
+
+
 def local_device_rngs(rngs_global, window, num_devices_global):
     """This host's per-device rng rows out of the host-identically computed
     global stream: the stream is laid out (window * num_devices,) with the

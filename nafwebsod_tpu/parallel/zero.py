@@ -93,9 +93,20 @@ def init_state(params, hp, mesh):
 
 def momentum_to_dict(params, state):
     """Sharded flat momentum -> the reference checkpoint's per-param dict
-    (net_wsl.py '<param>_momentum' schema; gathers the vector to host)."""
+    (net_wsl.py '<param>_momentum' schema; gathers the vector to host).
+
+    Multi-controller: the flat vector spans non-addressable devices, so
+    fetching it requires a collective replication first — EVERY process
+    must call this (engine/train._save does, before its host-0-only
+    write), or the co-dispatched gather deadlocks."""
     flat, unravel = ravel_pytree(params)
-    mom = np.asarray(state['momentum']['flat'])[:flat.shape[0]]
+    mom_arr = state['momentum']['flat']
+    if hasattr(mom_arr, 'is_fully_addressable') and (
+            not mom_arr.is_fully_addressable):
+        mesh = mom_arr.sharding.mesh
+        mom_arr = jax.jit(lambda x: x,
+                          out_shardings=NamedSharding(mesh, P()))(mom_arr)
+    mom = np.asarray(mom_arr)[:flat.shape[0]]
     return {k: np.asarray(v) for k, v in unravel(jnp.asarray(mom)).items()}
 
 
