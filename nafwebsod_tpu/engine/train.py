@@ -34,6 +34,27 @@ def _round_up(n, multiple):
     return ((n + multiple - 1) // multiple) * multiple
 
 
+_dump_inputs_dir = os.environ.get('NAFWEBSOD_DUMP_INPUTS')
+
+
+def _dump_step_inputs(dump_dir, batch, rngs):
+    """Write this process's step-0 host-local batch leaves + rng key rows
+    to ``<dump_dir>/inputs_rank<r>.npz``. The cross-layout equality tests
+    assert these BITWISE between the single-process and multi-process
+    runs: the per-step loss tolerance can only absorb XLA
+    reduction-order differences if the inputs each device sees are
+    bit-identical — a permuted rng row or wrong shard slice must fail
+    here, not hide under the loss tolerance."""
+    import jax.numpy as jnp
+    payload = {k: np.asarray(v) for k, v in batch.items()}
+    kd = (jax.random.key_data(rngs)
+          if jnp.issubdtype(rngs.dtype, jax.dtypes.prng_key) else rngs)
+    payload['__rng_key_data'] = np.asarray(kd)
+    os.makedirs(dump_dir, exist_ok=True)
+    np.savez(os.path.join(
+        dump_dir, 'inputs_rank%d.npz' % jax.process_index()), **payload)
+
+
 def train_model(roidb=None, max_iters=None):
     """Train the flagship model; returns (checkpoints dict, losses list).
 
@@ -400,6 +421,12 @@ def train_model(roidb=None, max_iters=None):
             rngs_global = ts.device_rngs(sub, w * num_devices)
             rngs = (rngs_global if full_batch_mode else
                     mh.local_device_rngs(rngs_global, w, num_devices))
+            if _dump_inputs_dir and cur_iter == start_iter:
+                # test hook (NAFWEBSOD_DUMP_INPUTS): record this process's
+                # step-0 host-local inputs so cross-layout tests can assert
+                # the shard assignment and rng routing BITWISE — see
+                # tests/test_multiproc_train.py::test_input_routing_bitwise
+                _dump_step_inputs(_dump_inputs_dir, batch, rngs)
             if w == 1:
                 if factors[0] != 1.0:
                     opt_state = sgd.scale_momentum(
