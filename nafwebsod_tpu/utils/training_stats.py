@@ -63,22 +63,22 @@ class TrainingStats(object):
         self.smoothed_total_loss.AddValue(self.iter_total_loss)
 
     def LogIterStats(self, cur_iter, lr, queue_size=None):
-        if (cur_iter % self.LOG_PERIOD == 0 or
-                cur_iter == cfg.SOLVER.MAX_ITER - 1):
-            stats = self.GetStats(cur_iter, lr, queue_size)
-            log_json_stats(stats)
+        final = cur_iter == cfg.SOLVER.MAX_ITER - 1
+        if final or cur_iter % self.LOG_PERIOD == 0:
+            log_json_stats(self.GetStats(cur_iter, lr, queue_size))
 
     def GetStats(self, cur_iter, lr, queue_size=None):
-        eta_seconds = self.iter_timer.average_time * (
-            cfg.SOLVER.MAX_ITER - cur_iter)
-        eta = str(datetime.timedelta(seconds=int(eta_seconds)))
-        stats = dict(
-            iter=cur_iter,
-            lr=float(lr),
-            time=self.iter_timer.average_time,
-            loss=self.smoothed_total_loss.GetMedianValue(),
-            eta=eta,
-        )
+        # json_stats protocol keys (iter/lr/time/loss/eta [+metrics, mem,
+        # queue_size]) — consumed by tools/visualize_learn.py
+        per_iter = self.iter_timer.average_time
+        remaining = int(per_iter * (cfg.SOLVER.MAX_ITER - cur_iter))
+        stats = {
+            'iter': cur_iter,
+            'lr': float(lr),
+            'time': per_iter,
+            'loss': self.smoothed_total_loss.GetMedianValue(),
+            'eta': str(datetime.timedelta(seconds=remaining)),
+        }
         if queue_size is not None:
             stats['queue_size'] = queue_size
         for k in self.filter_losses_and_metrics:

@@ -157,3 +157,26 @@ class TestLRPolicy:
         assert lr_policy.get_lr_at_iter(50) == pytest.approx(0.01)
         assert lr_policy.get_lr_at_iter(150) == pytest.approx(0.001)
         assert lr_policy.get_lr_at_iter(250) == pytest.approx(0.0001)
+
+    def test_cosine_decay(self):
+        # reference policy names and formulas (lr_policy.py:96-110):
+        # cosine_decay = BASE_LR * 0.5 * (cos(pi * iter/MAX_ITER) + 1)
+        cfg.SOLVER.LR_POLICY = 'cosine_decay'
+        cfg.SOLVER.WARM_UP_ITERS = 0
+        assert lr_policy.get_lr_at_iter(0) == pytest.approx(0.001)
+        assert lr_policy.get_lr_at_iter(100000) == pytest.approx(0.0005)
+        assert lr_policy.get_lr_at_iter(200000) == pytest.approx(0.0, abs=1e-12)
+
+    def test_exp_decay(self):
+        # exp_decay = BASE_LR * GAMMA ** (iter/MAX_ITER); GAMMA is the
+        # final/initial LR ratio
+        cfg.SOLVER.LR_POLICY = 'exp_decay'
+        cfg.SOLVER.WARM_UP_ITERS = 0
+        assert lr_policy.get_lr_at_iter(0) == pytest.approx(0.001)
+        assert lr_policy.get_lr_at_iter(100000) == pytest.approx(0.001 * 0.1 ** 0.5)
+        assert lr_policy.get_lr_at_iter(200000) == pytest.approx(0.0001)
+
+    def test_unknown_policy_raises(self):
+        cfg.SOLVER.LR_POLICY = 'cosine'  # pre-round-4 non-reference name
+        with pytest.raises(NotImplementedError):
+            lr_policy.get_lr_at_iter(0)

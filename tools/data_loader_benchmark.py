@@ -13,9 +13,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from nafwebsod_tpu.core.config import (assert_and_infer_cfg, cfg,
-                                       merge_cfg_from_file,
-                                       merge_cfg_from_list)
+from nafwebsod_tpu.core.config import assert_and_infer_cfg, cfg
+from nafwebsod_tpu.utils.cli import configure_from_args
 from nafwebsod_tpu.utils.logging_utils import setup_logging
 
 logger = setup_logging(__name__)
@@ -28,10 +27,7 @@ def main():
     parser.add_argument('--threads', type=int, nargs='+', default=[1, 2, 4])
     parser.add_argument('opts', default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
-    if args.cfg_file:
-        merge_cfg_from_file(args.cfg_file)
-    if args.opts:
-        merge_cfg_from_list(args.opts)
+    configure_from_args(args, infer=False)
     assert_and_infer_cfg(make_immutable=False)
 
     from nafwebsod_tpu.data.loader import RoIDataLoader

@@ -26,9 +26,8 @@ from nafwebsod_tpu.utils.env import apply_platform_override
 
 apply_platform_override()  # must run before any jax device query
 
-from nafwebsod_tpu.core.config import (assert_and_infer_cfg, cfg,
-                                       merge_cfg_from_file,
-                                       merge_cfg_from_list)
+from nafwebsod_tpu.core.config import cfg
+from nafwebsod_tpu.utils.cli import configure_from_args, parse_or_usage
 from nafwebsod_tpu.utils.logging_utils import setup_logging
 
 logger = setup_logging(__name__)
@@ -45,21 +44,14 @@ def parse_args():
     parser.add_argument('--opts', nargs='*', default=[],
                         help='cfg KEY VALUE override pairs')
     parser.add_argument('image')
-    if len(sys.argv) == 1:
-        parser.print_help()
-        sys.exit(1)
-    return parser.parse_args()
+    return parse_or_usage(parser)
 
 
 def main():
     import cv2
 
     args = parse_args()
-    if args.cfg_file is not None:
-        merge_cfg_from_file(args.cfg_file)
-    if args.opts:
-        merge_cfg_from_list(args.opts)
-    assert_and_infer_cfg()
+    configure_from_args(args)
     os.makedirs(args.output_dir, exist_ok=True)
 
     from nafwebsod_tpu.engine import test as infer

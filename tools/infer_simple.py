@@ -21,9 +21,8 @@ from nafwebsod_tpu.utils.env import apply_platform_override
 
 apply_platform_override()  # must run before any jax device query
 
-from nafwebsod_tpu.core.config import (assert_and_infer_cfg, cfg,
-                                       merge_cfg_from_file,
-                                       merge_cfg_from_list)
+from nafwebsod_tpu.core.config import cfg
+from nafwebsod_tpu.utils.cli import configure_from_args, parse_or_usage
 from nafwebsod_tpu.utils.logging_utils import setup_logging
 
 logger = setup_logging(__name__)
@@ -39,10 +38,7 @@ def parse_args():
                         help='proposal pkl keyed per image')
     parser.add_argument('--thresh', type=float, default=0.5)
     parser.add_argument('im_or_folder')
-    if len(sys.argv) == 1:
-        parser.print_help()
-        sys.exit(1)
-    return parser.parse_args()
+    return parse_or_usage(parser)
 
 
 def grid_proposals(h, w, n_per_axis=8):
@@ -61,9 +57,7 @@ def main():
     import cv2
 
     args = parse_args()
-    if args.cfg_file is not None:
-        merge_cfg_from_file(args.cfg_file)
-    assert_and_infer_cfg()
+    configure_from_args(args)
     os.makedirs(args.output_dir, exist_ok=True)
 
     from nafwebsod_tpu.data.dummy_datasets import classes_for_num

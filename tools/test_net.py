@@ -17,15 +17,14 @@ from nafwebsod_tpu.utils.env import apply_platform_override
 
 apply_platform_override()  # must run before any jax device query
 
-from nafwebsod_tpu.core.config import (assert_and_infer_cfg, cfg,
-                                       merge_cfg_from_file,
-                                       merge_cfg_from_list)
+from nafwebsod_tpu.core.config import assert_and_infer_cfg, cfg
+from nafwebsod_tpu.utils.cli import configure_from_args, parse_or_usage
 from nafwebsod_tpu.utils.logging_utils import setup_logging
 
 logger = setup_logging(__name__)
 
 
-def parse_args():
+def main():
     parser = argparse.ArgumentParser(description='Test a detection network')
     parser.add_argument('--cfg', dest='cfg_file', default=None)
     parser.add_argument('--wait', dest='wait', action='store_true',
@@ -37,18 +36,8 @@ def parse_args():
     parser.add_argument('--range', dest='range', type=int, nargs=2,
                         default=None, help='start end image index range')
     parser.add_argument('opts', default=None, nargs=argparse.REMAINDER)
-    if len(sys.argv) == 1:
-        parser.print_help()
-        sys.exit(1)
-    return parser.parse_args()
-
-
-def main():
-    args = parse_args()
-    if args.cfg_file is not None:
-        merge_cfg_from_file(args.cfg_file)
-    if args.opts is not None:
-        merge_cfg_from_list(args.opts)
+    args = parse_or_usage(parser)
+    configure_from_args(args, infer=False)
     if args.vis:
         cfg.VIS = True
     assert_and_infer_cfg()

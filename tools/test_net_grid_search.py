@@ -25,8 +25,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from nafwebsod_tpu.core.config import (assert_and_infer_cfg, cfg,
-                                       get_output_dir, merge_cfg_from_file,
-                                       merge_cfg_from_list)
+                                       get_output_dir)
+from nafwebsod_tpu.utils.cli import configure_from_args, parse_or_usage
 from nafwebsod_tpu.utils.io import load_object
 from nafwebsod_tpu.utils.logging_utils import setup_logging
 
@@ -44,10 +44,7 @@ def parse_args():
     parser.add_argument('--wait', action='store_true',
                         help='Wait for detections.pkl to exist')
     parser.add_argument('opts', default=None, nargs=argparse.REMAINDER)
-    if len(sys.argv) == 1:
-        parser.print_help()
-        sys.exit(1)
-    return parser.parse_args()
+    return parse_or_usage(parser)
 
 
 def rebuild_prenms_cache(all_boxes, num_classes, num_images):
@@ -72,10 +69,7 @@ def rebuild_prenms_cache(all_boxes, num_classes, num_images):
 
 def main():
     args = parse_args()
-    if args.cfg_file is not None:
-        merge_cfg_from_file(args.cfg_file)
-    if args.opts is not None:
-        merge_cfg_from_list(args.opts)
+    configure_from_args(args, infer=False)
     assert_and_infer_cfg(make_immutable=False)
 
     from nafwebsod_tpu.data import task_evaluation

@@ -23,15 +23,14 @@ from nafwebsod_tpu.utils.env import apply_platform_override
 
 apply_platform_override()  # must run before any jax device query
 
-from nafwebsod_tpu.core.config import (assert_and_infer_cfg, cfg,
-                                       merge_cfg_from_file,
-                                       merge_cfg_from_list)
+from nafwebsod_tpu.core.config import cfg
+from nafwebsod_tpu.utils.cli import configure_from_args, parse_or_usage
 from nafwebsod_tpu.utils.logging_utils import setup_logging
 
 logger = setup_logging(__name__)
 
 
-def parse_args():
+def main():
     parser = argparse.ArgumentParser(description='Train a network')
     parser.add_argument('--cfg', dest='cfg_file', default=None,
                         help='Config file for training (and optionally testing)')
@@ -42,19 +41,8 @@ def parse_args():
                         help='Do not test the final model')
     parser.add_argument('opts', default=None, nargs=argparse.REMAINDER,
                         help='See nafwebsod_tpu/core/config.py for all options')
-    if len(sys.argv) == 1:
-        parser.print_help()
-        sys.exit(1)
-    return parser.parse_args()
-
-
-def main():
-    args = parse_args()
-    if args.cfg_file is not None:
-        merge_cfg_from_file(args.cfg_file)
-    if args.opts is not None:
-        merge_cfg_from_list(args.opts)
-    assert_and_infer_cfg()
+    args = parse_or_usage(parser)
+    configure_from_args(args)
     np.random.seed(cfg.RNG_SEED)
 
     from nafwebsod_tpu.engine import train as train_engine

@@ -21,9 +21,8 @@ from nafwebsod_tpu.utils.env import apply_platform_override
 
 apply_platform_override()  # must run before any jax device query
 
-from nafwebsod_tpu.core.config import (assert_and_infer_cfg, cfg,
-                                       merge_cfg_from_file,
-                                       merge_cfg_from_list)
+from nafwebsod_tpu.core.config import cfg
+from nafwebsod_tpu.utils.cli import configure_from_args
 
 
 def main():
@@ -34,11 +33,7 @@ def main():
     parser.add_argument('--out', default='tsne.png')
     parser.add_argument('opts', default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
-    if args.cfg_file:
-        merge_cfg_from_file(args.cfg_file)
-    if args.opts:
-        merge_cfg_from_list(args.opts)
-    assert_and_infer_cfg()
+    configure_from_args(args)
 
     import cv2
     import jax.numpy as jnp

@@ -22,6 +22,7 @@ from nafwebsod_tpu.utils.env import apply_platform_override
 
 apply_platform_override()  # must run before any jax device query
 
+from nafwebsod_tpu.utils.cli import parse_or_usage
 from nafwebsod_tpu.utils.logging_utils import setup_logging
 
 logger = setup_logging(__name__)
@@ -38,10 +39,7 @@ def parse_args():
     parser.add_argument('--output-dir', default='./tmp/vis-output')
     parser.add_argument('--first', type=int, default=0,
                         help='only visualize the first k images')
-    if len(sys.argv) == 1:
-        parser.print_help()
-        sys.exit(1)
-    return parser.parse_args()
+    return parse_or_usage(parser)
 
 
 def _id_or_index(ix, val):
