@@ -19,520 +19,553 @@ import yaml
 
 from nafwebsod_tpu.utils.collections import AttrDict
 
-__C = AttrDict()
+_DEFAULTS = {
+
+    # ---------------------------------------------------------------------------- #
+    # Training options
+    # ---------------------------------------------------------------------------- #
+    'TRAIN': {
+        'WEIGHTS': '',
+        'DATASETS': (),
+        'SCALES': (600,),
+        'MAX_SIZE': 1000,
+        'IMS_PER_BATCH': 2,
+        'BATCH_SIZE_PER_IM': 64,
+        'FG_FRACTION': 0.25,
+        'FG_THRESH': 0.5,
+        'BG_THRESH_HI': 0.5,
+        'BG_THRESH_LO': 0.0,
+        'USE_FLIPPED': True,
+        'BBOX_THRESH': 0.5,
+        'SNAPSHOT_ITERS': 80000,
+        'PROPOSAL_FILES': (),
+        'ASPECT_GROUPING': True,
+        'CROWD_FILTER_THRESH': 0.7,
+        'GT_MIN_AREA': -1,
+        'FREEZE_CONV_BODY': False,
+        'AUTO_RESUME': True,
+        'COPY_WEIGHTS': False,
+        'FREEZE_AT': 2,
+
+        # RPN training options (reference config.py:146-177)
+        'RPN_POSITIVE_OVERLAP': 0.7,
+        'RPN_NEGATIVE_OVERLAP': 0.3,
+        'RPN_FG_FRACTION': 0.5,
+        'RPN_BATCH_SIZE_PER_IM': 256,
+        'RPN_NMS_THRESH': 0.7,
+        'RPN_PRE_NMS_TOP_N': 12000,
+        'RPN_POST_NMS_TOP_N': 2000,
+        'RPN_STRADDLE_THRESH': 0,
+        'RPN_MIN_SIZE': 0,
+        'GENERATE_PROPOSALS_ON_GPU': False,
+    },
+
+    # ---------------------------------------------------------------------------- #
+    # Data loader options
+    # ---------------------------------------------------------------------------- #
+    'DATA_LOADER': {
+        'NUM_THREADS': 4,
+        'MINIBATCH_QUEUE_SIZE': 64,
+        'BLOBS_QUEUE_CAPACITY': 8,
+    },
+
+    # ---------------------------------------------------------------------------- #
+    # Inference options
+    # ---------------------------------------------------------------------------- #
+    'TEST': {
+        'WEIGHTS': '',
+        'DATASETS': (),
+        'SCALE': 600,
+        'MAX_SIZE': 1000,
+        'NMS': 0.3,
+        'BBOX_REG': True,
+        'PROPOSAL_FILES': (),
+        'PROPOSAL_LIMIT': 2000,
+        'DETECTIONS_PER_IM': 100,
+        'SCORE_THRESH': 0.05,
+        'COMPETITION_MODE': True,
+        'FORCE_JSON_DATASET_EVAL': False,
+        'PRECOMPUTED_PROPOSALS': True,
+
+        # RPN test options (reference config.py:254-267)
+        'RPN_NMS_THRESH': 0.7,
+        'RPN_PRE_NMS_TOP_N': 12000,
+        'RPN_POST_NMS_TOP_N': 2000,
+        'RPN_MIN_SIZE': 0,
+
+        # Test-time augmentation for bounding boxes
+        'BBOX_AUG': {
+            'ENABLED': False,
+            'SCORE_HEUR': 'UNION',  # 'ID' | 'AVG' | 'UNION'
+            'COORD_HEUR': 'UNION',  # 'ID' | 'AVG' | 'UNION'
+            'H_FLIP': False,
+            'SCALES': (),
+            'MAX_SIZE': 4000,
+            'SCALE_H_FLIP': False,
+            'SCALE_SIZE_DEP': False,
+            'AREA_TH_LO': 50 ** 2,
+            'AREA_TH_HI': 180 ** 2,
+            'ASPECT_RATIOS': (),
+            'ASPECT_RATIO_H_FLIP': False,
+        },
+
+        # Test-time augmentation for masks / keypoints (reference config.py:341-403;
+        # accepted for YAML compat — the aug sweeps themselves are not implemented,
+        # asserted off in the engine)
+        'MASK_AUG': {
+            'ENABLED': False,
+            'HEUR': 'SOFT_AVG',
+            'H_FLIP': False,
+            'SCALES': (),
+            'MAX_SIZE': 4000,
+            'SCALE_H_FLIP': False,
+            'SCALE_SIZE_DEP': False,
+            'AREA_TH': 180 ** 2,
+            'ASPECT_RATIOS': (),
+            'ASPECT_RATIO_H_FLIP': False,
+        },
+
+        'KPS_AUG': {
+            'ENABLED': False,
+            'HEUR': 'HM_AVG',
+            'H_FLIP': False,
+            'SCALES': (),
+            'MAX_SIZE': 4000,
+            'SCALE_H_FLIP': False,
+            'SCALE_SIZE_DEP': False,
+            'AREA_TH': 180 ** 2,
+            'ASPECT_RATIOS': (),
+            'ASPECT_RATIO_H_FLIP': False,
+        },
+
+        # kept for YAML compat (Caffe2-runtime specific; proposals are always
+        # generated on-device here)
+        'GENERATE_PROPOSALS_ON_GPU': False,
+
+        # Soft NMS
+        'SOFT_NMS': {
+            'ENABLED': False,
+            'METHOD': 'linear',  # 'linear' | 'gaussian'
+            'SIGMA': 0.5,
+        },
+
+        # Box voting
+        'BBOX_VOTE': {
+            'ENABLED': False,
+            'VOTE_TH': 0.8,
+            'SCORING_METHOD': 'ID',
+            'SCORING_METHOD_BETA': 1.0,
+        },
+    },
+
+    # ---------------------------------------------------------------------------- #
+    # Model options
+    # ---------------------------------------------------------------------------- #
+    'MODEL': {
+        'TYPE': '',
+        'CONV_BODY': '',
+        'NUM_CLASSES': -1,
+        'CLS_AGNOSTIC_BBOX_REG': False,
+        'BBOX_REG_WEIGHTS': (10., 10., 5., 5.),
+        'FASTER_RCNN': False,
+        'MASK_ON': False,
+        'KEYPOINTS_ON': False,
+        'RPN_ONLY': False,
+        'EXECUTION_TYPE': 'dag',
+    },
+
+    # ---------------------------------------------------------------------------- #
+    # Solver options
+    # ---------------------------------------------------------------------------- #
+    'SOLVER': {
+        'BASE_LR': 0.001,
+        'LR_POLICY': 'step',
+        'GAMMA': 0.1,
+        'STEP_SIZE': 30000,
+        'STEPS': [],
+        'LRS': [],
+        'MAX_ITER': 40000,
+        'MOMENTUM': 0.9,
+        'WEIGHT_DECAY': 0.0005,
+        'WEIGHT_DECAY_GN': 0.0,
+        'WARM_UP_ITERS': 500,
+        'WARM_UP_FACTOR': 1.0 / 3.0,
+        'WARM_UP_METHOD': 'linear',
+        'SCALE_MOMENTUM': True,
+        'SCALE_MOMENTUM_THRESHOLD': 1.1,
+        'LOG_LR_CHANGE_THRESHOLD': 1.1,
+    },
+
+    # ---------------------------------------------------------------------------- #
+    # Fast R-CNN / RoI box head options
+    # ---------------------------------------------------------------------------- #
+    'FAST_RCNN': {
+        'ROI_BOX_HEAD': '',
+        'MLP_HEAD_DIM': 1024,
+        'CONV_HEAD_DIM': 256,
+        'NUM_STACKED_CONVS': 4,
+        'ROI_XFORM_METHOD': 'RoIPoolF',
+        'ROI_XFORM_SAMPLING_RATIO': 0,
+        'ROI_XFORM_RESOLUTION': 14,
+    },
+
+    # ---------------------------------------------------------------------------- #
+    # WSL (weakly-supervised learning) options — the capability switchboard
+    # (reference config.py:910-987)
+    # ---------------------------------------------------------------------------- #
+    'WSL': {
+        'WSL_ON': False,
+        'ITER_SIZE': 1,
+        'DEBUG': False,
+        'SAMPLE': False,
+        'SAMPLE_ITER': 1280,
+        'CPG': False,
+        'CPG_PRE_BLOB': 'cls_prob',
+        'CPG_DATA_BLOB': 'data',
+        'CPG_TAU': 0.7,
+        'CPG_MAX_ITER': 0,
+        'CSC_MAX_ITER': 35000,
+        'CSC': False,
+        'CSC_FG_THRESHOLD': 0.1,
+        'CSC_MASS_THRESHOLD': 0.2,
+        'CSC_DENSITY_THRESHOLD': 0.0,
+        'CENTER_LOSS': False,
+        'CENTER_LOSS_NUMBER': 5,
+        'CENTER_LOSS_TOP_K': 10,
+        'CONTEXT': False,
+        'CONTEXT_RATIO': 1.8,
+        'OICR': False,
+        'PCL': False,
+        # Run the PCL pseudo-labeling on device (lax.while_loop clique extraction
+        # + masked KMeans) instead of the reference-faithful host callback; saves
+        # refine_k host round-trips per step. Documented deviations: KMeans center
+        # init and top-5 tie-breaking (ops/refine.py:pcl_targets_device).
+        'PCL_DEVICE': False,
+        'CMIL': False,
+        'SIZE_EPOCH': 5000,
+        'MLP_HEAD_DIM': [],
+        'DEEP_MEM': False,
+        'MEAN_LOSS': False,
+        'USE_DISTORTION': True,
+        'SATURATION': 1.5,
+        'EXPOSURE': 1.5,
+        'USE_CROP': True,
+        'CROP': 0.9,
+        'DILATION': 1,
+        'MASK_SOFTMAX': False,
+        'MIN_ENTROPY_LOSS': False,
+        'PTH_IMG': False,
+    },
+
+    # Pseudo ground-truth self-training
+    'USE_PSEUDO': False,
+    'PSEUDO_PATH': (),
+
+    # ---------------------------------------------------------------------------- #
+    # WEBLY (noise-aware web supervision) options (reference config.py:990-1001)
+    # ---------------------------------------------------------------------------- #
+    'WEBLY': {
+        'WEBLY_ON': False,
+        'ENTROPY': False,
+        'MINING': False,
+        'BAGGING_MIXUP': False,
+        'BAGGING_MIXUP_ALPHA': 1.5,
+    },
+
+    # ---------------------------------------------------------------------------- #
+    # Mask head options (weakly-supervised seg branch; reference config.py:747-792)
+    # ---------------------------------------------------------------------------- #
+    'MRCNN': {
+        'ROI_MASK_HEAD': 'wsl_seg_heads.mask_rcnn_fcn_head',
+        'RESOLUTION': 14,
+        'ROI_XFORM_METHOD': 'RoIAlign',
+        'ROI_XFORM_RESOLUTION': 7,
+        'ROI_XFORM_SAMPLING_RATIO': 0,
+        'DIM_REDUCED': 256,
+        'DILATION': 2,
+        'UPSAMPLE_RATIO': 1,
+        'USE_FC_OUTPUT': False,
+        'CONV_INIT': 'GaussianFill',
+        'CLS_SPECIFIC_MASK': True,
+        'WEIGHT_LOSS_MASK': 1.0,
+        'THRESH_BINARIZE': 0.5,
+    },
+
+    # ---------------------------------------------------------------------------- #
+    # RPN options (reference config.py:683-693)
+    # ---------------------------------------------------------------------------- #
+    'RPN': {
+        'RPN_ON': False,
+        'SIZES': (64, 128, 256, 512),
+        'STRIDE': 16,
+        'ASPECT_RATIOS': (0.5, 1, 2),
+    },
+
+    # ---------------------------------------------------------------------------- #
+    # FPN options (reference config.py:702-743)
+    # ---------------------------------------------------------------------------- #
+    'FPN': {
+        'FPN_ON': False,
+        'DIM': 256,
+        'ZERO_INIT_LATERAL': False,
+        'COARSEST_STRIDE': 32,
+        'MULTILEVEL_ROIS': False,
+        'ROI_CANONICAL_SCALE': 224,
+        'ROI_CANONICAL_LEVEL': 4,
+        'ROI_MAX_LEVEL': 5,
+        'ROI_MIN_LEVEL': 2,
+        'MULTILEVEL_RPN': False,
+        'RPN_MAX_LEVEL': 6,
+        'RPN_MIN_LEVEL': 2,
+        'RPN_ASPECT_RATIOS': (0.5, 1, 2),
+        'RPN_ANCHOR_START_SIZE': 32,
+        'EXTRA_CONV_LEVELS': False,
+        'USE_GN': False,
+    },
+
+    # ---------------------------------------------------------------------------- #
+    # RetinaNet options (reference config.py:500-556)
+    # ---------------------------------------------------------------------------- #
+    'RETINANET': {
+        'RETINANET_ON': False,
+        'ASPECT_RATIOS': (0.5, 1.0, 2.0),
+        'SCALES_PER_OCTAVE': 3,
+        'ANCHOR_SCALE': 4,
+        'NUM_CONVS': 4,
+        'BBOX_REG_WEIGHT': 1.0,
+        'BBOX_REG_BETA': 0.11,
+        'PRE_NMS_TOP_N': 1000,
+        'POSITIVE_OVERLAP': 0.5,
+        'NEGATIVE_OVERLAP': 0.4,
+        'LOSS_ALPHA': 0.25,
+        'LOSS_GAMMA': 2.0,
+        'PRIOR_PROB': 0.01,
+        'SHARE_CLS_BBOX_TOWER': False,
+        'CLASS_SPECIFIC_BBOX': False,
+        'SOFTMAX': False,
+        'INFERENCE_TH': 0.05,
+    },
+
+    # ---------------------------------------------------------------------------- #
+    # Keypoint R-CNN options (reference config.py:803-870)
+    # ---------------------------------------------------------------------------- #
+    'KRCNN': {
+        'ROI_KEYPOINTS_HEAD': '',
+        'HEATMAP_SIZE': -1,
+        'UP_SCALE': -1,
+        'USE_DECONV': False,
+        'DECONV_DIM': 256,
+        'USE_DECONV_OUTPUT': False,
+        'DILATION': 1,
+        'DECONV_KERNEL': 4,
+        'NUM_KEYPOINTS': -1,
+        'NUM_STACKED_CONVS': 8,
+        'CONV_HEAD_DIM': 256,
+        'CONV_HEAD_KERNEL': 3,
+        'CONV_INIT': 'GaussianFill',
+        'NMS_OKS': False,
+        'KEYPOINT_CONFIDENCE': 'bbox',
+        'ROI_XFORM_METHOD': 'RoIAlign',
+        'ROI_XFORM_RESOLUTION': 7,
+        'ROI_XFORM_SAMPLING_RATIO': 0,
+        'MIN_KEYPOINT_COUNT_FOR_VALID_MINIBATCH': 20,
+        'INFERENCE_MIN_SIZE': 0,
+        'LOSS_WEIGHT': 1.0,
+        'NORMALIZE_BY_VISIBLE_KEYPOINTS': True,
+    },
+
+    # ---------------------------------------------------------------------------- #
+    # R-FCN / ResNet options (reference config.py:879-905)
+    # ---------------------------------------------------------------------------- #
+    'RFCN': {
+        'PS_GRID_SIZE': 3,
+    },
+
+    'RESNETS': {
+        'NUM_GROUPS': 1,
+        'WIDTH_PER_GROUP': 64,
+        'STRIDE_1X1': True,
+        'TRANS_FUNC': 'bottleneck_transformation',
+        'STEM_FUNC': 'basic_bn_stem',
+        'SHORTCUT_FUNC': 'basic_bn_shortcut',
+        'RES5_DILATION': 1,
+    },
+
+    # ---------------------------------------------------------------------------- #
+    # GroupNorm options
+    # ---------------------------------------------------------------------------- #
+    'GROUP_NORM': {
+        'DIM_PER_GP': -1,
+        'NUM_GROUPS': 32,
+        'EPSILON': 1e-5,
+    },
+
+    # ---------------------------------------------------------------------------- #
+    # Misc options
+    # ---------------------------------------------------------------------------- #
+    # Number of devices in the data-parallel mesh (the reference's NUM_GPUS;
+    # here: number of TPU chips used by pjit/shard_map)
+    'NUM_GPUS': 1,
+    'USE_NCCL': False,  # kept for YAML compat; collectives are XLA-native here
+    'DEDUP_BOXES': 1. / 16.,
+    'BBOX_XFORM_CLIP': float(np.log(1000. / 16.)),
+    'PIXEL_MEANS': np.array([[[102.9801, 115.9465, 122.7717]]]),
+    'PIXEL_STDS': np.array([[[1.0, 1.0, 1.0]]]),
+    'RNG_SEED': 3,
+    'EPS': 1e-14,
+    'ROOT_DIR': os.getcwd(),
+    'OUTPUT_DIR': '/tmp',
+    'MATLAB': 'matlab',
+    'MEMONGER': False,
+    'MEMONGER_SHARE_ACTIVATIONS': False,
+    'VIS': False,
+    'VIS_TH': 0.9,
+    'EXPECTED_RESULTS': [],
+    'EXPECTED_RESULTS_RTOL': 0.1,
+    'EXPECTED_RESULTS_ATOL': 0.005,
+    'EXPECTED_RESULTS_SIGMA_TOL': 4,
+    'EXPECTED_RESULTS_EMAIL': '',
+    'DOWNLOAD_CACHE': '/tmp/detectron-download-cache',
+
+    # Cluster-environment flag (reference config.py:1098-1101; YAML compat)
+    'CLUSTER': {
+        'ON_CLUSTER': False,
+    },
+
+    # TPU-specific knobs (new; no reference equivalent)
+    'TPU': {
+        # Compute dtype for conv body / FC matmuls ('bfloat16' or 'float32').
+        'COMPUTE_DTYPE': 'float32',
+        # Pad RoI count to this multiple for static XLA shapes.
+        'ROI_PAD_MULTIPLE': 256,
+        # Max gt classes per image given CPG/CSC backward passes (static scan
+        # capacity; each active class costs one conv backward). 0 = reference-
+        # faithful: NUM_CLASSES-1, i.e. every gt class gets a saliency map like
+        # the reference's dynamic loop (cpg_op.cu:149-213). The shipped TPU
+        # CPG/CSC configs set 4 explicitly — it covers the observed per-image
+        # label cardinality of the WSOD datasets and bounds compile-time scan
+        # capacity; inactive capacity costs nothing at run time either way.
+        'CPG_MAX_GT': 0,
+        # Bucketed image sizes are rounded up to this multiple to bound recompiles.
+        'SIZE_BUCKET_MULTIPLE': 64,
+        # Use the Pallas fused RoI pooling kernel when on TPU.
+        'USE_PALLAS': True,
+        # Run the clean+noisy fc towers as one width-doubled GEMM pair (identical
+        # math, fewer MXU launches; see ROADMAP perf lever 1).
+        'FUSED_NOISE_TOWER': False,
+        # Batch only the fc7 GEMMs across the clean/noisy towers (one (2, H, H)
+        # batched matmul instead of two (H, H) ones; fc6 stays per-tower so the
+        # HBM-heavy weight concat that sank FUSED_NOISE_TOWER is avoided).
+        # MEASURED SLOWER on v5e (48.8 vs 53.2 img/s): the per-step weight
+        # stack/cast still outweighs the launch savings — documented negative
+        # result, keep off (models/heads.py vgg16_roi_2fc_noise_head).
+        'FUSED_FC7': False,
+        # Rematerialize the conv body during backward (jax.checkpoint): trade
+        # recompute FLOPs for activation HBM — lets an UNFROZEN body train at
+        # larger image sizes / batch. No effect on frozen-body configs (their
+        # activations are already dead after the pool).
+        'REMAT_BODY': False,
+        # Carry pre-cast bf16 shadow copies of the big compute-path weights in the
+        # optimizer state (parallel/train_step.init_shadow): the forward reads the
+        # shadow directly instead of converting the fp32 master weights every step.
+        # Numerically identical to the plain path (exact-parity tests in
+        # tests/test_shadow.py). MEASURED SLOWER on v5e (52.2 vs 54.8 img/s):
+        # XLA already hides the fp32->bf16 convert in the GEMM/conv operand load,
+        # so the only real cost moved was the post-update re-cast of the trainable
+        # fc towers (~705 MB/step of unfused HBM traffic) — documented negative
+        # result, keep off. -1 = auto (currently off pending a frozen-leaves-only
+        # variant), 0 = off, 1 = force on.
+        'SHADOW_BF16': -1,
+        # ZeRO-1 (parallel/zero.py): keep the data-parallel step but shard the
+        # SGD momentum over the mesh — psum_scatter gradients, per-slice Caffe
+        # momentum update, all_gather of the updated params. Optimizer memory
+        # per chip drops n-fold; numerics identical to the replicated solver.
+        # Checkpoints keep the reference per-param momentum schema.
+        'ZERO_OPT': False,
+        # fc6/fc7 width (4096 in the reference; narrow for CPU tests only).
+        'HEAD_HIDDEN_DIM': 4096,
+        # When set, capture a jax.profiler trace of iterations [10, 15) into this
+        # directory (the TPU-native analogue of the reference's per-phase Timers).
+        'PROFILE_DIR': '',
+        # Train-loop steps fused into one device call via lax.scan (1 = one call
+        # per step). Per-call dispatch costs real wall-clock (dominant on
+        # remote-attached TPUs); K chained steps amortize it Kx at the cost of
+        # snapshot/log granularity rounding to K and the window sharing one padded
+        # image size.
+        'STEPS_PER_CALL': 1,
+        # Static ground-truth box capacity per image for the in-graph Faster R-CNN
+        # target machinery (padded with a validity mask; no reference equivalent —
+        # the Caffe2 python ops used dynamic shapes on host).
+        'MAX_GT_BOXES': 64,
+        # Shard the RoI axis over the mesh instead of data-parallel images: one
+        # image per step, proposals split across devices, psum/all_gather
+        # collectives for the RoI softmax / image score / entropy weights
+        # (parallel/roi_shard.py — the scale-out for the R x 25088 tower axis
+        # when RoI activations exceed per-chip HBM). Plain WSDDN/webly heads only.
+        'ROI_SHARDING': False,
+        # Tensor (hidden-dim) parallelism for the fc towers: the Megatron-style
+        # column-parallel fc6 / row-parallel fc7 split over a 2-D
+        # ('data', 'model') mesh (parallel/tensor_shard.py). Value = model-axis
+        # size m (0 = off); the remaining devices//m mesh rows stay data-parallel
+        # (one image each). Shrinks the dominant 25088 x hidden tower weights and
+        # their optimizer state m-fold per chip with ONE psum per tower per
+        # direction. Plain WSDDN/webly 2fc heads only.
+        'TENSOR_SHARDING': 0,
+        # 2-stage pipeline parallelism (parallel/pipeline.py): conv body on stage
+        # 0, fc towers + heads + backward on stage 1, microbatches flowing through
+        # a lax.scan schedule with one ppermute hop per tick. Requires
+        # TRAIN.FREEZE_CONV_BODY (the flagship setting — makes the pipe
+        # one-directional). Plain WSDDN/webly 2fc heads only.
+        'PIPELINE_PARALLEL': False,
+        # Microbatches (images) per pipeline step; the fill/drain bubble is
+        # 1/(B+1) of the step, so more microbatches amortize it better.
+        'PIPELINE_MICROBATCHES': 4,
+        # Images per device call at eval time (plain protocol only: precomputed
+        # proposals, no TTA/soft-NMS/voting/mask/keypoints/vis). A scan-of-B
+        # fused forward+NMS program amortizes the per-call dispatch round-trip
+        # Bx — dominant on remote-attached TPUs (~170 ms/call on the dev rig).
+        # -1 = auto: 16 when the default backend is TPU (the measured sweet spot
+        # of the double-buffered dispatch sweep — batch 32 regresses because the
+        # chunk's host prep stops hiding under device compute; BASELINE.md), 1
+        # elsewhere. Explicit values are honored as given.
+        'INFER_BATCH': -1,
+        # Shard each eval chunk's images over this many mesh devices inside ONE
+        # program (engine/test.py _fused_detect_scan_mesh): the in-process,
+        # ICI-native counterpart of --multi-gpu-testing's process-per-range
+        # sharding (one weight replica per chip, no pickle merge). 0/1 = off;
+        # chunks whose size does not divide evenly fall back to single-device.
+        'INFER_MESH': 0,
+        # Chunks kept in flight before harvesting in the batched eval loop.
+        # 1 = classic double-buffer (dispatch i+1, then harvest i); 2 keeps a
+        # second dispatched chunk queued so the host's harvest/assemble work for
+        # chunk i also overlaps device compute (measured 55.4 -> 40.9 ms/image
+        # on the dev rig, BASELINE.md). Results are order-identical at any depth
+        # (FIFO harvest into per-image slots).
+        'INFER_PIPELINE_DEPTH': 2,
+        # Resize + normalize images INSIDE the jitted program (ops/image.py):
+        # the host ships raw uint8 pixels (4x smaller than the f32 resized blob)
+        # and skips cv2.resize. -1 = auto (on when the default backend is TPU),
+        # 0 = force host prep, 1 = force device prep. Deviation from the
+        # reference host pipeline is ~2e-3 pixel units (PARITY.md).
+        'DEVICE_IMAGE_PREP': -1,
+        # PRNG impl for the per-step dropout-mask stream. 'rbg' rides the XLA
+        # RngBitGenerator fast path (measured ~3 ms/step cheaper than
+        # 'threefry2x32' on v5e at flagship shapes — 33M mask draws/step); the
+        # mask stream is arbitrary randomness, so this has no parity impact (the
+        # reference uses Caffe2's RNG). Param INIT always stays on threefry.
+        'RNG_IMPL': 'rbg',
+    },
+}
+
+
+def _to_attr_dict(d):
+    if isinstance(d, dict):
+        return AttrDict({k: _to_attr_dict(v) for k, v in d.items()})
+    return d
+
+
+__C = _to_attr_dict(copy.deepcopy(_DEFAULTS))
 cfg = __C
-
-# ---------------------------------------------------------------------------- #
-# Training options
-# ---------------------------------------------------------------------------- #
-__C.TRAIN = AttrDict()
-__C.TRAIN.WEIGHTS = ''
-__C.TRAIN.DATASETS = ()
-__C.TRAIN.SCALES = (600,)
-__C.TRAIN.MAX_SIZE = 1000
-__C.TRAIN.IMS_PER_BATCH = 2
-__C.TRAIN.BATCH_SIZE_PER_IM = 64
-__C.TRAIN.FG_FRACTION = 0.25
-__C.TRAIN.FG_THRESH = 0.5
-__C.TRAIN.BG_THRESH_HI = 0.5
-__C.TRAIN.BG_THRESH_LO = 0.0
-__C.TRAIN.USE_FLIPPED = True
-__C.TRAIN.BBOX_THRESH = 0.5
-__C.TRAIN.SNAPSHOT_ITERS = 80000
-__C.TRAIN.PROPOSAL_FILES = ()
-__C.TRAIN.ASPECT_GROUPING = True
-__C.TRAIN.CROWD_FILTER_THRESH = 0.7
-__C.TRAIN.GT_MIN_AREA = -1
-__C.TRAIN.FREEZE_CONV_BODY = False
-__C.TRAIN.AUTO_RESUME = True
-__C.TRAIN.COPY_WEIGHTS = False
-__C.TRAIN.FREEZE_AT = 2
-
-# RPN training options (reference config.py:146-177)
-__C.TRAIN.RPN_POSITIVE_OVERLAP = 0.7
-__C.TRAIN.RPN_NEGATIVE_OVERLAP = 0.3
-__C.TRAIN.RPN_FG_FRACTION = 0.5
-__C.TRAIN.RPN_BATCH_SIZE_PER_IM = 256
-__C.TRAIN.RPN_NMS_THRESH = 0.7
-__C.TRAIN.RPN_PRE_NMS_TOP_N = 12000
-__C.TRAIN.RPN_POST_NMS_TOP_N = 2000
-__C.TRAIN.RPN_STRADDLE_THRESH = 0
-__C.TRAIN.RPN_MIN_SIZE = 0
-
-# ---------------------------------------------------------------------------- #
-# Data loader options
-# ---------------------------------------------------------------------------- #
-__C.DATA_LOADER = AttrDict()
-__C.DATA_LOADER.NUM_THREADS = 4
-__C.DATA_LOADER.MINIBATCH_QUEUE_SIZE = 64
-__C.DATA_LOADER.BLOBS_QUEUE_CAPACITY = 8
-
-# ---------------------------------------------------------------------------- #
-# Inference options
-# ---------------------------------------------------------------------------- #
-__C.TEST = AttrDict()
-__C.TEST.WEIGHTS = ''
-__C.TEST.DATASETS = ()
-__C.TEST.SCALE = 600
-__C.TEST.MAX_SIZE = 1000
-__C.TEST.NMS = 0.3
-__C.TEST.BBOX_REG = True
-__C.TEST.PROPOSAL_FILES = ()
-__C.TEST.PROPOSAL_LIMIT = 2000
-__C.TEST.DETECTIONS_PER_IM = 100
-__C.TEST.SCORE_THRESH = 0.05
-__C.TEST.COMPETITION_MODE = True
-__C.TEST.FORCE_JSON_DATASET_EVAL = False
-__C.TEST.PRECOMPUTED_PROPOSALS = True
-
-# RPN test options (reference config.py:254-267)
-__C.TEST.RPN_NMS_THRESH = 0.7
-__C.TEST.RPN_PRE_NMS_TOP_N = 12000
-__C.TEST.RPN_POST_NMS_TOP_N = 2000
-__C.TEST.RPN_MIN_SIZE = 0
-
-# Test-time augmentation for bounding boxes
-__C.TEST.BBOX_AUG = AttrDict()
-__C.TEST.BBOX_AUG.ENABLED = False
-__C.TEST.BBOX_AUG.SCORE_HEUR = 'UNION'   # 'ID' | 'AVG' | 'UNION'
-__C.TEST.BBOX_AUG.COORD_HEUR = 'UNION'   # 'ID' | 'AVG' | 'UNION'
-__C.TEST.BBOX_AUG.H_FLIP = False
-__C.TEST.BBOX_AUG.SCALES = ()
-__C.TEST.BBOX_AUG.MAX_SIZE = 4000
-__C.TEST.BBOX_AUG.SCALE_H_FLIP = False
-__C.TEST.BBOX_AUG.SCALE_SIZE_DEP = False
-__C.TEST.BBOX_AUG.AREA_TH_LO = 50 ** 2
-__C.TEST.BBOX_AUG.AREA_TH_HI = 180 ** 2
-__C.TEST.BBOX_AUG.ASPECT_RATIOS = ()
-__C.TEST.BBOX_AUG.ASPECT_RATIO_H_FLIP = False
-
-# Test-time augmentation for masks / keypoints (reference config.py:341-403;
-# accepted for YAML compat — the aug sweeps themselves are not implemented,
-# asserted off in the engine)
-__C.TEST.MASK_AUG = AttrDict()
-__C.TEST.MASK_AUG.ENABLED = False
-__C.TEST.MASK_AUG.HEUR = 'SOFT_AVG'
-__C.TEST.MASK_AUG.H_FLIP = False
-__C.TEST.MASK_AUG.SCALES = ()
-__C.TEST.MASK_AUG.MAX_SIZE = 4000
-__C.TEST.MASK_AUG.SCALE_H_FLIP = False
-__C.TEST.MASK_AUG.SCALE_SIZE_DEP = False
-__C.TEST.MASK_AUG.AREA_TH = 180 ** 2
-__C.TEST.MASK_AUG.ASPECT_RATIOS = ()
-__C.TEST.MASK_AUG.ASPECT_RATIO_H_FLIP = False
-
-__C.TEST.KPS_AUG = AttrDict()
-__C.TEST.KPS_AUG.ENABLED = False
-__C.TEST.KPS_AUG.HEUR = 'HM_AVG'
-__C.TEST.KPS_AUG.H_FLIP = False
-__C.TEST.KPS_AUG.SCALES = ()
-__C.TEST.KPS_AUG.MAX_SIZE = 4000
-__C.TEST.KPS_AUG.SCALE_H_FLIP = False
-__C.TEST.KPS_AUG.SCALE_SIZE_DEP = False
-__C.TEST.KPS_AUG.AREA_TH = 180 ** 2
-__C.TEST.KPS_AUG.ASPECT_RATIOS = ()
-__C.TEST.KPS_AUG.ASPECT_RATIO_H_FLIP = False
-
-# kept for YAML compat (Caffe2-runtime specific; proposals are always
-# generated on-device here)
-__C.TEST.GENERATE_PROPOSALS_ON_GPU = False
-__C.TRAIN.GENERATE_PROPOSALS_ON_GPU = False
-
-# Soft NMS
-__C.TEST.SOFT_NMS = AttrDict()
-__C.TEST.SOFT_NMS.ENABLED = False
-__C.TEST.SOFT_NMS.METHOD = 'linear'      # 'linear' | 'gaussian'
-__C.TEST.SOFT_NMS.SIGMA = 0.5
-
-# Box voting
-__C.TEST.BBOX_VOTE = AttrDict()
-__C.TEST.BBOX_VOTE.ENABLED = False
-__C.TEST.BBOX_VOTE.VOTE_TH = 0.8
-__C.TEST.BBOX_VOTE.SCORING_METHOD = 'ID'
-__C.TEST.BBOX_VOTE.SCORING_METHOD_BETA = 1.0
-
-# ---------------------------------------------------------------------------- #
-# Model options
-# ---------------------------------------------------------------------------- #
-__C.MODEL = AttrDict()
-__C.MODEL.TYPE = ''
-__C.MODEL.CONV_BODY = ''
-__C.MODEL.NUM_CLASSES = -1
-__C.MODEL.CLS_AGNOSTIC_BBOX_REG = False
-__C.MODEL.BBOX_REG_WEIGHTS = (10., 10., 5., 5.)
-__C.MODEL.FASTER_RCNN = False
-__C.MODEL.MASK_ON = False
-__C.MODEL.KEYPOINTS_ON = False
-__C.MODEL.RPN_ONLY = False
-__C.MODEL.EXECUTION_TYPE = 'dag'
-
-# ---------------------------------------------------------------------------- #
-# Solver options
-# ---------------------------------------------------------------------------- #
-__C.SOLVER = AttrDict()
-__C.SOLVER.BASE_LR = 0.001
-__C.SOLVER.LR_POLICY = 'step'
-__C.SOLVER.GAMMA = 0.1
-__C.SOLVER.STEP_SIZE = 30000
-__C.SOLVER.STEPS = []
-__C.SOLVER.LRS = []
-__C.SOLVER.MAX_ITER = 40000
-__C.SOLVER.MOMENTUM = 0.9
-__C.SOLVER.WEIGHT_DECAY = 0.0005
-__C.SOLVER.WEIGHT_DECAY_GN = 0.0
-__C.SOLVER.WARM_UP_ITERS = 500
-__C.SOLVER.WARM_UP_FACTOR = 1.0 / 3.0
-__C.SOLVER.WARM_UP_METHOD = 'linear'
-__C.SOLVER.SCALE_MOMENTUM = True
-__C.SOLVER.SCALE_MOMENTUM_THRESHOLD = 1.1
-__C.SOLVER.LOG_LR_CHANGE_THRESHOLD = 1.1
-
-# ---------------------------------------------------------------------------- #
-# Fast R-CNN / RoI box head options
-# ---------------------------------------------------------------------------- #
-__C.FAST_RCNN = AttrDict()
-__C.FAST_RCNN.ROI_BOX_HEAD = ''
-__C.FAST_RCNN.MLP_HEAD_DIM = 1024
-__C.FAST_RCNN.CONV_HEAD_DIM = 256
-__C.FAST_RCNN.NUM_STACKED_CONVS = 4
-__C.FAST_RCNN.ROI_XFORM_METHOD = 'RoIPoolF'
-__C.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO = 0
-__C.FAST_RCNN.ROI_XFORM_RESOLUTION = 14
-
-# ---------------------------------------------------------------------------- #
-# WSL (weakly-supervised learning) options — the capability switchboard
-# (reference config.py:910-987)
-# ---------------------------------------------------------------------------- #
-__C.WSL = AttrDict()
-__C.WSL.WSL_ON = False
-__C.WSL.ITER_SIZE = 1
-__C.WSL.DEBUG = False
-__C.WSL.SAMPLE = False
-__C.WSL.SAMPLE_ITER = 1280
-__C.WSL.CPG = False
-__C.WSL.CPG_PRE_BLOB = 'cls_prob'
-__C.WSL.CPG_DATA_BLOB = 'data'
-__C.WSL.CPG_TAU = 0.7
-__C.WSL.CPG_MAX_ITER = 0
-__C.WSL.CSC_MAX_ITER = 35000
-__C.WSL.CSC = False
-__C.WSL.CSC_FG_THRESHOLD = 0.1
-__C.WSL.CSC_MASS_THRESHOLD = 0.2
-__C.WSL.CSC_DENSITY_THRESHOLD = 0.0
-__C.WSL.CENTER_LOSS = False
-__C.WSL.CENTER_LOSS_NUMBER = 5
-__C.WSL.CENTER_LOSS_TOP_K = 10
-__C.WSL.CONTEXT = False
-__C.WSL.CONTEXT_RATIO = 1.8
-__C.WSL.OICR = False
-__C.WSL.PCL = False
-# Run the PCL pseudo-labeling on device (lax.while_loop clique extraction
-# + masked KMeans) instead of the reference-faithful host callback; saves
-# refine_k host round-trips per step. Documented deviations: KMeans center
-# init and top-5 tie-breaking (ops/refine.py:pcl_targets_device).
-__C.WSL.PCL_DEVICE = False
-__C.WSL.CMIL = False
-__C.WSL.SIZE_EPOCH = 5000
-__C.WSL.MLP_HEAD_DIM = []
-__C.WSL.DEEP_MEM = False
-__C.WSL.MEAN_LOSS = False
-__C.WSL.USE_DISTORTION = True
-__C.WSL.SATURATION = 1.5
-__C.WSL.EXPOSURE = 1.5
-__C.WSL.USE_CROP = True
-__C.WSL.CROP = 0.9
-__C.WSL.DILATION = 1
-__C.WSL.MASK_SOFTMAX = False
-__C.WSL.MIN_ENTROPY_LOSS = False
-__C.WSL.PTH_IMG = False
-
-# Pseudo ground-truth self-training
-__C.USE_PSEUDO = False
-__C.PSEUDO_PATH = ()
-
-# ---------------------------------------------------------------------------- #
-# WEBLY (noise-aware web supervision) options (reference config.py:990-1001)
-# ---------------------------------------------------------------------------- #
-__C.WEBLY = AttrDict()
-__C.WEBLY.WEBLY_ON = False
-__C.WEBLY.ENTROPY = False
-__C.WEBLY.MINING = False
-__C.WEBLY.BAGGING_MIXUP = False
-__C.WEBLY.BAGGING_MIXUP_ALPHA = 1.5
-
-# ---------------------------------------------------------------------------- #
-# Mask head options (weakly-supervised seg branch; reference config.py:747-792)
-# ---------------------------------------------------------------------------- #
-__C.MRCNN = AttrDict()
-__C.MRCNN.ROI_MASK_HEAD = 'wsl_seg_heads.mask_rcnn_fcn_head'
-__C.MRCNN.RESOLUTION = 14
-__C.MRCNN.ROI_XFORM_METHOD = 'RoIAlign'
-__C.MRCNN.ROI_XFORM_RESOLUTION = 7
-__C.MRCNN.ROI_XFORM_SAMPLING_RATIO = 0
-__C.MRCNN.DIM_REDUCED = 256
-__C.MRCNN.DILATION = 2
-__C.MRCNN.UPSAMPLE_RATIO = 1
-__C.MRCNN.USE_FC_OUTPUT = False
-__C.MRCNN.CONV_INIT = 'GaussianFill'
-__C.MRCNN.CLS_SPECIFIC_MASK = True
-__C.MRCNN.WEIGHT_LOSS_MASK = 1.0
-__C.MRCNN.THRESH_BINARIZE = 0.5
-
-# ---------------------------------------------------------------------------- #
-# RPN options (reference config.py:683-693)
-# ---------------------------------------------------------------------------- #
-__C.RPN = AttrDict()
-__C.RPN.RPN_ON = False
-__C.RPN.SIZES = (64, 128, 256, 512)
-__C.RPN.STRIDE = 16
-__C.RPN.ASPECT_RATIOS = (0.5, 1, 2)
-
-# ---------------------------------------------------------------------------- #
-# FPN options (reference config.py:702-743)
-# ---------------------------------------------------------------------------- #
-__C.FPN = AttrDict()
-__C.FPN.FPN_ON = False
-__C.FPN.DIM = 256
-__C.FPN.ZERO_INIT_LATERAL = False
-__C.FPN.COARSEST_STRIDE = 32
-__C.FPN.MULTILEVEL_ROIS = False
-__C.FPN.ROI_CANONICAL_SCALE = 224
-__C.FPN.ROI_CANONICAL_LEVEL = 4
-__C.FPN.ROI_MAX_LEVEL = 5
-__C.FPN.ROI_MIN_LEVEL = 2
-__C.FPN.MULTILEVEL_RPN = False
-__C.FPN.RPN_MAX_LEVEL = 6
-__C.FPN.RPN_MIN_LEVEL = 2
-__C.FPN.RPN_ASPECT_RATIOS = (0.5, 1, 2)
-__C.FPN.RPN_ANCHOR_START_SIZE = 32
-__C.FPN.EXTRA_CONV_LEVELS = False
-__C.FPN.USE_GN = False
-
-# ---------------------------------------------------------------------------- #
-# RetinaNet options (reference config.py:500-556)
-# ---------------------------------------------------------------------------- #
-__C.RETINANET = AttrDict()
-__C.RETINANET.RETINANET_ON = False
-__C.RETINANET.ASPECT_RATIOS = (0.5, 1.0, 2.0)
-__C.RETINANET.SCALES_PER_OCTAVE = 3
-__C.RETINANET.ANCHOR_SCALE = 4
-__C.RETINANET.NUM_CONVS = 4
-__C.RETINANET.BBOX_REG_WEIGHT = 1.0
-__C.RETINANET.BBOX_REG_BETA = 0.11
-__C.RETINANET.PRE_NMS_TOP_N = 1000
-__C.RETINANET.POSITIVE_OVERLAP = 0.5
-__C.RETINANET.NEGATIVE_OVERLAP = 0.4
-__C.RETINANET.LOSS_ALPHA = 0.25
-__C.RETINANET.LOSS_GAMMA = 2.0
-__C.RETINANET.PRIOR_PROB = 0.01
-__C.RETINANET.SHARE_CLS_BBOX_TOWER = False
-__C.RETINANET.CLASS_SPECIFIC_BBOX = False
-__C.RETINANET.SOFTMAX = False
-__C.RETINANET.INFERENCE_TH = 0.05
-
-# ---------------------------------------------------------------------------- #
-# Keypoint R-CNN options (reference config.py:803-870)
-# ---------------------------------------------------------------------------- #
-__C.KRCNN = AttrDict()
-__C.KRCNN.ROI_KEYPOINTS_HEAD = ''
-__C.KRCNN.HEATMAP_SIZE = -1
-__C.KRCNN.UP_SCALE = -1
-__C.KRCNN.USE_DECONV = False
-__C.KRCNN.DECONV_DIM = 256
-__C.KRCNN.USE_DECONV_OUTPUT = False
-__C.KRCNN.DILATION = 1
-__C.KRCNN.DECONV_KERNEL = 4
-__C.KRCNN.NUM_KEYPOINTS = -1
-__C.KRCNN.NUM_STACKED_CONVS = 8
-__C.KRCNN.CONV_HEAD_DIM = 256
-__C.KRCNN.CONV_HEAD_KERNEL = 3
-__C.KRCNN.CONV_INIT = 'GaussianFill'
-__C.KRCNN.NMS_OKS = False
-__C.KRCNN.KEYPOINT_CONFIDENCE = 'bbox'
-__C.KRCNN.ROI_XFORM_METHOD = 'RoIAlign'
-__C.KRCNN.ROI_XFORM_RESOLUTION = 7
-__C.KRCNN.ROI_XFORM_SAMPLING_RATIO = 0
-__C.KRCNN.MIN_KEYPOINT_COUNT_FOR_VALID_MINIBATCH = 20
-__C.KRCNN.INFERENCE_MIN_SIZE = 0
-__C.KRCNN.LOSS_WEIGHT = 1.0
-__C.KRCNN.NORMALIZE_BY_VISIBLE_KEYPOINTS = True
-
-# ---------------------------------------------------------------------------- #
-# R-FCN / ResNet options (reference config.py:879-905)
-# ---------------------------------------------------------------------------- #
-__C.RFCN = AttrDict()
-__C.RFCN.PS_GRID_SIZE = 3
-
-__C.RESNETS = AttrDict()
-__C.RESNETS.NUM_GROUPS = 1
-__C.RESNETS.WIDTH_PER_GROUP = 64
-__C.RESNETS.STRIDE_1X1 = True
-__C.RESNETS.TRANS_FUNC = 'bottleneck_transformation'
-__C.RESNETS.STEM_FUNC = 'basic_bn_stem'
-__C.RESNETS.SHORTCUT_FUNC = 'basic_bn_shortcut'
-__C.RESNETS.RES5_DILATION = 1
-
-# ---------------------------------------------------------------------------- #
-# GroupNorm options
-# ---------------------------------------------------------------------------- #
-__C.GROUP_NORM = AttrDict()
-__C.GROUP_NORM.DIM_PER_GP = -1
-__C.GROUP_NORM.NUM_GROUPS = 32
-__C.GROUP_NORM.EPSILON = 1e-5
-
-# ---------------------------------------------------------------------------- #
-# Misc options
-# ---------------------------------------------------------------------------- #
-# Number of devices in the data-parallel mesh (the reference's NUM_GPUS;
-# here: number of TPU chips used by pjit/shard_map)
-__C.NUM_GPUS = 1
-__C.USE_NCCL = False  # kept for YAML compat; collectives are XLA-native here
-__C.DEDUP_BOXES = 1. / 16.
-__C.BBOX_XFORM_CLIP = float(np.log(1000. / 16.))
-__C.PIXEL_MEANS = np.array([[[102.9801, 115.9465, 122.7717]]])
-__C.PIXEL_STDS = np.array([[[1.0, 1.0, 1.0]]])
-__C.RNG_SEED = 3
-__C.EPS = 1e-14
-__C.ROOT_DIR = os.getcwd()
-__C.OUTPUT_DIR = '/tmp'
-__C.MATLAB = 'matlab'
-__C.MEMONGER = False
-__C.MEMONGER_SHARE_ACTIVATIONS = False
-__C.VIS = False
-__C.VIS_TH = 0.9
-__C.EXPECTED_RESULTS = []
-__C.EXPECTED_RESULTS_RTOL = 0.1
-__C.EXPECTED_RESULTS_ATOL = 0.005
-__C.EXPECTED_RESULTS_SIGMA_TOL = 4
-__C.EXPECTED_RESULTS_EMAIL = ''
-__C.DOWNLOAD_CACHE = '/tmp/detectron-download-cache'
-
-# Cluster-environment flag (reference config.py:1098-1101; YAML compat)
-__C.CLUSTER = AttrDict()
-__C.CLUSTER.ON_CLUSTER = False
-
-# TPU-specific knobs (new; no reference equivalent)
-__C.TPU = AttrDict()
-# Compute dtype for conv body / FC matmuls ('bfloat16' or 'float32').
-__C.TPU.COMPUTE_DTYPE = 'float32'
-# Pad RoI count to this multiple for static XLA shapes.
-__C.TPU.ROI_PAD_MULTIPLE = 256
-# Max gt classes per image given CPG/CSC backward passes (static scan
-# capacity; each active class costs one conv backward). 0 = reference-
-# faithful: NUM_CLASSES-1, i.e. every gt class gets a saliency map like
-# the reference's dynamic loop (cpg_op.cu:149-213). The shipped TPU
-# CPG/CSC configs set 4 explicitly — it covers the observed per-image
-# label cardinality of the WSOD datasets and bounds compile-time scan
-# capacity; inactive capacity costs nothing at run time either way.
-__C.TPU.CPG_MAX_GT = 0
-# Bucketed image sizes are rounded up to this multiple to bound recompiles.
-__C.TPU.SIZE_BUCKET_MULTIPLE = 64
-# Use the Pallas fused RoI pooling kernel when on TPU.
-__C.TPU.USE_PALLAS = True
-# Run the clean+noisy fc towers as one width-doubled GEMM pair (identical
-# math, fewer MXU launches; see ROADMAP perf lever 1).
-__C.TPU.FUSED_NOISE_TOWER = False
-# Batch only the fc7 GEMMs across the clean/noisy towers (one (2, H, H)
-# batched matmul instead of two (H, H) ones; fc6 stays per-tower so the
-# HBM-heavy weight concat that sank FUSED_NOISE_TOWER is avoided).
-# MEASURED SLOWER on v5e (48.8 vs 53.2 img/s): the per-step weight
-# stack/cast still outweighs the launch savings — documented negative
-# result, keep off (models/heads.py vgg16_roi_2fc_noise_head).
-__C.TPU.FUSED_FC7 = False
-# Rematerialize the conv body during backward (jax.checkpoint): trade
-# recompute FLOPs for activation HBM — lets an UNFROZEN body train at
-# larger image sizes / batch. No effect on frozen-body configs (their
-# activations are already dead after the pool).
-__C.TPU.REMAT_BODY = False
-# Carry pre-cast bf16 shadow copies of the big compute-path weights in the
-# optimizer state (parallel/train_step.init_shadow): the forward reads the
-# shadow directly instead of converting the fp32 master weights every step.
-# Numerically identical to the plain path (exact-parity tests in
-# tests/test_shadow.py). MEASURED SLOWER on v5e (52.2 vs 54.8 img/s):
-# XLA already hides the fp32->bf16 convert in the GEMM/conv operand load,
-# so the only real cost moved was the post-update re-cast of the trainable
-# fc towers (~705 MB/step of unfused HBM traffic) — documented negative
-# result, keep off. -1 = auto (currently off pending a frozen-leaves-only
-# variant), 0 = off, 1 = force on.
-__C.TPU.SHADOW_BF16 = -1
-# ZeRO-1 (parallel/zero.py): keep the data-parallel step but shard the
-# SGD momentum over the mesh — psum_scatter gradients, per-slice Caffe
-# momentum update, all_gather of the updated params. Optimizer memory
-# per chip drops n-fold; numerics identical to the replicated solver.
-# Checkpoints keep the reference per-param momentum schema.
-__C.TPU.ZERO_OPT = False
-# fc6/fc7 width (4096 in the reference; narrow for CPU tests only).
-__C.TPU.HEAD_HIDDEN_DIM = 4096
-# When set, capture a jax.profiler trace of iterations [10, 15) into this
-# directory (the TPU-native analogue of the reference's per-phase Timers).
-__C.TPU.PROFILE_DIR = ''
-# Train-loop steps fused into one device call via lax.scan (1 = one call
-# per step). Per-call dispatch costs real wall-clock (dominant on
-# remote-attached TPUs); K chained steps amortize it Kx at the cost of
-# snapshot/log granularity rounding to K and the window sharing one padded
-# image size.
-__C.TPU.STEPS_PER_CALL = 1
-# Static ground-truth box capacity per image for the in-graph Faster R-CNN
-# target machinery (padded with a validity mask; no reference equivalent —
-# the Caffe2 python ops used dynamic shapes on host).
-__C.TPU.MAX_GT_BOXES = 64
-# Shard the RoI axis over the mesh instead of data-parallel images: one
-# image per step, proposals split across devices, psum/all_gather
-# collectives for the RoI softmax / image score / entropy weights
-# (parallel/roi_shard.py — the scale-out for the R x 25088 tower axis
-# when RoI activations exceed per-chip HBM). Plain WSDDN/webly heads only.
-__C.TPU.ROI_SHARDING = False
-# Tensor (hidden-dim) parallelism for the fc towers: the Megatron-style
-# column-parallel fc6 / row-parallel fc7 split over a 2-D
-# ('data', 'model') mesh (parallel/tensor_shard.py). Value = model-axis
-# size m (0 = off); the remaining devices//m mesh rows stay data-parallel
-# (one image each). Shrinks the dominant 25088 x hidden tower weights and
-# their optimizer state m-fold per chip with ONE psum per tower per
-# direction. Plain WSDDN/webly 2fc heads only.
-__C.TPU.TENSOR_SHARDING = 0
-# 2-stage pipeline parallelism (parallel/pipeline.py): conv body on stage
-# 0, fc towers + heads + backward on stage 1, microbatches flowing through
-# a lax.scan schedule with one ppermute hop per tick. Requires
-# TRAIN.FREEZE_CONV_BODY (the flagship setting — makes the pipe
-# one-directional). Plain WSDDN/webly 2fc heads only.
-__C.TPU.PIPELINE_PARALLEL = False
-# Microbatches (images) per pipeline step; the fill/drain bubble is
-# 1/(B+1) of the step, so more microbatches amortize it better.
-__C.TPU.PIPELINE_MICROBATCHES = 4
-# Images per device call at eval time (plain protocol only: precomputed
-# proposals, no TTA/soft-NMS/voting/mask/keypoints/vis). A scan-of-B
-# fused forward+NMS program amortizes the per-call dispatch round-trip
-# Bx — dominant on remote-attached TPUs (~170 ms/call on the dev rig).
-# -1 = auto: 16 when the default backend is TPU (the measured sweet spot
-# of the double-buffered dispatch sweep — batch 32 regresses because the
-# chunk's host prep stops hiding under device compute; BASELINE.md), 1
-# elsewhere. Explicit values are honored as given.
-__C.TPU.INFER_BATCH = -1
-# Shard each eval chunk's images over this many mesh devices inside ONE
-# program (engine/test.py _fused_detect_scan_mesh): the in-process,
-# ICI-native counterpart of --multi-gpu-testing's process-per-range
-# sharding (one weight replica per chip, no pickle merge). 0/1 = off;
-# chunks whose size does not divide evenly fall back to single-device.
-__C.TPU.INFER_MESH = 0
-# Chunks kept in flight before harvesting in the batched eval loop.
-# 1 = classic double-buffer (dispatch i+1, then harvest i); 2 keeps a
-# second dispatched chunk queued so the host's harvest/assemble work for
-# chunk i also overlaps device compute (measured 55.4 -> 40.9 ms/image
-# on the dev rig, BASELINE.md). Results are order-identical at any depth
-# (FIFO harvest into per-image slots).
-__C.TPU.INFER_PIPELINE_DEPTH = 2
-# Resize + normalize images INSIDE the jitted program (ops/image.py):
-# the host ships raw uint8 pixels (4x smaller than the f32 resized blob)
-# and skips cv2.resize. -1 = auto (on when the default backend is TPU),
-# 0 = force host prep, 1 = force device prep. Deviation from the
-# reference host pipeline is ~2e-3 pixel units (PARITY.md).
-__C.TPU.DEVICE_IMAGE_PREP = -1
-# PRNG impl for the per-step dropout-mask stream. 'rbg' rides the XLA
-# RngBitGenerator fast path (measured ~3 ms/step cheaper than
-# 'threefry2x32' on v5e at flagship shapes — 33M mask draws/step); the
-# mask stream is arbitrary randomness, so this has no parity impact (the
-# reference uses Caffe2's RNG). Param INIT always stays on threefry.
-__C.TPU.RNG_IMPL = 'rbg'
 
 # Deprecated/renamed keys from the reference's registry that we silently accept
 # in YAML files (reference config.py:1109-1175).
@@ -632,12 +665,6 @@ def dump_cfg():
 # ---------------------------------------------------------------------------- #
 # Internals
 # ---------------------------------------------------------------------------- #
-
-def _to_attr_dict(d):
-    if isinstance(d, dict):
-        return AttrDict({k: _to_attr_dict(v) for k, v in d.items()})
-    return d
-
 
 def _to_plain_dict(d):
     if isinstance(d, dict):
