@@ -276,7 +276,10 @@ _DEFAULTS = {
     # Mask head options (weakly-supervised seg branch; reference config.py:747-792)
     # ---------------------------------------------------------------------------- #
     'MRCNN': {
-        'ROI_MASK_HEAD': 'wsl_seg_heads.mask_rcnn_fcn_head',
+        # '' (the reference default) resolves to the same fcn/2-conv fields
+        # as the explicit wsl_seg_heads.mask_rcnn_fcn_head name
+        # (models/detector.py _mask_head_fields)
+        'ROI_MASK_HEAD': '',
         'RESOLUTION': 14,
         'ROI_XFORM_METHOD': 'RoIAlign',
         'ROI_XFORM_RESOLUTION': 7,
