@@ -11,6 +11,7 @@ import os
 _IM_DIR = 'image_directory'
 _ANN_FN = 'annotation_file'
 _DEVKIT_DIR = 'devkit_directory'
+_IM_PREFIX = 'image_prefix'
 
 
 def get_data_dir():
@@ -23,8 +24,14 @@ def get_data_dir():
 def _catalog():
     d = get_data_dir()
     cat = {}
-    for year in ('2007', '2012'):
-        for split in ('train', 'val', 'trainval', 'test'):
+    # VOC splits, incl. the webly-noise-distorted jsons the reference pairs
+    # with them (ref dataset_catalog.py voc_2007_{train,val}_noisy; produced
+    # by tools/distort_voc_json.py)
+    voc_splits = {'2007': ('train', 'val', 'trainval', 'test',
+                           'train_noisy', 'val_noisy'),
+                  '2012': ('train', 'val', 'trainval', 'test')}
+    for year, splits in voc_splits.items():
+        for split in splits:
             cat['voc_{}_{}'.format(year, split)] = {
                 _IM_DIR: os.path.join(d, 'VOC' + year, 'JPEGImages'),
                 _ANN_FN: os.path.join(
@@ -58,6 +65,40 @@ def _catalog():
                                   .replace('valminusval', 'val')),
             _ANN_FN: os.path.join(d, 'coco', 'annotations',
                                   'instances_{}.json'.format(split)),
+        }
+    # keypoint task views of the same 2014 images (person_keypoints jsons,
+    # ref dataset_catalog.py:129-152)
+    for split in ('train', 'val', 'minival', 'valminusminival'):
+        cat['keypoints_coco_2014_' + split] = {
+            _IM_DIR: os.path.join(
+                d, 'coco', ('train' if split == 'train' else 'val') + '2014'),
+            _ANN_FN: os.path.join(
+                d, 'coco', 'annotations',
+                'person_keypoints_{}2014.json'.format(split)),
+        }
+    # image-info-only test sets; 2017 test reuses the 2015 test images with
+    # a COCO_test2015_ filename prefix (ref dataset_catalog.py:89-116)
+    test_sets = {
+        'coco_2015_test': ('image_info_test2015.json', ''),
+        'coco_2015_test-dev': ('image_info_test-dev2015.json', ''),
+        'coco_2017_test': ('image_info_test2017.json', 'COCO_test2015_'),
+        'coco_2017_test-dev': ('image_info_test-dev2017.json',
+                               'COCO_test2015_'),
+        'keypoints_coco_2015_test': ('image_info_test2015.json', ''),
+        'keypoints_coco_2015_test-dev': ('image_info_test-dev2015.json', ''),
+    }
+    for name, (ann, prefix) in test_sets.items():
+        cat[name] = {
+            _IM_DIR: os.path.join(d, 'coco', 'test2015'),
+            _ANN_FN: os.path.join(d, 'coco', 'annotations', ann),
+            _IM_PREFIX: prefix,
+        }
+    # COCO-stuff jsons over the 2014 images (ref dataset_catalog.py:117-128)
+    for split in ('train', 'val'):
+        cat['coco_stuff_' + split] = {
+            _IM_DIR: os.path.join(d, 'coco', split + '2014'),
+            _ANN_FN: os.path.join(d, 'coco', 'annotations',
+                                  'coco_stuff_{}.json'.format(split)),
         }
     return cat
 
@@ -94,3 +135,9 @@ def get_ann_fn(name):
 
 def get_devkit_dir(name):
     return _lookup(name)[_DEVKIT_DIR]
+
+
+def get_im_prefix(name):
+    """Filename prefix prepended to every file_name of the dataset (the
+    coco_2017_test sets reuse 2015 test images; ref dataset_catalog.py:295)."""
+    return _lookup(name).get(_IM_PREFIX, '')

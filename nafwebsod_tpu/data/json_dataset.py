@@ -172,7 +172,7 @@ class JsonDataset:
     def __init__(self, name):
         self.name = name
         self.image_directory = catalog.get_im_dir(name)
-        self.image_prefix = ''
+        self.image_prefix = catalog.get_im_prefix(name)
         self.COCO = COCOJson(catalog.get_ann_fn(name))
         self.debug = False
         cat_ids = self.COCO.getCatIds()

@@ -25,6 +25,38 @@ def fresh_cfg():
     reset_cfg()
 
 
+class TestCatalog:
+    # every name the reference's dataset_catalog.py registers
+    # (dataset_catalog.py:50-260) must resolve here too
+    REFERENCE_NAMES = [
+        'cityscapes_fine_instanceonly_seg_train',
+        'cityscapes_fine_instanceonly_seg_val',
+        'cityscapes_fine_instanceonly_seg_test',
+        'coco_2014_train', 'coco_2014_val', 'coco_2014_minival',
+        'coco_2014_valminusminival', 'coco_2015_test', 'coco_2015_test-dev',
+        'coco_2017_test', 'coco_2017_test-dev',
+        'coco_stuff_train', 'coco_stuff_val',
+        'keypoints_coco_2014_train', 'keypoints_coco_2014_val',
+        'keypoints_coco_2014_minival', 'keypoints_coco_2014_valminusminival',
+        'keypoints_coco_2015_test', 'keypoints_coco_2015_test-dev',
+        'voc_2007_train', 'voc_2007_val', 'voc_2007_trainval',
+        'voc_2007_test', 'voc_2007_train_noisy', 'voc_2007_val_noisy',
+        'voc_2012_train', 'voc_2012_val', 'voc_2012_trainval',
+        'voc_2012_test',
+        'flickr_voc', 'flickr_clean', 'flickr_coco',
+    ]
+
+    def test_reference_name_space_is_covered(self):
+        for name in self.REFERENCE_NAMES:
+            assert catalog.get_im_dir(name)
+            assert catalog.get_ann_fn(name)
+
+    def test_2017_test_reuses_2015_images_with_prefix(self):
+        assert catalog.get_im_prefix('coco_2017_test') == 'COCO_test2015_'
+        assert catalog.get_im_prefix('coco_2015_test') == ''
+        assert catalog.get_im_prefix('flickr_voc') == ''
+
+
 @pytest.fixture()
 def dataset(tmp_path):
     info = fixtures.make_coco_dataset(str(tmp_path))
