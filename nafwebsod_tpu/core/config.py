@@ -581,6 +581,27 @@ _DEPRECATED_KEYS = {
 _RENAMED_KEYS = {
     'EXAMPLE.RENAMED.KEY': 'EXAMPLE.KEY',
     'PIXEL_MEAN': 'PIXEL_MEANS',
+    # the reference's full rename registry (config.py:1130-1164) — a value
+    # may be (new_key, extra_migration_hint)
+    'MODEL.PS_GRID_SIZE': 'RFCN.PS_GRID_SIZE',
+    'MODEL.ROI_HEAD': 'FAST_RCNN.ROI_BOX_HEAD',
+    'MRCNN.MASK_HEAD_NAME': 'MRCNN.ROI_MASK_HEAD',
+    'TRAIN.DATASET': (
+        'TRAIN.DATASETS',
+        "Also convert the value to a tuple, e.g. 'coco_2014_train' -> "
+        "('coco_2014_train',); ':'-separated lists become tuple elements"),
+    'TRAIN.PROPOSAL_FILE': (
+        'TRAIN.PROPOSAL_FILES',
+        "Also convert the value to a tuple of paths"),
+    'TEST.SCALES': (
+        'TEST.SCALE',
+        "Also convert the value from a tuple, e.g. (600,), to an int"),
+    'TEST.DATASET': (
+        'TEST.DATASETS',
+        "Also convert the value to a tuple, e.g. ('coco_2014_minival',)"),
+    'TEST.PROPOSAL_FILE': (
+        'TEST.PROPOSAL_FILES',
+        "Also convert the value to a tuple of paths"),
 }
 
 # Keys the TPU rebuild accepts but ignores (none currently; the model-family
@@ -723,9 +744,14 @@ def _key_is_renamed(full_key):
 
 
 def _raise_key_rename_error(full_key):
+    new_key = _RENAMED_KEYS[full_key]
+    hint = ''
+    if isinstance(new_key, tuple):
+        new_key, extra = new_key
+        hint = ' Note: ' + extra + '.'
     raise KeyError(
-        f'Key {full_key} was renamed to {_RENAMED_KEYS[full_key]}; '
-        'please update your config')
+        f'Key {full_key} was renamed to {new_key}; '
+        f'please update your config.{hint}')
 
 
 def _decode_cfg_value(v):

@@ -464,6 +464,12 @@ _MASK_HEAD_VARIANTS = {
     'mask_rcnn_fcn_head_v1up4convs_gn': ('fcn', 4, True),
     'mask_rcnn_fcn_head_v0up': ('v0up', 0, False),
     'mask_rcnn_fcn_head_v0upshare': ('v0upshare', 0, False),
+    # pre-rename aliases still honored by the reference for legacy YAMLs
+    # (modeling/name_compat.py:40-55)
+    'ResNet_mask_rcnn_fcn_head_v1up': ('fcn', 2, False),
+    'ResNet_mask_rcnn_fcn_head_v1up4convs': ('fcn', 4, False),
+    'ResNet_mask_rcnn_fcn_head_v0up': ('v0up', 0, False),
+    'ResNet_mask_rcnn_fcn_head_v0upshare': ('v0upshare', 0, False),
 }
 
 
