@@ -109,9 +109,10 @@ _DEFAULTS = {
             'ASPECT_RATIO_H_FLIP': False,
         },
 
-        # Test-time augmentation for masks / keypoints (reference config.py:341-403;
-        # accepted for YAML compat — the aug sweeps themselves are not implemented,
-        # asserted off in the engine)
+        # Test-time augmentation for masks / keypoints (reference
+        # config.py:341-403; sweeps run in engine/test.py im_detect_mask_aug /
+        # im_detect_keypoints_aug with SOFT_AVG/SOFT_MAX/LOGIT_AVG and
+        # HM_AVG/HM_MAX combination heuristics)
         'MASK_AUG': {
             'ENABLED': False,
             'HEUR': 'SOFT_AVG',
