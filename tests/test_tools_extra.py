@@ -209,3 +209,108 @@ class TestRevalAndVis:
         vis(dataset_name, det_file, 0.5, 2.0, out_dir, limit=2)
         pngs = [f for f in os.listdir(out_dir) if f.endswith('.png')]
         assert len(pngs) == 2
+
+
+class TestGridSearchCache:
+    def test_rebuild_prenms_cache(self):
+        from test_net_grid_search import rebuild_prenms_cache
+        # WSL-style detections: every class shares the same box rows
+        num_classes, num_images, R = 3, 2, 4
+        rows = np.arange(R * 5, dtype=np.float32).reshape(R, 5)
+        all_boxes = [[] for _ in range(num_classes)]
+        for j in range(1, num_classes):
+            all_boxes[j] = [rows + j for _ in range(num_images)]
+        scores, boxes = rebuild_prenms_cache(all_boxes, num_classes,
+                                             num_images)
+        assert len(scores) == num_images and len(boxes) == num_images
+        assert scores[0].shape == (R, num_classes)
+        assert boxes[0].shape == (R, 4 * num_classes)
+        # per-class score column j = that class's 5th det column
+        np.testing.assert_array_equal(scores[0][:, 1], rows[:, 4] + 1)
+        np.testing.assert_array_equal(scores[0][:, 2], rows[:, 4] + 2)
+        # background column stays -1
+        assert (scores[0][:, 0] == -1).all()
+
+
+def test_shannon_entropy_demo_runs():
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'tools', 'shannon_entropy.py')],
+        capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr
+    # the uniform case has entropy log(N) -> complement exactly 0
+    assert '2000' in proc.stdout
+
+
+class TestInferCLI:
+    def test_single_image_inference(self, tmp_path, dataset_name,
+                                    monkeypatch):
+        import cv2
+        from nafwebsod_tpu.core import config as config_mod
+        from nafwebsod_tpu.data.json_dataset import JsonDataset
+        from nafwebsod_tpu.models import detector
+        from nafwebsod_tpu.utils.checkpoint import \
+            save_params_to_weights_file
+
+        cfg_yaml = tmp_path / 'cfg.yaml'
+        cfg_yaml.write_text(
+            'MODEL:\n'
+            '  TYPE: generalized_wsl\n'
+            '  CONV_BODY: VGG16.add_VGG16_conv5_body_origin\n'
+            '  NUM_CLASSES: {}\n'
+            'FAST_RCNN:\n'
+            '  ROI_BOX_HEAD: wsl_heads.add_VGG16_roi_2fc_head\n'
+            'TEST:\n'
+            '  SCALE: 48\n'
+            '  MAX_SIZE: 64\n'
+            'TPU:\n'
+            '  HEAD_HIDDEN_DIM: 16\n'.format(cfg.MODEL.NUM_CLASSES))
+
+        # random-init checkpoint in the reference pkl schema
+        config_mod.merge_cfg_from_file(str(cfg_yaml))
+        import jax
+        spec = detector.spec_from_cfg(cfg)
+        params = detector.init_params(spec, jax.random.PRNGKey(0))
+        wts = str(tmp_path / 'w.pkl')
+        save_params_to_weights_file(wts, params)
+        reset_cfg()
+        cfg.MODEL.NUM_CLASSES = len(fixtures.CLASSES) + 1
+
+        image = JsonDataset(dataset_name).get_roidb()[0]['image']
+        stem = os.path.splitext(os.path.basename(image))[0]
+        props = str(tmp_path / 'props.pkl')
+        h, w = cv2.imread(image).shape[:2]
+        with open(props, 'wb') as f:
+            pickle.dump({'boxes': np.array(
+                [[1, 1, w - 2, h - 2], [2, 2, w // 2, h // 2]], np.float32),
+                'scores': np.ones((2, 1), np.float32)}, f, 2)
+
+        out_dir = str(tmp_path / 'out')
+        monkeypatch.setattr(sys, 'argv', [
+            'infer.py', '--cfg', str(cfg_yaml), '--wts', wts,
+            '--output-dir', out_dir, '--proposals', props,
+            '--thresh', '0.0', str(image)])
+        from infer import main
+        main()
+        assert os.path.exists(os.path.join(out_dir, stem + '_det.png'))
+        with open(os.path.join(out_dir, stem + '_det.pkl'), 'rb') as f:
+            out = pickle.load(f)
+        assert len(out['cls_boxes']) == cfg.MODEL.NUM_CLASSES
+
+
+class TestLoaderBenchmarkCLI:
+    def test_three_batches_one_thread(self, tmp_path, dataset_name,
+                                      monkeypatch):
+        from data_loader_benchmark import main
+        cfg_yaml = tmp_path / 'loader_cfg.yaml'
+        cfg_yaml.write_text(
+            'MODEL:\n  NUM_CLASSES: {}\n'
+            'TRAIN:\n'
+            "  DATASETS: ('{}',)\n"
+            '  SCALES: (64,)\n'
+            '  MAX_SIZE: 96\n'
+            '  BATCH_SIZE_PER_IM: 16\n'.format(
+                cfg.MODEL.NUM_CLASSES, dataset_name))
+        monkeypatch.setattr(sys, 'argv', [
+            'data_loader_benchmark.py', '--cfg', str(cfg_yaml),
+            '--num-batches', '3', '--threads', '1'])
+        main()  # raises on any loader failure
