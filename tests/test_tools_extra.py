@@ -314,3 +314,78 @@ class TestLoaderBenchmarkCLI:
             'data_loader_benchmark.py', '--cfg', str(cfg_yaml),
             '--num-batches', '3', '--threads', '1'])
         main()  # raises on any loader failure
+
+
+class TestVisWrappers:
+    """The *_vis wrappers monkeypatch the base tools' parse_args — pin that
+    seam (a round-4 CLI refactor silently removed it once)."""
+
+    def test_test_net_vis_forces_vis(self, monkeypatch):
+        import test_net
+        import test_net_vis
+        seen = {}
+
+        def fake_parse():
+            import types
+            return types.SimpleNamespace(vis=False, opts=None)
+
+        monkeypatch.setattr(test_net, 'parse_args', fake_parse)
+        monkeypatch.setattr(test_net, 'main',
+                            lambda: seen.update(
+                                vis=test_net.parse_args().vis))
+        test_net_vis.main()
+        assert seen['vis'] is True
+
+    def test_train_net_vis_forces_sample(self, monkeypatch):
+        import train_net
+        import train_net_vis
+        seen = {}
+
+        def fake_parse():
+            import types
+            return types.SimpleNamespace(opts=['A', 'B'])
+
+        monkeypatch.setattr(train_net, 'parse_args', fake_parse)
+        monkeypatch.setattr(train_net, 'main',
+                            lambda: seen.update(
+                                opts=train_net.parse_args().opts))
+        train_net_vis.main()
+        assert seen['opts'] == ['A', 'B', 'WSL.SAMPLE', 'True']
+
+
+class TestDrawIdealDetections:
+    def test_renders_per_gt_class(self, tmp_path, dataset_name, monkeypatch):
+        from draw_ideal_detection_result import jet_bgr, main
+        assert jet_bgr(0.0) != jet_bgr(1.0)
+        # proposal pkl over the fixture dataset: gt boxes as proposals
+        from nafwebsod_tpu.data.json_dataset import JsonDataset
+        ds = JsonDataset(dataset_name)
+        roidb = ds.get_roidb(gt=True)
+        props = {'boxes': [e['boxes'].astype(np.uint16) for e in roidb],
+                 'scores': [np.ones((len(e['boxes']), 1), np.float32)
+                            for e in roidb],
+                 'indexes': [e['id'] for e in roidb]}
+        prop_file = str(tmp_path / 'props.pkl')
+        with open(prop_file, 'wb') as f:
+            pickle.dump(props, f, 2)
+        out_dir = str(tmp_path / 'ideal')
+        monkeypatch.setattr(sys, 'argv', [
+            'draw_ideal_detection_result.py', dataset_name, prop_file,
+            out_dir])
+        main()
+        assert any(f.endswith('_ideal.png') for f in os.listdir(out_dir))
+
+
+def test_mesh_scaling_benchmark_one_step():
+    from mesh_scaling_benchmark import bench_mesh
+    dt = bench_mesh(2, iters=1, warmup=1, H=48, W=48, R=16, hidden=16)
+    assert dt > 0
+
+
+def test_run_parity_stage_listing():
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'tools', 'run_parity.py'),
+         '--help'], capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr
+    for stage in ('convert', 'goldens', 'train', 'eval'):
+        assert stage in proc.stdout

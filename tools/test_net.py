@@ -24,7 +24,8 @@ from nafwebsod_tpu.utils.logging_utils import setup_logging
 logger = setup_logging(__name__)
 
 
-def main():
+def parse_args():
+    # separate from main(): tools/test_net_vis.py wraps this to force --vis
     parser = argparse.ArgumentParser(description='Test a detection network')
     parser.add_argument('--cfg', dest='cfg_file', default=None)
     parser.add_argument('--wait', dest='wait', action='store_true',
@@ -36,7 +37,11 @@ def main():
     parser.add_argument('--range', dest='range', type=int, nargs=2,
                         default=None, help='start end image index range')
     parser.add_argument('opts', default=None, nargs=argparse.REMAINDER)
-    args = parse_or_usage(parser)
+    return parse_or_usage(parser)
+
+
+def main():
+    args = parse_args()
     configure_from_args(args, infer=False)
     if args.vis:
         cfg.VIS = True

@@ -30,7 +30,9 @@ from nafwebsod_tpu.utils.logging_utils import setup_logging
 logger = setup_logging(__name__)
 
 
-def main():
+def parse_args():
+    # separate from main(): tools/train_net_vis.py wraps this to force the
+    # WSL.SAMPLE vis hooks on
     parser = argparse.ArgumentParser(description='Train a network')
     parser.add_argument('--cfg', dest='cfg_file', default=None,
                         help='Config file for training (and optionally testing)')
@@ -41,7 +43,11 @@ def main():
                         help='Do not test the final model')
     parser.add_argument('opts', default=None, nargs=argparse.REMAINDER,
                         help='See nafwebsod_tpu/core/config.py for all options')
-    args = parse_or_usage(parser)
+    return parse_or_usage(parser)
+
+
+def main():
+    args = parse_args()
     configure_from_args(args)
     np.random.seed(cfg.RNG_SEED)
 
