@@ -382,6 +382,50 @@ def test_mesh_scaling_benchmark_one_step():
     assert dt > 0
 
 
+class TestVisTsne:
+    def test_writes_embedding_png(self, tmp_path, monkeypatch):
+        import jax
+        from nafwebsod_tpu.core import config as config_mod
+        from nafwebsod_tpu.models import detector
+        from nafwebsod_tpu.utils.checkpoint import \
+            save_params_to_weights_file
+
+        info = fixtures.make_coco_dataset(str(tmp_path))
+        catalog.register_dataset('tsne_ds', info['image_dir'],
+                                 info['ann_file'])
+        cfg_yaml = tmp_path / 'cfg.yaml'
+        cfg_yaml.write_text(
+            'MODEL:\n'
+            '  TYPE: generalized_wsl\n'
+            '  CONV_BODY: VGG16.add_VGG16_conv5_body_origin\n'
+            '  NUM_CLASSES: {}\n'
+            'FAST_RCNN:\n'
+            '  ROI_BOX_HEAD: wsl_heads.add_VGG16_roi_2fc_head\n'
+            'TEST:\n'
+            "  DATASETS: ('tsne_ds',)\n"
+            "  PROPOSAL_FILES: ('{}',)\n"
+            '  SCALE: 48\n'
+            '  MAX_SIZE: 64\n'
+            'TPU:\n'
+            '  HEAD_HIDDEN_DIM: 16\n'.format(
+                cfg.MODEL.NUM_CLASSES, info['prop_file']))
+        config_mod.merge_cfg_from_file(str(cfg_yaml))
+        spec = detector.spec_from_cfg(cfg)
+        params = detector.init_params(spec, jax.random.PRNGKey(0))
+        wts = str(tmp_path / 'w.pkl')
+        save_params_to_weights_file(wts, params)
+        reset_cfg()
+        cfg.MODEL.NUM_CLASSES = len(fixtures.CLASSES) + 1
+
+        out = str(tmp_path / 'tsne.png')
+        monkeypatch.setattr(sys, 'argv', [
+            'vis_tsne.py', '--cfg', str(cfg_yaml), '--wts', wts,
+            '--num-images', '2', '--out', out])
+        from vis_tsne import main
+        main()
+        assert os.path.getsize(out) > 0
+
+
 def test_run_parity_stage_listing():
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, 'tools', 'run_parity.py'),

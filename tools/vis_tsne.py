@@ -93,8 +93,10 @@ def main():
         classes.append(top[keep])
     x = np.vstack(feats)
     c = np.concatenate(classes)
+    # sklearn requires perplexity < n_samples; clamp for tiny sweeps
+    perplexity = max(1, min(30, len(x) // 4, len(x) - 1))
     emb = TSNE(n_components=2, init='pca',
-               perplexity=min(30, max(2, len(x) // 4))).fit_transform(x)
+               perplexity=perplexity).fit_transform(x)
     plt.figure(figsize=(8, 8))
     plt.scatter(emb[:, 0], emb[:, 1], c=c, cmap='tab20', s=6)
     plt.colorbar()
