@@ -60,16 +60,6 @@ def _result_files(json_dataset, salt):
             yield ind, cls, os.path.join(dirname, stem + cls + '.txt')
 
 
-def _get_voc_results_file_template(json_dataset, salt):
-    """Reference-compatible helper: the result path with a {:s} class slot."""
-    info = voc_info(json_dataset)
-    dirname = os.path.join(info['devkit_path'], 'results',
-                           'VOC' + info['year'], 'Main')
-    os.makedirs(dirname, exist_ok=True)
-    return os.path.join(
-        dirname, 'comp4{}_det_{}_{{:s}}.txt'.format(salt, info['image_set']))
-
-
 def _image_index(json_dataset):
     with open(voc_info(json_dataset)['image_set_path']) as f:
         return [line.strip() for line in f]

@@ -58,10 +58,17 @@ class SmoothedValue:
         return 0.5 * (ordered[mid - 1] + ordered[mid])
 
     def GetAverageValue(self):
-        return sum(self._window) / max(len(self._window), 1)
+        # nan on an empty window like the reference's np.mean(empty deque)
+        if not self._window:
+            return float('nan')
+        return sum(self._window) / len(self._window)
 
     def GetGlobalAverageValue(self):
-        return sum(self._history) / max(len(self._history), 1)
+        # the reference raises ZeroDivisionError before any AddValue; nan is
+        # the same "obviously invalid" signal without the crash
+        if not self._history:
+            return float('nan')
+        return sum(self._history) / len(self._history)
 
     @property
     def series(self):

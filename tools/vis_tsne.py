@@ -52,8 +52,6 @@ def main():
     roidb, _, _, _, _ = get_roidb_and_dataset(dataset_name, proposal_file)
     spec, params = initialize_model_from_cfg(args.weights)
 
-    import jax.numpy as jnp
-
     from nafwebsod_tpu.data.minibatch import (pad_image_to_bucket,
                                               prep_im_for_blob)
     from nafwebsod_tpu.models import detector as det
@@ -91,6 +89,10 @@ def main():
         keep = scores[:, 1:].max(axis=1) > 1e-4
         feats.append(fc7[keep])
         classes.append(top[keep])
+    if not feats or sum(len(f) for f in feats) < 2:
+        raise SystemExit('fewer than 2 RoI features passed the score '
+                         'filter — nothing to embed (try more images or a '
+                         'trained checkpoint)')
     x = np.vstack(feats)
     c = np.concatenate(classes)
     # sklearn requires perplexity < n_samples; clamp for tiny sweeps
