@@ -97,7 +97,16 @@ def main():
         fused_noise_tower=os.environ.get('BENCH_FUSED', '0') == '1',
         fused_fc7=os.environ.get('BENCH_FUSED_FC7', '0') == '1')
     params = detector.init_params(spec, jax.random.PRNGKey(0))
-    hp = sgd.SGDHyperParams(momentum=0.9, weight_decay=0.0005, iter_size=1)
+    if os.environ.get('BENCH_STACKED', '0') == '1':
+        # TPU.STACKED_TOWERS: dual towers pre-stacked in the pytree — the
+        # fused GEMM pair with zero per-step weight concat
+        params = detector.stack_tower_params(params)
+    hp = sgd.SGDHyperParams(
+        momentum=0.9, weight_decay=0.0005, iter_size=1,
+        # TPU.BF16_MOMENTUM: opt-in bf16 momentum storage (fp32 math)
+        momentum_dtype=('bfloat16'
+                        if os.environ.get('BENCH_BF16_MOM', '0') == '1'
+                        else 'float32'))
     trainable = detector.trainable_param_names(spec, params)
     mults = sgd.freeze_mults(sgd.param_multipliers(params, trainable))
     opt_state = sgd.init_state(params, hp)

@@ -464,6 +464,22 @@ _DEFAULTS = {
         # stack/cast still outweighs the launch savings — documented negative
         # result, keep off (models/heads.py vgg16_roi_2fc_noise_head).
         'FUSED_FC7': False,
+        # Carry the dual noise-aware fc towers PRE-STACKED in the in-memory
+        # param pytree (fc6s_w (roi_dim, 2H) + fc7s_w (2, H, H)): the fused
+        # GEMM pair with ZERO per-step weight concat — the traffic that sank
+        # FUSED_NOISE_TOWER/FUSED_FC7. The on-disk checkpoint schema is
+        # unchanged (split at save / joined at load, engine/train.py).
+        # Training-path only; requires the vgg16_2fc_noise head and the plain
+        # DP train step (the name-driven TP/pipeline splits reject it).
+        'STACKED_TOWERS': False,
+        # Store SGD momentum buffers in bfloat16 (update math stays fp32;
+        # each store rounds once). The Caffe-momentum update is HBM-bound
+        # (~5 ms/step at flagship shapes, BASELINE.md roofline); halving the
+        # momentum read+write traffic recovers ~1 ms/step. OPT-IN numerics
+        # deviation from the reference's fp32 buffers (documented in
+        # PARITY.md); on-disk checkpoints carry fp32 momentum either way.
+        # Plain DP train step only (the ZeRO flat-momentum shard keeps f32).
+        'BF16_MOMENTUM': False,
         # Rematerialize the conv body during backward (jax.checkpoint): trade
         # recompute FLOPs for activation HBM — lets an UNFROZEN body train at
         # larger image sizes / batch. No effect on frozen-body configs (their

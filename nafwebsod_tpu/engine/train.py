@@ -55,6 +55,28 @@ def _dump_step_inputs(dump_dir, batch, rngs):
         dump_dir, 'inputs_rank%d.npz' % jax.process_index()), **payload)
 
 
+def _validate_tpu_knobs(spec):
+    """Reject TPU.* knob combinations before any heavy setup work."""
+    sharded = (cfg.TPU.ZERO_OPT or cfg.TPU.TENSOR_SHARDING > 1 or
+               cfg.TPU.PIPELINE_PARALLEL or cfg.TPU.ROI_SHARDING)
+    if cfg.TPU.BF16_MOMENTUM and sharded:
+        raise ValueError(
+            'TPU.BF16_MOMENTUM is supported on the plain DP train step '
+            'only (the sharded layouts keep the reference fp32 buffers)')
+    if spec.stacked_towers:
+        if spec.box_head != 'vgg16_2fc_noise':
+            raise ValueError(
+                'TPU.STACKED_TOWERS requires the noise-aware dual-tower '
+                'head (webly vgg16_2fc_noise); got box head '
+                '{!r}'.format(spec.box_head))
+        if cfg.TPU.TENSOR_SHARDING > 1 or cfg.TPU.PIPELINE_PARALLEL:
+            raise ValueError(
+                'TPU.STACKED_TOWERS is incompatible with the name-driven '
+                'TENSOR_SHARDING/PIPELINE_PARALLEL param splits — train '
+                'those layouts with the per-tower layout (the stacked '
+                'form only changes single-replica GEMM launch shapes).')
+
+
 def train_model(roidb=None, max_iters=None):
     """Train the flagship model; returns (checkpoints dict, losses list).
 
@@ -63,6 +85,9 @@ def train_model(roidb=None, max_iters=None):
     (train_wsl.py:33-102).
     """
     spec = detector.spec_from_cfg(cfg)
+    _validate_tpu_knobs(spec)
+    # (validation lives in _validate_tpu_knobs so misconfigurations fail
+    # before the full-size param init)
     output_dir = get_output_dir(cfg.TRAIN.DATASETS, training=True)
     max_iters = max_iters or cfg.SOLVER.MAX_ITER
     checkpoints = {}
@@ -100,18 +125,32 @@ def train_model(roidb=None, max_iters=None):
 
     ckpt.print_net(params)  # param table at startup (net_wsl.print_net)
 
+    if spec.stacked_towers:
+        # TPU.STACKED_TOWERS: canonical in-memory layout carries the dual
+        # noise-aware towers pre-stacked (fused GEMM pair, zero per-step
+        # weight concat); the on-disk pkl schema stays per-tower — _save
+        # splits back, and the load above ran on the per-tower names.
+        params = detector.stack_tower_params(params)
+        if momentum:
+            momentum = detector.stack_tower_params(
+                momentum, fill_missing_with_zeros=True)
+
     hp = sgd.SGDHyperParams(
         momentum=cfg.SOLVER.MOMENTUM,
         weight_decay=cfg.SOLVER.WEIGHT_DECAY,
         weight_decay_gn=cfg.SOLVER.WEIGHT_DECAY_GN,
         iter_size=cfg.WSL.ITER_SIZE,
+        momentum_dtype='bfloat16' if cfg.TPU.BF16_MOMENTUM else 'float32',
     )
     trainable = detector.trainable_param_names(spec, params)
     mults = sgd.freeze_mults(sgd.param_multipliers(params, trainable))
     opt_state = sgd.init_state(params, hp)
     if momentum:
+        # resume momentum arrives fp32 from the pkl; round into the
+        # configured storage dtype (identity for the default)
         opt_state['momentum'].update(
-            {k: np.asarray(v) for k, v in momentum.items()})
+            {k: np.asarray(v).astype(opt_state['momentum'][k].dtype)
+             for k, v in momentum.items()})
 
     # ----- mesh + jitted step -----
     num_devices = min(cfg.NUM_GPUS, len(jax.devices())) or 1
@@ -624,6 +663,16 @@ def _save(path, params, opt_state):
     else:
         host_mom = _host_fetch(opt_state['momentum'])
     host_params = _host_fetch(params)
+    # TPU.STACKED_TOWERS: split the stacked in-memory tower leaves back
+    # into the reference per-tower blobs so the on-disk pkl schema is
+    # unchanged (no-op for the per-tower layout)
+    host_params = detector.unstack_tower_params(host_params)
+    host_mom = detector.unstack_tower_params(host_mom)
+    # TPU.BF16_MOMENTUM: the pkl schema carries fp32 momentum regardless
+    # of the in-memory storage dtype
+    host_mom = {k: (v.astype(np.float32) if str(v.dtype) == 'bfloat16'
+                    else v)
+                for k, v in host_mom.items()}
     if _jax.process_index() != 0:
         # multi-host: host 0 writes the checkpoint (the analogue of the
         # reference's GPU0-owns-weights convention, net_wsl.py:183-207)

@@ -219,6 +219,11 @@ class ModelSpec:
     fused_noise_tower: bool = False
     # batch ONLY the fc7 GEMMs across the two towers (TPU.FUSED_FC7)
     fused_fc7: bool = False
+    # carry the dual noise-aware towers PRE-STACKED in the param pytree
+    # (TPU.STACKED_TOWERS): fused GEMM pair with zero per-step concat;
+    # checkpoints keep the per-tower reference pkl schema (split at save,
+    # joined at load — see stack_tower_params/unstack_tower_params)
+    stacked_towers: bool = False
     # rematerialize the conv body in backward (TPU.REMAT_BODY)
     remat_body: bool = False
     # Xconv1fc GN head sizing (FAST_RCNN.CONV_HEAD_DIM / NUM_STACKED_CONVS)
@@ -336,6 +341,7 @@ def spec_from_cfg(cfg):
         compute_dtype=cfg.TPU.COMPUTE_DTYPE,
         fused_noise_tower=cfg.TPU.FUSED_NOISE_TOWER,
         fused_fc7=cfg.TPU.FUSED_FC7,
+        stacked_towers=cfg.TPU.STACKED_TOWERS,
         remat_body=cfg.TPU.REMAT_BODY,
         # ResNet heads size their MLP from FAST_RCNN.MLP_HEAD_DIM
         # (wsl_heads.py:867-872); VGG towers are 4096 (TPU.HEAD_HIDDEN_DIM);
@@ -719,6 +725,65 @@ def shadow_weight_names(spec: ModelSpec, params):
     names = {s[0] + '_w' for stage in vgg16.VGG16_STAGES for s in stage}
     names |= {'fc6_w', 'fc7_w', '_[noisy]_fc6_w', '_[noisy]_fc7_w'}
     return frozenset(n for n in names if n in params)
+
+
+# TPU.STACKED_TOWERS param-layout transform: the dual noise-aware fc towers
+# (webly_heads.py:463-502) consume the SAME boosted RoI features, so their
+# GEMMs fuse into one width-doubled fc6 dot + one batched fc7 matmul. The
+# earlier FUSED_NOISE_TOWER experiment lost to the PER-STEP fp32 weight
+# concat (BASELINE.md negative results); storing the stacked layout as the
+# canonical in-memory pytree removes that traffic entirely. The ON-DISK
+# checkpoint schema is unchanged: engine/train joins after init/load and
+# splits before every pkl write, so reference-format interchange holds.
+# Layouts: fc6s_w (roi_dim, 2H) / fc6s_b (2H,) concat [clean | noisy];
+# fc7s_w (2, H, H) / fc7s_b (2, H) stacked [clean, noisy].
+_TOWER_STACKS = (
+    ('fc6s_w', ('fc6_w', '_[noisy]_fc6_w'), 1, False),
+    ('fc6s_b', ('fc6_b', '_[noisy]_fc6_b'), 0, False),
+    ('fc7s_w', ('fc7_w', '_[noisy]_fc7_w'), 0, True),
+    ('fc7s_b', ('fc7_b', '_[noisy]_fc7_b'), 0, True),
+)
+
+
+def stack_tower_params(tree, fill_missing_with_zeros=False):
+    """Join per-tower fc leaves into the stacked layout (new dict).
+
+    Works on any dict keyed by param names (params or momentum buffers); a
+    stacked leaf is only formed when BOTH source towers are present, so
+    partial momentum dicts from old checkpoints pass through untouched.
+    ``fill_missing_with_zeros``: when exactly one tower of a pair is
+    present (a checkpoint whose noisy tower was shared-init aliased and
+    therefore carries no noisy momentum, utils/checkpoint.py), treat the
+    absent one as zeros — matching the reference, where an aliased blob's
+    momentum starts at zero.
+    """
+    out = dict(tree)
+    for stacked_name, (clean, noisy), axis, use_stack in _TOWER_STACKS:
+        if fill_missing_with_zeros and (clean in out) != (noisy in out):
+            present = out[clean if clean in out else noisy]
+            absent = clean if clean not in out else noisy
+            out[absent] = np.zeros_like(np.asarray(present))
+        if clean in out and noisy in out:
+            a, b = np.asarray(out.pop(clean)), np.asarray(out.pop(noisy))
+            out[stacked_name] = (np.stack([a, b], axis=0) if use_stack
+                                 else np.concatenate([a, b], axis=axis))
+    return out
+
+
+def unstack_tower_params(tree):
+    """Split stacked tower leaves back into the reference per-tower blobs
+    (inverse of :func:`stack_tower_params`; new dict)."""
+    out = dict(tree)
+    for stacked_name, (clean, noisy), axis, use_stack in _TOWER_STACKS:
+        if stacked_name in out:
+            s = np.asarray(out.pop(stacked_name))
+            if use_stack:
+                out[clean], out[noisy] = s[0], s[1]
+            else:
+                half = s.shape[axis] // 2
+                out[clean] = np.take(s, np.arange(half), axis=axis)
+                out[noisy] = np.take(s, np.arange(half, 2 * half), axis=axis)
+    return out
 
 
 def body_forward_fpn(spec, params, image):

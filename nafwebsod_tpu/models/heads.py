@@ -237,14 +237,26 @@ def vgg16_roi_2fc_noise_head(params, feat, rois, obn_scores, spatial_scale, *,
     the per-step stack/cast of the two 4096x4096 fp32 weights costs more
     HBM traffic than the batched launch recovers. Both fusions are kept as
     documented negative results; avoiding the stack needs pre-stacked
-    weights, i.e. a checkpoint-schema change (rejected — reference pkl
-    interchange is a hard requirement). Default off."""
+    weights. Default off.
+
+    PRE-STACKED weights (``TPU.STACKED_TOWERS``): when the param dict
+    carries ``fc6s_w``/``fc6s_b``/``fc7s_w``/``fc7s_b`` (the stacked
+    layout produced by ``detector.stack_tower_params``; the ON-DISK
+    reference pkl schema is UNCHANGED — checkpoints are split back into
+    the per-tower blobs at save and joined at load), the fused GEMM pair
+    runs with ZERO per-step concat traffic: fc6 is one
+    (R, 25088) x (25088, 2H) dot, fc7 one batched (2, R, H) x (2, H, H)
+    matmul. Detected by leaf presence, so eval/export paths running
+    unstacked checkpoints are unaffected. Dropout draws per-tower from
+    the same key splits as the unfused path, so the layouts are
+    comparable draw-for-draw."""
+    stacked = 'fc6s_w' in params
     r1 = r2 = None
     if rng is not None:
         r1, r2 = jax.random.split(rng)
     roi_feat = roi_transform(feat[0], rois, obn_scores, spatial_scale,
                              method, resolution, sampling_ratio, freeze_body)
-    if fused_fc7 and not fused:
+    if fused_fc7 and not fused and not stacked:
         r1a = r1b = r2a = r2b = None
         if r1 is not None:
             r1a, r1b = jax.random.split(r1)
@@ -261,15 +273,20 @@ def vgg16_roi_2fc_noise_head(params, feat, rois, obn_scores, spatial_scale, *,
         clean = _dropout(y2[0], 0.5, r1b, train)
         noisy = _dropout(y2[1], 0.5, r2b, train)
         return (clean, noisy), roi_feat
-    if not fused:
+    if not fused and not stacked:
         clean = _fc_tower(roi_feat, params, '', r1, train)
         noisy = _fc_tower(roi_feat, params, '_[noisy]_', r2, train)
         return (clean, noisy), roi_feat
 
-    hidden = params['fc6_b'].shape[0]
-    w6 = jnp.concatenate([params['fc6_w'], params['_[noisy]_fc6_w']],
-                         axis=1).astype(roi_feat.dtype)
-    b6 = jnp.concatenate([params['fc6_b'], params['_[noisy]_fc6_b']])
+    if stacked:
+        hidden = params['fc7s_b'].shape[-1]
+        w6 = params['fc6s_w'].astype(roi_feat.dtype)   # (roi_dim, 2H)
+        b6 = params['fc6s_b']                          # (2H,)
+    else:
+        hidden = params['fc6_b'].shape[0]
+        w6 = jnp.concatenate([params['fc6_w'], params['_[noisy]_fc6_w']],
+                             axis=1).astype(roi_feat.dtype)
+        b6 = jnp.concatenate([params['fc6_b'], params['_[noisy]_fc6_b']])
     h = jax.nn.relu(jnp.dot(roi_feat, w6) + b6.astype(roi_feat.dtype))
     hc, hn = h[:, :hidden], h[:, hidden:]
     if train:
@@ -280,9 +297,13 @@ def vgg16_roi_2fc_noise_head(params, feat, rois, obn_scores, spatial_scale, *,
         hc = _dropout(hc, 0.5, r1a, train)
         hn = _dropout(hn, 0.5, r2a, train)
     # fc7 as one batched GEMM over the two towers
-    w7 = jnp.stack([params['fc7_w'], params['_[noisy]_fc7_w']]).astype(
-        roi_feat.dtype)
-    b7 = jnp.stack([params['fc7_b'], params['_[noisy]_fc7_b']])
+    if stacked:
+        w7 = params['fc7s_w'].astype(roi_feat.dtype)  # (2, H, H)
+        b7 = params['fc7s_b']                         # (2, H)
+    else:
+        w7 = jnp.stack([params['fc7_w'], params['_[noisy]_fc7_w']]).astype(
+            roi_feat.dtype)
+        b7 = jnp.stack([params['fc7_b'], params['_[noisy]_fc7_b']])
     x2 = jnp.stack([hc, hn])                          # (2, R, H)
     y2 = jax.nn.relu(jnp.einsum('trh,tho->tro', x2, w7) +
                      b7[:, None, :].astype(roi_feat.dtype))

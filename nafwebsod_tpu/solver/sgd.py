@@ -33,11 +33,22 @@ import jax.numpy as jnp
 
 @dataclass(frozen=True)
 class SGDHyperParams:
-    """Static solver hyperparameters (hashable; closed over by jit)."""
+    """Static solver hyperparameters (hashable; closed over by jit).
+
+    ``momentum_dtype``: storage dtype of the momentum buffers
+    (TPU.BF16_MOMENTUM -> 'bfloat16'). The update itself ALWAYS computes
+    in fp32 (buffers are upcast before the multiply and the fresh ``v`` is
+    rounded back on store), so 'float32' reproduces the reference op
+    bit-for-bit while 'bfloat16' halves the HBM-bound update's momentum
+    traffic at one bf16 rounding per store — an opt-in numerics deviation
+    (PARITY.md); checkpoints always carry fp32 momentum either way
+    (engine/train._save upcasts, the resume path rounds back down).
+    """
     momentum: float = 0.9
     weight_decay: float = 0.0005
     weight_decay_gn: float = 0.0
     iter_size: int = 1
+    momentum_dtype: str = 'float32'
 
 
 def param_multipliers(param_names, trainable=None):
@@ -68,8 +79,15 @@ def freeze_mults(mults):
 
 
 def init_state(params, hp: SGDHyperParams):
-    """Momentum buffers (+ gradient accumulator when iter_size > 1)."""
-    zeros = {k: jnp.zeros_like(v) for k, v in params.items()}
+    """Momentum buffers (+ gradient accumulator when iter_size > 1).
+
+    Momentum is stored in ``hp.momentum_dtype``; the gradient accumulator
+    always stays in the param dtype (accumulation precision is what
+    ITER_SIZE exists for)."""
+    mdt = jnp.dtype(hp.momentum_dtype)
+    zeros = {k: jnp.zeros(jnp.shape(v), mdt if jnp.issubdtype(
+        jnp.asarray(v).dtype, jnp.floating) else jnp.asarray(v).dtype)
+        for k, v in params.items()}
     state = {'momentum': zeros, 'it': jnp.zeros((), jnp.int32)}
     if hp.iter_size > 1:
         state['grad_acc'] = {k: jnp.zeros_like(v) for k, v in params.items()}
@@ -87,9 +105,11 @@ def _apply(params, grads, momentum_bufs, lr, hp, mults):
         wd = hp.weight_decay_gn if decay_mult == 'gn' else (
             hp.weight_decay * decay_mult)
         g = grads[name] + wd * p
-        v = hp.momentum * momentum_bufs[name] + (lr * lr_mult) * g
+        mbuf = momentum_bufs[name]
+        # fp32 math regardless of the storage dtype (no-op casts for f32)
+        v = hp.momentum * mbuf.astype(jnp.float32) + (lr * lr_mult) * g
         new_params[name] = p - v
-        new_mom[name] = v
+        new_mom[name] = v.astype(mbuf.dtype)
     return new_params, new_mom
 
 
@@ -129,9 +149,15 @@ def update(params, grads, state, lr, hp: SGDHyperParams, mults):
 
 @jax.jit
 def scale_momentum(state, correction):
-    """Momentum correction on LR steps (detector.py:539-559): v *= new/old."""
+    """Momentum correction on LR steps (detector.py:539-559): v *= new/old.
+
+    Dtype-preserving: a bf16-stored buffer (momentum_dtype) is scaled in
+    fp32 and rounded back instead of being silently promoted by the f32
+    ``correction`` scalar."""
     new = dict(state)
-    new['momentum'] = {k: v * correction for k, v in state['momentum'].items()}
+    new['momentum'] = {
+        k: (v.astype(jnp.float32) * correction).astype(v.dtype)
+        for k, v in state['momentum'].items()}
     return new
 
 
