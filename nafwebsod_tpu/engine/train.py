@@ -57,19 +57,23 @@ def _dump_step_inputs(dump_dir, batch, rngs):
 
 def _validate_tpu_knobs(spec):
     """Reject TPU.* knob combinations before any heavy setup work."""
-    sharded = (cfg.TPU.ZERO_OPT or cfg.TPU.TENSOR_SHARDING > 1 or
+    # NOTE: truthiness (not > 1) — the step dispatch below enters the
+    # tensor-parallel branch for ANY nonzero TENSOR_SHARDING, incl. m=1
+    sharded = (cfg.TPU.ZERO_OPT or cfg.TPU.TENSOR_SHARDING or
                cfg.TPU.PIPELINE_PARALLEL or cfg.TPU.ROI_SHARDING)
     if cfg.TPU.BF16_MOMENTUM and sharded:
         raise ValueError(
             'TPU.BF16_MOMENTUM is supported on the plain DP train step '
             'only (the sharded layouts keep the reference fp32 buffers)')
     if spec.stacked_towers:
-        if spec.box_head != 'vgg16_2fc_noise':
+        if spec.box_head != 'vgg16_2fc_noise' or spec.is_fpn:
             raise ValueError(
                 'TPU.STACKED_TOWERS requires the noise-aware dual-tower '
-                'head (webly vgg16_2fc_noise); got box head '
-                '{!r}'.format(spec.box_head))
-        if cfg.TPU.TENSOR_SHARDING > 1 or cfg.TPU.PIPELINE_PARALLEL:
+                'head (webly vgg16_2fc_noise) on a single-scale body — '
+                'the FPN tower path consumes the per-tower names; got '
+                'box head {!r}, is_fpn={}'.format(spec.box_head,
+                                                  spec.is_fpn))
+        if cfg.TPU.TENSOR_SHARDING or cfg.TPU.PIPELINE_PARALLEL:
             raise ValueError(
                 'TPU.STACKED_TOWERS is incompatible with the name-driven '
                 'TENSOR_SHARDING/PIPELINE_PARALLEL param splits — train '

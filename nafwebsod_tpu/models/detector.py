@@ -723,7 +723,10 @@ def shadow_weight_names(spec: ModelSpec, params):
     # and the deeplab 'fc6_<k>_w' ASPP convs are consumed without the
     # astype(x.dtype) pattern and MUST NOT be substituted
     names = {s[0] + '_w' for stage in vgg16.VGG16_STAGES for s in stage}
-    names |= {'fc6_w', 'fc7_w', '_[noisy]_fc6_w', '_[noisy]_fc7_w'}
+    names |= {'fc6_w', 'fc7_w', '_[noisy]_fc6_w', '_[noisy]_fc7_w',
+              # stacked-tower layout (TPU.STACKED_TOWERS): consumed via the
+              # same astype(x.dtype) pattern in the stacked head branch
+              'fc6s_w', 'fc7s_w'}
     return frozenset(n for n in names if n in params)
 
 

@@ -29,6 +29,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclass(frozen=True)
@@ -85,9 +86,15 @@ def init_state(params, hp: SGDHyperParams):
     always stays in the param dtype (accumulation precision is what
     ITER_SIZE exists for)."""
     mdt = jnp.dtype(hp.momentum_dtype)
-    zeros = {k: jnp.zeros(jnp.shape(v), mdt if jnp.issubdtype(
-        jnp.asarray(v).dtype, jnp.floating) else jnp.asarray(v).dtype)
-        for k, v in params.items()}
+
+    def _buf(v):
+        # .dtype via numpy metadata only — no device transfer of the
+        # (possibly hundreds of MB) host param leaves just to inspect it
+        dt = getattr(v, 'dtype', None) or np.asarray(v).dtype
+        return jnp.zeros(jnp.shape(v),
+                         mdt if jnp.issubdtype(dt, jnp.floating) else dt)
+
+    zeros = {k: _buf(v) for k, v in params.items()}
     state = {'momentum': zeros, 'it': jnp.zeros((), jnp.int32)}
     if hp.iter_size > 1:
         state['grad_acc'] = {k: jnp.zeros_like(v) for k, v in params.items()}

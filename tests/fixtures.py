@@ -161,3 +161,44 @@ def make_identical_coco_dataset(root, n_images=2, width=64, height=48,
                      'ids': prop_ids}, f, 2)
     return {'image_dir': img_dir, 'ann_file': ann_file,
             'prop_file': prop_file, 'n_images': n_images}
+
+
+def apply_tiny_webly_train_cfg(cfg, info, output_dir, dataset='synth_train'):
+    """Minimal flagship-shaped webly TRAIN config over the synthetic
+    fixture (shared by the engine-level knob tests; the canonical copy of
+    the block that test_train.py pioneered). Mutates ``cfg`` in place —
+    callers reset_cfg() around it and register ``dataset`` themselves or
+    via this helper's return value."""
+    from nafwebsod_tpu.data import catalog
+    catalog.register_dataset(dataset, info['image_dir'], info['ann_file'])
+    cfg.MODEL.NUM_CLASSES = len(CLASSES) + 1
+    cfg.MODEL.TYPE = 'generalized_wsl'
+    cfg.MODEL.CONV_BODY = 'VGG16.add_VGG16_conv5_body_origin'
+    cfg.FAST_RCNN.ROI_BOX_HEAD = 'webly_heads.add_VGG16_roi_2fc_noise_head'
+    cfg.FAST_RCNN.ROI_XFORM_RESOLUTION = 7
+    cfg.TRAIN.DATASETS = (dataset,)
+    cfg.TRAIN.PROPOSAL_FILES = (info['prop_file'],)
+    cfg.TRAIN.SCALES = (64,)
+    cfg.TRAIN.MAX_SIZE = 120
+    cfg.TRAIN.BATCH_SIZE_PER_IM = 16
+    cfg.TRAIN.USE_FLIPPED = False
+    cfg.TRAIN.CROWD_FILTER_THRESH = 0.0
+    cfg.TRAIN.FREEZE_CONV_BODY = True
+    cfg.TRAIN.SNAPSHOT_ITERS = 2
+    cfg.WSL.WSL_ON = True
+    cfg.WSL.DILATION = 2
+    cfg.WSL.USE_DISTORTION = False
+    cfg.WSL.USE_CROP = False
+    cfg.WEBLY.WEBLY_ON = True
+    cfg.WEBLY.ENTROPY = True
+    cfg.SOLVER.BASE_LR = 1e-5
+    cfg.SOLVER.LR_POLICY = 'steps_with_decay'
+    cfg.SOLVER.STEPS = [0]
+    cfg.SOLVER.MAX_ITER = 4
+    cfg.SOLVER.WARM_UP_ITERS = 0
+    cfg.NUM_GPUS = 1
+    cfg.DATA_LOADER.NUM_THREADS = 1
+    cfg.TPU.HEAD_HIDDEN_DIM = 32
+    cfg.TPU.ROI_PAD_MULTIPLE = 16
+    cfg.TPU.SIZE_BUCKET_MULTIPLE = 32
+    cfg.OUTPUT_DIR = output_dir

@@ -12,7 +12,6 @@ momentum in the reference pkl schema either way.
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
 
 from nafwebsod_tpu.solver import sgd
@@ -110,7 +109,6 @@ class TestEngineBf16Momentum:
         """Engine run with the knob: snapshots carry fp32 momentum in the
         reference schema; AUTO_RESUME rounds back into bf16 buffers."""
         from nafwebsod_tpu.core.config import cfg, reset_cfg
-        from nafwebsod_tpu.data import catalog
         from nafwebsod_tpu.engine import train as train_engine
         from nafwebsod_tpu.utils import checkpoint as ckpt
 
@@ -118,41 +116,9 @@ class TestEngineBf16Momentum:
         reset_cfg()
         try:
             info = fixtures.make_coco_dataset(str(tmp_path), n_images=4)
-            catalog.register_dataset('synth_train', info['image_dir'],
-                                     info['ann_file'])
-            cfg.MODEL.NUM_CLASSES = len(fixtures.CLASSES) + 1
-            cfg.MODEL.TYPE = 'generalized_wsl'
-            cfg.MODEL.CONV_BODY = 'VGG16.add_VGG16_conv5_body_origin'
-            cfg.FAST_RCNN.ROI_BOX_HEAD = (
-                'webly_heads.add_VGG16_roi_2fc_noise_head')
-            cfg.FAST_RCNN.ROI_XFORM_RESOLUTION = 7
-            cfg.TRAIN.DATASETS = ('synth_train',)
-            cfg.TRAIN.PROPOSAL_FILES = (info['prop_file'],)
-            cfg.TRAIN.SCALES = (64,)
-            cfg.TRAIN.MAX_SIZE = 120
-            cfg.TRAIN.BATCH_SIZE_PER_IM = 16
-            cfg.TRAIN.USE_FLIPPED = False
-            cfg.TRAIN.CROWD_FILTER_THRESH = 0.0
-            cfg.TRAIN.FREEZE_CONV_BODY = True
-            cfg.TRAIN.SNAPSHOT_ITERS = 2
-            cfg.WSL.WSL_ON = True
-            cfg.WSL.DILATION = 2
-            cfg.WSL.USE_DISTORTION = False
-            cfg.WSL.USE_CROP = False
-            cfg.WEBLY.WEBLY_ON = True
-            cfg.WEBLY.ENTROPY = True
-            cfg.SOLVER.BASE_LR = 1e-5
-            cfg.SOLVER.LR_POLICY = 'steps_with_decay'
-            cfg.SOLVER.STEPS = [0]
-            cfg.SOLVER.MAX_ITER = 4
-            cfg.SOLVER.WARM_UP_ITERS = 0
-            cfg.NUM_GPUS = 1
-            cfg.DATA_LOADER.NUM_THREADS = 1
-            cfg.TPU.HEAD_HIDDEN_DIM = 32
-            cfg.TPU.ROI_PAD_MULTIPLE = 16
-            cfg.TPU.SIZE_BUCKET_MULTIPLE = 32
+            fixtures.apply_tiny_webly_train_cfg(cfg, info,
+                                                str(tmp_path / 'out'))
             cfg.TPU.BF16_MOMENTUM = True
-            cfg.OUTPUT_DIR = str(tmp_path / 'out')
 
             checkpoints, losses = train_engine.train_model(max_iters=2)
             assert all(np.isfinite(losses))

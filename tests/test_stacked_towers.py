@@ -16,7 +16,6 @@ import pytest
 import jax
 
 from nafwebsod_tpu.core.config import cfg, reset_cfg
-from nafwebsod_tpu.data import catalog
 from nafwebsod_tpu.models import detector
 from nafwebsod_tpu.parallel import mesh as mesh_lib
 from nafwebsod_tpu.parallel import train_step as ts
@@ -146,40 +145,9 @@ class TestStepParity:
 def stacked_train_cfg(tmp_path):
     reset_cfg()
     info = fixtures.make_coco_dataset(str(tmp_path), n_images=4)
-    catalog.register_dataset('synth_train', info['image_dir'],
-                             info['ann_file'])
-    cfg.MODEL.NUM_CLASSES = len(fixtures.CLASSES) + 1
-    cfg.MODEL.TYPE = 'generalized_wsl'
-    cfg.MODEL.CONV_BODY = 'VGG16.add_VGG16_conv5_body_origin'
-    cfg.FAST_RCNN.ROI_BOX_HEAD = 'webly_heads.add_VGG16_roi_2fc_noise_head'
-    cfg.FAST_RCNN.ROI_XFORM_RESOLUTION = 7
-    cfg.TRAIN.DATASETS = ('synth_train',)
-    cfg.TRAIN.PROPOSAL_FILES = (info['prop_file'],)
-    cfg.TRAIN.SCALES = (64,)
-    cfg.TRAIN.MAX_SIZE = 120
-    cfg.TRAIN.BATCH_SIZE_PER_IM = 16
-    cfg.TRAIN.USE_FLIPPED = False
-    cfg.TRAIN.CROWD_FILTER_THRESH = 0.0
-    cfg.TRAIN.FREEZE_CONV_BODY = True
+    fixtures.apply_tiny_webly_train_cfg(cfg, info, str(tmp_path / 'out'))
     cfg.TRAIN.SNAPSHOT_ITERS = 2
-    cfg.WSL.WSL_ON = True
-    cfg.WSL.DILATION = 2
-    cfg.WSL.USE_DISTORTION = False
-    cfg.WSL.USE_CROP = False
-    cfg.WEBLY.WEBLY_ON = True
-    cfg.WEBLY.ENTROPY = True
-    cfg.SOLVER.BASE_LR = 1e-5
-    cfg.SOLVER.LR_POLICY = 'steps_with_decay'
-    cfg.SOLVER.STEPS = [0]
-    cfg.SOLVER.MAX_ITER = 4
-    cfg.SOLVER.WARM_UP_ITERS = 0
-    cfg.NUM_GPUS = 1
-    cfg.DATA_LOADER.NUM_THREADS = 1
-    cfg.TPU.HEAD_HIDDEN_DIM = 32
-    cfg.TPU.ROI_PAD_MULTIPLE = 16
-    cfg.TPU.SIZE_BUCKET_MULTIPLE = 32
     cfg.TPU.STACKED_TOWERS = True
-    cfg.OUTPUT_DIR = str(tmp_path / 'out')
     yield info
     reset_cfg()
 
@@ -212,6 +180,18 @@ class TestEngineCheckpointSchema:
     def test_tensor_sharding_rejected(self, stacked_train_cfg):
         from nafwebsod_tpu.core.config import cfg as _cfg
         from nafwebsod_tpu.engine import train as train_engine
-        _cfg.TPU.TENSOR_SHARDING = 2
+        # m=1 is truthy in the step dispatch and must be rejected too
+        _cfg.TPU.TENSOR_SHARDING = 1
+        with pytest.raises(ValueError, match='STACKED_TOWERS'):
+            train_engine.train_model()
+
+    def test_fpn_body_rejected(self, stacked_train_cfg):
+        """The FPN head path consumes per-tower names (_fpn_head_tower ->
+        heads._fc_tower), so STACKED_TOWERS must refuse FPN bodies."""
+        from nafwebsod_tpu.core.config import cfg as _cfg
+        from nafwebsod_tpu.engine import train as train_engine
+        _cfg.MODEL.CONV_BODY = 'FPN.add_fpn_ResNet18_conv5_body'
+        _cfg.FPN.FPN_ON = True
+        _cfg.FPN.DIM = 16
         with pytest.raises(ValueError, match='STACKED_TOWERS'):
             train_engine.train_model()
