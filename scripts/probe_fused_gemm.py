@@ -13,6 +13,14 @@ beat two (R, H) x (H, H) dots (fc7)?
 
 Timing discipline per CLAUDE.md: scan-chained iterations inside one jit,
 sync by fetching a scalar, best of 3 windows, serial on the tunnel chip.
+
+OUTCOME (round-4 continuation): this microbench never finished on the rig
+(the remote compile helper took >30 min for the first program that day),
+so the question was settled at FULL-STEP granularity with bench.py
+BENCH_STACKED=1 instead: pre-stacked fusion measured 45.2/45.2 vs 46.5
+img/s unfused (clean serial windows) — fusion LOSES even with zero concat
+traffic; see BASELINE.md. Kept for a future directly-attached-TPU rig
+where the per-GEMM breakdown is cheap to obtain.
 """
 
 import time
