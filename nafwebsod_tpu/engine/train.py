@@ -73,12 +73,14 @@ def _validate_tpu_knobs(spec):
                 'the FPN tower path consumes the per-tower names; got '
                 'box head {!r}, is_fpn={}'.format(spec.box_head,
                                                   spec.is_fpn))
-        if cfg.TPU.TENSOR_SHARDING or cfg.TPU.PIPELINE_PARALLEL:
+        if sharded:
             raise ValueError(
-                'TPU.STACKED_TOWERS is incompatible with the name-driven '
-                'TENSOR_SHARDING/PIPELINE_PARALLEL param splits — train '
-                'those layouts with the per-tower layout (the stacked '
-                'form only changes single-replica GEMM launch shapes).')
+                'TPU.STACKED_TOWERS is supported on the plain DP train '
+                'step only: the name-driven TENSOR_SHARDING/'
+                'PIPELINE_PARALLEL splits consume the per-tower names, and '
+                'the ZERO_OPT/ROI_SHARDING combinations are unvalidated — '
+                'train sharded layouts with the per-tower layout (the '
+                'stacked form only changes single-replica GEMM shapes).')
 
 
 def train_model(roidb=None, max_iters=None):
@@ -151,10 +153,18 @@ def train_model(roidb=None, max_iters=None):
     opt_state = sgd.init_state(params, hp)
     if momentum:
         # resume momentum arrives fp32 from the pkl; round into the
-        # configured storage dtype (identity for the default)
-        opt_state['momentum'].update(
-            {k: np.asarray(v).astype(opt_state['momentum'][k].dtype)
-             for k, v in momentum.items()})
+        # configured storage dtype (identity for the default). Externally
+        # produced pkls may carry momentum blobs for params this model
+        # doesn't have — skip those with a warning instead of KeyError
+        live = opt_state['momentum']
+        stray = [k for k in momentum if k not in live]
+        if stray:
+            logger.warning(
+                'ignoring %d momentum blob(s) with no matching param: %s',
+                len(stray), sorted(stray)[:8])
+        live.update(
+            {k: np.asarray(v).astype(live[k].dtype)
+             for k, v in momentum.items() if k in live})
 
     # ----- mesh + jitted step -----
     num_devices = min(cfg.NUM_GPUS, len(jax.devices())) or 1

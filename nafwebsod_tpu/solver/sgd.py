@@ -160,11 +160,17 @@ def scale_momentum(state, correction):
 
     Dtype-preserving: a bf16-stored buffer (momentum_dtype) is scaled in
     fp32 and rounded back instead of being silently promoted by the f32
-    ``correction`` scalar."""
+    ``correction`` scalar. Non-float buffers pass through unchanged
+    (mirrors the ``_buf`` dtype guard in init_state) — scaling would
+    silently truncate an integer buffer."""
+
+    def _scale(v):
+        if not jnp.issubdtype(v.dtype, jnp.floating):
+            return v
+        return (v.astype(jnp.float32) * correction).astype(v.dtype)
+
     new = dict(state)
-    new['momentum'] = {
-        k: (v.astype(jnp.float32) * correction).astype(v.dtype)
-        for k, v in state['momentum'].items()}
+    new['momentum'] = {k: _scale(v) for k, v in state['momentum'].items()}
     return new
 
 

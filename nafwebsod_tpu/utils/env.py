@@ -30,6 +30,27 @@ def apply_platform_override():
     return plat
 
 
+def enable_compilation_cache():
+    """Point JAX at the persistent compilation cache (same recipe as
+    bench.py). On this rig first compiles of the big scan-window/eval
+    programs go through a remote compile helper and can take tens of
+    minutes under CPU contention; the on-disk cache makes every rerun of
+    an unchanged program fast. Opt out with NAFWEBSOD_COMPILE_CACHE=0.
+    Call at CLI-tool startup (any time before the first compile)."""
+    if os.environ.get('NAFWEBSOD_COMPILE_CACHE', '1') == '0':
+        return
+    import jax
+    try:
+        jax.config.update(
+            'jax_compilation_cache_dir',
+            os.environ.get('NAFWEBSOD_COMPILE_CACHE_DIR',
+                           os.path.expanduser('~/.cache/jax_comp_cache')))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
+    except Exception:  # cache support missing: not worth failing a run
+        logger.warning('persistent compilation cache unavailable',
+                       exc_info=True)
+
+
 def accelerator_device_count():
     """Number of non-CPU JAX devices visible to this process."""
     import jax

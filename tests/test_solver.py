@@ -113,6 +113,18 @@ class TestMomentumCorrection:
         state = sgd.scale_momentum(state, np.float32(0.1))
         assert np.allclose(np.asarray(state['momentum']['fc_w']), 0.1)
 
+    def test_scale_passes_non_float_buffers_through(self):
+        """An integer buffer must not be scaled-and-truncated (mirrors the
+        init_state _buf dtype guard; ADVICE r4)."""
+        params = _params()
+        state = sgd.init_state(params, HP)
+        state['momentum'] = dict(state['momentum'])
+        state['momentum']['counter'] = jnp.asarray([3, 7], jnp.int32)
+        state = sgd.scale_momentum(state, np.float32(0.1))
+        out = np.asarray(state['momentum']['counter'])
+        assert out.dtype == np.int32
+        np.testing.assert_array_equal(out, [3, 7])
+
     def test_band_logic(self):
         reset_cfg()
         # inside the 1.1 band -> no correction; outside -> ratio

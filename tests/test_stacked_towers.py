@@ -195,3 +195,17 @@ class TestEngineCheckpointSchema:
         _cfg.FPN.DIM = 16
         with pytest.raises(ValueError, match='STACKED_TOWERS'):
             train_engine.train_model()
+
+    def test_zero_and_roi_sharding_rejected(self, stacked_train_cfg):
+        """STACKED_TOWERS is plain-DP only (PARITY.md): the ZeRO and
+        RoI-sharded combinations are unvalidated and must be refused, not
+        silently accepted (ADVICE r4)."""
+        from nafwebsod_tpu.core.config import cfg as _cfg
+        from nafwebsod_tpu.engine import train as train_engine
+        _cfg.TPU.ZERO_OPT = True
+        with pytest.raises(ValueError, match='STACKED_TOWERS'):
+            train_engine.train_model()
+        _cfg.TPU.ZERO_OPT = False
+        _cfg.TPU.ROI_SHARDING = True
+        with pytest.raises(ValueError, match='STACKED_TOWERS'):
+            train_engine.train_model()

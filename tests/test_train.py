@@ -81,3 +81,24 @@ class TestTrainModel:
         # resumes from model_iter1.pkl at iter 2 -> only 2 more iterations
         _, losses = train_engine.train_model()
         assert len(losses) == 2
+
+    def test_resume_skips_stray_momentum_blobs(self, train_cfg, monkeypatch):
+        """An externally produced pkl may carry momentum blobs with no
+        matching param; resume must skip them with a warning, not KeyError
+        (ADVICE r4). The loader filters to live params, so inject the
+        stray key at its return to exercise the guard."""
+        checkpoints, _ = train_engine.train_model()
+        os.remove(checkpoints['final'])
+        orig = ckpt.initialize_params_from_weights_file
+
+        def patched(params, path, strict_shapes=True):
+            new_params, momentum, unmatched = orig(params, path,
+                                                   strict_shapes)
+            momentum['stray_blob'] = np.zeros(3, np.float32)
+            return new_params, momentum, unmatched
+
+        monkeypatch.setattr(train_engine.ckpt,
+                            'initialize_params_from_weights_file', patched)
+        _, losses = train_engine.train_model()
+        assert len(losses) == 2
+        assert np.isfinite(losses).all()

@@ -22,9 +22,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from nafwebsod_tpu.utils.env import apply_platform_override
+from nafwebsod_tpu.utils.env import (apply_platform_override,
+                                     enable_compilation_cache)
 
 apply_platform_override()  # must run before any jax device query
+enable_compilation_cache()  # reruns skip the remote-helper compile wall
 
 from nafwebsod_tpu.core.config import cfg
 from nafwebsod_tpu.utils.cli import configure_from_args, parse_or_usage

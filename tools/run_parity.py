@@ -52,9 +52,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, 'tests'))
 
-from nafwebsod_tpu.utils.env import apply_platform_override  # noqa: E402
+from nafwebsod_tpu.utils.env import (apply_platform_override,
+                                     enable_compilation_cache)  # noqa: E402
 
 apply_platform_override()  # must run before any jax device query
+enable_compilation_cache()  # reruns skip the remote-helper compile wall
 
 DEFAULT_CFG = os.path.join(REPO, 'configs', 'flickr_voc',
                            'na_wsddn_V-16-C5_1x.yaml')
