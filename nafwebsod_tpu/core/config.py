@@ -513,6 +513,16 @@ _DEFAULTS = {
         # snapshot/log granularity rounding to K and the window sharing one padded
         # image size.
         'STEPS_PER_CALL': 1,
+        # Host/device overlap: number of training windows assembled (loader
+        # drain + stack + rng split) and uploaded ahead of the window the
+        # device is executing, on a background thread. The produced stream
+        # is BIT-IDENTICAL to the inline path (same loader order, same rng
+        # chain); only wall-clock scheduling changes — wall/iter approaches
+        # max(host, device) instead of their sum (reference analogue: the
+        # BlobsQueue prefill pipeline, roi_data/loader_wsl.py:215-258).
+        # 0 = assemble inline (old behavior). Single-host only; multi-host
+        # runs keep the canvas-agreement collective on the main thread.
+        'HOST_PREFETCH': 1,
         # Static ground-truth box capacity per image for the in-graph Faster R-CNN
         # target machinery (padded with a validity mask; no reference equivalent —
         # the Caffe2 python ops used dynamic shapes on host).

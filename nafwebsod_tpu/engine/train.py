@@ -418,15 +418,130 @@ def train_model(roidb=None, max_iters=None):
     losses = []
     pending = []  # (iter, device_loss, device_aux) awaiting host fetch
     last_good = None  # (params, opt_state) at the last all-finite drain
-    lr_prev = lr_policy.get_lr_at_iter(start_iter)
+
+    # Deterministic per-window (iter0, w, lrs, momentum-factors) schedule,
+    # precomputed so the prefetch thread and the main loop share one
+    # source of truth (a window = w iterations fused into one device call,
+    # TPU.STEPS_PER_CALL; w == 1 is the classic per-step path).
+    win_plan = []
+    _it, _lr_prev = start_iter, lr_policy.get_lr_at_iter(start_iter)
+    while _it < max_iters:
+        w = min(steps_per_call, max_iters - _it)
+        lrs, factors = [], []
+        for i in range(w):
+            lr = lr_policy.get_lr_at_iter(_it + i)
+            factor = sgd.momentum_correction_factor(cfg, lr, _lr_prev)
+            if factor is not None:
+                logger.info('LR change %g -> %g: scaling momentum by %g',
+                            _lr_prev, lr, factor)
+            factors.append(1.0 if factor is None else factor)
+            lrs.append(lr)
+            _lr_prev = lr
+        win_plan.append((_it, w, lrs, factors))
+        _it += w
+
+    # Batch upload shardings for the DP-batch-layout steps (plain DP and
+    # ZeRO set mesh_obj; both take batch P('data') / windowed
+    # P(None, 'data')). The prefetch thread device_puts under the step's
+    # own input sharding so the jit call finds committed device arrays
+    # and pays no synchronous transfer on the main thread.
+    put_shardings = None
+    if mesh_obj is not None and not mh.is_multihost():
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as _P
+        put_shardings = {1: NamedSharding(mesh_obj, _P('data')),
+                         2: NamedSharding(mesh_obj, _P(None, 'data'))}
+
+    def _assemble_window(entry, rng_sub):
+        """Window assembly: loader drain + stack + cur_iter injection +
+        per-device rng rows (+ multihost canvas agreement / global-batch
+        lift, + device upload for the DP-layout steps). Runs inline, or on
+        the prefetch thread one window ahead (TPU.HOST_PREFETCH) — the
+        produced stream is bit-identical either way."""
+        it0, w, _lrs, _factors = entry
+        blobs = [loader.get() for _ in range(w * local_per_step)]
+        batch = ts.stack_minibatches(
+            blobs, size_bucket=cfg.TPU.SIZE_BUCKET_MULTIPLE)
+        if mh.is_multihost():
+            # hosts agree on this iteration's image canvas so every
+            # process feeds/traces identical static shapes
+            gH, gW = mh.global_canvas(batch['image'].shape[2],
+                                      batch['image'].shape[3])
+            batch = mh.pad_batch_images(batch, gH, gW)
+        # cur_iter gates the C-MIL continuation schedule AND the
+        # CSC / center-loss / deeplab CSC_MAX_ITER cutoffs in
+        # detector.forward_train — inject it unconditionally so those
+        # branches deactivate on schedule like the reference ops
+        # (csc_op/center_loss_op cur_iter >= max_iter pass-through).
+        batch['cur_iter'] = np.repeat(
+            np.arange(it0, it0 + w, dtype=np.float32), local_per_step)
+        # the rng stream is host-identical (same seed); each process
+        # takes the rows for its own devices (full-batch mode keeps
+        # the whole stream — the step_fn replicates the key itself)
+        rngs_global = ts.device_rngs(rng_sub, w * num_devices)
+        rngs = (rngs_global if full_batch_mode else
+                mh.local_device_rngs(rngs_global, w, num_devices))
+        if w == 1:
+            if mesh_obj is not None:
+                batch = mh.form_global_batch(mesh_obj, batch)
+                rngs = mh.form_global_rngs(mesh_obj, rngs)
+        else:
+            batch = {k: v.reshape((w, local_per_step) + v.shape[1:])
+                     for k, v in batch.items()}
+            batch = mh.form_global_batch(mesh_obj, batch, batch_axis=1)
+            rngs = mh.form_global_rngs(
+                mesh_obj,
+                rngs.reshape((w, local_per_step) + rngs.shape[1:]),
+                batch_axis=1)
+        if put_shardings is not None:
+            sh = put_shardings[1 if w == 1 else 2]
+            batch = {k: jax.device_put(v, sh) for k, v in batch.items()}
+            rngs = jax.device_put(rngs, sh)
+        return blobs[0], batch, rngs
+
+    # Host/device overlap (TPU.HOST_PREFETCH, VERDICT r4 item 4): assemble
+    # and upload window K+1 on a background thread while window K executes
+    # on the device, so wall/iter approaches max(host, device) instead of
+    # their sum. The thread owns the per-window rng split chain (same
+    # sequence as the inline path). Single-host only — the multi-host
+    # canvas allgather must stay on the main thread to keep the
+    # cross-process collective order deterministic. Reference analogue:
+    # the BlobsQueue prefill pipeline (roi_data/loader_wsl.py:215-258).
+    prefetch_depth = (max(int(cfg.TPU.HOST_PREFETCH), 0)
+                      if not mh.is_multihost() else 0)
+    win_q = stop_evt = producer = None
+    if prefetch_depth:
+        import queue as _queue
+        import threading
+
+        win_q = _queue.Queue(maxsize=prefetch_depth)
+        stop_evt = threading.Event()
+
+        def _produce(rng0):
+            r = rng0
+            try:
+                for entry in win_plan:
+                    if stop_evt.is_set():
+                        return
+                    r, sub = jax.random.split(r)
+                    item = ('ok', _assemble_window(entry, sub))
+                    while not stop_evt.is_set():
+                        try:
+                            win_q.put(item, timeout=0.5)
+                            break
+                        except _queue.Full:
+                            continue
+            except BaseException as e:  # re-raised on the main thread
+                win_q.put(('err', e))
+
+        producer = threading.Thread(target=_produce, args=(rng,),
+                                    name='window-prefetch', daemon=True)
+        producer.start()
 
     profiling = False
     try:
-        cur_iter = start_iter
-        while cur_iter < max_iters:
-            # window of w iterations fused into one device call
-            # (TPU.STEPS_PER_CALL; w == 1 is the classic per-step path)
-            w = min(steps_per_call, max_iters - cur_iter)
+        for entry in win_plan:
+            cur_iter, w, lrs, factors = entry
             last_it = cur_iter + w - 1
             if cfg.TPU.PROFILE_DIR:
                 if cur_iter <= start_iter + 10 <= last_it:
@@ -438,42 +553,24 @@ def train_model(roidb=None, max_iters=None):
                     logger.info('Wrote profiler trace to %s',
                                 cfg.TPU.PROFILE_DIR)
             stats.IterTic()
-            lrs, factors = [], []
-            for i in range(w):
-                lr = lr_policy.get_lr_at_iter(cur_iter + i)
-                factor = sgd.momentum_correction_factor(cfg, lr, lr_prev)
-                if factor is not None:
-                    logger.info('LR change %g -> %g: scaling momentum by %g',
-                                lr_prev, lr, factor)
-                factors.append(1.0 if factor is None else factor)
-                lrs.append(lr)
-                lr_prev = lr
-
-            blobs = [loader.get() for _ in range(w * local_per_step)]
-            batch = ts.stack_minibatches(
-                blobs, size_bucket=cfg.TPU.SIZE_BUCKET_MULTIPLE)
-            if mh.is_multihost():
-                # hosts agree on this iteration's image canvas so every
-                # process feeds/traces identical static shapes
-                gH, gW = mh.global_canvas(batch['image'].shape[2],
-                                          batch['image'].shape[3])
-                batch = mh.pad_batch_images(batch, gH, gW)
-            # cur_iter gates the C-MIL continuation schedule AND the
-            # CSC / center-loss / deeplab CSC_MAX_ITER cutoffs in
-            # detector.forward_train — inject it unconditionally so those
-            # branches deactivate on schedule like the reference ops
-            # (csc_op/center_loss_op cur_iter >= max_iter pass-through).
-            iters_arr = np.repeat(
-                np.arange(cur_iter, cur_iter + w, dtype=np.float32),
-                local_per_step)
-            batch['cur_iter'] = iters_arr
-            rng, sub = jax.random.split(rng)
-            # the rng stream is host-identical (same seed); each process
-            # takes the rows for its own devices (full-batch mode keeps
-            # the whole stream — the step_fn replicates the key itself)
-            rngs_global = ts.device_rngs(sub, w * num_devices)
-            rngs = (rngs_global if full_batch_mode else
-                    mh.local_device_rngs(rngs_global, w, num_devices))
+            if prefetch_depth:
+                while True:
+                    try:
+                        kind, payload = win_q.get(timeout=5.0)
+                        break
+                    except _queue.Empty:
+                        if not producer.is_alive():
+                            raise RuntimeError(
+                                'window-prefetch thread died without '
+                                'reporting an error')
+                        if loader.coordinator.should_stop():
+                            raise RuntimeError('roi_data_loader failed')
+                if kind == 'err':
+                    raise payload
+                blob0, batch, rngs = payload
+            else:
+                rng, sub = jax.random.split(rng)
+                blob0, batch, rngs = _assemble_window(entry, sub)
             if _dump_inputs_dir and cur_iter == start_iter:
                 # test hook (NAFWEBSOD_DUMP_INPUTS): record this process's
                 # step-0 host-local inputs so cross-layout tests can assert
@@ -484,19 +581,9 @@ def train_model(roidb=None, max_iters=None):
                 if factors[0] != 1.0:
                     opt_state = sgd.scale_momentum(
                         opt_state, np.float32(factors[0]))
-                if mesh_obj is not None:
-                    batch = mh.form_global_batch(mesh_obj, batch)
-                    rngs = mh.form_global_rngs(mesh_obj, rngs)
                 params, opt_state, loss, aux = step_fn(
                     params, opt_state, batch, np.float32(lrs[0]), rngs)
             else:
-                batch = {k: v.reshape((w, local_per_step) + v.shape[1:])
-                         for k, v in batch.items()}
-                batch = mh.form_global_batch(mesh_obj, batch, batch_axis=1)
-                rngs = mh.form_global_rngs(
-                    mesh_obj,
-                    rngs.reshape((w, local_per_step) + rngs.shape[1:]),
-                    batch_axis=1)
                 # the DP window driver skips in-graph momentum rescaling;
                 # windows containing an LR boundary use the lazy
                 # factor-applying variant
@@ -569,7 +656,7 @@ def train_model(roidb=None, max_iters=None):
                     # span other hosts' devices — visualize from a
                     # host-local copy (like _save does)
                     vp = {k: np.asarray(v) for k, v in params.items()}
-                _vis_sample(spec, vp, blobs[0], output_dir, cur_iter)
+                _vis_sample(spec, vp, blob0, output_dir, cur_iter)
 
             if ((last_it + 1) % snapshot_iters < w and
                     last_it + 1 < max_iters):
@@ -580,10 +667,17 @@ def train_model(roidb=None, max_iters=None):
 
             if loader.coordinator.should_stop():
                 raise RuntimeError('roi_data_loader failed')
-            cur_iter += w
     finally:
         if profiling:
             jax.profiler.stop_trace()
+        if stop_evt is not None:
+            stop_evt.set()
+            try:  # unblock a producer parked in win_q.put
+                while True:
+                    win_q.get_nowait()
+            except Exception:
+                pass
+            producer.join(timeout=10)
         loader.shutdown()
 
     final_path = os.path.join(output_dir, 'model_final.pkl')

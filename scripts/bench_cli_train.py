@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Before/after CLI train wall-time for TPU.HOST_PREFETCH (VERDICT r4 #4).
+
+Drives the REAL `tools/train_net.py` at the flagship operating point
+(688-short-side, 2048 RoIs/image, 4096-d dual towers, bf16, HSV distort +
+crop + bagging-mixup, TPU.STEPS_PER_CALL=8) on a synthetic 8-image fixture
+dataset, once with inline window assembly (HOST_PREFETCH=0) and once with
+the background assembly/upload thread (HOST_PREFETCH=1), and reports the
+steady-state json_stats `time` per iteration for each.
+
+Round-4 baseline (BASELINE.md): 0.58 s/iter WALL, host-bound (cv2 work
+~0.5 s/window + tunnel dispatch; device ~26 ms/step). The overlap target
+is wall/iter ~= max(host, device) rather than their sum.
+
+Run SERIALLY on the tunnel chip (no concurrent CPU-heavy jobs).
+Usage: python scripts/bench_cli_train.py [--iters 64] [--prefetch 0 1]
+"""
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, 'tests'))
+
+WORK = '/tmp/bench_cli_train'
+
+CFG_TMPL = """\
+MODEL:
+  TYPE: generalized_wsl
+  CONV_BODY: VGG16.add_VGG16_conv5_body_origin
+  NUM_CLASSES: 4
+WSL:
+  WSL_ON: True
+  DILATION: 2
+  USE_DISTORTION: True
+  USE_CROP: True
+WEBLY:
+  WEBLY_ON: True
+  ENTROPY: True
+FAST_RCNN:
+  ROI_BOX_HEAD: webly_heads.add_VGG16_roi_2fc_noise_head
+  ROI_XFORM_RESOLUTION: 7
+TRAIN:
+  DATASETS: ('flickr_voc',)
+  PROPOSAL_FILES: ('{data}/flickr_voc/proposals.pkl',)
+  SCALES: (688,)
+  MAX_SIZE: 1200
+  BATCH_SIZE_PER_IM: 2048
+  USE_FLIPPED: True
+  FREEZE_CONV_BODY: True
+  SNAPSHOT_ITERS: 100000
+SOLVER:
+  BASE_LR: 0.00001
+  LR_POLICY: steps_with_decay
+  STEPS: [0]
+  MAX_ITER: {iters}
+  WARM_UP_ITERS: 0
+NUM_GPUS: 1
+DATA_LOADER:
+  NUM_THREADS: 4
+TPU:
+  COMPUTE_DTYPE: bfloat16
+  STEPS_PER_CALL: 8
+OUTPUT_DIR: {out}
+"""
+
+
+def make_dataset():
+    import fixtures
+    data = os.path.join(WORK, 'data')
+    d = os.path.join(data, 'flickr_voc')
+    if os.path.isdir(os.path.join(d, 'images')):
+        return data
+    os.makedirs(d, exist_ok=True)
+    info = fixtures.make_coco_dataset(d, n_images=8, width=640, height=480,
+                                      n_props=2048)
+    os.rename(info['image_dir'], os.path.join(d, 'images'))
+    os.rename(info['ann_file'], os.path.join(d, 'annotations.json'))
+    return data
+
+
+def run_one(data, iters, prefetch):
+    out = os.path.join(WORK, 'out_p%d' % prefetch)
+    shutil.rmtree(out, ignore_errors=True)
+    cfg_path = os.path.join(WORK, 'cfg_p%d.yaml' % prefetch)
+    with open(cfg_path, 'w') as f:
+        f.write(CFG_TMPL.format(data=data, iters=iters, out=out))
+    env = dict(os.environ, WEBSOD_DATA_DIR=data)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'tools', 'train_net.py'),
+         '--cfg', cfg_path, '--skip-test',
+         'TPU.HOST_PREFETCH', str(prefetch)],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=3600)
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stdout[-4000:] + proc.stderr[-4000:])
+        raise SystemExit('train_net failed (prefetch=%d)' % prefetch)
+    pts = [json.loads(ln[len('json_stats: '):])
+           for ln in proc.stdout.splitlines()
+           if ln.startswith('json_stats: ')]
+    if len(pts) < 3:
+        raise SystemExit('too few json_stats lines (prefetch=%d)' % prefetch)
+    # json_stats 'time' is the cumulative average (includes the compile-
+    # heavy first window); the steady-state marginal rate between the
+    # midpoint and the final log point excludes it:
+    # t_marginal = (avg_n * n - avg_m * m) / (n - m), n = iters done
+    mid, last = pts[len(pts) // 2], pts[-1]
+    n_m, n_l = mid['iter'] + 1, last['iter'] + 1
+    steady = (last['time'] * n_l - mid['time'] * n_m) / float(n_l - n_m)
+    return [p['time'] for p in pts], steady
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--iters', type=int, default=64)
+    ap.add_argument('--prefetch', type=int, nargs='+', default=[0, 1])
+    args = ap.parse_args()
+    os.makedirs(WORK, exist_ok=True)
+    data = make_dataset()
+    results = {}
+    for p in args.prefetch:
+        times, steady = run_one(data, args.iters, p)
+        results[p] = steady
+        print('HOST_PREFETCH=%d: logged time/iter points %s -> steady %.3f '
+              's/iter' % (p, ['%.3f' % t for t in times], steady),
+              flush=True)
+    print(json.dumps({'steady_s_per_iter': results}))
+
+
+if __name__ == '__main__':
+    main()

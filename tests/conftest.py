@@ -17,12 +17,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 # ---------------------------------------------------------------------- #
-# Test tiers: `pytest -m smoke` = a <5-min pass with every subsystem
+# Test tiers: `pytest -m smoke` = the fast pass with every subsystem
 # represented (config / data / ops / kernels / models / solver / parallel /
 # multihost / engine-eval / checkpoint / vis); the unmarked remainder is
 # the full tier (bound full runs at 5400s on this 1-core box). Whole fast
 # files are tiered here rather than per-test decorators so the list stays
-# in one place.
+# in one place. Measured round 5 (quiet 1-core box): 4:23 for 167 tests;
+# the pytest_sessionfinish hook below FAILS a passing smoke run that
+# exceeds NAFWEBSOD_SMOKE_BUDGET_S (default 420 = 1.5x measured).
 SMOKE_FILES = {
     'test_config.py',        # config system
     'test_data.py',          # json_dataset/roidb
@@ -35,7 +37,6 @@ SMOKE_FILES = {
     'test_refine.py',        # OICR/PCL/C-MIL ladders
     'test_image_prep.py',    # device image prep
     'test_solver.py',        # Caffe SGD semantics
-    'test_train.py',         # train loop
     'test_parallel.py',      # DP train step + mesh
     'test_multihost.py',     # multi-controller branches
     'test_eval_tasks.py',    # evaluators (VOC/COCO/cityscapes)
@@ -48,6 +49,9 @@ SMOKE_FILES = {
 # its cheapest representative test (round-4: fast signal for the
 # subsystems most likely to break). Keyed by (file, test-name prefix).
 SMOKE_TESTS = {
+    # train loop: one full e2e pick (the whole file is ~75s — the resume/
+    # prefetch variants stay full-tier)
+    ('test_train.py', 'TestTrainModel::test_loop_and_snapshots'),
     ('test_zero.py', 'test_zero_momentum_is_sharded'),
     ('test_pipeline.py', 'test_pipeline_step_matches_mean_loss_step'),
     ('test_tensor_shard.py', 'test_tp_step_matches_unsharded'),
@@ -55,6 +59,36 @@ SMOKE_TESTS = {
     ('test_engine.py', 'TestNmsAndLimit'),
     ('test_engine.py', 'TestFusedDetect::test_fused_matches_two_call_path'),
 }
+
+
+# Smoke-tier wall-clock budget (VERDICT r4: the tier's purpose eroded a
+# minute per round with nothing enforcing it). When a `-m smoke` run
+# passes but exceeds the budget, the session FAILS loudly — demote the
+# slowest file (move it out of SMOKE_FILES, keep a SMOKE_TESTS pick) or
+# raise NAFWEBSOD_SMOKE_BUDGET_S deliberately. Budget default = 1.5x the
+# measured quiet-box time, absorbing CPU-contention jitter.
+_SMOKE_T0 = None
+
+
+def pytest_configure(config):
+    global _SMOKE_T0
+    import time
+    _SMOKE_T0 = time.time()
+
+
+def pytest_sessionfinish(session, exitstatus):
+    import time
+    markexpr = str(session.config.getoption('markexpr') or '')
+    if markexpr != 'smoke' or exitstatus != 0 or _SMOKE_T0 is None:
+        return
+    elapsed = time.time() - _SMOKE_T0
+    budget = float(os.environ.get('NAFWEBSOD_SMOKE_BUDGET_S', '420'))
+    if elapsed > budget:
+        print('\nSMOKE BUDGET EXCEEDED: %.0fs > %.0fs '
+              '(NAFWEBSOD_SMOKE_BUDGET_S) — demote the slowest smoke file '
+              'in tests/conftest.py or raise the budget deliberately'
+              % (elapsed, budget))
+        session.exitstatus = 1
 
 
 def pytest_collection_modifyitems(config, items):

@@ -82,6 +82,25 @@ class TestTrainModel:
         _, losses = train_engine.train_model()
         assert len(losses) == 2
 
+    def test_host_prefetch_stream_is_bit_identical(self, train_cfg):
+        """TPU.HOST_PREFETCH moves window assembly (loader drain, stack,
+        rng chain, upload) to a background thread — the training stream
+        must be BIT-identical to the inline path (same blobs order, same
+        rng splits); only wall-clock scheduling may change. Also covers
+        the STEPS_PER_CALL window driver under prefetch."""
+        import glob
+
+        cfg.TPU.STEPS_PER_CALL = 2
+        losses = {}
+        for depth in (0, 2):
+            cfg.TPU.HOST_PREFETCH = depth
+            np.random.seed(cfg.RNG_SEED)  # loader shuffle/jitter draws
+            _, losses[depth] = train_engine.train_model()
+            for p in glob.glob(os.path.join(cfg.OUTPUT_DIR, '**',
+                                            'model_*.pkl'), recursive=True):
+                os.remove(p)  # else the next run AUTO_RESUME-skips
+        assert losses[0] and losses[0] == losses[2]
+
     def test_resume_skips_stray_momentum_blobs(self, train_cfg, monkeypatch):
         """An externally produced pkl may carry momentum blobs with no
         matching param; resume must skip them with a warning, not KeyError
