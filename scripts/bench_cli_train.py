@@ -85,6 +85,8 @@ def make_dataset():
 
 
 def run_one(data, iters, prefetch):
+    """One train_net run; returns the final json_stats cumulative
+    time-per-iter (span-adjusted, includes the first/compile window)."""
     out = os.path.join(WORK, 'out_p%d' % prefetch)
     shutil.rmtree(out, ignore_errors=True)
     cfg_path = os.path.join(WORK, 'cfg_p%d.yaml' % prefetch)
@@ -102,32 +104,31 @@ def run_one(data, iters, prefetch):
     pts = [json.loads(ln[len('json_stats: '):])
            for ln in proc.stdout.splitlines()
            if ln.startswith('json_stats: ')]
-    if len(pts) < 3:
-        raise SystemExit('too few json_stats lines (prefetch=%d)' % prefetch)
-    # json_stats 'time' is the cumulative average (includes the compile-
-    # heavy first window); the steady-state marginal rate between the
-    # midpoint and the final log point excludes it:
-    # t_marginal = (avg_n * n - avg_m * m) / (n - m), n = iters done
-    mid, last = pts[len(pts) // 2], pts[-1]
-    n_m, n_l = mid['iter'] + 1, last['iter'] + 1
-    steady = (last['time'] * n_l - mid['time'] * n_m) / float(n_l - n_m)
-    return [p['time'] for p in pts], steady
+    if not pts:
+        raise SystemExit('no json_stats lines (prefetch=%d)' % prefetch)
+    return pts[-1]['time'], pts[-1]['iter'] + 1
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--iters', type=int, default=64)
+    ap.add_argument('--iters', type=int, nargs=2, default=[16, 64],
+                    help='short and long run; the marginal rate between '
+                         'them cancels compile/setup time')
     ap.add_argument('--prefetch', type=int, nargs='+', default=[0, 1])
     args = ap.parse_args()
     os.makedirs(WORK, exist_ok=True)
     data = make_dataset()
     results = {}
     for p in args.prefetch:
-        times, steady = run_one(data, args.iters, p)
+        t_short, n_short = run_one(data, args.iters[0], p)
+        t_long, n_long = run_one(data, args.iters[1], p)
+        # both runs pay the same (cached) compile + warmup inside their
+        # cumulative averages; the marginal rate is the steady state
+        steady = (t_long * n_long - t_short * n_short) / (n_long - n_short)
         results[p] = steady
-        print('HOST_PREFETCH=%d: logged time/iter points %s -> steady %.3f '
-              's/iter' % (p, ['%.3f' % t for t in times], steady),
-              flush=True)
+        print('HOST_PREFETCH=%d: cumulative %.3f s/iter @%d, %.3f s/iter '
+              '@%d -> steady %.3f s/iter'
+              % (p, t_short, n_short, t_long, n_long, steady), flush=True)
     print(json.dumps({'steady_s_per_iter': results}))
 
 

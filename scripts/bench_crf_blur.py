@@ -36,8 +36,10 @@ import jax.numpy as jnp  # noqa: E402
 from nafwebsod_tpu.ops import permutohedral as ph  # noqa: E402
 
 
-def apply_stacked(lattice, values, nbr):
-    """ph.apply with the two per-round gathers stacked into one."""
+def apply_split(lattice, values, n1, n2):
+    """The PRE-round-5 layout: two separate M-row gathers per blur round
+    (kept here as the comparison arm; the library now ships the stacked
+    single-gather form)."""
     n, d, m = lattice['n'], lattice['d'], lattice['m']
     vdim = values.shape[1]
     bary = lattice['bary'].astype(values.dtype)
@@ -46,8 +48,7 @@ def apply_stacked(lattice, values, nbr):
     zero = jnp.zeros((1, vdim), lat.dtype)
     for j in range(d + 1):
         padded = jnp.concatenate([lat, zero], axis=0)
-        g = padded[nbr[j]].reshape(2, m, vdim)
-        lat = lat + 0.5 * (g[0] + g[1])
+        lat = lat + 0.5 * (padded[n1[j]] + padded[n2[j]])
     padded = jnp.concatenate([lat, zero], axis=0)
     vert = padded[lattice['entry_uid']].reshape(n, d + 1, vdim)
     alpha = 1.0 / (1.0 + 2.0 ** (-float(d)))
@@ -78,18 +79,19 @@ def main():
     lat = ph.build_lattice(jnp.asarray(feat))
     lat = {k: (jax.block_until_ready(v) if hasattr(v, 'block_until_ready')
                else v) for k, v in lat.items()}
-    nbr = jnp.concatenate([lat['n1'], lat['n2']], axis=1)  # (d+1, 2M)
+    m = lat['m']
+    n1, n2 = lat['nbr'][:, :m], lat['nbr'][:, m:]
 
     @jax.jit
     def run_baseline(q):
         def step(i, q):
-            return ph.apply(lat, q)
+            return apply_split(lat, q, n1, n2)
         return jax.lax.fori_loop(0, args.iters, step, q)
 
     @jax.jit
     def run_stacked(q):
         def step(i, q):
-            return apply_stacked(lat, q, nbr)
+            return ph.apply(lat, q)
         return jax.lax.fori_loop(0, args.iters, step, q)
 
     a = run_baseline(q0)
