@@ -481,6 +481,13 @@ def train_model(roidb=None, max_iters=None):
         rngs_global = ts.device_rngs(rng_sub, w * num_devices)
         rngs = (rngs_global if full_batch_mode else
                 mh.local_device_rngs(rngs_global, w, num_devices))
+        if _dump_inputs_dir and it0 == start_iter:
+            # test hook (NAFWEBSOD_DUMP_INPUTS): record this process's
+            # step-0 HOST-LOCAL inputs (before the multihost global lift —
+            # lifted leaves span non-addressable devices) so cross-layout
+            # tests can assert the shard assignment and rng routing
+            # BITWISE — tests/test_multiproc_train.py
+            _dump_step_inputs(_dump_inputs_dir, batch, rngs)
         if w == 1:
             if mesh_obj is not None:
                 batch = mh.form_global_batch(mesh_obj, batch)
@@ -571,12 +578,6 @@ def train_model(roidb=None, max_iters=None):
             else:
                 rng, sub = jax.random.split(rng)
                 blob0, batch, rngs = _assemble_window(entry, sub)
-            if _dump_inputs_dir and cur_iter == start_iter:
-                # test hook (NAFWEBSOD_DUMP_INPUTS): record this process's
-                # step-0 host-local inputs so cross-layout tests can assert
-                # the shard assignment and rng routing BITWISE — see
-                # tests/test_multiproc_train.py::test_input_routing_bitwise
-                _dump_step_inputs(_dump_inputs_dir, batch, rngs)
             if w == 1:
                 if factors[0] != 1.0:
                     opt_state = sgd.scale_momentum(
