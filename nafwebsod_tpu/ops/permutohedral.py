@@ -147,12 +147,8 @@ def build_lattice(features):
     return {
         'entry_uid': entry_uid,          # (M,)
         'bary': bary,                    # (N, d+1)
-        # both blur directions stacked per round: apply() issues ONE
-        # (2M)-row gather per round instead of two M-row gathers —
-        # measured 4.25 -> 3.82 ms per mean-field blur on v5e at the
-        # 88x88 deeplab mask grid (scripts/bench_crf_blur.py)
-        'nbr': jnp.concatenate([jnp.stack(n1_idx), jnp.stack(n2_idx)],
-                               axis=1),  # (d+1, 2M)
+        'n1': jnp.stack(n1_idx),         # (d+1, M)
+        'n2': jnp.stack(n2_idx),         # (d+1, M)
         'n': n, 'd': d, 'm': m,
     }
 
@@ -174,10 +170,16 @@ def apply(lattice, values):
     w = (values[:, None, :] * bary[:, :, None]).reshape(m, vdim)
     lat = jax.ops.segment_sum(w, lattice['entry_uid'], num_segments=m)
     zero = jnp.zeros((1, vdim), lat.dtype)
+    # Two M-row gathers per round, NOT one stacked (2M)-row gather: the
+    # stacked form is 10% faster FORWARD-ONLY (4.25 -> 3.82 ms/blur on
+    # v5e, scripts/bench_crf_blur.py) but its AD transpose lowers to a
+    # single wide scatter that costs the deeplab TRAIN step +6.4 ms
+    # (86.7 -> 93.1 ms/step measured) — the split gathers transpose to
+    # two cheap scatters. Measured negative result, BASELINE.md round 5.
     for j in range(d + 1):
         padded = jnp.concatenate([lat, zero], axis=0)
-        g = padded[lattice['nbr'][j]].reshape(2, m, vdim)
-        lat = lat + 0.5 * (g[0] + g[1])
+        lat = lat + 0.5 * (padded[lattice['n1'][j]] +
+                           padded[lattice['n2'][j]])
     padded = jnp.concatenate([lat, zero], axis=0)
     vert = padded[lattice['entry_uid']].reshape(n, d + 1, vdim)
     alpha = 1.0 / (1.0 + 2.0 ** (-float(d)))

@@ -14,6 +14,12 @@ Variants:
 The blur is inherently sequential ACROSS rounds (separable blur: round
 j+1 consumes round j's output), so within-round fusion is the only
 freedom. Run SERIALLY on the tunnel chip.
+
+MEASURED OUTCOME (round 5): stacked wins forward-only (4.254 -> 3.819
+ms/blur) but LOSES under autodiff — its transpose is one wide scatter
+and the deeplab train step pays +6.4 ms (86.7 -> 93.1 ms/step). The
+library ships the split form; this script measures the forward-only
+comparison and keeps the stacked arm as the documented negative result.
 """
 
 import argparse
@@ -36,10 +42,12 @@ import jax.numpy as jnp  # noqa: E402
 from nafwebsod_tpu.ops import permutohedral as ph  # noqa: E402
 
 
-def apply_split(lattice, values, n1, n2):
-    """The PRE-round-5 layout: two separate M-row gathers per blur round
-    (kept here as the comparison arm; the library now ships the stacked
-    single-gather form)."""
+def apply_stacked(lattice, values, nbr):
+    """The rejected variant: ONE (2M)-row gather per blur round. 10%
+    faster FORWARD-ONLY, but its AD transpose lowers to a single wide
+    scatter that costs the deeplab TRAIN step +6.4 ms (the library ships
+    the split two-gather form whose transpose is two cheap scatters —
+    measured negative result, BASELINE.md round 5)."""
     n, d, m = lattice['n'], lattice['d'], lattice['m']
     vdim = values.shape[1]
     bary = lattice['bary'].astype(values.dtype)
@@ -48,7 +56,8 @@ def apply_split(lattice, values, n1, n2):
     zero = jnp.zeros((1, vdim), lat.dtype)
     for j in range(d + 1):
         padded = jnp.concatenate([lat, zero], axis=0)
-        lat = lat + 0.5 * (padded[n1[j]] + padded[n2[j]])
+        g = padded[nbr[j]].reshape(2, m, vdim)
+        lat = lat + 0.5 * (g[0] + g[1])
     padded = jnp.concatenate([lat, zero], axis=0)
     vert = padded[lattice['entry_uid']].reshape(n, d + 1, vdim)
     alpha = 1.0 / (1.0 + 2.0 ** (-float(d)))
@@ -79,19 +88,18 @@ def main():
     lat = ph.build_lattice(jnp.asarray(feat))
     lat = {k: (jax.block_until_ready(v) if hasattr(v, 'block_until_ready')
                else v) for k, v in lat.items()}
-    m = lat['m']
-    n1, n2 = lat['nbr'][:, :m], lat['nbr'][:, m:]
+    nbr = jnp.concatenate([lat['n1'], lat['n2']], axis=1)  # (d+1, 2M)
 
     @jax.jit
     def run_baseline(q):
         def step(i, q):
-            return apply_split(lat, q, n1, n2)
+            return ph.apply(lat, q)
         return jax.lax.fori_loop(0, args.iters, step, q)
 
     @jax.jit
     def run_stacked(q):
         def step(i, q):
-            return ph.apply(lat, q)
+            return apply_stacked(lat, q, nbr)
         return jax.lax.fori_loop(0, args.iters, step, q)
 
     a = run_baseline(q0)
