@@ -171,11 +171,13 @@ def apply(lattice, values):
     lat = jax.ops.segment_sum(w, lattice['entry_uid'], num_segments=m)
     zero = jnp.zeros((1, vdim), lat.dtype)
     # Two M-row gathers per round, NOT one stacked (2M)-row gather: the
-    # stacked form is 10% faster FORWARD-ONLY (4.25 -> 3.82 ms/blur on
-    # v5e, scripts/bench_crf_blur.py) but its AD transpose lowers to a
-    # single wide scatter that costs the deeplab TRAIN step +6.4 ms
-    # (86.7 -> 93.1 ms/step measured) — the split gathers transpose to
-    # two cheap scatters. Measured negative result, BASELINE.md round 5.
+    # stacked form measured 10% faster in an ISOLATED forward microbench
+    # (4.25 -> 3.82 ms/blur on v5e, scripts/bench_crf_blur.py) but +6.4
+    # ms/step SLOWER inside the full deeplab train program (86.7 -> 93.1
+    # measured, stable over 4 runs) — the (2M, V) gather forces a
+    # materialized intermediate + strided-half add where XLA fuses the
+    # two small gathers straight into the accumulate when scheduling the
+    # larger program. Measured negative result, BASELINE.md round 5.
     for j in range(d + 1):
         padded = jnp.concatenate([lat, zero], axis=0)
         lat = lat + 0.5 * (padded[lattice['n1'][j]] +

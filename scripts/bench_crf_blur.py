@@ -15,11 +15,15 @@ The blur is inherently sequential ACROSS rounds (separable blur: round
 j+1 consumes round j's output), so within-round fusion is the only
 freedom. Run SERIALLY on the tunnel chip.
 
-MEASURED OUTCOME (round 5): stacked wins forward-only (4.254 -> 3.819
-ms/blur) but LOSES under autodiff — its transpose is one wide scatter
-and the deeplab train step pays +6.4 ms (86.7 -> 93.1 ms/step). The
-library ships the split form; this script measures the forward-only
-comparison and keeps the stacked arm as the documented negative result.
+MEASURED OUTCOME (round 5): stacked wins in THIS isolated microbench
+(4.254 -> 3.819 ms/blur) but LOSES inside the full deeplab train
+program: +6.4 ms/step (86.7 -> 93.1, stable over 4 runs; the CRF target
+is stop_gradient'ed so no backward runs through the blur — the
+regression is XLA fusion/scheduling of the wide (2M, V) gather in the
+larger program, not autodiff). The library ships the split form; the
+stacked arm stays here as the documented negative result. Moral: a
+lever that wins a microbenchmark must be re-measured in the program
+that ships.
 """
 
 import argparse
@@ -44,10 +48,9 @@ from nafwebsod_tpu.ops import permutohedral as ph  # noqa: E402
 
 def apply_stacked(lattice, values, nbr):
     """The rejected variant: ONE (2M)-row gather per blur round. 10%
-    faster FORWARD-ONLY, but its AD transpose lowers to a single wide
-    scatter that costs the deeplab TRAIN step +6.4 ms (the library ships
-    the split two-gather form whose transpose is two cheap scatters —
-    measured negative result, BASELINE.md round 5)."""
+    faster in this isolated microbench, +6.4 ms/step slower inside the
+    full deeplab train program (see module docstring — fusion, not
+    autodiff; measured negative result, BASELINE.md round 5)."""
     n, d, m = lattice['n'], lattice['d'], lattice['m']
     vdim = values.shape[1]
     bary = lattice['bary'].astype(values.dtype)
