@@ -431,9 +431,6 @@ def train_model(roidb=None, max_iters=None):
         for i in range(w):
             lr = lr_policy.get_lr_at_iter(_it + i)
             factor = sgd.momentum_correction_factor(cfg, lr, _lr_prev)
-            if factor is not None:
-                logger.info('LR change %g -> %g: scaling momentum by %g',
-                            _lr_prev, lr, factor)
             factors.append(1.0 if factor is None else factor)
             lrs.append(lr)
             _lr_prev = lr
@@ -578,6 +575,13 @@ def train_model(roidb=None, max_iters=None):
             else:
                 rng, sub = jax.random.split(rng)
                 blob0, batch, rngs = _assemble_window(entry, sub)
+            if any(f != 1.0 for f in factors):
+                # logged at FIRE time (not at win_plan precompute) so log
+                # position still correlates with when the momentum
+                # correction actually applies
+                logger.info('LR boundary at iters [%d, %d]: scaling '
+                            'momentum by %s', cur_iter, last_it,
+                            [f for f in factors if f != 1.0])
             if w == 1:
                 if factors[0] != 1.0:
                     opt_state = sgd.scale_momentum(
@@ -678,8 +682,12 @@ def train_model(roidb=None, max_iters=None):
                     win_q.get_nowait()
             except Exception:
                 pass
-            producer.join(timeout=10)
+        # shutdown BEFORE joining the producer: a producer parked in
+        # loader.get() only unblocks when the loader stops — joining
+        # first would burn the full join timeout on every loader failure
         loader.shutdown()
+        if producer is not None:
+            producer.join(timeout=10)
 
     final_path = os.path.join(output_dir, 'model_final.pkl')
     _save(final_path, params, opt_state)

@@ -30,13 +30,17 @@ def apply_platform_override():
     return plat
 
 
-def enable_compilation_cache():
+def enable_compilation_cache(min_compile_seconds=10):
     """Point JAX at the persistent compilation cache (same recipe as
     bench.py). On this rig first compiles of the big scan-window/eval
     programs go through a remote compile helper and can take tens of
     minutes under CPU contention; the on-disk cache makes every rerun of
-    an unchanged program fast. Opt out with NAFWEBSOD_COMPILE_CACHE=0.
-    Call at CLI-tool startup (any time before the first compile)."""
+    an unchanged program fast. Opt out with NAFWEBSOD_COMPILE_CACHE=0;
+    relocate with NAFWEBSOD_COMPILE_CACHE_DIR. Call at CLI-tool startup
+    (any time before the first compile). ``min_compile_seconds``: only
+    cache programs that took at least this long to compile (the multichip
+    dryrun passes 1 — it compiles ~30 small programs whose aggregate
+    wall matters)."""
     if os.environ.get('NAFWEBSOD_COMPILE_CACHE', '1') == '0':
         return
     import jax
@@ -45,7 +49,8 @@ def enable_compilation_cache():
             'jax_compilation_cache_dir',
             os.environ.get('NAFWEBSOD_COMPILE_CACHE_DIR',
                            os.path.expanduser('~/.cache/jax_comp_cache')))
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          min_compile_seconds)
     except Exception:  # cache support missing: not worth failing a run
         logger.warning('persistent compilation cache unavailable',
                        exc_info=True)

@@ -77,10 +77,10 @@ def make_dataset():
     if os.path.isdir(os.path.join(d, 'images')):
         return data
     os.makedirs(d, exist_ok=True)
-    info = fixtures.make_coco_dataset(d, n_images=8, width=640, height=480,
-                                      n_props=2048)
-    os.rename(info['image_dir'], os.path.join(d, 'images'))
-    os.rename(info['ann_file'], os.path.join(d, 'annotations.json'))
+    # the fixture already writes the catalog layout (<d>/images +
+    # <d>/annotations.json + <d>/proposals.pkl)
+    fixtures.make_coco_dataset(d, n_images=8, width=640, height=480,
+                               n_props=2048)
     return data
 
 
@@ -113,9 +113,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--iters', type=int, nargs=2, default=[16, 64],
                     help='short and long run; the marginal rate between '
-                         'them cancels compile/setup time')
+                         'them cancels compile/setup time. NOTE: both '
+                         'runs must hit a WARM compile cache for the '
+                         'cancellation to hold — on a fresh machine run '
+                         'the script once to prime the cache and use the '
+                         'second invocation\'s numbers')
     ap.add_argument('--prefetch', type=int, nargs='+', default=[0, 1])
     args = ap.parse_args()
+    if args.iters[1] <= args.iters[0]:
+        ap.error('--iters needs long > short')
     os.makedirs(WORK, exist_ok=True)
     data = make_dataset()
     results = {}

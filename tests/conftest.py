@@ -85,9 +85,10 @@ def pytest_sessionfinish(session, exitstatus):
     budget = float(os.environ.get('NAFWEBSOD_SMOKE_BUDGET_S', '420'))
     if elapsed > budget:
         print('\nSMOKE BUDGET EXCEEDED: %.0fs > %.0fs '
-              '(NAFWEBSOD_SMOKE_BUDGET_S) — demote the slowest smoke file '
-              'in tests/conftest.py or raise the budget deliberately'
-              % (elapsed, budget))
+              '(NAFWEBSOD_SMOKE_BUDGET_S) — if the box was contended '
+              '(concurrent TPU compile/bench), rerun quiet; otherwise '
+              'demote the slowest smoke file in tests/conftest.py or '
+              'raise the budget deliberately' % (elapsed, budget))
         session.exitstatus = 1
 
 
