@@ -101,6 +101,27 @@ class TestTrainModel:
                 os.remove(p)  # else the next run AUTO_RESUME-skips
         assert losses[0] and losses[0] == losses[2]
 
+    def test_prefetch_thread_error_surfaces_on_main(self, train_cfg,
+                                                    monkeypatch):
+        """An exception inside the window-prefetch producer (loader drain,
+        stack, upload) must re-raise on the main thread, not hang the
+        queue consumer."""
+        from nafwebsod_tpu.data.loader import RoIDataLoader
+
+        orig_get = RoIDataLoader.get
+        calls = {'n': 0}
+
+        def flaky_get(self):
+            calls['n'] += 1
+            if calls['n'] > 2:
+                raise ValueError('loader exploded mid-run')
+            return orig_get(self)
+
+        monkeypatch.setattr(RoIDataLoader, 'get', flaky_get)
+        cfg.TPU.HOST_PREFETCH = 2
+        with pytest.raises(ValueError, match='loader exploded'):
+            train_engine.train_model()
+
     def test_resume_skips_stray_momentum_blobs(self, train_cfg, monkeypatch):
         """An externally produced pkl may carry momentum blobs with no
         matching param; resume must skip them with a warning, not KeyError
